@@ -1,0 +1,146 @@
+package graft.geo.json
+
+import com.fasterxml.jackson.core.{JsonFactory, JsonParser, JsonToken}
+import scala.collection.immutable.VectorBuilder
+
+/** Minimal ordered JSON value ADT.
+  *
+  * Mirrors the reference's eager JSON model (`/root/reference/src/geojsone/
+  * vendor/ezjsone/ezjsone.ml:18-24`): all numbers are IEEE doubles (the
+  * reference lexer produces only `Float`, jsone.ml:424-433), objects are
+  * ordered association lists (duplicate keys preserved).
+  */
+sealed trait JValue {
+  def render: String = { val sb = new StringBuilder; JValue.write(sb, this); sb.toString }
+}
+case object JNull extends JValue
+final case class JBool(b: Boolean) extends JValue
+final case class JNum(d: Double) extends JValue
+final case class JStr(s: String) extends JValue
+final case class JArr(items: Vector[JValue]) extends JValue
+final case class JObj(fields: Vector[(String, JValue)]) extends JValue {
+  def get(key: String): Option[JValue] = fields.collectFirst { case (k, v) if k == key => v }
+}
+
+object JValue {
+  private val factory = new JsonFactory()
+
+  /** Parse a JSON text. Numbers always become doubles (reference semantics:
+    * jsone.ml:424-433 — `float_of_string` for every number).
+    */
+  def parse(text: String): Either[String, JValue] =
+    try {
+      val p = factory.createParser(text)
+      try {
+        p.nextToken()
+        val v = readValue(p)
+        // trailing garbage check
+        if (p.nextToken() != null) Left("Trailing content after JSON value")
+        else Right(v)
+      } finally p.close()
+    } catch { case e: Exception => Left(Option(e.getMessage).getOrElse("parse error")) }
+
+  def parseUnsafe(text: String): JValue =
+    parse(text).fold(m => throw new IllegalArgumentException(m), identity)
+
+  private def readValue(p: JsonParser): JValue = p.currentToken() match {
+    case JsonToken.VALUE_NULL           => JNull
+    case JsonToken.VALUE_TRUE           => JBool(true)
+    case JsonToken.VALUE_FALSE          => JBool(false)
+    case JsonToken.VALUE_NUMBER_INT    => JNum(p.getDoubleValue)
+    case JsonToken.VALUE_NUMBER_FLOAT  => JNum(p.getDoubleValue)
+    case JsonToken.VALUE_STRING         => JStr(p.getText)
+    case JsonToken.START_ARRAY =>
+      val b = new VectorBuilder[JValue]
+      while (p.nextToken() != JsonToken.END_ARRAY) b += readValue(p)
+      JArr(b.result())
+    case JsonToken.START_OBJECT =>
+      val b = new VectorBuilder[(String, JValue)]
+      while (p.nextToken() != JsonToken.END_OBJECT) {
+        val name = p.currentName()
+        p.nextToken()
+        b += (name -> readValue(p))
+      }
+      JObj(b.result())
+    case t => throw new IllegalArgumentException(s"Unexpected token $t")
+  }
+
+  /** C-printf `%.16g` compatible double formatting (jsone.ml:814-819).
+    * Java's `%g` keeps trailing zeros; C's strips them, so we post-process.
+    */
+  def formatG16(d: Double): String = {
+    if (d == Math.rint(d) && Math.abs(d) < 1e16) {
+      // integral values within %.16g's fixed range print without a point
+      val l = d.toLong
+      if (l == 0 && 1.0 / d < 0) "-0" else l.toString
+    } else {
+      var s = String.format(java.util.Locale.ROOT, "%.16g", java.lang.Double.valueOf(d))
+      if (s.contains('e')) {
+        // split mantissa/exponent, strip mantissa trailing zeros
+        val i   = s.indexOf('e')
+        var m   = s.substring(0, i)
+        val e   = s.substring(i)
+        if (m.contains('.')) m = m.reverse.dropWhile(_ == '0').reverse
+        if (m.endsWith(".")) m = m.dropRight(1)
+        // C prints exponent as at least two digits: e+05 etc. Java %g gives e+05 too.
+        s = m + e
+      } else if (s.contains('.')) {
+        s = s.reverse.dropWhile(_ == '0').reverse
+        if (s.endsWith(".")) s = s.dropRight(1)
+      }
+      s
+    }
+  }
+
+  /** Minified serialization with the reference's escape rules
+    * (jsone.ml:769-796): `"` `\` `\n` escaped, other control chars as \u00XX.
+    */
+  def write(sb: StringBuilder, v: JValue): Unit = v match {
+    case JNull    => sb.append("null")
+    case JBool(b) => sb.append(if (b) "true" else "false")
+    case JNum(d)  => sb.append(formatG16(d))
+    case JStr(s)  => writeString(sb, s)
+    case JArr(items) =>
+      sb.append('[')
+      var first = true
+      items.foreach { it => if (!first) sb.append(','); first = false; write(sb, it) }
+      sb.append(']')
+    case JObj(fields) =>
+      sb.append('{')
+      var first = true
+      fields.foreach { case (k, fv) =>
+        if (!first) sb.append(','); first = false
+        writeString(sb, k); sb.append(':'); write(sb, fv)
+      }
+      sb.append('}')
+  }
+
+  private def writeString(sb: StringBuilder, s: String): Unit = {
+    sb.append('"')
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      c match {
+        case '"'             => sb.append("\\\"")
+        case '\\'            => sb.append("\\\\")
+        case '\n'            => sb.append("\\n")
+        case c if c <= 0x1f  => sb.append(f"\\u00${c.toInt}%02X")
+        case c               => sb.append(c)
+      }
+      i += 1
+    }
+    sb.append('"')
+  }
+
+  /** Structural equality where numbers compare by bit pattern — the JSON-value
+    * equality the reference round-trip tests use (test/geojson/test.ml).
+    * Object field ORDER matters (assoc lists), matching the reference's `=`.
+    */
+  def eq(a: JValue, b: JValue): Boolean = (a, b) match {
+    case (JNum(x), JNum(y)) => java.lang.Double.compare(x, y) == 0
+    case (JArr(x), JArr(y)) => x.length == y.length && x.iterator.zip(y.iterator).forall { case (p, q) => eq(p, q) }
+    case (JObj(x), JObj(y)) =>
+      x.length == y.length && x.iterator.zip(y.iterator).forall { case ((k1, v1), (k2, v2)) => k1 == k2 && eq(v1, v2) }
+    case _ => a == b
+  }
+}

@@ -1,0 +1,273 @@
+package graft.geo.sql
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+import graft.geo.algo.GeoAlgo
+import graft.geo.index.{HexCell, S2Cell}
+import graft.geo.json.{GeoJsonCodec, JValue}
+import graft.geo.model.GeoModel.GType
+
+/** Catalyst expressions for the engine's spatial surface (SURVEY.md §2.9,
+  * §7.3). All are interpreted (CodegenFallback) in round 1; the hot ones
+  * (hex_cell, s2_cell, st_contains, haversine) are small pure-math kernels
+  * that can be promoted to doGenCode if the bench demands.
+  */
+abstract class GeoExpression extends Expression with CodegenFallback {
+  override def nullable: Boolean = true
+  protected def evalNotNull(values: Array[Any]): Any
+  final override def eval(input: InternalRow): Any = {
+    val cs   = children
+    val vals = new Array[Any](cs.length)
+    var i    = 0
+    while (i < cs.length) {
+      val v = cs(i).eval(input)
+      if (v == null) return null
+      vals(i) = v
+      i += 1
+    }
+    evalNotNull(vals)
+  }
+}
+
+/** Accessors over a packed geometry InternalRow (GeoStruct.geometryType). */
+object GeomAccess {
+  @inline def gtype(r: InternalRow): Int              = r.getByte(0).toInt
+  @inline def coords(r: InternalRow): Array[Double]   = r.getArray(1).toDoubleArray()
+  @inline def posOff(r: InternalRow): Array[Int]      = r.getArray(2).toIntArray()
+  @inline def ringOff(r: InternalRow): Array[Int]     = r.getArray(3).toIntArray()
+  @inline def partOff(r: InternalRow): Array[Int]     = r.getArray(4).toIntArray()
+  def childStrings(r: InternalRow): IndexedSeq[String] = {
+    val a = r.getArray(5)
+    (0 until a.numElements()).map(i => a.getUTF8String(i).toString)
+  }
+
+  /** Per-ring wrapped boxes of a geometry row (recursing into collections). */
+  def wrappedBoxes(r: InternalRow): Array[Array[Double]] =
+    if (gtype(r) == GType.Collection)
+      childStrings(r).toArray.flatMap { s =>
+        val g = GeoJsonCodec.geometryOfJson(JValue.parseUnsafe(s))
+          .fold(e => throw new IllegalArgumentException(e), identity)
+        wrappedBoxes(GeoStruct.packGeometry(g))
+      }
+    else GeoAlgo.ringWrappedBoxes(coords(r), posOff(r), ringOff(r))
+
+  /** st_contains kernel over the packed row (recursing into collections). */
+  def contains(r: InternalRow, lng: Double, lat: Double): Boolean =
+    if (gtype(r) == GType.Collection)
+      childStrings(r).exists { s =>
+        val g = GeoJsonCodec.geometryOfJson(JValue.parseUnsafe(s))
+          .fold(e => throw new IllegalArgumentException(e), identity)
+        contains(GeoStruct.packGeometry(g), lng, lat)
+      }
+    else GeoAlgo.contains(gtype(r), coords(r), posOff(r), ringOff(r), partOff(r), lng, lat)
+}
+
+/** `from_geojson(str)` — parse a GeoJSON text to the packed top-level struct
+  * (SURVEY.md §2.1, geojson.ml:485-510). Parse errors → null (PERMISSIVE
+  * mode, the documented divergence from jsone's resync recovery).
+  */
+case class FromGeoJson(child: Expression) extends GeoExpression {
+  override def children: Seq[Expression] = Seq(child)
+  override def dataType: DataType        = GeoStruct.topType
+  override protected def evalNotNull(v: Array[Any]): Any =
+    GeoJsonCodec.parse(v(0).asInstanceOf[UTF8String].toString)
+      .fold(_ => null, GeoStruct.packTop)
+  override protected def withNewChildrenInternal(c: IndexedSeq[Expression]) = copy(c(0))
+}
+
+/** `geojson_error(str)` — the reference's `result` error channel
+  * (geojson.ml Err `Msg): the parse error message, or null if the text
+  * parses. */
+case class GeoJsonError(child: Expression) extends GeoExpression {
+  override def children: Seq[Expression] = Seq(child)
+  override def dataType: DataType        = StringType
+  override protected def evalNotNull(v: Array[Any]): Any =
+    GeoJsonCodec.parse(v(0).asInstanceOf[UTF8String].toString)
+      .fold(e => UTF8String.fromString(e), _ => null)
+  override protected def withNewChildrenInternal(c: IndexedSeq[Expression]) = copy(c(0))
+}
+
+/** `to_geojson(top_struct)` — serialize back to minified GeoJSON text with
+  * reference key order and %.16g floats (geojson.ml:512-516, jsone.ml:818).
+  */
+case class ToGeoJson(child: Expression) extends GeoExpression {
+  override def children: Seq[Expression] = Seq(child)
+  override def dataType: DataType        = StringType
+  override protected def evalNotNull(v: Array[Any]): Any =
+    UTF8String.fromString(GeoJsonCodec.render(GeoStruct.unpackTop(v(0).asInstanceOf[InternalRow])))
+  override protected def withNewChildrenInternal(c: IndexedSeq[Expression]) = copy(c(0))
+}
+
+/** `from_geojson_geom(str)` — parse a bare geometry object to the packed
+  * geometry struct; the hot-path input for joins. */
+case class FromGeoJsonGeom(child: Expression) extends GeoExpression {
+  override def children: Seq[Expression] = Seq(child)
+  override def dataType: DataType        = GeoStruct.geometryType
+  override protected def evalNotNull(v: Array[Any]): Any =
+    JValue.parse(v(0).asInstanceOf[UTF8String].toString)
+      .flatMap(GeoJsonCodec.geometryOfJson)
+      .fold(_ => null, GeoStruct.packGeometry)
+  override protected def withNewChildrenInternal(c: IndexedSeq[Expression]) = copy(c(0))
+}
+
+/** `to_geojson_geom(geom_struct)` — serialize a bare geometry. */
+case class ToGeoJsonGeom(child: Expression) extends GeoExpression {
+  override def children: Seq[Expression] = Seq(child)
+  override def dataType: DataType        = StringType
+  override protected def evalNotNull(v: Array[Any]): Any =
+    UTF8String.fromString(
+      GeoJsonCodec.geometryToJson(GeoStruct.unpackGeometry(v(0).asInstanceOf[InternalRow])).render)
+  override protected def withNewChildrenInternal(c: IndexedSeq[Expression]) = copy(c(0))
+}
+
+/** `st_contains(geom, lng, lat)` — ray-casting PIP with winding-number
+  * fallback on antimeridian-crossing rings (BASELINE.json:6). */
+case class StContains(geom: Expression, lng: Expression, lat: Expression)
+    extends GeoExpression {
+  override def children: Seq[Expression] = Seq(geom, lng, lat)
+  override def dataType: DataType        = BooleanType
+  override protected def evalNotNull(v: Array[Any]): Any =
+    GeomAccess.contains(v(0).asInstanceOf[InternalRow],
+      v(1).asInstanceOf[Double], v(2).asInstanceOf[Double])
+  override protected def withNewChildrenInternal(c: IndexedSeq[Expression]) =
+    copy(c(0), c(1), c(2))
+}
+
+/** `st_bbox(geom)` → [w, s, e, n] (naive min/max; see hex_cover/s2_cover for
+  * the antimeridian-aware boxes used by joins). */
+case class StBBox(child: Expression) extends GeoExpression {
+  override def children: Seq[Expression] = Seq(child)
+  override def dataType: DataType        = ArrayType(DoubleType, containsNull = false)
+  override protected def evalNotNull(v: Array[Any]): Any = {
+    val r = v(0).asInstanceOf[InternalRow]
+    if (GeomAccess.gtype(r) == GType.Collection) {
+      val boxes = GeomAccess.wrappedBoxes(r)
+      if (boxes.isEmpty) return null
+      new GenericArrayData(Array(
+        boxes.map(_(0)).min, boxes.map(_(1)).min, boxes.map(_(2)).max, boxes.map(_(3)).max))
+    } else
+      new GenericArrayData(GeoAlgo.bbox(GeomAccess.coords(r), GeomAccess.posOff(r)))
+  }
+  override protected def withNewChildrenInternal(c: IndexedSeq[Expression]) = copy(c(0))
+}
+
+/** `st_geometry_type(geom)` → "Point" | ... | "GeometryCollection". */
+case class StGeometryType(child: Expression) extends GeoExpression {
+  override def children: Seq[Expression] = Seq(child)
+  override def dataType: DataType        = StringType
+  override protected def evalNotNull(v: Array[Any]): Any =
+    UTF8String.fromString(GType.name(GeomAccess.gtype(v(0).asInstanceOf[InternalRow])))
+  override protected def withNewChildrenInternal(c: IndexedSeq[Expression]) = copy(c(0))
+}
+
+/** `haversine(lng1, lat1, lng2, lat2)` — great-circle metres. */
+case class Haversine(lng1: Expression, lat1: Expression, lng2: Expression, lat2: Expression)
+    extends GeoExpression with ImplicitCastInputTypes {
+  override def children: Seq[Expression]      = Seq(lng1, lat1, lng2, lat2)
+  override def inputTypes = Seq.fill(4)(DoubleType)
+  override def dataType: DataType             = DoubleType
+  override protected def evalNotNull(v: Array[Any]): Any =
+    GeoAlgo.haversine(v(0).asInstanceOf[Double], v(1).asInstanceOf[Double],
+      v(2).asInstanceOf[Double], v(3).asInstanceOf[Double])
+  override protected def withNewChildrenInternal(c: IndexedSeq[Expression]) =
+    copy(c(0), c(1), c(2), c(3))
+}
+
+/** `hex_cell(lng, lat, res)` — H3-style hex cell id (int64). */
+case class HexCellExpr(lng: Expression, lat: Expression, res: Expression)
+    extends GeoExpression with ImplicitCastInputTypes {
+  override def children: Seq[Expression]      = Seq(lng, lat, res)
+  override def inputTypes = Seq(DoubleType, DoubleType, IntegerType)
+  override def dataType: DataType             = LongType
+  override protected def evalNotNull(v: Array[Any]): Any =
+    HexCell.cellId(v(0).asInstanceOf[Double], v(1).asInstanceOf[Double], v(2).asInstanceOf[Int])
+  override protected def withNewChildrenInternal(c: IndexedSeq[Expression]) =
+    copy(c(0), c(1), c(2))
+}
+
+/** `hex_kring(cell, k)` → all cells within grid distance k. */
+case class HexKRingExpr(cell: Expression, k: Expression)
+    extends GeoExpression with ImplicitCastInputTypes {
+  override def children: Seq[Expression]      = Seq(cell, k)
+  override def inputTypes = Seq(LongType, IntegerType)
+  override def dataType: DataType             = ArrayType(LongType, containsNull = false)
+  override protected def evalNotNull(v: Array[Any]): Any =
+    new GenericArrayData(HexCell.kRing(v(0).asInstanceOf[Long], v(1).asInstanceOf[Int]))
+  override protected def withNewChildrenInternal(c: IndexedSeq[Expression]) = copy(c(0), c(1))
+}
+
+/** `hex_cover(geom, res)` → hex cells covering the geometry's per-ring
+  * wrapped boxes — a guaranteed superset of {hex_cell(p) : p ∈ geom}, the
+  * soundness contract of the PIP join (SURVEY.md §2.9). */
+case class HexCoverExpr(geom: Expression, res: Expression)
+    extends GeoExpression {
+  override def children: Seq[Expression] = Seq(geom, res)
+  override def dataType: DataType        = ArrayType(LongType, containsNull = false)
+  override protected def evalNotNull(v: Array[Any]): Any = {
+    val r   = v(0).asInstanceOf[InternalRow]
+    val res = v(1) match { case i: Int => i; case l: Long => l.toInt }
+    val set = new java.util.TreeSet[java.lang.Long]()
+    GeomAccess.wrappedBoxes(r).foreach { b =>
+      HexCell.coverBox(b(0), b(1), b(2), b(3), res).foreach(set.add(_))
+    }
+    val out = new Array[Long](set.size)
+    val it  = set.iterator(); var i = 0
+    while (it.hasNext) { out(i) = it.next(); i += 1 }
+    new GenericArrayData(out)
+  }
+  override protected def withNewChildrenInternal(c: IndexedSeq[Expression]) = copy(c(0), c(1))
+}
+
+/** `s2_cell(lng, lat, level)` — S2-style cell id (int64, Hilbert-ordered,
+  * trailing-one level encoding → children are contiguous id ranges). */
+case class S2CellExpr(lng: Expression, lat: Expression, level: Expression)
+    extends GeoExpression with ImplicitCastInputTypes {
+  override def children: Seq[Expression]      = Seq(lng, lat, level)
+  override def inputTypes = Seq(DoubleType, DoubleType, IntegerType)
+  override def dataType: DataType             = LongType
+  override protected def evalNotNull(v: Array[Any]): Any =
+    S2Cell.cellId(v(0).asInstanceOf[Double], v(1).asInstanceOf[Double], v(2).asInstanceOf[Int])
+  override protected def withNewChildrenInternal(c: IndexedSeq[Expression]) =
+    copy(c(0), c(1), c(2))
+}
+
+/** `s2_cover(geom, level)` → S2 cells (exact rect-bound quadtree descent)
+  * covering the geometry's wrapped boxes. */
+case class S2CoverExpr(geom: Expression, level: Expression) extends GeoExpression {
+  override def children: Seq[Expression] = Seq(geom, level)
+  override def dataType: DataType        = ArrayType(LongType, containsNull = false)
+  override protected def evalNotNull(v: Array[Any]): Any = {
+    val r   = v(0).asInstanceOf[InternalRow]
+    val lvl = v(1) match { case i: Int => i; case l: Long => l.toInt }
+    val set = new java.util.TreeSet[java.lang.Long]()
+    GeomAccess.wrappedBoxes(r).foreach { b =>
+      S2Cell.coverBox(b(0), b(1), b(2), b(3), lvl).foreach(set.add(_))
+    }
+    val out = new Array[Long](set.size)
+    val it  = set.iterator(); var i = 0
+    while (it.hasNext) { out(i) = it.next(); i += 1 }
+    new GenericArrayData(out)
+  }
+  override protected def withNewChildrenInternal(c: IndexedSeq[Expression]) = copy(c(0), c(1))
+}
+
+/** `tile_key(lng, lat, z)` — packed Web-Mercator ZXY tile key
+  * ([z:6][x:29][y:29]); the raster→vector tile-assignment kernel. */
+case class TileKeyExpr(lng: Expression, lat: Expression, z: Expression)
+    extends GeoExpression with ImplicitCastInputTypes {
+  override def children: Seq[Expression]      = Seq(lng, lat, z)
+  override def inputTypes = Seq(DoubleType, DoubleType, IntegerType)
+  override def dataType: DataType             = LongType
+  override protected def evalNotNull(v: Array[Any]): Any = {
+    val zz     = v(2).asInstanceOf[Int]
+    val (x, y) = GeoAlgo.tileXY(v(0).asInstanceOf[Double], v(1).asInstanceOf[Double], zz)
+    GeoAlgo.packTile(zz, x, y)
+  }
+  override protected def withNewChildrenInternal(c: IndexedSeq[Expression]) =
+    copy(c(0), c(1), c(2))
+}

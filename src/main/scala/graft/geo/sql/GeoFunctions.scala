@@ -1,0 +1,93 @@
+package graft.geo.sql
+
+import org.apache.spark.sql.{Column, SparkSession, SparkSessionExtensions}
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.functions.call_function
+
+/** Registration + Column-level API for the engine's SQL functions.
+  *
+  * Functions are registered in the session FunctionRegistry (SURVEY.md §2.9
+  * "Catalyst-registered from_geojson expression", BASELINE.json:6) so they
+  * work both from SQL text and from the typed Column API (via
+  * `call_function`, which resolves through the registry and keeps the whole
+  * plan declarative for Catalyst).
+  */
+object GeoFunctions {
+
+  val builders: Seq[(String, Seq[Expression] => Expression)] = Seq(
+    "from_geojson"      -> (es => FromGeoJson(es.head)),
+    "geojson_error"     -> (es => GeoJsonError(es.head)),
+    "to_geojson"        -> (es => ToGeoJson(es.head)),
+    "from_geojson_geom" -> (es => FromGeoJsonGeom(es.head)),
+    "to_geojson_geom"   -> (es => ToGeoJsonGeom(es.head)),
+    "st_contains"       -> (es => StContains(es(0), es(1), es(2))),
+    "st_bbox"           -> (es => StBBox(es.head)),
+    "st_geometry_type"  -> (es => StGeometryType(es.head)),
+    "haversine"         -> (es => Haversine(es(0), es(1), es(2), es(3))),
+    "hex_cell"          -> (es => HexCellExpr(es(0), es(1), es(2))),
+    "hex_kring"         -> (es => HexKRingExpr(es(0), es(1))),
+    "hex_cover"         -> (es => HexCoverExpr(es(0), es(1))),
+    "s2_cell"           -> (es => S2CellExpr(es(0), es(1), es(2))),
+    "s2_cover"          -> (es => S2CoverExpr(es(0), es(1))),
+    "tile_key"          -> (es => TileKeyExpr(es(0), es(1), es(2))))
+
+  @volatile private var registered: Set[Int] = Set.empty
+
+  /** Idempotent per-session registration. */
+  def register(spark: SparkSession): Unit = {
+    val key = System.identityHashCode(spark)
+    if (!registered.contains(key)) synchronized {
+      builders.foreach { case (name, b) =>
+        spark.sessionState.functionRegistry.createOrReplaceTempFunction(name, b, "built-in")
+      }
+      registered += key
+    }
+  }
+
+  // ------------------------------------------------------- Column wrappers
+
+  def from_geojson(c: Column): Column      = call_function("from_geojson", c)
+  def geojson_error(c: Column): Column     = call_function("geojson_error", c)
+  def to_geojson(c: Column): Column        = call_function("to_geojson", c)
+  def from_geojson_geom(c: Column): Column = call_function("from_geojson_geom", c)
+  def to_geojson_geom(c: Column): Column   = call_function("to_geojson_geom", c)
+  def st_contains(geom: Column, lng: Column, lat: Column): Column =
+    call_function("st_contains", geom, lng, lat)
+  def st_bbox(geom: Column): Column          = call_function("st_bbox", geom)
+  def st_geometry_type(geom: Column): Column = call_function("st_geometry_type", geom)
+  def haversine(lng1: Column, lat1: Column, lng2: Column, lat2: Column): Column =
+    call_function("haversine", lng1, lat1, lng2, lat2)
+  def hex_cell(lng: Column, lat: Column, res: Column): Column =
+    call_function("hex_cell", lng, lat, res)
+  def hex_kring(cell: Column, k: Column): Column = call_function("hex_kring", cell, k)
+  def hex_cover(geom: Column, res: Column): Column = call_function("hex_cover", geom, res)
+  def s2_cell(lng: Column, lat: Column, level: Column): Column =
+    call_function("s2_cell", lng, lat, level)
+  def s2_cover(geom: Column, level: Column): Column = call_function("s2_cover", geom, level)
+  def tile_key(lng: Column, lat: Column, z: Column): Column =
+    call_function("tile_key", lng, lat, z)
+
+  // S2 range-pruning helpers — plain Column bit math, no custom expression
+  // (SURVEY.md §4: "store cell id as a partition/sort column").
+  import org.apache.spark.sql.functions._
+  def s2_lsb(cell: Column): Column       = cell.bitwiseAND(-cell)
+  def s2_range_min(cell: Column): Column = cell - (s2_lsb(cell) - lit(1L))
+  def s2_range_max(cell: Column): Column = cell + (s2_lsb(cell) - lit(1L))
+
+  // tile key accessors — plain bit math
+  def tile_z(key: Column): Column = shiftrightunsigned(key, 58).cast("int")
+  def tile_x(key: Column): Column = shiftrightunsigned(key, 29).bitwiseAND(lit((1L << 29) - 1))
+  def tile_y(key: Column): Column = key.bitwiseAND(lit((1L << 29) - 1))
+}
+
+/** `SparkSessionExtensions` hook so spark-submit users get the functions via
+  * `--conf spark.sql.extensions=graft.geo.sql.GeoExtensions`.
+  */
+class GeoExtensions extends (SparkSessionExtensions => Unit) {
+  import org.apache.spark.sql.catalyst.FunctionIdentifier
+  import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
+  override def apply(ext: SparkSessionExtensions): Unit =
+    GeoFunctions.builders.foreach { case (name, b) =>
+      ext.injectFunction((FunctionIdentifier(name), new ExpressionInfo("graft", name), b))
+    }
+}

@@ -1,0 +1,193 @@
+package graft.geo
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.geo.json._
+import graft.geo.model.GeoModel._
+
+/** Golden round-trip tests recast from the reference suite
+  * (`/root/reference/test/geojson/test.ml`): for every fixture,
+  * `toJson(ofJson(j))` must equal `j` as a JSON value (not string equality),
+  * plus the hard-coded coordinate/property assertions.
+  */
+class GeoJsonCodecSpec extends AnyFunSuite {
+
+  def fixture(name: String): String = {
+    val in = getClass.getResourceAsStream(s"/fixtures/$name")
+    require(in != null, s"missing fixture $name")
+    try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+    finally in.close()
+  }
+
+  def roundTrip(name: String): GeoJson = {
+    val raw    = fixture(name)
+    val jv     = JValue.parseUnsafe(raw)
+    val parsed = GeoJsonCodec.ofJson(jv).fold(e => fail(s"$name: $e"), identity)
+    val back   = GeoJsonCodec.toJson(parsed)
+    assert(JValue.eq(jv, back), s"$name round-trip mismatch:\n  in:  ${jv.render}\n  out: ${back.render}")
+    // and the string form re-parses to the same value
+    val reparsed = JValue.parseUnsafe(back.render)
+    assert(JValue.eq(jv, reparsed), s"$name render/re-parse mismatch")
+    parsed
+  }
+
+  test("point.json: coordinates and round-trip (test.ml:118-133)") {
+    val g = roundTrip("point.json")
+    g.body match {
+      case GGeometry(Geometry(Point(p), _)) =>
+        assert(Position.lng(p) == 125.6 && Position.lat(p) == 10.1)
+        assert(Position.altitude(p).isEmpty)
+      case other => fail(s"expected Point, got $other")
+    }
+  }
+
+  test("multipoint.json round-trip (test.ml:94-116)") {
+    val g = roundTrip("multipoint.json")
+    g.body match {
+      case GGeometry(Geometry(MultiPoint(ps), _)) => assert(ps.nonEmpty)
+      case other                                  => fail(s"expected MultiPoint, got $other")
+    }
+  }
+
+  test("linestring.json round-trip + minimum arity (test.ml:135-157, geojson.ml:133-139)") {
+    val g = roundTrip("linestring.json")
+    g.body match {
+      case GGeometry(Geometry(LineString(ps), _)) => assert(ps.length >= 2)
+      case other                                  => fail(s"expected LineString, got $other")
+    }
+    // arity check: a 1-point linestring is rejected with the reference message
+    val bad = GeoJsonCodec.parse("""{"type":"LineString","coordinates":[[1.0,2.0]]}""")
+    assert(bad == Left("LineStrings should have two or more points"))
+  }
+
+  test("multilinestring.json (antimeridian) round-trip (test.ml:65-92)") {
+    val g = roundTrip("multilinestring.json")
+    g.body match {
+      case GGeometry(Geometry(MultiLineString(ls), _)) =>
+        assert(ls.length == 2)
+        assert(Position.lng(ls(0)(1)) == 180.0 && Position.lng(ls(1)(0)) == -180.0)
+      case other => fail(s"expected MultiLineString, got $other")
+    }
+  }
+
+  test("polygon.json round-trip, exterior ring access (test.ml:159-190)") {
+    val g = roundTrip("polygon.json")
+    g.body match {
+      case GGeometry(Geometry(Polygon(rings), _)) =>
+        assert(rings.length == 1)
+        assert(Position.equal(rings(0).head, rings(0).last)) // closed
+      case other => fail(s"expected Polygon, got $other")
+    }
+  }
+
+  test("multi_polygon.json round-trip incl. hole (test.ml:192-245)") {
+    val g = roundTrip("multi_polygon.json")
+    g.body match {
+      case GGeometry(Geometry(MultiPolygon(ps), _)) =>
+        assert(ps.length == 2)
+        assert(ps(1).length == 2) // exterior + 1 interior ring
+      case other => fail(s"expected MultiPolygon, got $other")
+    }
+  }
+
+  test("geo_with_bbox.json: bbox preserved (test.ml:350-365)") {
+    val g = roundTrip("geo_with_bbox.json")
+    assert(g.bbox.map(_.toSeq) == Some(Seq(100.0, 0.0, 101.0, 1.0)))
+  }
+
+  test("feature.json: properties + foreign member preserved (test.ml:247-288)") {
+    val g = roundTrip("feature.json")
+    g.body match {
+      case GFeature(f) =>
+        assert(f.properties.contains(JObj(Vector("name" -> JStr("Dinagat Islands")))))
+        assert(f.foreignMembers == Vector("title" -> JStr("Some Islands")))
+        f.geometry.map(_.shape) match {
+          case Some(MultiPoint(ps)) => assert(ps.length == 2)
+          case other                => fail(s"expected MultiPoint geometry, got $other")
+        }
+      case other => fail(s"expected Feature, got $other")
+    }
+  }
+
+  test("featurecollection.json: features + properties (test.ml:290-348)") {
+    val g = roundTrip("featurecollection.json")
+    g.body match {
+      case GCollection(fc) =>
+        assert(fc.features.length == 2)
+        val p1 = JValue.parseUnsafe(fixture("prop1.json"))
+        val p2 = JValue.parseUnsafe(fixture("prop2.json"))
+        assert(JValue.eq(fc.features(0).properties.get, p1))
+        assert(JValue.eq(fc.features(1).properties.get, p2))
+      case other => fail(s"expected FeatureCollection, got $other")
+    }
+  }
+
+  test("3d_featurecollection.json: altitude (test.ml:367-433)") {
+    val g = roundTrip("3d_featurecollection.json")
+    g.body match {
+      case GCollection(fc) =>
+        val ps = fc.features(0).geometry.get.shape.asInstanceOf[MultiPoint].ps
+        assert(ps.forall(_.length == 3))
+        assert(Position.altitude(ps(0)).isDefined)
+      case other => fail(s"expected FeatureCollection, got $other")
+    }
+  }
+
+  test("simple.geojson (18,699-byte real-world FC) round-trips") {
+    val g = roundTrip("simple.geojson")
+    g.body match {
+      case GCollection(fc) =>
+        assert(fc.features.length == 1)
+        val poly = fc.features(0).geometry.get.shape.asInstanceOf[Polygon]
+        assert(poly.rings(0).length == 987)
+        assert(JValue.eq(fc.features(0).properties.get,
+          JObj(Vector("code" -> JStr("09001"), "nom" -> JStr("Foix")))))
+      case other => fail(s"expected FeatureCollection, got $other")
+    }
+  }
+
+  test("error messages match the reference") {
+    assert(GeoJsonCodec.parse("{}") ==
+      Left("A Geojson text should contain one object with a member `type`."))
+    assert(GeoJsonCodec.parse("""{"type":"Wibble","coordinates":[]}""") ==
+      Left("Unknown type of geometry Wibble"))
+    assert(GeoJsonCodec.parse("""{"type":"GeometryCollection"}""") ==
+      Left("A geometry collection should have a member called geometries"))
+    assert(GeoJsonCodec.featureOfJson(JValue.parseUnsafe("""{"type":"Point"}""")) ==
+      Left("A Geojson feature requires the type `Feature`. Found type, but it was Point"))
+    assert(GeoJsonCodec.parse("""{"type":"Feature","id":[1]}""") ==
+      Left("Identifier is not a string or number"))
+  }
+
+  test("bbox parse failure is silent (geojson.ml:480-483)") {
+    val g = GeoJsonCodec.parse("""{"type":"Point","coordinates":[1.0,2.0],"bbox":"junk"}""")
+    assert(g.isRight && g.toOption.get.bbox.isEmpty)
+  }
+
+  test("numbers are doubles; %.16g formatting matches C printf") {
+    assert(JValue.formatG16(45.0) == "45")
+    assert(JValue.formatG16(125.6) == "125.6")
+    assert(JValue.formatG16(0.0) == "0")
+    assert(JValue.formatG16(-0.5) == "-0.5")
+    assert(JValue.formatG16(1e20) == "1e+20")
+    assert(JValue.formatG16(1.0 / 3.0) == "0.3333333333333333")
+  }
+
+  test("id can be string or number and round-trips") {
+    val s = GeoJsonCodec.parse("""{"type":"Feature","id":"abc"}""").toOption.get
+    assert(s.body.asInstanceOf[GFeature].f.id.contains(StringId("abc")))
+    val n = GeoJsonCodec.parse("""{"type":"Feature","id":7}""").toOption.get
+    assert(n.body.asInstanceOf[GFeature].f.id.contains(NumId(7.0)))
+    assert(GeoJsonCodec.render(n).contains("\"id\":7"))
+  }
+
+  test("GeometryCollection round-trips (incl. nesting)") {
+    val src =
+      """{"type":"GeometryCollection","geometries":[
+        |{"type":"Point","coordinates":[1.5,2.5]},
+        |{"type":"GeometryCollection","geometries":[{"type":"Point","coordinates":[3.0,4.0]}]}]}"""
+        .stripMargin.replace("\n", "")
+    val jv = JValue.parseUnsafe(src)
+    val g  = GeoJsonCodec.ofJson(jv).toOption.get
+    assert(JValue.eq(GeoJsonCodec.toJson(g), jv))
+  }
+}
