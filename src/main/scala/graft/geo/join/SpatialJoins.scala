@@ -1,0 +1,192 @@
+package graft.geo.join
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.geo.sql.GeoFunctions._
+import graft.geo.index.HexCell
+
+/** The engine's spatial join surface (SURVEY.md §2.9, BASELINE.json:6,14).
+  *
+  * Everything is declarative DataFrame plans: cells are int64 equi-join keys
+  * so Catalyst picks hash/broadcast/SMJ physical joins, AQE re-plans at
+  * runtime, and parquet min-max pruning works on the cell columns. No RDDs,
+  * no driver-side row loops (the kNN driver loop iterates ROUNDS — a handful
+  * — not rows).
+  */
+object SpatialJoins {
+
+  /** Point-in-polygon join.
+    *
+    * Plan shape (SURVEY.md §2.9 "point-in-polygon join"): cover each polygon
+    * with hex cells of its bbox (sound superset, antimeridian-aware) →
+    * explode → equi-join against `hex_cell(point)` → refine with the exact
+    * `st_contains`. A point maps to exactly ONE cell and a polygon's cover
+    * cells are distinct, so no post-join dedup is needed.
+    *
+    * @param points      DataFrame with double columns `lngCol`, `latCol`
+    * @param polys       DataFrame with a packed geometry column `geomCol`
+    * @param res         hex resolution of the cell grid (pick ~polygon size;
+    *                    see [[resForBoxDeg]])
+    * @param broadcastPolys hint when the polygon side is small (the common
+    *                    case: dimension-table-like polygon sets)
+    * @param saltBuckets > 1 enables hot-cell salting: points in cells whose
+    *                    count exceeds `hotCellThreshold` get a deterministic
+    *                    salt in [0, saltBuckets); the polygon side is
+    *                    replicated across salts for those cells only.
+    */
+  def pipJoin(
+      points: DataFrame,
+      lngCol: String,
+      latCol: String,
+      polys: DataFrame,
+      geomCol: String,
+      res: Int,
+      broadcastPolys: Boolean = true,
+      saltBuckets: Int = 1,
+      hotCellThreshold: Long = 2000000L): DataFrame = {
+
+    val polyCells0 = polys.withColumn("__cell", explode(hex_cover(col(geomCol), lit(res))))
+    val ptCells0   = points.withColumn("__cell", hex_cell(col(lngCol), col(latCol), lit(res)))
+
+    val (ptCells, polyCells) =
+      if (saltBuckets <= 1) (ptCells0.withColumn("__salt", lit(0)),
+                             polyCells0.withColumn("__salt", lit(0)))
+      else {
+        // pre-pass cell-count sketch → hot set (BASELINE.json:6 "salting hot
+        // H3 cells detected from a pre-pass cell-count sketch")
+        val hot = ptCells0.groupBy("__cell").count()
+          .where(col("count") > hotCellThreshold)
+          .select(col("__cell").as("__hot_cell"))
+        val pts = ptCells0
+          .join(broadcast(hot), ptCells0("__cell") === hot("__hot_cell"), "left")
+          .withColumn("__salt",
+            when(col("__hot_cell").isNotNull,
+              pmod(hash(col(lngCol), col(latCol)), lit(saltBuckets))).otherwise(lit(0)))
+          .drop("__hot_cell")
+        // replicate polygon cover rows across all salts for hot cells only
+        // (generator must be top-level: explode a conditional array)
+        val pls = polyCells0
+          .join(broadcast(hot), polyCells0("__cell") === hot("__hot_cell"), "left")
+          .withColumn("__salt", explode(
+            when(col("__hot_cell").isNotNull, sequence(lit(0), lit(saltBuckets - 1)))
+              .otherwise(array(lit(0)))))
+          .drop("__hot_cell")
+        (pts, pls)
+      }
+
+    val rhs    = if (broadcastPolys) broadcast(polyCells) else polyCells
+    val joined = ptCells.join(rhs, Seq("__cell", "__salt"))
+      .where(st_contains(col(geomCol), col(lngCol), col(latCol)))
+      .drop("__cell", "__salt")
+    joined
+  }
+
+  /** Hex resolution whose cell size is about half the given box span
+    * (degrees) — 2-8 cover cells per polygon, the sweet spot between join
+    * fan-out and cell selectivity. */
+  def resForBoxDeg(spanDeg: Double): Int = {
+    var r = 0
+    while (r < HexCell.MaxRes && HexCell.sizeDeg(r) > spanDeg / 2.0) r += 1
+    r
+  }
+
+  /** kNN join: for each query row the k nearest point rows by haversine.
+    *
+    * H3-style k-ring expansion with haversine refinement (BASELINE.json:6):
+    * round i joins the so-far-unsatisfied queries' k-rings (radius doubling)
+    * against the indexed points, takes per-query top-k with a window, and
+    * keeps the queries whose k-th distance is below the sound lower bound of
+    * everything outside the explored ring ([[HexCell.ringLowerBoundMetres]]).
+    * Queries still unsatisfied past `maxRadius` fall back to a brute-force
+    * pass (correct, rare — empty regions only).
+    *
+    * @param queries DataFrame with (qidCol, qLng, qLat)
+    * @param points  DataFrame with (idCol, pLng, pLat); extra cols carried
+    * @return qid, point columns, `dist_m`, `rank` (1..k)
+    */
+  def knnJoin(
+      queries: DataFrame,
+      qidCol: String, qLng: String, qLat: String,
+      points: DataFrame,
+      pLng: String, pLat: String,
+      k: Int,
+      res: Int,
+      maxRadius: Int = 64): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+
+    val pts = points.withColumn("__pcell", hex_cell(col(pLng), col(pLat), lit(res)))
+
+    var remaining = queries
+    var resultOpt: Option[DataFrame] = None
+    var radius    = 2
+    while (radius <= maxRadius && !remaining.isEmpty) {
+      val cand = remaining
+        .withColumn("__qcell", hex_cell(col(qLng), col(qLat), lit(res)))
+        .withColumn("__cell", explode(hex_kring(col("__qcell"), lit(radius))))
+        .join(pts, col("__cell") === col("__pcell"))
+        .withColumn("dist_m", haversine(col(qLng), col(qLat), col(pLng), col(pLat)))
+      val w      = Window.partitionBy(col(qidCol)).orderBy(col("dist_m"), col(pLng), col(pLat))
+      val ranked = cand.withColumn("rank", row_number().over(w)).where(col("rank") <= k)
+      // a query is DONE when it has k hits and the k-th is provably nearer
+      // than anything outside the explored ring
+      val withBound = ranked.withColumn("__lb",
+        ringLowerBoundCol(col(qLat), res, radius))
+      val perQ = withBound.groupBy(qidCol)
+        .agg(count(lit(1)).as("__n"), max("dist_m").as("__kth"), first("__lb").as("__lb"))
+        .withColumn("__done", col("__n") === k && col("__kth") <= col("__lb"))
+      val doneQ = perQ.where(col("__done")).select(col(qidCol))
+      val done  = ranked.join(doneQ, Seq(qidCol), "left_semi")
+        .drop("__qcell", "__cell", "__pcell", "__lb")
+      resultOpt = Some(resultOpt.map(_.unionByName(done)).getOrElse(done))
+      remaining = remaining.join(perQ.where(col("__done")).select(col(qidCol)), Seq(qidCol), "left_anti")
+      radius *= 2
+    }
+    // brute-force fallback for stragglers (provably correct; hits only when
+    // the neighborhood is emptier than maxRadius rings)
+    val tail =
+      if (remaining.isEmpty) None
+      else {
+        val w = Window.partitionBy(col(qidCol)).orderBy(col("dist_m"), col(pLng), col(pLat))
+        Some(remaining.crossJoin(points)
+          .withColumn("dist_m", haversine(col(qLng), col(qLat), col(pLng), col(pLat)))
+          .withColumn("rank", row_number().over(w)).where(col("rank") <= k))
+      }
+    val res0 = (resultOpt, tail) match {
+      case (Some(a), Some(b)) => a.unionByName(b, allowMissingColumns = true)
+      case (Some(a), None)    => a
+      case (None, Some(b))    => b
+      case (None, None)       => queries.limit(0).crossJoin(points.limit(0))
+        .withColumn("dist_m", lit(0.0)).withColumn("rank", lit(1))
+    }
+    res0
+  }
+
+  /** Sound per-row lower bound (metres) on distances outside ring `radius`
+    * — Column form of [[HexCell.ringLowerBoundMetres]]. */
+  private def ringLowerBoundCol(lat: Column, res: Int, radius: Int): Column = {
+    val sz        = HexCell.sizeDeg(res)
+    val planarDeg = math.max(0.0, (radius.toDouble * math.sqrt(3.0) / 2.0 - 1.0) * sz)
+    val maxLat    = least(lit(89.9), abs(lat) + lit(planarDeg + sz))
+    lit(planarDeg) * lit(111194.9) * cos(radians(maxLat))
+  }
+
+  /** Raster→vector tile assignment (BASELINE.json:14): attach the packed ZXY
+    * tile key plus z/x/y columns; callers repartition/partitionBy on them
+    * for tile-local downstream work.
+    */
+  def assignTiles(df: DataFrame, lngCol: String, latCol: String, z: Int): DataFrame =
+    df.withColumn("tile_key", tile_key(col(lngCol), col(latCol), lit(z)))
+      .withColumn("tile_z", tile_z(col("tile_key")))
+      .withColumn("tile_x", tile_x(col("tile_key")))
+      .withColumn("tile_y", tile_y(col("tile_key")))
+
+  /** Write tile-bucketed output: repartitioned by tile key (co-locates each
+    * tile, avoids the million-directory explosion of partitionBy at high z)
+    * and sorted within partitions so readers stream tiles contiguously.
+    */
+  def writeTiled(df: DataFrame, path: String, buckets: Int): Unit =
+    df.repartition(buckets, col("tile_key"))
+      .sortWithinPartitions("tile_key")
+      .write.mode("overwrite").parquet(path)
+}

@@ -1,0 +1,64 @@
+package graft.streaming
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.geo.sql.GeoFunctions._
+
+/** The six geojsone streaming operators (SURVEY.md §2.5) as DataFrame/
+  * Structured-Streaming combinators. Each works identically on a batch
+  * DataFrame and a `readStream` DataFrame — narrow maps stay narrow (no
+  * shuffle; whole-stage codegen fuses them, the moral equivalent of the
+  * reference's single-pass decode→transform→encode fusion,
+  * /root/reference/src/geojsone/geojsone.ml:165-196).
+  *
+  * The input convention is a column of per-feature GeoJSON text (what
+  * [[graft.geo.sources.GeoJsonReader]] produces from a giant document).
+  */
+object GeoStreams {
+
+  /** map_geometry (geojsone.ml:165-196): rewrite the geometry of every
+    * feature with a Column function over the packed geometry struct,
+    * re-serializing to GeoJSON text. `f` maps geometry-struct → geometry-
+    * struct.
+    */
+  def mapGeometry(df: DataFrame, jsonCol: String, f: Column => Column): DataFrame = {
+    val top    = from_geojson(col(jsonCol))
+    val newTop = top.withField("feature.geometry", f(top.getField("feature").getField("geometry")))
+    df.withColumn(jsonCol, to_geojson(newTop))
+  }
+
+  /** map_props (geojsone.ml:198-221): rewrite the properties JSON text. */
+  def mapProps(df: DataFrame, jsonCol: String, f: Column => Column): DataFrame = {
+    val top    = from_geojson(col(jsonCol))
+    val newTop = top.withField("feature.properties", f(top.getField("feature").getField("properties")))
+    df.withColumn(jsonCol, to_geojson(newTop))
+  }
+
+  /** fold_geometry (geojsone.ml:223-242): aggregate over the geometry
+    * column; `agg` receives the packed geometry struct column. */
+  def foldGeometry(df: DataFrame, jsonCol: String, aggs: Column => Seq[Column]): DataFrame = {
+    val g = from_geojson(col(jsonCol)).getField("feature").getField("geometry")
+    df.agg(aggs(g).head, aggs(g).tail: _*)
+  }
+
+  /** fold_props (geojsone.ml:244-257). */
+  def foldProps(df: DataFrame, jsonCol: String, aggs: Column => Seq[Column]): DataFrame = {
+    val p = from_geojson(col(jsonCol)).getField("feature").getField("properties")
+    df.agg(aggs(p).head, aggs(p).tail: _*)
+  }
+
+  /** iter_geometry (geojsone.ml:259-275): side-effecting visit of each
+    * feature's geometry as GeoJSON text, in document order (the reference is
+    * a single-fiber sequential visit, so this drains to the driver with
+    * `toLocalIterator` — one partition in flight at a time, constant
+    * driver memory). Distributed side effects should use `df.foreach`. */
+  def iterGeometry(df: DataFrame, jsonCol: String)(f: String => Unit): Unit =
+    df.select(to_geojson_geom(from_geojson(col(jsonCol)).getField("feature").getField("geometry")))
+      .toLocalIterator().forEachRemaining(r => f(r.getString(0)))
+
+  /** iter_props (geojsone.ml:277-290). */
+  def iterProps(df: DataFrame, jsonCol: String)(f: String => Unit): Unit =
+    df.select(from_geojson(col(jsonCol)).getField("feature").getField("properties"))
+      .toLocalIterator().forEachRemaining(r => f(r.getString(0)))
+}
