@@ -1,0 +1,113 @@
+package graft.geo
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+import graft.SparkTestBase
+import graft.geo.join.SpatialJoins
+import graft.geo.sql.GeoFunctions._
+
+/** Join-level oracles (SURVEY.md §5): PIP join vs brute-force cross join,
+  * kNN vs brute-force haversine sort — exact row-set equality at small
+  * scale.
+  */
+class SpatialJoinSpec extends AnyFunSuite {
+  lazy val spark = SparkTestBase.spark
+  import spark.implicits._
+
+  // deterministic point cloud around the fixture polygons' area
+  def points(n: Int) = spark.range(n).select(
+    $"id",
+    (pmod($"id" * 7919, lit(4000)) / 1000.0 + 99.0).as("lng"),   // 99.0 .. 103.0
+    (pmod($"id" * 104729, lit(4000)) / 1000.0 - 1.0).as("lat"))  // -1.0 .. 3.0
+
+  val polysJson = Seq(
+    ("sq1", """{"type":"Polygon","coordinates":[[[100.0,0.0],[101.0,0.0],[101.0,1.0],[100.0,1.0],[100.0,0.0]]]}"""),
+    ("sq2", """{"type":"Polygon","coordinates":[[[99.2,1.4],[102.3,1.4],[102.3,2.6],[99.2,2.6],[99.2,1.4]]]}"""),
+    ("tri", """{"type":"Polygon","coordinates":[[[101.5,-0.8],[102.8,-0.8],[102.15,0.9],[101.5,-0.8]]]}"""),
+    ("hole", """{"type":"Polygon","coordinates":[[[99.1,-0.9],[100.9,-0.9],[100.9,-0.1],[99.1,-0.1],[99.1,-0.9]],[[99.5,-0.7],[100.5,-0.7],[100.5,-0.3],[99.5,-0.3],[99.5,-0.7]]]}"""))
+
+  def polys = polysJson.toDF("poly_id", "geojson")
+    .select($"poly_id", from_geojson_geom($"geojson").as("geom"))
+
+  test("PIP join equals brute-force st_contains cross join") {
+    val pts = points(3000).cache()
+    val pls = polys.cache()
+    val fast = SpatialJoins.pipJoin(pts, "lng", "lat", pls, "geom", res = 5)
+      .select("id", "poly_id")
+    val brute = pts.crossJoin(pls)
+      .where(st_contains($"geom", $"lng", $"lat"))
+      .select("id", "poly_id")
+    assert(fast.count() > 0, "PIP join produced no rows — bad test layout")
+    assert(fast.exceptAll(brute).isEmpty && brute.exceptAll(fast).isEmpty,
+      s"fast=${fast.count()} brute=${brute.count()}")
+  }
+
+  test("PIP join with salting produces identical rows") {
+    val pts = points(3000)
+    val salted = SpatialJoins.pipJoin(pts, "lng", "lat", polys, "geom", res = 5,
+      broadcastPolys = false, saltBuckets = 4, hotCellThreshold = 10)
+    val plain = SpatialJoins.pipJoin(pts, "lng", "lat", polys, "geom", res = 5)
+    assert(salted.select("id", "poly_id").exceptAll(plain.select("id", "poly_id")).isEmpty)
+    assert(plain.select("id", "poly_id").exceptAll(salted.select("id", "poly_id")).isEmpty)
+  }
+
+  test("PIP join across the antimeridian") {
+    val seamPoly = Seq(("seam",
+      """{"type":"Polygon","coordinates":[[[170.0,40.0],[-170.0,40.0],[-170.0,50.0],[170.0,50.0],[170.0,40.0]]]}"""))
+      .toDF("poly_id", "geojson")
+      .select($"poly_id", from_geojson_geom($"geojson").as("geom"))
+    val pts = spark.range(1000).select(
+      $"id",
+      (pmod($"id" * 7919, lit(3000)) / 100.0 + 165.0).as("lng0"), // 165 .. 195
+      (pmod($"id" * 104729, lit(2000)) / 100.0 + 35.0).as("lat"))
+      .withColumn("lng", when($"lng0" > 180, $"lng0" - 360).otherwise($"lng0")).drop("lng0")
+    val fast = SpatialJoins.pipJoin(pts, "lng", "lat", seamPoly, "geom", res = 3)
+      .select("id").as[Long].collect().toSet
+    val brute = pts.crossJoin(seamPoly)
+      .where(st_contains($"geom", $"lng", $"lat"))
+      .select("id").as[Long].collect().toSet
+    assert(fast == brute && fast.nonEmpty)
+  }
+
+  test("kNN join equals brute-force top-k by haversine") {
+    val pts = points(2000).withColumnRenamed("id", "pid").cache()
+    val qs  = spark.range(40).select(
+      $"id".as("qid"),
+      (pmod($"id" * 31, lit(40)) / 10.0 + 99.5).as("qlng"),
+      (pmod($"id" * 17, lit(30)) / 10.0 - 0.5).as("qlat")).cache()
+    val k = 5
+    val fast = SpatialJoins.knnJoin(qs, "qid", "qlng", "qlat", pts, "lng", "lat", k, res = 6)
+      .select("qid", "pid", "rank")
+    val w = Window.partitionBy($"qid").orderBy($"dist_m", $"lng", $"lat")
+    val brute = qs.crossJoin(pts)
+      .withColumn("dist_m", haversine($"qlng", $"qlat", $"lng", $"lat"))
+      .withColumn("rank", row_number().over(w)).where($"rank" <= k)
+      .select("qid", "pid", "rank")
+    assert(fast.count() == 40L * k)
+    assert(fast.exceptAll(brute).isEmpty && brute.exceptAll(fast).isEmpty)
+  }
+
+  test("kNN brute-force fallback path (sparse points, huge rings)") {
+    val pts = Seq((1L, 0.0, 0.0), (2L, 50.0, 50.0), (3L, -120.0, -60.0))
+      .toDF("pid", "lng", "lat")
+    val qs = Seq((1L, 10.0, 10.0)).toDF("qid", "qlng", "qlat")
+    val out = SpatialJoins.knnJoin(qs, "qid", "qlng", "qlat", pts, "lng", "lat",
+      k = 2, res = 8, maxRadius = 4)
+      .select("pid").as[Long].collect().toSet
+    assert(out == Set(1L, 2L)) // the two nearest of the three
+  }
+
+  test("tile assignment buckets and accessors") {
+    val pts = points(1000)
+    val tiled = SpatialJoins.assignTiles(pts, "lng", "lat", z = 10)
+    val r = tiled.select("tile_z", "tile_x", "tile_y").distinct().collect()
+    assert(r.forall(_.getInt(0) == 10))
+    // closed form: lng 99..103 at z=10 → x in [793, 805]; lat -1..3 → y ∈ [502,514]
+    assert(r.forall { row => val x = row.getLong(1); x >= 793 && x <= 805 })
+    assert(r.forall { row => val y = row.getLong(2); y >= 502 && y <= 514 })
+    // count preserved
+    assert(tiled.count() == 1000)
+  }
+}
