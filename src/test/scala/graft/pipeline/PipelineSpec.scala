@@ -1,0 +1,92 @@
+package graft.pipeline
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import java.nio.file.Files
+
+import graft.SparkTestBase
+
+class PipelineSpec extends AnyFunSuite {
+  lazy val spark = SparkTestBase.spark
+  import spark.implicits._
+
+  test("GRB1 codec: decode inverts encode; lossy PSNR >= 40dB; phash stable") {
+    for (id <- 0L until 200L) {
+      val bytes = ImageGen.encode(id)
+      val (w, h, lossy, rgb) = ImageGen.decode(bytes)
+      assert((w, h) == ImageGen.pixelCount(id))
+      assert(lossy == ImageGen.isLossy(id))
+      val raw = ImageGen.rawPixels(id, w, h)
+      if (!lossy) assert(rgb sameElements raw)
+      else {
+        val p = ImageGen.psnr(raw, rgb)
+        assert(p >= 40.0, s"id=$id PSNR $p < 40dB")
+      }
+      assert(ImageGen.phash(w, h, rgb) == ImageGen.phash(w, h, rgb))
+    }
+  }
+
+  test("image table: schema matches input_hint; deterministic across runs") {
+    val df = ImageGen.table(spark, 500)
+    assert(df.schema.map(f => (f.name, f.dataType.simpleString)) == Seq(
+      "image_id" -> "string", "bytes" -> "binary", "w" -> "int", "h" -> "int",
+      "fmt" -> "string", "caption" -> "string", "phash" -> "bigint"))
+    val a = df.orderBy("image_id").collect()
+    val b = ImageGen.table(spark, 500, partitions = 7).orderBy("image_id").collect()
+    a.zip(b).foreach { case (x, y) => assert(x == y) } // partitioning-invariant
+  }
+
+  test("withLngLat matches the closed-form scala formula") {
+    val rows = ImageGen.withLngLat(ImageGen.table(spark, 300))
+      .select($"image_id", $"lng", $"lat").collect()
+    rows.foreach { r =>
+      val id = r.getString(0).stripPrefix("img_").toLong
+      assert(r.getDouble(1) == ImageGen.lngOf(id))
+      assert(r.getDouble(2) == ImageGen.latOf(id))
+    }
+  }
+
+  test("stages: checkpoint resume + per-partition lineage") {
+    val dir = Files.createTempDirectory("graft_stages").toString
+    var builds = 0
+    def build() = { builds += 1; spark.range(100).select($"id", ($"id" * 2).as("v")) }
+
+    val (df1, info1) = Stages.runStage(spark, dir, "s1")(build())
+    assert(!info1.resumed && builds == 1 && info1.rows == 100)
+    // lineage sums to total
+    val lineage = Files.readString(java.nio.file.Paths.get(s"$dir/s1.lineage.json"))
+    assert(lineage.contains("\"rows\":100") && lineage.contains("\"partition\""))
+
+    val (df2, info2) = Stages.runStage(spark, dir, "s1")(build())
+    assert(info2.resumed && builds == 1, "resume must not recompute")
+    assert(df2.count() == df1.count())
+
+    Stages.invalidate(dir, "s1")
+    val (_, info3) = Stages.runStage(spark, dir, "s1")(build())
+    assert(!info3.resumed && builds == 2)
+  }
+
+  test("flagship pipeline end-to-end: join rows + tile totals + resume") {
+    val dir = Files.createTempDirectory("graft_pipe").toString
+    val r = GeoImagePipeline.run(spark, nImages = 3000, workDir = dir)
+    assert(r.images.count() == 3000)
+    val joined = r.joined.count()
+    assert(joined > 0, "flagship join matched nothing")
+    assert(r.tiled.count() == 3000, "every image gets exactly one tile")
+    assert(r.infos.forall(!_.resumed))
+
+    // join output equals brute force
+    val polys = GeoImagePipeline.fixturePolygons(spark)
+    val pts   = ImageGen.withLngLat(r.images)
+    val brute = pts.crossJoin(polys)
+      .where(graft.geo.sql.GeoFunctions.st_contains($"geom", $"lng", $"lat"))
+      .select("image_id", "poly_id")
+    assert(r.joined.select("image_id", "poly_id").exceptAll(brute).isEmpty)
+    assert(brute.exceptAll(r.joined.select("image_id", "poly_id")).isEmpty)
+
+    // second run resumes all three stages
+    val r2 = GeoImagePipeline.run(spark, nImages = 3000, workDir = dir)
+    assert(r2.infos.forall(_.resumed))
+    assert(r2.joined.count() == joined)
+  }
+}
