@@ -1,0 +1,97 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import TextFunctions._
+
+/** Deduplication operators for training-data pipelines, each a declarative
+  * DataFrame plan over the `documents`-shaped table:
+  *
+  *  - exact          hash-groupBy canonicalization (one shuffle on the text)
+  *  - MinHash + LSH  shingle → minhash → band → bucket equi-join → verified
+  *                   n-gram Jaccard (the banding bounds candidate pairs, so
+  *                   no quadratic blow-up at scale)
+  *  - SimHash        64-bit signature, 16-bit band buckets, hamming verify
+  *  - n-gram Jaccard verification kernel (exact, pairwise)
+  *  - embedding cosine near-dup via sign-random-projection buckets
+  */
+object Dedup {
+
+  /** Exact dedup: every row tagged with the canonical (minimum) id of its
+    * identical-text group. Output: idCol, canonical_id, is_dup.
+    * One hash-agg shuffle keyed by the text (map-side partial agg applies);
+    * at 100 TB, group instead by (xxhash64(text), length(text)) and verify
+    * — same plan shape, smaller shuffle rows.
+    */
+  def exact(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val canon = df.groupBy(col(textCol))
+      .agg(min(col(idCol)).as("canonical_id"))
+    df.join(canon, Seq(textCol))
+      .withColumn("is_dup", col(idCol) =!= col("canonical_id"))
+      .select(col(idCol), col("canonical_id"), col("is_dup"))
+  }
+
+  /** MinHash-LSH candidate pairs, Jaccard-verified.
+    * Probability a pair with Jaccard j collides: 1-(1-j^r)^b with
+    * r = numHashes/bands rows per band.
+    * Output: id_a < id_b, jaccard (>= threshold).
+    */
+  def minhashPairs(
+      df: DataFrame, idCol: String, textCol: String,
+      numHashes: Int = 64, bands: Int = 16, shingle: Int = 5,
+      threshold: Double = 0.6): DataFrame = {
+    val r = numHashes / bands
+    val sig = df.select(col(idCol).as("__id"), col(textCol).as("__text"),
+      minhash_sig(col(textCol), lit(numHashes), lit(shingle)).as("__sig"))
+    // band hash = xxhash64 over the band's slice of the signature
+    val banded = sig
+      .withColumn("__band", explode(sequence(lit(0), lit(bands - 1))))
+      .withColumn("__bh", xxhash64(col("__band"), slice(col("__sig"), col("__band") * r + 1, lit(r))))
+      .select("__id", "__text", "__band", "__bh")
+    val a = banded.select(col("__band").as("ba"), col("__bh").as("ha"),
+      col("__id").as("id_a"), col("__text").as("ta"))
+    val b = banded.select(col("__band").as("bb"), col("__bh").as("hb"),
+      col("__id").as("id_b"), col("__text").as("tb"))
+    a.join(b, col("ba") === col("bb") && col("ha") === col("hb") && col("id_a") < col("id_b"))
+      .select("id_a", "id_b", "ta", "tb").distinct()
+      .withColumn("jaccard", ngram_jaccard(col("ta"), col("tb"), lit(shingle)))
+      .where(col("jaccard") >= threshold)
+      .select("id_a", "id_b", "jaccard")
+  }
+
+  /** SimHash near-dup pairs: 4×16-bit band buckets guarantee recall for
+    * hamming distance <= 3 (pigeonhole: any 3 flipped bits leave one band
+    * intact); verified with bit_count(a^b). Output: id_a < id_b, hamming. */
+  def simhashPairs(
+      df: DataFrame, idCol: String, textCol: String,
+      shingle: Int = 5, maxHamming: Int = 3): DataFrame = {
+    val sig = df.select(col(idCol).as("__id"), simhash64(col(textCol), lit(shingle)).as("__sh"))
+    val banded = sig.withColumn("__band", explode(sequence(lit(0), lit(3))))
+      .withColumn("__bh", expr("shiftrightunsigned(__sh, __band * 16) & 65535"))
+    val a = banded.select(col("__band").as("ba"), col("__bh").as("ha"),
+      col("__id").as("id_a"), col("__sh").as("sha"))
+    val b = banded.select(col("__band").as("bb"), col("__bh").as("hb"),
+      col("__id").as("id_b"), col("__sh").as("shb"))
+    a.join(b, col("ba") === col("bb") && col("ha") === col("hb") && col("id_a") < col("id_b"))
+      .withColumn("hamming", bit_count(col("sha").bitwiseXOR(col("shb"))))
+      .where(col("hamming") <= maxHamming)
+      .select("id_a", "id_b", "hamming").distinct()
+  }
+
+  /** Embedding cosine near-dups: sign-random-projection signature buckets
+    * (exact-duplicate-oriented: high thresholds → few bits differ), verified
+    * with exact cosine. Output: id_a < id_b, cosine. */
+  def embeddingPairs(
+      df: DataFrame, idCol: String, vecCol: String,
+      threshold: Double = 0.95, bits: Int = 16, seed: Long = 42L): DataFrame = {
+    val sig = df.select(col(idCol).as("__id"), col(vecCol).as("__v"),
+      hyperplane_sig(col(vecCol), lit(bits), lit(seed)).as("__sig"))
+    val a = sig.select(col("__sig").as("sa"), col("__id").as("id_a"), col("__v").as("va"))
+    val b = sig.select(col("__sig").as("sb"), col("__id").as("id_b"), col("__v").as("vb"))
+    a.join(b, col("sa") === col("sb") && col("id_a") < col("id_b"))
+      .withColumn("cosine", vec_cosine(col("va"), col("vb")))
+      .where(col("cosine") >= threshold)
+      .select("id_a", "id_b", "cosine")
+  }
+}

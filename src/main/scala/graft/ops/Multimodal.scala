@@ -1,0 +1,126 @@
+package graft.ops
+
+import org.apache.spark.sql.catalyst.expressions.{Expression, GenericInternalRow}
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions.{call_function, col, lit}
+
+import graft.geo.sql.GeoExpression
+import graft.pipeline.ImageGen
+
+/** Multimodal-column plumbing: image payloads are opaque `binary` columns
+  * with typed metadata; decode / feature-extract / resize run as Catalyst
+  * expressions over the bytes. The GRB1 decoder is fully functional (our
+  * synthetic format); decoding EXTERNAL formats (jpeg/png — codec libs absent
+  * from this container) would plug into [[ImageGen.decode]], the single
+  * marked seam. The Spark-side plumbing — schema, partitioning, expression
+  * signatures, batch shape — is real and tested either way.
+  */
+object Multimodal {
+
+  val metaType: StructType = StructType(Seq(
+    StructField("w", IntegerType, nullable = false),
+    StructField("h", IntegerType, nullable = false),
+    StructField("lossy", BooleanType, nullable = false)))
+
+  /** `image_meta(bytes)` → (w, h, lossy). */
+  case class ImageMeta(bytes: Expression) extends GeoExpression {
+    override def children: Seq[Expression] = Seq(bytes)
+    override def dataType: DataType        = metaType
+    override protected def evalNotNull(v: Array[Any]): Any = {
+      val (w, h, lossy, _) = ImageGen.decode(v(0).asInstanceOf[Array[Byte]])
+      new GenericInternalRow(Array[Any](w, h, lossy))
+    }
+    override protected def withNewChildrenInternal(c: IndexedSeq[Expression]) = copy(c(0))
+  }
+
+  /** `image_psnr(a, b)` → dB between two decoded payloads (the per-row
+    * "decoded-pixel allclose / PSNR >= 40dB" invariant, BASELINE.json:15).
+    * Infinity is clamped to 99 dB so the column stays orderable. */
+  case class ImagePsnr(a: Expression, b: Expression) extends GeoExpression {
+    override def children: Seq[Expression] = Seq(a, b)
+    override def dataType: DataType        = DoubleType
+    override protected def evalNotNull(v: Array[Any]): Any = {
+      val (_, _, _, pa) = ImageGen.decode(v(0).asInstanceOf[Array[Byte]])
+      val (_, _, _, pb) = ImageGen.decode(v(1).asInstanceOf[Array[Byte]])
+      if (pa.length != pb.length) 0.0
+      else math.min(99.0, ImageGen.psnr(pa, pb))
+    }
+    override protected def withNewChildrenInternal(c: IndexedSeq[Expression]) = copy(c(0), c(1))
+  }
+
+  /** `image_gray_mean(bytes)` → mean luminance (a feature-extraction
+    * stand-in with a closed-form expectation for tests). */
+  case class ImageGrayMean(bytes: Expression) extends GeoExpression {
+    override def children: Seq[Expression] = Seq(bytes)
+    override def dataType: DataType        = DoubleType
+    override protected def evalNotNull(v: Array[Any]): Any = {
+      val (_, _, _, rgb) = ImageGen.decode(v(0).asInstanceOf[Array[Byte]])
+      var sum = 0.0
+      var i = 0
+      while (i < rgb.length) {
+        sum += 0.299 * (rgb(i) & 0xff) + 0.587 * (rgb(i + 1) & 0xff) + 0.114 * (rgb(i + 2) & 0xff)
+        i += 3
+      }
+      sum / (rgb.length / 3)
+    }
+    override protected def withNewChildrenInternal(c: IndexedSeq[Expression]) = copy(c(0))
+  }
+
+  /** `image_resize(bytes, w, h)` → re-encoded GRB1 payload downsampled with
+    * nearest-neighbor (deterministic). */
+  case class ImageResize(bytes: Expression, w: Expression, h: Expression) extends GeoExpression {
+    override def children: Seq[Expression] = Seq(bytes, w, h)
+    override def dataType: DataType        = BinaryType
+    override protected def evalNotNull(v: Array[Any]): Any = {
+      val (w0, h0, lossy, rgb) = ImageGen.decode(v(0).asInstanceOf[Array[Byte]])
+      val w1 = v(1).asInstanceOf[Int]; val h1 = v(2).asInstanceOf[Int]
+      val out = new Array[Byte](10 + w1 * h1 * 3)
+      out(0) = 'G'; out(1) = 'R'; out(2) = 'B'; out(3) = '1'
+      out(4) = ((w1 >> 8) & 0xff).toByte; out(5) = (w1 & 0xff).toByte
+      out(6) = ((h1 >> 8) & 0xff).toByte; out(7) = (h1 & 0xff).toByte
+      out(8) = if (lossy) 1 else 0
+      var y = 0
+      while (y < h1) {
+        var x = 0
+        while (x < w1) {
+          val sx = x * w0 / w1; val sy = y * h0 / h1
+          val s = (sy * w0 + sx) * 3; val d = 10 + (y * w1 + x) * 3
+          out(d) = rgb(s); out(d + 1) = rgb(s + 1); out(d + 2) = rgb(s + 2)
+          x += 1
+        }
+        y += 1
+      }
+      out
+    }
+    override protected def withNewChildrenInternal(c: IndexedSeq[Expression]) = copy(c(0), c(1), c(2))
+  }
+
+  val builders: Seq[(String, Seq[Expression] => Expression)] = Seq(
+    "image_meta"      -> (es => ImageMeta(es.head)),
+    "image_psnr"      -> (es => ImagePsnr(es(0), es(1))),
+    "image_gray_mean" -> (es => ImageGrayMean(es.head)),
+    "image_resize"    -> (es => ImageResize(es(0), es(1), es(2))))
+
+  @volatile private var registered: Set[Int] = Set.empty
+  def register(spark: SparkSession): Unit = {
+    val key = System.identityHashCode(spark)
+    if (!registered.contains(key)) synchronized {
+      builders.foreach { case (name, b) =>
+        spark.sessionState.functionRegistry.createOrReplaceTempFunction(name, b, "built-in")
+      }
+      registered += key
+    }
+  }
+
+  def image_meta(bytes: Column): Column      = call_function("image_meta", bytes)
+  def image_psnr(a: Column, b: Column): Column = call_function("image_psnr", a, b)
+  def image_gray_mean(bytes: Column): Column = call_function("image_gray_mean", bytes)
+  def image_resize(bytes: Column, w: Column, h: Column): Column =
+    call_function("image_resize", bytes, w, h)
+
+  /** Frame-sample an "animation": deterministic every-nth selection over a
+    * grouping key — the batch-shape pattern for video columns. */
+  def sampleFrames(df: DataFrame, keyCol: String, frameCol: String, every: Int): DataFrame =
+    df.where(org.apache.spark.sql.functions.pmod(col(frameCol), lit(every)) === 0)
+}

@@ -1,0 +1,320 @@
+package graft.ops
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+import graft.geo.sql.GeoExpression
+
+/** Text/vector kernels for the large-scale training-data operators
+  * (dedup, similarity, language-ID, fingerprinting). Pure single-pass
+  * functions implemented as Catalyst expressions (preference order of the
+  * build brief: native Expression > UDF), interpreted via CodegenFallback.
+  */
+object TextKernels {
+
+  /** splitmix64 — the standard 64-bit finalizer; used as the seeded hash
+    * family for MinHash/SimHash. */
+  @inline def mix64(z0: Long): Long = {
+    var z = z0 + 0x9e3779b97f4a7c15L
+    z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+    z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+    z ^ (z >>> 31)
+  }
+
+  /** Rolling 64-bit hash of the char shingle [from, from+n) of s. */
+  def shingleHash(s: String, from: Int, n: Int): Long = {
+    var h = 1125899906842597L
+    var i = from
+    val end = from + n
+    while (i < end) { h = 31 * h + s.charAt(i); i += 1 }
+    mix64(h)
+  }
+
+  /** MinHash signature: for each of numHashes seeded hash functions, the min
+    * over all char shingles. Empty/short text → signature of mix64(seed)
+    * (stable, matches nothing else in practice). */
+  def minhash(s: String, numHashes: Int, shingle: Int): Array[Long] = {
+    val sig = Array.fill(numHashes)(Long.MaxValue)
+    val n   = s.length - shingle
+    var i   = 0
+    while (i <= n) {
+      val base = shingleHash(s, i, shingle)
+      var k = 0
+      while (k < numHashes) {
+        val h = mix64(base ^ (k * 0xc2b2ae3d27d4eb4fL))
+        if (h < sig(k)) sig(k) = h
+        k += 1
+      }
+      i += 1
+    }
+    if (n < 0) { var k = 0; while (k < numHashes) { sig(k) = mix64(k); k += 1 } }
+    sig
+  }
+
+  /** 64-bit SimHash over char shingles. */
+  def simhash(s: String, shingle: Int): Long = {
+    val counts = new Array[Int](64)
+    val n = s.length - shingle
+    var i = 0
+    while (i <= n) {
+      val h = shingleHash(s, i, shingle)
+      var b = 0
+      while (b < 64) {
+        if (((h >>> b) & 1L) == 1L) counts(b) += 1 else counts(b) -= 1
+        b += 1
+      }
+      i += 1
+    }
+    var out = 0L
+    var b = 0
+    while (b < 64) { if (counts(b) > 0) out |= (1L << b); b += 1 }
+    out
+  }
+
+  /** Jaccard similarity of the two texts' char n-gram sets. */
+  def ngramJaccard(a: String, b: String, n: Int): Double = {
+    def grams(s: String): java.util.HashSet[Long] = {
+      val set = new java.util.HashSet[Long]()
+      var i = 0
+      while (i <= s.length - n) { set.add(shingleHash(s, i, n)); i += 1 }
+      set
+    }
+    val ga = grams(a); val gb = grams(b)
+    if (ga.isEmpty && gb.isEmpty) return 1.0
+    var inter = 0
+    val it = ga.iterator()
+    while (it.hasNext) if (gb.contains(it.next())) inter += 1
+    inter.toDouble / (ga.size + gb.size - inter)
+  }
+
+  /** Winnowing document fingerprint (Schleimer et al., SIGMOD'03): k-gram
+    * rolling hashes, then the min hash of each window of w consecutive
+    * k-grams (rightmost-min tie-break), deduplicated, sorted. */
+  def winnow(s: String, k: Int, w: Int): Array[Long] = {
+    val m = s.length - k + 1
+    if (m <= 0) return Array.empty
+    val hs = new Array[Long](m)
+    var i = 0
+    while (i < m) { hs(i) = shingleHash(s, i, k); i += 1 }
+    val picked = new java.util.TreeSet[java.lang.Long]()
+    if (m <= w) { var j = 0; var best = 0
+      while (j < m) { if (hs(j) <= hs(best)) best = j; j += 1 }
+      picked.add(hs(best))
+    } else {
+      var start = 0
+      while (start + w <= m) {
+        var best = start
+        var j = start + 1
+        while (j < start + w) { if (hs(j) <= hs(best)) best = j; j += 1 }
+        picked.add(hs(best))
+        start += 1
+      }
+    }
+    val out = new Array[Long](picked.size)
+    val it = picked.iterator(); var o = 0
+    while (it.hasNext) { out(o) = it.next(); o += 1 }
+    out
+  }
+
+  // ------------------------------------------------------- language ID
+
+  private val stopwords: Map[String, Set[String]] = Map(
+    "en" -> Set("the", "and", "of", "to", "in", "is", "that", "it", "was", "for", "with", "as", "his", "on", "be"),
+    "de" -> Set("der", "die", "das", "und", "ist", "nicht", "mit", "ein", "eine", "zu", "den", "von", "sich", "auf"),
+    "fr" -> Set("le", "la", "les", "et", "est", "dans", "pour", "que", "une", "des", "du", "pas", "au", "avec"),
+    "es" -> Set("el", "la", "los", "las", "de", "que", "y", "en", "un", "una", "por", "con", "para", "es", "no"),
+    "it" -> Set("il", "la", "di", "che", "e", "un", "una", "per", "non", "sono", "con", "del", "si", "della"),
+    "pt" -> Set("o", "a", "os", "as", "de", "que", "e", "um", "uma", "para", "com", "por", "do", "da", "em", "não"),
+    "nl" -> Set("de", "het", "een", "en", "van", "ik", "dat", "die", "niet", "aan", "er", "maar", "zijn", "voor"))
+
+  /** n-gram/stopword heuristic language ID: script detection for CJK /
+    * Cyrillic / Arabic / Greek / Hangul, stopword voting for Latin-script
+    * languages, "und" (undetermined) when nothing scores. */
+  def langId(text: String): String = {
+    var cjk = 0; var cyr = 0; var ara = 0; var hang = 0; var kana = 0; var gre = 0; var latin = 0
+    var i = 0
+    val n = math.min(text.length, 4000)
+    while (i < n) {
+      val c = text.charAt(i).toInt
+      if (c >= 0x4e00 && c <= 0x9fff) cjk += 1
+      else if (c >= 0x0400 && c <= 0x04ff) cyr += 1
+      else if (c >= 0x0600 && c <= 0x06ff) ara += 1
+      else if (c >= 0xac00 && c <= 0xd7af) hang += 1
+      else if ((c >= 0x3040 && c <= 0x30ff)) kana += 1
+      else if (c >= 0x0370 && c <= 0x03ff) gre += 1
+      else if ((c | 0x20) >= 'a' && (c | 0x20) <= 'z') latin += 1
+      i += 1
+    }
+    val scripted = Seq("ja" -> kana, "ko" -> hang, "zh" -> cjk, "ru" -> cyr, "ar" -> ara, "el" -> gre)
+      .filter(_._2 > n / 20)
+    if (scripted.nonEmpty) return scripted.maxBy(_._2)._1
+    if (latin == 0) return "und"
+    val tokens = text.toLowerCase.split("[^\\p{L}]+").iterator.take(500).toArray
+    if (tokens.isEmpty) return "und"
+    val scores = stopwords.map { case (lang, sw) => lang -> tokens.count(sw.contains) }
+    val (best, hits) = scores.maxBy(_._2)
+    if (hits == 0) "und" else best
+  }
+
+  /** BPE-ish token count: word chunks + digits + punctuation pieces, long
+    * words charged ceil(len/4) subword tokens — a cheap, deterministic
+    * stand-in for a real tokenizer's count. */
+  private val tokenRe = java.util.regex.Pattern.compile("\\p{L}+|\\p{N}+|[^\\p{L}\\p{N}\\s]")
+  def tokenCountBpe(text: String): Int = {
+    val m = tokenRe.matcher(text)
+    var count = 0
+    while (m.find()) {
+      val len = m.end() - m.start()
+      count += (if (len <= 4) 1 else (len + 3) / 4)
+    }
+    count
+  }
+
+  // ---------------------------------------------------------- vectors
+
+  def cosine(a: Array[Float], b: Array[Float]): Double = {
+    var dot = 0.0; var na = 0.0; var nb = 0.0
+    var i = 0
+    val n = math.min(a.length, b.length)
+    while (i < n) { dot += a(i).toDouble * b(i); na += a(i).toDouble * a(i); nb += b(i).toDouble * b(i); i += 1 }
+    if (na == 0 || nb == 0) 0.0 else dot / math.sqrt(na * nb)
+  }
+
+  /** Random-hyperplane (sign-random-projection) LSH signature: bit k set iff
+    * dot(v, h_k) >= 0, with hyperplane components ±1 derived from mix64 —
+    * the standard cosine-LSH family, fully deterministic from `seed`. */
+  def hyperplaneSig(v: Array[Float], bits: Int, seed: Long): Long = {
+    var sig = 0L
+    var k = 0
+    while (k < bits) {
+      var dot = 0.0
+      var i = 0
+      while (i < v.length) {
+        val h = mix64(seed ^ (k.toLong << 32) ^ i.toLong)
+        dot += (if ((h & 1L) == 0L) v(i) else -v(i))
+        i += 1
+      }
+      if (dot >= 0) sig |= (1L << k)
+      k += 1
+    }
+    sig
+  }
+}
+
+// --------------------------------------------------------------- exprs
+
+case class MinHashSig(text: Expression, numHashes: Expression, shingle: Expression)
+    extends GeoExpression {
+  override def children: Seq[Expression] = Seq(text, numHashes, shingle)
+  override def dataType: DataType        = ArrayType(LongType, containsNull = false)
+  override protected def evalNotNull(v: Array[Any]): Any =
+    new GenericArrayData(TextKernels.minhash(v(0).asInstanceOf[UTF8String].toString,
+      v(1).asInstanceOf[Int], v(2).asInstanceOf[Int]))
+  override protected def withNewChildrenInternal(c: IndexedSeq[Expression]) = copy(c(0), c(1), c(2))
+}
+
+case class SimHash64(text: Expression, shingle: Expression) extends GeoExpression {
+  override def children: Seq[Expression] = Seq(text, shingle)
+  override def dataType: DataType        = LongType
+  override protected def evalNotNull(v: Array[Any]): Any =
+    TextKernels.simhash(v(0).asInstanceOf[UTF8String].toString, v(1).asInstanceOf[Int])
+  override protected def withNewChildrenInternal(c: IndexedSeq[Expression]) = copy(c(0), c(1))
+}
+
+case class NgramJaccard(a: Expression, b: Expression, n: Expression) extends GeoExpression {
+  override def children: Seq[Expression] = Seq(a, b, n)
+  override def dataType: DataType        = DoubleType
+  override protected def evalNotNull(v: Array[Any]): Any =
+    TextKernels.ngramJaccard(v(0).asInstanceOf[UTF8String].toString,
+      v(1).asInstanceOf[UTF8String].toString, v(2).asInstanceOf[Int])
+  override protected def withNewChildrenInternal(c: IndexedSeq[Expression]) = copy(c(0), c(1), c(2))
+}
+
+case class WinnowFingerprint(text: Expression, k: Expression, w: Expression)
+    extends GeoExpression {
+  override def children: Seq[Expression] = Seq(text, k, w)
+  override def dataType: DataType        = ArrayType(LongType, containsNull = false)
+  override protected def evalNotNull(v: Array[Any]): Any =
+    new GenericArrayData(TextKernels.winnow(v(0).asInstanceOf[UTF8String].toString,
+      v(1).asInstanceOf[Int], v(2).asInstanceOf[Int]))
+  override protected def withNewChildrenInternal(c: IndexedSeq[Expression]) = copy(c(0), c(1), c(2))
+}
+
+case class LangIdExpr(text: Expression) extends GeoExpression {
+  override def children: Seq[Expression] = Seq(text)
+  override def dataType: DataType        = StringType
+  override protected def evalNotNull(v: Array[Any]): Any =
+    UTF8String.fromString(TextKernels.langId(v(0).asInstanceOf[UTF8String].toString))
+  override protected def withNewChildrenInternal(c: IndexedSeq[Expression]) = copy(c(0))
+}
+
+case class TokenCountBpe(text: Expression) extends GeoExpression {
+  override def children: Seq[Expression] = Seq(text)
+  override def dataType: DataType        = IntegerType
+  override protected def evalNotNull(v: Array[Any]): Any =
+    TextKernels.tokenCountBpe(v(0).asInstanceOf[UTF8String].toString)
+  override protected def withNewChildrenInternal(c: IndexedSeq[Expression]) = copy(c(0))
+}
+
+/** Cosine over array<float> columns (embeddings). */
+case class VecCosine(a: Expression, b: Expression) extends GeoExpression {
+  override def children: Seq[Expression] = Seq(a, b)
+  override def dataType: DataType        = DoubleType
+  override protected def evalNotNull(v: Array[Any]): Any =
+    TextKernels.cosine(
+      v(0).asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData].toFloatArray(),
+      v(1).asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData].toFloatArray())
+  override protected def withNewChildrenInternal(c: IndexedSeq[Expression]) = copy(c(0), c(1))
+}
+
+case class HyperplaneSig(vec: Expression, bits: Expression, seed: Expression)
+    extends GeoExpression {
+  override def children: Seq[Expression] = Seq(vec, bits, seed)
+  override def dataType: DataType        = LongType
+  override protected def evalNotNull(v: Array[Any]): Any =
+    TextKernels.hyperplaneSig(
+      v(0).asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData].toFloatArray(),
+      v(1).asInstanceOf[Int], v(2) match { case i: Int => i.toLong; case l: Long => l })
+  override protected def withNewChildrenInternal(c: IndexedSeq[Expression]) = copy(c(0), c(1), c(2))
+}
+
+/** Registration + Column API. */
+object TextFunctions {
+  import org.apache.spark.sql.{Column, SparkSession}
+  import org.apache.spark.sql.functions.call_function
+
+  val builders: Seq[(String, Seq[Expression] => Expression)] = Seq(
+    "minhash_sig"   -> (es => MinHashSig(es(0), es(1), es(2))),
+    "simhash64"     -> (es => SimHash64(es(0), es(1))),
+    "ngram_jaccard" -> (es => NgramJaccard(es(0), es(1), es(2))),
+    "winnow_fp"     -> (es => WinnowFingerprint(es(0), es(1), es(2))),
+    "lang_id"       -> (es => LangIdExpr(es.head)),
+    "token_count_bpe" -> (es => TokenCountBpe(es.head)),
+    "vec_cosine"    -> (es => VecCosine(es(0), es(1))),
+    "hyperplane_sig" -> (es => HyperplaneSig(es(0), es(1), es(2))))
+
+  @volatile private var registered: Set[Int] = Set.empty
+  def register(spark: SparkSession): Unit = {
+    val key = System.identityHashCode(spark)
+    if (!registered.contains(key)) synchronized {
+      builders.foreach { case (name, b) =>
+        spark.sessionState.functionRegistry.createOrReplaceTempFunction(name, b, "built-in")
+      }
+      registered += key
+    }
+  }
+
+  def minhash_sig(text: Column, numHashes: Column, shingle: Column): Column =
+    call_function("minhash_sig", text, numHashes, shingle)
+  def simhash64(text: Column, shingle: Column): Column = call_function("simhash64", text, shingle)
+  def ngram_jaccard(a: Column, b: Column, n: Column): Column = call_function("ngram_jaccard", a, b, n)
+  def winnow_fp(text: Column, k: Column, w: Column): Column = call_function("winnow_fp", text, k, w)
+  def lang_id(text: Column): Column = call_function("lang_id", text)
+  def token_count_bpe(text: Column): Column = call_function("token_count_bpe", text)
+  def vec_cosine(a: Column, b: Column): Column = call_function("vec_cosine", a, b)
+  def hyperplane_sig(vec: Column, bits: Column, seed: Column): Column =
+    call_function("hyperplane_sig", vec, bits, seed)
+}

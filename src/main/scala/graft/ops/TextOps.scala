@@ -1,0 +1,62 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import TextFunctions._
+
+/** Text-analysis operators: token counting, quality scoring, language ID,
+  * fingerprinting — all narrow maps (no shuffle), codegen-friendly built-ins
+  * where possible, custom expressions for the stateful kernels.
+  */
+object TextOps {
+
+  /** Whitespace token count, identical in Spark and ANSI SQL:
+    * (len(text) - len(replace(text,' ',''))) + 1 for single-spaced text. */
+  def tokenCountWs(text: Column): Column =
+    when(length(trim(text)) === 0, 0)
+      .otherwise(size(split(trim(text), "\\s+")))
+
+  /** Quality metrics à la large-corpus filtering pipelines: length, token
+    * stats, punctuation/digit/upper ratios, stopword ratio, plus a [0,1]
+    * composite. */
+  def withQuality(df: DataFrame, textCol: String): DataFrame = {
+    val t = col(textCol)
+    val nChars  = length(t)
+    val nTokens = tokenCountWs(t)
+    val punct   = nChars - length(regexp_replace(t, "[\\p{Punct}]", ""))
+    val digits  = nChars - length(regexp_replace(t, "[0-9]", ""))
+    val uppers  = nChars - length(regexp_replace(t, "[A-Z]", ""))
+    val stop    = size(filter(split(lower(t), "\\s+"),
+      w => w.isin("the", "and", "of", "to", "a", "in", "is", "that", "it", "for")))
+    df.withColumn("q_chars", nChars)
+      .withColumn("q_tokens", nTokens)
+      .withColumn("q_mean_token_len",
+        when(nTokens > 0, (nChars.cast("double") - (nTokens - 1)) / nTokens).otherwise(0.0))
+      .withColumn("q_punct_ratio", when(nChars > 0, punct / nChars.cast("double")).otherwise(0.0))
+      .withColumn("q_digit_ratio", when(nChars > 0, digits / nChars.cast("double")).otherwise(0.0))
+      .withColumn("q_upper_ratio", when(nChars > 0, uppers / nChars.cast("double")).otherwise(0.0))
+      .withColumn("q_stopword_ratio",
+        when(nTokens > 0, col("q_tokens").cast("double") * 0 + stop / nTokens.cast("double")).otherwise(0.0))
+      .withColumn("q_score",
+        greatest(lit(0.0), least(lit(1.0),
+          lit(1.0)
+            - when(col("q_tokens") < 5, 0.5).otherwise(0.0)
+            - when(col("q_punct_ratio") > 0.3, 0.3).otherwise(0.0)
+            - when(col("q_digit_ratio") > 0.3, 0.2).otherwise(0.0)
+            - when(col("q_mean_token_len") > 15, 0.3).otherwise(0.0))))
+  }
+
+  /** Heuristic language ID (script detection + stopword voting). */
+  def withLangId(df: DataFrame, textCol: String): DataFrame =
+    df.withColumn("lang_pred", lang_id(col(textCol)))
+
+  /** BPE-ish token count. */
+  def withTokenCounts(df: DataFrame, textCol: String): DataFrame =
+    df.withColumn("n_tokens_ws", tokenCountWs(col(textCol)))
+      .withColumn("n_tokens_bpe", token_count_bpe(col(textCol)))
+
+  /** Winnowing fingerprints (rolling-hash document fingerprinting). */
+  def withFingerprint(df: DataFrame, textCol: String, k: Int = 8, w: Int = 4): DataFrame =
+    df.withColumn("fingerprint", winnow_fp(col(textCol), lit(k), lit(w)))
+}

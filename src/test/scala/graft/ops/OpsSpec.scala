@@ -1,0 +1,157 @@
+package graft.ops
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+
+import graft.SparkTestBase
+import graft.ops.TextFunctions._
+
+class OpsSpec extends AnyFunSuite {
+  lazy val spark = SparkTestBase.spark
+  import spark.implicits._
+  TextFunctions.register(SparkTestBase.spark)
+  Multimodal.register(SparkTestBase.spark)
+
+  val sf = "/root/testdata/sf0.001"
+  lazy val docs = spark.read.parquet(s"$sf/documents.parquet").cache()
+  lazy val embs = spark.read.parquet(s"$sf/embeddings.parquet").cache()
+
+  test("exact dedup: canonical ids match a groupBy oracle") {
+    val out = Dedup.exact(docs, "doc_id", "text")
+    assert(out.count() == docs.count())
+    // oracle: every text group's min id
+    val oracle = docs.groupBy("text").agg(min("doc_id").as("c"), count(lit(1)).as("n"))
+    val nDupRows = oracle.agg(sum(col("n") - 1)).as[Long].collect()(0)
+    assert(out.where($"is_dup").count() == nDupRows)
+    // canonical is never a dup, and dup rows' canonical exists
+    assert(out.where($"is_dup" && $"doc_id" === $"canonical_id").count() == 0)
+  }
+
+  test("minhash-LSH finds mutated near-dups and respects the threshold") {
+    val base = docs.limit(60).select($"doc_id", $"text")
+    // plant near-dups: append a few tokens (high jaccard), ids offset by 10^6
+    val mutated = base.select(($"doc_id" + 1000000L).as("doc_id"),
+      concat($"text", lit(" extra token")).as("text"))
+    val corpus = base.unionByName(mutated)
+    val pairs = Dedup.minhashPairs(corpus, "doc_id", "text",
+      numHashes = 64, bands = 16, shingle = 5, threshold = 0.6)
+    val found = pairs.select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    // every planted pair whose true jaccard >= 0.8 must be found
+    val planted = corpus.as("a").join(corpus.as("b"),
+        col("a.doc_id") + 1000000L === col("b.doc_id"))
+      .select(col("a.doc_id"), col("b.doc_id"),
+        ngram_jaccard(col("a.text"), col("b.text"), lit(5)).as("j"))
+      .as[(Long, Long, Double)].collect()
+    planted.filter(_._3 >= 0.8).foreach { case (a, b, j) =>
+      assert(found.contains((a, b)), s"missed planted pair ($a,$b) j=$j")
+    }
+    // no reported pair below threshold
+    assert(pairs.where($"jaccard" < 0.6).count() == 0)
+  }
+
+  test("simhash: identical texts collide at hamming 0; banding catches <=3") {
+    val base = docs.limit(50).select($"doc_id", $"text")
+    val twin = base.select(($"doc_id" + 1000000L).as("doc_id"), $"text")
+    val pairs = Dedup.simhashPairs(base.unionByName(twin), "doc_id", "text")
+    val exact = pairs.where($"hamming" === 0)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    (0 until 50).foreach { i =>
+      val id = base.orderBy("doc_id").collect()(i).getLong(0)
+      assert(exact.exists(p => p._1 == id && p._2 == id + 1000000L), s"twin of $id missed")
+    }
+  }
+
+  test("embedding near-dup pairs: planted twins found, threshold respected") {
+    val base = embs.limit(80).select($"vec_id", $"embedding")
+    val twin = base.select(($"vec_id" + 1000000L).as("vec_id"),
+      transform($"embedding", x => x * 1.0001f).as("embedding"))
+    val pairs = Dedup.embeddingPairs(base.unionByName(twin), "vec_id", "embedding",
+      threshold = 0.99, bits = 12)
+    val found = pairs.select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val ids = base.select("vec_id").as[Long].collect()
+    val recall = ids.count(id => found.contains((id, id + 1000000L))).toDouble / ids.length
+    assert(recall >= 0.9, s"twin recall $recall < 0.9")
+    assert(pairs.where($"cosine" < 0.99).count() == 0)
+  }
+
+  test("brute-force cosine top-k: self is rank 1; ranks complete") {
+    val qs = embs.limit(10).select($"vec_id".as("qid"), $"embedding".as("qvec"))
+    val out = Similarity.bruteForceTopK(qs, "qid", "qvec",
+      embs.select($"vec_id", $"embedding"), "vec_id", "embedding", k = 5)
+    assert(out.count() == 50)
+    val r1 = out.where($"rank" === 1).select("qid", "vec_id").as[(Long, Long)].collect()
+    r1.foreach { case (q, c) => assert(q == c, s"rank-1 of $q was $c, not itself") }
+  }
+
+  test("LSH top-k: planted near-neighbor recall >= 0.8 at 12 bits + multiprobe") {
+    val corpus = embs.select($"vec_id", $"embedding").cache()
+    // queries = perturbed corpus vectors (cos ~ 0.999)
+    val qs = corpus.limit(100).select(($"vec_id" + 5000000L).as("qid"),
+      transform($"embedding", x => x + lit(0.001f)).as("qvec"))
+    val out = Similarity.lshTopK(qs, "qid", "qvec", corpus, "vec_id", "embedding",
+      k = 1, bits = 12)
+    val hits = out.where($"qid" - 5000000L === $"vec_id").count()
+    assert(hits >= 80, s"LSH recall $hits/100 < 80")
+  }
+
+  test("text ops: token counts, quality, langid, fingerprints") {
+    val out = TextOps.withTokenCounts(
+      TextOps.withQuality(
+        TextOps.withLangId(
+          TextOps.withFingerprint(docs, "text"), "text"), "text"), "text")
+    val r = out.select("n_chars", "q_tokens", "n_tokens_ws", "n_tokens_bpe",
+      "q_score", "lang_pred", "fingerprint").collect()
+    r.foreach { row =>
+      assert(row.getInt(1) == row.getInt(2)) // q_tokens == ws tokens
+      assert(row.getInt(3) >= row.getInt(2)) // bpe >= ws count
+      assert(row.getDouble(4) >= 0.0 && row.getDouble(4) <= 1.0)
+      assert(row.getString(5).nonEmpty)
+      assert(row.getSeq[Long](6).nonEmpty)
+    }
+    // langid on unambiguous sentences
+    val langs = Seq(
+      "the cat sat on the mat and it was happy with the food for the day",
+      "der Hund ist nicht mit der Katze und das ist ein Problem von den Tieren",
+      "le chat est dans la maison et il est pour les enfants avec une balle",
+      "el perro es un animal que vive en la casa con los niños y las niñas",
+      "这是一个中文句子用来测试语言识别功能的准确性",
+      "это русское предложение для проверки определения языка"
+    ).toDF("text").select(lang_id($"text")).as[String].collect()
+    assert(langs.toSeq == Seq("en", "de", "fr", "es", "zh", "ru"), langs.toSeq.toString)
+  }
+
+  test("winnowing fingerprint overlap detects shared passages") {
+    val a = "the quick brown fox jumps over the lazy dog near the river bank today"
+    val b = "completely different opening words but jumps over the lazy dog near the river bank today"
+    val c = "nothing in common with either of those two sentences at all whatsoever"
+    val df = Seq((1L, a), (2L, b), (3L, c)).toDF("id", "text")
+      .select($"id", winnow_fp($"text", lit(8), lit(4)).as("fp"))
+    val rows = df.as[(Long, Array[Long])].collect().toMap
+    def overlap(x: Array[Long], y: Array[Long]) = x.toSet.intersect(y.toSet).size
+    assert(overlap(rows(1L), rows(2L)) > 0, "shared passage not detected")
+    assert(overlap(rows(1L), rows(3L)) == 0 && overlap(rows(2L), rows(3L)) == 0)
+  }
+
+  test("multimodal: meta/psnr/gray/resize over the binary image column") {
+    import Multimodal._
+    val imgs = graft.pipeline.ImageGen.table(spark, 300)
+    val out = imgs.select($"image_id", $"w", $"h", $"fmt",
+      image_meta($"bytes").as("meta"),
+      image_psnr($"bytes", $"bytes").as("self_psnr"),
+      image_gray_mean($"bytes").as("gray"),
+      image_meta(image_resize($"bytes", lit(4), lit(4))).as("small"))
+      .collect()
+    out.foreach { r =>
+      assert(r.getStruct(4).getInt(0) == r.getInt(1)) // meta.w == w
+      assert(r.getStruct(4).getInt(1) == r.getInt(2))
+      assert(r.getStruct(4).getBoolean(2) == (r.getString(3) == "grb1q"))
+      assert(r.getDouble(5) == 99.0) // self PSNR clamped at 99
+      assert(r.getDouble(6) > 0 && r.getDouble(6) < 255)
+      assert(r.getStruct(7).getInt(0) == 4 && r.getStruct(7).getInt(1) == 4)
+    }
+    // lossy vs lossless re-encode of the same id: psnr >= 40
+    val psnrs = imgs.where($"fmt" === "grb1q").limit(50)
+      .select(image_psnr($"bytes", $"bytes").as("p")).as[Double].collect()
+    assert(psnrs.forall(_ >= 40.0))
+  }
+}
