@@ -1,24 +1,64 @@
 package graft
+
 import org.apache.spark.sql.SparkSession
+
+/** Per-round benchmark (driver contract): times every SparkEntry query on
+  * SPARK_GRAFT_SF_DIR plus the north-rule flagship job (spatial-join +
+  * tile-assignment over the image+caption table, BASELINE.json:2) measured
+  * as rows/sec. Prints ONE JSON line.
+  */
 object Bench {
-  def main(args: Array[String]): Unit = {
-    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = SparkSession.builder()
+
+  def buildSession(cpus: String): SparkSession = {
+    val s = SparkSession.builder()
       .master(s"local[$cpus]")
+      .appName("graft-bench")
       .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    s.sparkContext.setLogLevel("ERROR")
+    s
+  }
+
+  /** The flagship throughput job: synth images → PIP join vs fixture
+    * polygons → tile assignment → noop sink. Returns rows/sec over the
+    * image count. */
+  def flagshipRowsPerSec(spark: SparkSession, n: Long): (Double, Double) = {
+    import org.apache.spark.sql.functions._
+    graft.geo.sql.GeoFunctions.register(spark)
+    val polys = graft.pipeline.GeoImagePipeline.fixturePolygons(spark)
+    val t0 = System.nanoTime()
+    val imgs   = graft.pipeline.ImageGen.withLngLat(
+      graft.pipeline.ImageGen.table(spark, n, partitions = spark.sparkContext.defaultParallelism * 2))
+    val joined = graft.geo.join.SpatialJoins.pipJoin(imgs, "lng", "lat", polys, "geom", res = 5)
+    val tiled  = graft.geo.join.SpatialJoins.assignTiles(joined, "lng", "lat", z = 12)
+      .select(col("image_id"), col("poly_id"), col("tile_key"), col("phash"))
+    tiled.write.format("noop").mode("overwrite").save()
+    val sec = (System.nanoTime() - t0) / 1e9
+    (n / sec, sec)
+  }
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus  = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val nImg  = sys.env.getOrElse("SPARK_GRAFT_BENCH_IMAGES", "2000000").toLong
+    val spark = buildSession(cpus)
+
+    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+      try { fn(spark, sfDir).write.format("noop").mode("overwrite").save() }
+      catch { case e: Throwable => System.err.println(s"[bench] $name failed: ${e.getMessage}") }
       name -> (System.nanoTime() - t0) / 1e9
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val (rps, flagSec) = flagshipRowsPerSec(spark, nImg)
+
+    val qs = (results :+ ("flagship_pip_tile" -> flagSec))
+      .map { case (k, v) => "\"" + k + f"\":$v%.3f" }.mkString("{", ",", "}")
+    val total = results.map(_._2).sum + flagSec
+    println(
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir","flagship_rows":$nImg,"flagship_rows_per_sec":$rps%.0f,"cpus":"$cpus"}""")
     spark.stop()
   }
 }

@@ -1,13 +1,432 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+import graft.geo.join.SpatialJoins
+import graft.geo.sql.GeoFunctions
+import graft.geo.sql.GeoFunctions._
+import graft.ops.{Dedup, Multimodal, Similarity, TextFunctions, TextOps}
+import graft.ops.TextFunctions._
+import graft.pipeline.{GeoImagePipeline, ImageGen}
+
+/** Driver contract (SURVEY.md §7): every implemented operator surfaces as a
+  * `queries` entry over the driver testdata; `oracleSql` holds the DuckDB
+  * equivalent where ANSI-SQL-expressible (geometry synthesized from key
+  * columns with pure integer arithmetic so the oracle reproduces it exactly;
+  * FIXTURES.md "Engine-side synthetic inputs").
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
-  def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+
+  private def registerAll(s: SparkSession): Unit = {
+    GeoFunctions.register(s); TextFunctions.register(s); Multimodal.register(s)
+  }
+
+  private def t(dir: String, name: String) = s"$dir/$name.parquet"
+
+  /** Deterministic world-wide point per customer (same formula in SQL). */
+  private def customerPoints(s: SparkSession, dir: String): DataFrame =
+    s.read.parquet(t(dir, "customer"))
+      .withColumn("lng", (col("c_custkey") * 7919L % 36000L) / 100.0 - 180.0)
+      .withColumn("lat", (col("c_custkey") * 104729L % 16800L) / 100.0 - 84.0)
+  private val customerPointsSql =
+    """SELECT *, (c_custkey * 7919 % 36000)/100.0 - 180.0 AS lng,
+      |          (c_custkey * 104729 % 16800)/100.0 - 84.0 AS lat FROM customer""".stripMargin
+
+  /** Five axis-aligned region boxes with .005 offsets (no point ever on a
+    * boundary: points live on the .01 grid). */
+  private def regionBoxes(s: SparkSession, dir: String): DataFrame =
+    s.read.parquet(t(dir, "region"))
+      .withColumn("w", lit(-170.005) + col("r_regionkey") * 66.0)
+      .withColumn("e", col("w") + 40.0)
+      .withColumn("sS", lit(-60.005) + col("r_regionkey") * 25.0)
+      .withColumn("n", col("sS") + 35.0)
+  private val regionBoxesSql =
+    """SELECT *, -170.005 + r_regionkey * 66.0 AS w,
+      |          -170.005 + r_regionkey * 66.0 + 40.0 AS e,
+      |          -60.005 + r_regionkey * 25.0 AS s,
+      |          -60.005 + r_regionkey * 25.0 + 35.0 AS n FROM region""".stripMargin
+
+  /** Region boxes as GeoJSON Polygon text → packed geometry (exercises the
+    * parse path inside the join pipeline). */
+  private def regionPolys(s: SparkSession, dir: String): DataFrame = {
+    val b = regionBoxes(s, dir)
+    val json = concat(lit("""{"type":"Polygon","coordinates":[[["""),
+      col("w").cast("string"), lit(","), col("sS").cast("string"), lit("],["),
+      col("e").cast("string"), lit(","), col("sS").cast("string"), lit("],["),
+      col("e").cast("string"), lit(","), col("n").cast("string"), lit("],["),
+      col("w").cast("string"), lit(","), col("n").cast("string"), lit("],["),
+      col("w").cast("string"), lit(","), col("sS").cast("string"), lit("]]]}"))
+    b.select(col("r_regionkey"), from_geojson_geom(json).as("geom"))
+  }
+
+  /** Images table lng/lat formula in SQL over DuckDB's range(). */
+  private def imagesSqlCte(n: Int) =
+    s"""WITH img AS (
+       |  SELECT range AS id, (range * 48271 % 2147483647) AS h FROM range($n)
+       |), pts AS (
+       |  SELECT id, (h % 36000)/100.0 - 180.0 AS lng,
+       |         ((h // 36000) % 16800)/100.0 - 84.0 AS lat FROM img
+       |)""".stripMargin
+
+  private val haversineSql =
+    """2.0 * 6371008.8 * asin(least(1.0, sqrt(
+      |  pow(sin(radians(lat - qlat) / 2), 2) +
+      |  cos(radians(qlat)) * cos(radians(lat)) * pow(sin(radians(lng - qlng) / 2), 2)
+      |)))""".stripMargin
+
+  // ------------------------------------------------------------- flagship
+
+  /** Flagship query on sf=0.001: the north-rule job — PIP join of the
+    * image+caption table against the GeoJSON fixture polygons, tiled. */
+  def entry(spark: SparkSession): DataFrame = {
+    registerAll(spark)
+    val dir = java.nio.file.Files.createTempDirectory("graft_entry").toString
+    GeoImagePipeline.run(spark, nImages = 2000, workDir = dir, z = 8, res = 4).joined
+  }
+
+  // --------------------------------------------------------------- queries
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // ---- GeoJSON parse/serialize surface (SURVEY.md §2.1/§2.2)
+    "q01_parse_extract" -> ((s, dir) => {
+      registerAll(s)
+      val pts  = customerPoints(s, dir)
+      val json = concat(lit("""{"type":"Point","coordinates":["""),
+        col("lng").cast("string"), lit(","), col("lat").cast("string"), lit("]}"))
+      val g = from_geojson_geom(json)
+      pts.select(col("c_custkey"),
+        st_geometry_type(g).as("gtype"),
+        element_at(g.getField("coords"), 1).as("lng"),
+        element_at(g.getField("coords"), 2).as("lat"))
+    }),
+    "q02_roundtrip" -> ((s, dir) => {
+      registerAll(s)
+      val pts  = customerPoints(s, dir)
+      val json = concat(lit("""{"type":"Point","coordinates":["""),
+        col("lng").cast("string"), lit(","), col("lat").cast("string"), lit("]}"))
+      val back = from_geojson_geom(to_geojson_geom(from_geojson_geom(json)))
+      // rounded to 2dp: the reference serializes floats with %.16g
+      // (jsone.ml:818) which is NOT always ulp-exact on re-parse, and we
+      // mirror that faithfully — the 2-decimal grid survives it exactly
+      pts.select(col("c_custkey"),
+        round(element_at(back.getField("coords"), 1), 2).as("lng"),
+        round(element_at(back.getField("coords"), 2), 2).as("lat"))
+    }),
+    "q03_pip_join" -> ((s, dir) => {
+      registerAll(s)
+      SpatialJoins.pipJoin(customerPoints(s, dir), "lng", "lat",
+          regionPolys(s, dir), "geom", res = 2)
+        .select(col("c_custkey"), col("r_regionkey"))
+    }),
+    "q04_knn" -> ((s, dir) => {
+      registerAll(s)
+      val qs = s.read.parquet(t(dir, "nation"))
+        .withColumn("qlng", (col("n_nationkey") * 104729L % 36000L) / 100.0 - 180.0)
+        .withColumn("qlat", (col("n_nationkey") * 7919L % 16800L) / 100.0 - 84.0)
+        .select("n_nationkey", "qlng", "qlat")
+      SpatialJoins.knnJoin(qs, "n_nationkey", "qlng", "qlat",
+          customerPoints(s, dir).select("c_custkey", "lng", "lat"), "lng", "lat",
+          k = 3, res = 2)
+        .select(col("n_nationkey"), col("c_custkey"), col("rank"))
+    }),
+    "q05_tiles" -> ((s, dir) => {
+      registerAll(s)
+      SpatialJoins.assignTiles(customerPoints(s, dir), "lng", "lat", z = 10)
+        .select(col("c_custkey"), col("tile_x").as("tx"), col("tile_y").as("ty"))
+    }),
+    "q06_tile_rollup" -> ((s, dir) => {
+      registerAll(s)
+      SpatialJoins.assignTiles(customerPoints(s, dir), "lng", "lat", z = 6)
+        .groupBy(col("tile_x").as("tx"), col("tile_y").as("ty"))
+        .agg(count(lit(1)).as("n"))
+    }),
+    "q26_parse_errors" -> ((s, dir) => {
+      registerAll(s)
+      val docs = s.read.parquet(t(dir, "documents"))
+      val bad = when(col("doc_id") % 2 === 0,
+          lit("""{"type":"Wibble","coordinates":[]}"""))
+        .otherwise(lit("""{"notype":1}"""))
+      docs.select(col("doc_id"), geojson_error(bad).as("err"))
+    }),
+    "q27_fold_props" -> ((s, dir) => {
+      // fold_props equivalent (geojsone.ml:244-257): collect distinct names
+      registerAll(s)
+      val nation = s.read.parquet(t(dir, "nation"))
+      val fjson = concat(lit("""{"type":"Feature","properties":{"name":""""),
+        col("n_name"), lit(""""}}"""))
+      nation.select(get_json_object(
+          from_geojson(fjson).getField("feature").getField("properties"), "$.name").as("name"))
+        .distinct()
+    }),
+    "q28_map_props" -> ((s, dir) => {
+      // map_props equivalent (geojsone.ml:198-221): uppercase the name
+      registerAll(s)
+      val nation = s.read.parquet(t(dir, "nation"))
+      val fjson = concat(lit("""{"type":"Feature","properties":{"name":""""),
+        col("n_name"), lit(""""}}"""))
+      val top    = from_geojson(fjson)
+      val newTop = top.withField("feature.properties",
+        concat(lit("""{"name":""""),
+          upper(get_json_object(top.getField("feature").getField("properties"), "$.name")),
+          lit(""""}""")))
+      val back = from_geojson(to_geojson(newTop))
+      nation.select(col("n_nationkey"),
+        get_json_object(back.getField("feature").getField("properties"), "$.name").as("name"))
+    }),
+
+    // ---- relational baseline (Spark built-ins; SURVEY.md §2.4/§2.8)
+    "q07_agg" -> ((s, dir) => {
+      s.read.parquet(t(dir, "lineitem"))
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(sum(col("l_quantity")).cast("long").as("sum_qty"),
+          count(lit(1)).as("n"),
+          countDistinct(col("l_orderkey")).as("n_orders"))
+    }),
+    "q08_join_agg" -> ((s, dir) => {
+      val o = s.read.parquet(t(dir, "orders"))
+      val c = s.read.parquet(t(dir, "customer"))
+      o.join(broadcast(c), o("o_custkey") === c("c_custkey"))
+        .groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).as("n"),
+          sum(round(col("o_totalprice") * 100.0, 0).cast("long")).as("revenue_cents"))
+    }),
+    "q09_window" -> ((s, dir) => {
+      val o = s.read.parquet(t(dir, "orders"))
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      o.withColumn("rank", row_number().over(w)).where(col("rank") <= 2)
+        .select(col("o_custkey"), col("o_orderkey"), col("rank"))
+    }),
+    "q10_events" -> ((s, dir) => {
+      s.read.parquet(t(dir, "events"))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          countDistinct(col("user_id")).as("users"),
+          sum(regexp_extract(col("props"), "(\\d+)", 1).cast("long")).as("sum_k"))
+    }),
+
+    // ---- training-data ops (dedup / similarity / text)
+    "q11_dedup_exact" -> ((s, dir) => {
+      val docs = s.read.parquet(t(dir, "documents")).select("doc_id", "text")
+      val corpus = docs.unionByName(
+        docs.select((col("doc_id") + 10000L).as("doc_id"), col("text")))
+      Dedup.exact(corpus, "doc_id", "text")
+    }),
+    "q12_tokens" -> ((s, dir) => {
+      val docs = s.read.parquet(t(dir, "documents"))
+      docs.select(col("doc_id"),
+        (length(col("text")) - length(replace(col("text"), lit(" "), lit(""))) + 1).as("n_tokens"),
+        length(col("text")).as("n_chars_check"))
+    }),
+    "q13_quality_counts" -> ((s, dir) => {
+      val docs = s.read.parquet(t(dir, "documents"))
+      docs.select(col("doc_id"),
+        (length(col("text")) - length(regexp_replace(col("text"), "[0-9]", ""))).as("n_digits"),
+        (length(col("text")) - length(replace(col("text"), lit(" "), lit("")))).as("n_spaces"))
+    }),
+    "q14_lang_dist" -> ((s, dir) => {
+      s.read.parquet(t(dir, "documents"))
+        .groupBy(col("lang")).agg(count(lit(1)).as("n"), sum(col("n_chars")).as("chars"))
+    }),
+    "q15_minhash_dups" -> ((s, dir) => {
+      registerAll(s)
+      val docs = s.read.parquet(t(dir, "documents")).select("doc_id", "text")
+      val corpus = docs.unionByName(
+        docs.select((col("doc_id") + 10000L).as("doc_id"),
+          concat(col("text"), lit(" tail")).as("text")))
+      Dedup.minhashPairs(corpus, "doc_id", "text", threshold = 0.6)
+        .select(col("id_a"), col("id_b")) // jaccard value excluded: fp-sensitive
+    }),
+    "q16_simhash_dups" -> ((s, dir) => {
+      registerAll(s)
+      val docs = s.read.parquet(t(dir, "documents")).select("doc_id", "text")
+      val corpus = docs.unionByName(
+        docs.select((col("doc_id") + 10000L).as("doc_id"), col("text")))
+      Dedup.simhashPairs(corpus, "doc_id", "text").where(col("hamming") === 0)
+    }),
+    "q17_ann_brute" -> ((s, dir) => {
+      registerAll(s)
+      val embs = s.read.parquet(t(dir, "embeddings"))
+      val qs = embs.where(col("vec_id") < 20)
+        .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+      Similarity.bruteForceTopK(qs, "qid", "qvec",
+          embs.select(col("vec_id"), col("embedding")), "vec_id", "embedding", k = 3)
+        .select(col("qid"), col("vec_id"), col("rank"))
+    }),
+    "q18_ann_lsh" -> ((s, dir) => {
+      registerAll(s)
+      val embs = s.read.parquet(t(dir, "embeddings"))
+      val qs = embs.where(col("vec_id") < 20)
+        .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+      Similarity.lshTopK(qs, "qid", "qvec",
+        embs.select(col("vec_id"), col("embedding")), "vec_id", "embedding", k = 3, bits = 8)
+        .select(col("qid"), col("vec_id"), col("rank"))
+    }),
+    "q19_embedding_dups" -> ((s, dir) => {
+      registerAll(s)
+      val embs = s.read.parquet(t(dir, "embeddings")).select("vec_id", "embedding")
+      val corpus = embs.unionByName(
+        embs.select((col("vec_id") + 10000L).as("vec_id"), col("embedding")))
+      Dedup.embeddingPairs(corpus, "vec_id", "embedding", threshold = 0.999, bits = 12)
+        .select(col("id_a"), col("id_b"))
+    }),
+    "q20_text_analysis" -> ((s, dir) => {
+      registerAll(s)
+      val docs = s.read.parquet(t(dir, "documents"))
+      TextOps.withTokenCounts(TextOps.withLangId(docs, "text"), "text")
+        .select(col("doc_id"), col("lang_pred"), col("n_tokens_ws"), col("n_tokens_bpe"),
+          size(winnow_fp(col("text"), lit(8), lit(4))).as("n_fingerprints"))
+    }),
+
+    // ---- image+caption table (north rule)
+    "q21_image_tiles" -> ((s, dir) => {
+      registerAll(s)
+      val imgs = ImageGen.withLngLat(ImageGen.table(s, 2000))
+      SpatialJoins.assignTiles(imgs, "lng", "lat", z = 8)
+        .groupBy(col("tile_x").as("tx"), col("tile_y").as("ty"))
+        .agg(count(lit(1)).as("n"))
+    }),
+    "q22_image_pip" -> ((s, dir) => {
+      registerAll(s)
+      val imgs = ImageGen.withLngLat(ImageGen.table(s, 2000))
+      SpatialJoins.pipJoin(imgs, "lng", "lat", regionPolys(s, dir), "geom", res = 2)
+        .select(col("image_id"), col("r_regionkey"))
+    }),
+    "q23_image_meta" -> ((s, dir) => {
+      registerAll(s)
+      val imgs = ImageGen.table(s, 2000)
+      imgs.select(col("image_id"), col("w"), col("h"), col("fmt"), col("caption"))
+    }),
+    "q24_flagship" -> ((s, dir) => {
+      // full pipeline output (fixture polygons are not SQL-expressible after
+      // translation → rows-only check; exactness proven vs brute force in
+      // PipelineSpec)
+      registerAll(s)
+      val imgs  = ImageGen.withLngLat(ImageGen.table(s, 5000))
+      val polys = GeoImagePipeline.fixturePolygons(s)
+      SpatialJoins.pipJoin(imgs, "lng", "lat", polys, "geom", res = 5)
+        .select(col("image_id"), col("poly_id"))
+    }),
+    "q25_s2_cells" -> ((s, dir) => {
+      registerAll(s)
+      // cell ids + range-pruning roundtrip (no SQL equivalent → rows-only)
+      customerPoints(s, dir)
+        .withColumn("cell", s2_cell(col("lng"), col("lat"), lit(12)))
+        .withColumn("parent8", s2_range_min(col("cell"))) // touch helpers
+        .groupBy(col("cell")).agg(count(lit(1)).as("n"))
+    }))
+
+  // -------------------------------------------------------------- oracles
+
+  def oracleSql: Map[String, String] = Map(
+    "q01_parse_extract" ->
+      s"""WITH pts AS ($customerPointsSql)
+         |SELECT c_custkey, 'Point' AS gtype, lng, lat FROM pts""".stripMargin,
+    "q02_roundtrip" ->
+      s"""WITH pts AS ($customerPointsSql)
+         |SELECT c_custkey, round(lng, 2) AS lng, round(lat, 2) AS lat FROM pts""".stripMargin,
+    "q03_pip_join" ->
+      s"""WITH pts AS ($customerPointsSql), box AS ($regionBoxesSql)
+         |SELECT p.c_custkey, b.r_regionkey FROM pts p, box b
+         |WHERE p.lng > b.w AND p.lng < b.e AND p.lat > b.s AND p.lat < b.n""".stripMargin,
+    "q04_knn" ->
+      s"""WITH pts AS ($customerPointsSql),
+         |qs AS (SELECT n_nationkey,
+         |  (n_nationkey * 104729 % 36000)/100.0 - 180.0 AS qlng,
+         |  (n_nationkey * 7919 % 16800)/100.0 - 84.0 AS qlat FROM nation),
+         |d AS (SELECT q.n_nationkey, p.c_custkey, p.lng, p.lat,
+         |  $haversineSql AS dist_m FROM qs q CROSS JOIN pts p)
+         |SELECT n_nationkey, c_custkey, rank FROM (
+         |  SELECT n_nationkey, c_custkey,
+         |    row_number() OVER (PARTITION BY n_nationkey ORDER BY dist_m, lng, lat) AS rank
+         |  FROM d) WHERE rank <= 3""".stripMargin,
+    "q05_tiles" ->
+      s"""WITH pts AS ($customerPointsSql)
+         |SELECT c_custkey,
+         |  CAST(floor((lng + 180.0) / 360.0 * 1024) AS BIGINT) AS tx,
+         |  CAST(floor((1.0 - ln(tan(radians(lat)) + 1.0/cos(radians(lat))) / pi()) / 2.0 * 1024) AS BIGINT) AS ty
+         |FROM pts""".stripMargin,
+    "q06_tile_rollup" ->
+      s"""WITH pts AS ($customerPointsSql)
+         |SELECT CAST(floor((lng + 180.0) / 360.0 * 64) AS BIGINT) AS tx,
+         |  CAST(floor((1.0 - ln(tan(radians(lat)) + 1.0/cos(radians(lat))) / pi()) / 2.0 * 64) AS BIGINT) AS ty,
+         |  count(*) AS n
+         |FROM pts GROUP BY 1, 2""".stripMargin,
+    "q26_parse_errors" ->
+      """SELECT doc_id, CASE WHEN doc_id % 2 = 0
+        |  THEN 'Unknown type of geometry Wibble'
+        |  ELSE 'A Geojson text should contain one object with a member `type`.'
+        |  END AS err FROM documents""".stripMargin,
+    "q27_fold_props" -> "SELECT DISTINCT n_name AS name FROM nation",
+    "q28_map_props" -> "SELECT n_nationkey, upper(n_name) AS name FROM nation",
+    "q07_agg" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(sum(l_quantity) AS BIGINT) AS sum_qty,
+        |  count(*) AS n, count(DISTINCT l_orderkey) AS n_orders
+        |FROM lineitem GROUP BY 1, 2""".stripMargin,
+    "q08_join_agg" ->
+      """SELECT c_mktsegment, count(*) AS n,
+        |  CAST(sum(CAST(round(o_totalprice * 100.0, 0) AS BIGINT)) AS BIGINT) AS revenue_cents
+        |FROM orders JOIN customer ON o_custkey = c_custkey GROUP BY 1""".stripMargin,
+    "q09_window" ->
+      """SELECT o_custkey, o_orderkey, rank FROM (
+        |  SELECT o_custkey, o_orderkey,
+        |    row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS rank
+        |  FROM orders) WHERE rank <= 2""".stripMargin,
+    "q10_events" ->
+      """SELECT event_type, count(*) AS n, count(DISTINCT user_id) AS users,
+        |  sum(CAST(regexp_extract(props, '(\d+)', 1) AS BIGINT)) AS sum_k
+        |FROM events GROUP BY 1""".stripMargin,
+    "q11_dedup_exact" ->
+      """WITH corpus AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL SELECT doc_id + 10000, text FROM documents)
+        |SELECT c.doc_id, m.canonical_id, c.doc_id <> m.canonical_id AS is_dup
+        |FROM corpus c JOIN (
+        |  SELECT text, min(doc_id) AS canonical_id FROM corpus GROUP BY text) m
+        |USING (text)""".stripMargin,
+    "q12_tokens" ->
+      """SELECT doc_id,
+        |  length(text) - length(replace(text, ' ', '')) + 1 AS n_tokens,
+        |  length(text) AS n_chars_check FROM documents""".stripMargin,
+    "q13_quality_counts" ->
+      """SELECT doc_id,
+        |  length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS n_digits,
+        |  length(text) - length(replace(text, ' ', '')) AS n_spaces FROM documents""".stripMargin,
+    "q14_lang_dist" ->
+      "SELECT lang, count(*) AS n, sum(n_chars) AS chars FROM documents GROUP BY 1",
+    "q17_ann_brute" ->
+      """WITH qs AS (SELECT vec_id AS qid, embedding AS qvec FROM embeddings WHERE vec_id < 20),
+        |d AS (SELECT q.qid, c.vec_id,
+        |  list_cosine_similarity(q.qvec, c.embedding) AS cosine
+        |  FROM qs q CROSS JOIN embeddings c)
+        |SELECT qid, vec_id, rank FROM (
+        |  SELECT qid, vec_id,
+        |    row_number() OVER (PARTITION BY qid ORDER BY cosine DESC, vec_id) AS rank
+        |  FROM d) WHERE rank <= 3""".stripMargin,
+    "q21_image_tiles" ->
+      s"""${imagesSqlCte(2000)}
+         |SELECT CAST(floor((lng + 180.0) / 360.0 * 256) AS BIGINT) AS tx,
+         |  CAST(floor((1.0 - ln(tan(radians(lat)) + 1.0/cos(radians(lat))) / pi()) / 2.0 * 256) AS BIGINT) AS ty,
+         |  count(*) AS n
+         |FROM pts GROUP BY 1, 2""".stripMargin,
+    "q22_image_pip" ->
+      s"""${imagesSqlCte(2000)}, box AS ($regionBoxesSql)
+         |SELECT 'img_' || p.id AS image_id, b.r_regionkey FROM pts p, box b
+         |WHERE p.lng > b.w AND p.lng < b.e AND p.lat > b.s AND p.lat < b.n""".stripMargin,
+    "q23_image_meta" ->
+      """SELECT 'img_' || range AS image_id,
+        |  CAST(8 + range % 9 AS INT) AS w, CAST(8 + range % 7 AS INT) AS h,
+        |  CASE WHEN range % 3 = 0 THEN 'grb1q' ELSE 'grb1' END AS fmt,
+        |  caption FROM (
+        |  SELECT range,
+        |    ['aerial','view','of','the','coastal','city','mountain','valley','river','delta','urban','grid','farmland','island','harbor','desert'][CAST(range % 16 AS INT) + 1]
+        |    || ' ' ||
+        |    ['aerial','view','of','the','coastal','city','mountain','valley','river','delta','urban','grid','farmland','island','harbor','desert'][CAST((range // 16) % 16 AS INT) + 1]
+        |    || ' ' ||
+        |    ['aerial','view','of','the','coastal','city','mountain','valley','river','delta','urban','grid','farmland','island','harbor','desert'][CAST((range // 256) % 16 AS INT) + 1]
+        |    || ' tile ' || (range % 1024) AS caption
+        |  FROM range(2000))""".stripMargin)
 }

@@ -121,9 +121,17 @@ object SpatialJoins {
     var resultOpt: Option[DataFrame] = None
     var radius    = 2
     while (radius <= maxRadius && !remaining.isEmpty) {
+      // seam-aware probing: the planar hex grid does not wrap at ±180, so a
+      // query within ring-reach of the antimeridian also probes its ±360°
+      // translates — neighbors across the seam live in those frames' cells.
+      val reach = (radius + 2) * HexCell.sizeDeg(res)
       val cand = remaining
-        .withColumn("__qcell", hex_cell(col(qLng), col(qLat), lit(res)))
+        .withColumn("__qshift", explode(
+          when(abs(col(qLng)) > 180.0 - reach,
+            array(lit(0.0), lit(360.0), lit(-360.0))).otherwise(array(lit(0.0)))))
+        .withColumn("__qcell", hex_cell(col(qLng) + col("__qshift"), col(qLat), lit(res)))
         .withColumn("__cell", explode(hex_kring(col("__qcell"), lit(radius))))
+        .dropDuplicates(qidCol, "__cell")
         .join(pts, col("__cell") === col("__pcell"))
         .withColumn("dist_m", haversine(col(qLng), col(qLat), col(pLng), col(pLat)))
       val w      = Window.partitionBy(col(qidCol)).orderBy(col("dist_m"), col(pLng), col(pLat))
@@ -137,7 +145,7 @@ object SpatialJoins {
         .withColumn("__done", col("__n") === k && col("__kth") <= col("__lb"))
       val doneQ = perQ.where(col("__done")).select(col(qidCol))
       val done  = ranked.join(doneQ, Seq(qidCol), "left_semi")
-        .drop("__qcell", "__cell", "__pcell", "__lb")
+        .drop("__qshift", "__qcell", "__cell", "__pcell", "__lb")
       resultOpt = Some(resultOpt.map(_.unionByName(done)).getOrElse(done))
       remaining = remaining.join(perQ.where(col("__done")).select(col(qidCol)), Seq(qidCol), "left_anti")
       radius *= 2

@@ -1,0 +1,136 @@
+package graft.geo
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import java.nio.file.{Files, Paths}
+
+import graft.SparkTestBase
+import graft.geo.sources.GeoJsonReader
+import graft.geo.sql.GeoFunctions._
+import graft.streaming.GeoStreams
+
+/** The geojsone streaming-operator golden tests recast for Spark
+  * (reference: /root/reference/test/geojsonm/expect/test.ml:36-62 over
+  * input/simple.geojson): map_props capitalising `nom` (Foix→FOIX),
+  * map_geometry stripping Polygon coordinates, fold_props collecting `nom`,
+  * iter_geometry/iter_props visits — plus the constant-memory
+  * FeatureCollection splitter and a Structured Streaming run.
+  */
+class ReaderStreamsSpec extends AnyFunSuite {
+  lazy val spark = SparkTestBase.spark
+  import spark.implicits._
+
+  def fixturePath: String = {
+    // materialize the resource to a temp file for spark file APIs
+    val in  = getClass.getResourceAsStream("/fixtures/simple.geojson")
+    val dir = Files.createTempDirectory("geojson_src")
+    val p   = dir.resolve("simple.geojson")
+    Files.copy(in, p); in.close()
+    p.toString
+  }
+
+  test("feature splitter: one row per feature, constant memory, texts parse") {
+    val feats = GeoJsonReader.featureTexts(spark, fixturePath).collect()
+    assert(feats.length == 1)
+    val top = GeoJsonReader.features(spark, fixturePath)
+      .select(col("feature.geometry.gtype"), col("feature.properties"))
+      .collect()(0)
+    assert(top.getByte(0) == 5) // Polygon
+    assert(top.getString(1) == """{"code":"09001","nom":"Foix"}""")
+  }
+
+  test("map_props: capitalise nom (expect golden: Foix→FOIX)") {
+    val df = GeoJsonReader.featureTexts(spark, fixturePath).toDF("json")
+    val out = GeoStreams.mapProps(df, "json", p =>
+      concat(lit("""{"code":""""), get_json_object(p, "$.code"),
+        lit("""","nom":""""), upper(get_json_object(p, "$.nom")), lit(""""}""")))
+      .select(get_json_object(
+        from_geojson($"json").getField("feature").getField("properties"), "$.nom"))
+      .as[String].collect()
+    assert(out.toSeq == Seq("FOIX"))
+  }
+
+  test("map_geometry: strip Polygon coordinates to [] (expect golden)") {
+    val df = GeoJsonReader.featureTexts(spark, fixturePath).toDF("json")
+    val emptied = GeoStreams.mapGeometry(df, "json", g =>
+      g.withField("coords", array().cast("array<double>"))
+        .withField("pos_offsets", array(lit(0)).cast("array<int>"))
+        .withField("ring_offsets", array(lit(0)).cast("array<int>"))
+        .withField("part_offsets", array(lit(0), lit(0)).cast("array<int>")))
+    val json = emptied.as[String].collect()(0)
+    assert(json.contains(""""geometry":{"type":"Polygon","coordinates":[]}"""), json.take(200))
+    // and the document still parses with properties intact
+    assert(json.contains(""""nom":"Foix""""))
+  }
+
+  test("fold_props: collect nom values (expect golden)") {
+    val df  = GeoJsonReader.featureTexts(spark, fixturePath).toDF("json")
+    val out = GeoStreams.foldProps(df, "json", p =>
+      Seq(collect_list(get_json_object(p, "$.nom")).as("noms")))
+      .as[Seq[String]].collect()(0)
+    assert(out == Seq("Foix"))
+  }
+
+  test("iter_geometry / iter_props visit in document order") {
+    val df = GeoJsonReader.featureTexts(spark, fixturePath).toDF("json")
+    val seenG = scala.collection.mutable.ArrayBuffer[String]()
+    GeoStreams.iterGeometry(df, "json")(seenG += _)
+    assert(seenG.length == 1 && seenG(0).startsWith("""{"type":"Polygon""""))
+    val seenP = scala.collection.mutable.ArrayBuffer[String]()
+    GeoStreams.iterProps(df, "json")(seenP += _)
+    assert(seenP == Seq("""{"code":"09001","nom":"Foix"}"""))
+  }
+
+  test("multi-feature document splits correctly") {
+    val fc =
+      """{"type":"FeatureCollection","meta":{"x":1},"features":[
+        |{"type":"Feature","properties":{"i":1},"geometry":{"type":"Point","coordinates":[1.0,2.0]}},
+        |{"type":"Feature","properties":{"i":2},"geometry":{"type":"Point","coordinates":[3.0,4.0]}},
+        |{"type":"Feature","properties":{"i":3}}]}""".stripMargin
+    val dir = Files.createTempDirectory("geojson_multi")
+    Files.writeString(dir.resolve("fc.geojson"), fc)
+    val rows = GeoJsonReader.features(spark, dir.toString + "/fc.geojson")
+      .select(get_json_object(col("feature.properties"), "$.i").as("i"),
+        col("feature.geometry").isNull.as("nogeom"))
+      .orderBy("i").collect()
+    assert(rows.map(_.getString(0)).toSeq == Seq("1", "2", "3"))
+    assert(rows.map(_.getBoolean(1)).toSeq == Seq(false, false, true))
+  }
+
+  test("structured streaming: windowed fold over the events table") {
+    // the reference has no watermark/window semantics to mirror (SURVEY.md
+    // §2.6); this proves the engine's operators run under readStream
+    val schema = spark.read.parquet("/root/testdata/sf0.001/events.parquet").schema
+    val stream = spark.readStream.schema(schema)
+      .parquet("/root/testdata/sf0.001/events.parquet".stripSuffix("/events.parquet"))
+    val agg = stream
+      .withWatermark("ts", "1 hour")
+      .groupBy(window($"ts", "1 day"), $"event_type")
+      .agg(count(lit(1)).as("n"))
+    val q = agg.writeStream.outputMode("update")
+      .format("memory").queryName("ev_fold").start()
+    q.processAllAvailable(); q.stop()
+    val got = spark.sql("select sum(n) from ev_fold").as[Long].collect()(0)
+    val expect = spark.read.parquet("/root/testdata/sf0.001/events.parquet").count()
+    assert(got == expect)
+  }
+
+  test("streaming map_geometry on a feature-text stream") {
+    // stream of per-feature JSON rows through the same narrow map
+    val dir = Files.createTempDirectory("geojson_stream")
+    val texts = (1 to 20).map(i =>
+      s"""{"type":"Feature","properties":{"i":$i},"geometry":{"type":"Point","coordinates":[$i.0,2.0]}}""")
+    Files.write(dir.resolve("part1.txt"), String.join("\n", texts: _*).getBytes)
+    val stream = spark.readStream.schema("json STRING").format("text")
+      .option("path", dir.toString).load().withColumnRenamed("value", "json")
+    val mapped = GeoStreams.mapGeometry(stream.select($"json"), "json",
+      g => g.withField("coords",
+        transform(g.getField("coords"), c => c + 100.0)))
+    val q = mapped.writeStream.format("memory").queryName("geo_map").outputMode("append").start()
+    q.processAllAvailable(); q.stop()
+    val lngs = spark.sql("select json from geo_map")
+      .select(element_at(from_geojson($"json").getField("feature").getField("geometry")
+        .getField("coords"), 1).as("lng")).as[Double].collect().sorted
+    assert(lngs.toSeq == (1 to 20).map(_ + 100.0))
+  }
+}

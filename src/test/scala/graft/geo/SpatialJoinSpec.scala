@@ -89,6 +89,28 @@ class SpatialJoinSpec extends AnyFunSuite {
     assert(fast.exceptAll(brute).isEmpty && brute.exceptAll(fast).isEmpty)
   }
 
+  test("kNN across the antimeridian finds neighbors on the other side of the seam") {
+    // points on both sides of ±180 at similar latitudes
+    val pts = spark.range(400).select(
+      $"id".as("pid"),
+      (pmod($"id" * 7919, lit(1000)) / 100.0 + lit(175.0)).as("lng0"), // 175..185
+      (pmod($"id" * 104729, lit(1000)) / 100.0 + lit(40.0)).as("lat"))
+      .withColumn("lng", when($"lng0" > 180, $"lng0" - 360).otherwise($"lng0")).drop("lng0")
+      .cache()
+    val qs = Seq((1L, -179.95, 44.5), (2L, 179.95, 44.5), (3L, 180.0, 44.7))
+      .toDF("qid", "qlng", "qlat")
+    val k = 7
+    val fast = SpatialJoins.knnJoin(qs, "qid", "qlng", "qlat", pts, "lng", "lat", k, res = 7)
+      .select("qid", "pid", "rank")
+    val w = Window.partitionBy($"qid").orderBy($"dist_m", $"lng", $"lat")
+    val brute = qs.crossJoin(pts)
+      .withColumn("dist_m", haversine($"qlng", $"qlat", $"lng", $"lat"))
+      .withColumn("rank", row_number().over(w)).where($"rank" <= k)
+      .select("qid", "pid", "rank")
+    assert(fast.exceptAll(brute).isEmpty && brute.exceptAll(fast).isEmpty,
+      s"fast=${fast.collect().mkString(",")}\nbrute=${brute.collect().mkString(",")}")
+  }
+
   test("kNN brute-force fallback path (sparse points, huge rings)") {
     val pts = Seq((1L, 0.0, 0.0), (2L, 50.0, 50.0), (3L, -120.0, -60.0))
       .toDF("pid", "lng", "lat")
