@@ -26,13 +26,14 @@ object GeoJsonReader {
       .toDS()
   }
 
-  /** Features parsed to the packed top-level struct (kind=1 rows). */
+  /** Features parsed to the packed feature struct (GeoStruct.featureType). */
   def features(spark: SparkSession, path: String): DataFrame = {
     graft.geo.sql.GeoFunctions.register(spark)
     import org.apache.spark.sql.functions.col
     featureTexts(spark, path).toDF("feature_json")
       .select(col("feature_json"),
-        graft.geo.sql.GeoFunctions.from_geojson(col("feature_json")).as("feature"))
+        graft.geo.sql.GeoFunctions.from_geojson(col("feature_json"))
+          .getField("feature").as("feature"))
   }
 
   /** Lazy iterator over the "features" array elements of one stream.

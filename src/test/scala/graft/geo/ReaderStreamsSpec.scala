@@ -104,6 +104,7 @@ class ReaderStreamsSpec extends AnyFunSuite {
     val stream = spark.readStream.schema(schema)
       .parquet("/root/testdata/sf0.001/events.parquet".stripSuffix("/events.parquet"))
     val agg = stream
+      .withColumn("ts", $"ts".cast("timestamp")) // source is TIMESTAMP_NTZ
       .withWatermark("ts", "1 hour")
       .groupBy(window($"ts", "1 day"), $"event_type")
       .agg(count(lit(1)).as("n"))
