@@ -35,26 +35,39 @@ object Dedup {
   /** MinHash-LSH candidate pairs, Jaccard-verified.
     * Probability a pair with Jaccard j collides: 1-(1-j^r)^b with
     * r = numHashes/bands rows per band.
+    *
+    * Default r=8, b=16 (128 hashes): tuned for NEAR-dup detection — a pair
+    * at j=0.9 is caught with p≈0.9999, at j=0.8 with p≈0.95, while a
+    * corpus-typical pair at j=0.3 collides with p≈1e-3 so band buckets stay
+    * tiny and the candidate set stays linear. (Wider bands, e.g. r=4, look
+    * more sensitive but DEGENERATE on homogeneous corpora: when every
+    * document shares the globally-minimal shingles, 4-row buckets grow to
+    * thousands of members and the candidate join goes quadratic — measured
+    * as a multi-minute hang at just 10k docs.)
+    *
+    * Candidates are deduped on (id_a, id_b) BEFORE texts are re-attached, so
+    * the wide text column never rides through the shuffle.
     * Output: id_a < id_b, jaccard (>= threshold).
     */
   def minhashPairs(
       df: DataFrame, idCol: String, textCol: String,
-      numHashes: Int = 64, bands: Int = 16, shingle: Int = 5,
+      numHashes: Int = 128, bands: Int = 16, shingle: Int = 5,
       threshold: Double = 0.6): DataFrame = {
     val r = numHashes / bands
-    val sig = df.select(col(idCol).as("__id"), col(textCol).as("__text"),
+    val sig = df.select(col(idCol).as("__id"),
       minhash_sig(col(textCol), lit(numHashes), lit(shingle)).as("__sig"))
     // band hash = xxhash64 over the band's slice of the signature
     val banded = sig
       .withColumn("__band", explode(sequence(lit(0), lit(bands - 1))))
       .withColumn("__bh", xxhash64(col("__band"), slice(col("__sig"), col("__band") * r + 1, lit(r))))
-      .select("__id", "__text", "__band", "__bh")
-    val a = banded.select(col("__band").as("ba"), col("__bh").as("ha"),
-      col("__id").as("id_a"), col("__text").as("ta"))
-    val b = banded.select(col("__band").as("bb"), col("__bh").as("hb"),
-      col("__id").as("id_b"), col("__text").as("tb"))
-    a.join(b, col("ba") === col("bb") && col("ha") === col("hb") && col("id_a") < col("id_b"))
-      .select("id_a", "id_b", "ta", "tb").distinct()
+      .select("__id", "__band", "__bh")
+    val a = banded.select(col("__band").as("ba"), col("__bh").as("ha"), col("__id").as("id_a"))
+    val b = banded.select(col("__band").as("bb"), col("__bh").as("hb"), col("__id").as("id_b"))
+    val cand = a.join(b, col("ba") === col("bb") && col("ha") === col("hb") && col("id_a") < col("id_b"))
+      .select("id_a", "id_b").distinct()
+    val ta = df.select(col(idCol).as("id_a"), col(textCol).as("ta"))
+    val tb = df.select(col(idCol).as("id_b"), col(textCol).as("tb"))
+    cand.join(ta, Seq("id_a")).join(tb, Seq("id_b"))
       .withColumn("jaccard", ngram_jaccard(col("ta"), col("tb"), lit(shingle)))
       .where(col("jaccard") >= threshold)
       .select("id_a", "id_b", "jaccard")

