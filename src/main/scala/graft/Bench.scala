@@ -46,7 +46,13 @@ object Bench {
     val nImg  = sys.env.getOrElse("SPARK_GRAFT_BENCH_IMAGES", "2000000").toLong
     val spark = buildSession(cpus)
 
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY") // e.g. "flagship" or a query-name prefix
+    val selected = only match {
+      case Some("flagship") => Seq.empty
+      case Some(prefix)     => SparkEntry.queries.toSeq.filter(_._1.startsWith(prefix))
+      case None             => SparkEntry.queries.toSeq
+    }
+    val results = selected.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).write.format("noop").mode("overwrite").save() }
       catch { case e: Throwable => System.err.println(s"[bench] $name failed: ${e.getMessage}") }

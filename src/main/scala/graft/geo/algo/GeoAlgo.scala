@@ -236,6 +236,12 @@ object GeoAlgo {
     (xt, yt)
   }
 
+  /** tileXY + packTile in one call (codegen kernel of tile_key). */
+  def tileKeyPacked(lng: Double, lat: Double, z: Int): Long = {
+    val (x, y) = tileXY(lng, lat, z)
+    packTile(z, x, y)
+  }
+
   /** Pack (z, x, y) into one int64 tile key: [z:6][x:29][y:29]. */
   def packTile(z: Int, x: Long, y: Long): Long =
     (z.toLong << 58) | (x << 29) | y

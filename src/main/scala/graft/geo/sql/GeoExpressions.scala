@@ -126,16 +126,23 @@ case class ToGeoJsonGeom(child: Expression) extends GeoExpression {
 }
 
 /** `st_contains(geom, lng, lat)` — ray-casting PIP with winding-number
-  * fallback on antimeridian-crossing rings (BASELINE.json:6). */
+  * fallback on antimeridian-crossing rings (BASELINE.json:6).
+  * Codegen-enabled: the join-refinement hot path stays inside whole-stage
+  * codegen (the generated code calls the static kernel). */
 case class StContains(geom: Expression, lng: Expression, lat: Expression)
-    extends GeoExpression {
-  override def children: Seq[Expression] = Seq(geom, lng, lat)
-  override def dataType: DataType        = BooleanType
-  override protected def evalNotNull(v: Array[Any]): Any =
-    GeomAccess.contains(v(0).asInstanceOf[InternalRow],
-      v(1).asInstanceOf[Double], v(2).asInstanceOf[Double])
-  override protected def withNewChildrenInternal(c: IndexedSeq[Expression]) =
-    copy(c(0), c(1), c(2))
+    extends TernaryExpression {
+  override def first: Expression  = geom
+  override def second: Expression = lng
+  override def third: Expression  = lat
+  override def dataType: DataType = BooleanType
+  override protected def nullSafeEval(g: Any, x: Any, y: Any): Any =
+    GeomAccess.contains(g.asInstanceOf[InternalRow],
+      x.asInstanceOf[Double], y.asInstanceOf[Double])
+  override protected def doGenCode(ctx: codegen.CodegenContext, ev: codegen.ExprCode) =
+    defineCodeGen(ctx, ev, (g, x, y) =>
+      s"graft.geo.sql.GeomAccess.contains((org.apache.spark.sql.catalyst.InternalRow)$g, $x, $y)")
+  override protected def withNewChildrenInternal(f: Expression, s: Expression, t: Expression) =
+    copy(f, s, t)
 }
 
 /** `st_bbox(geom)` → [w, s, e, n] (naive min/max; see hex_cover/s2_cover for
@@ -165,29 +172,40 @@ case class StGeometryType(child: Expression) extends GeoExpression {
   override protected def withNewChildrenInternal(c: IndexedSeq[Expression]) = copy(c(0))
 }
 
-/** `haversine(lng1, lat1, lng2, lat2)` — great-circle metres. */
+/** `haversine(lng1, lat1, lng2, lat2)` — great-circle metres.
+  * Codegen-enabled (kNN refinement hot path). */
 case class Haversine(lng1: Expression, lat1: Expression, lng2: Expression, lat2: Expression)
-    extends GeoExpression with ImplicitCastInputTypes {
-  override def children: Seq[Expression]      = Seq(lng1, lat1, lng2, lat2)
+    extends QuaternaryExpression with ImplicitCastInputTypes {
+  override def first: Expression  = lng1
+  override def second: Expression = lat1
+  override def third: Expression  = lng2
+  override def fourth: Expression = lat2
   override def inputTypes = Seq.fill(4)(DoubleType)
-  override def dataType: DataType             = DoubleType
-  override protected def evalNotNull(v: Array[Any]): Any =
-    GeoAlgo.haversine(v(0).asInstanceOf[Double], v(1).asInstanceOf[Double],
-      v(2).asInstanceOf[Double], v(3).asInstanceOf[Double])
-  override protected def withNewChildrenInternal(c: IndexedSeq[Expression]) =
-    copy(c(0), c(1), c(2), c(3))
+  override def dataType: DataType = DoubleType
+  override protected def nullSafeEval(a: Any, b: Any, c: Any, d: Any): Any =
+    GeoAlgo.haversine(a.asInstanceOf[Double], b.asInstanceOf[Double],
+      c.asInstanceOf[Double], d.asInstanceOf[Double])
+  override protected def doGenCode(ctx: codegen.CodegenContext, ev: codegen.ExprCode) =
+    defineCodeGen(ctx, ev, (a, b, c, d) => s"graft.geo.algo.GeoAlgo.haversine($a, $b, $c, $d)")
+  override protected def withNewChildrenInternal(f: Expression, s: Expression, t: Expression, q: Expression) =
+    copy(f, s, t, q)
 }
 
-/** `hex_cell(lng, lat, res)` — H3-style hex cell id (int64). */
+/** `hex_cell(lng, lat, res)` — H3-style hex cell id (int64).
+  * Codegen-enabled (the per-point indexing hot path of every join). */
 case class HexCellExpr(lng: Expression, lat: Expression, res: Expression)
-    extends GeoExpression with ImplicitCastInputTypes {
-  override def children: Seq[Expression]      = Seq(lng, lat, res)
+    extends TernaryExpression with ImplicitCastInputTypes {
+  override def first: Expression  = lng
+  override def second: Expression = lat
+  override def third: Expression  = res
   override def inputTypes = Seq(DoubleType, DoubleType, IntegerType)
-  override def dataType: DataType             = LongType
-  override protected def evalNotNull(v: Array[Any]): Any =
-    HexCell.cellId(v(0).asInstanceOf[Double], v(1).asInstanceOf[Double], v(2).asInstanceOf[Int])
-  override protected def withNewChildrenInternal(c: IndexedSeq[Expression]) =
-    copy(c(0), c(1), c(2))
+  override def dataType: DataType = LongType
+  override protected def nullSafeEval(x: Any, y: Any, r: Any): Any =
+    HexCell.cellId(x.asInstanceOf[Double], y.asInstanceOf[Double], r.asInstanceOf[Int])
+  override protected def doGenCode(ctx: codegen.CodegenContext, ev: codegen.ExprCode) =
+    defineCodeGen(ctx, ev, (x, y, r) => s"graft.geo.index.HexCell.cellId($x, $y, $r)")
+  override protected def withNewChildrenInternal(f: Expression, s: Expression, t: Expression) =
+    copy(f, s, t)
 }
 
 /** `hex_kring(cell, k)` → all cells within grid distance k. */
@@ -224,16 +242,21 @@ case class HexCoverExpr(geom: Expression, res: Expression)
 }
 
 /** `s2_cell(lng, lat, level)` — S2-style cell id (int64, Hilbert-ordered,
-  * trailing-one level encoding → children are contiguous id ranges). */
+  * trailing-one level encoding → children are contiguous id ranges).
+  * Codegen-enabled. */
 case class S2CellExpr(lng: Expression, lat: Expression, level: Expression)
-    extends GeoExpression with ImplicitCastInputTypes {
-  override def children: Seq[Expression]      = Seq(lng, lat, level)
+    extends TernaryExpression with ImplicitCastInputTypes {
+  override def first: Expression  = lng
+  override def second: Expression = lat
+  override def third: Expression  = level
   override def inputTypes = Seq(DoubleType, DoubleType, IntegerType)
-  override def dataType: DataType             = LongType
-  override protected def evalNotNull(v: Array[Any]): Any =
-    S2Cell.cellId(v(0).asInstanceOf[Double], v(1).asInstanceOf[Double], v(2).asInstanceOf[Int])
-  override protected def withNewChildrenInternal(c: IndexedSeq[Expression]) =
-    copy(c(0), c(1), c(2))
+  override def dataType: DataType = LongType
+  override protected def nullSafeEval(x: Any, y: Any, l: Any): Any =
+    S2Cell.cellId(x.asInstanceOf[Double], y.asInstanceOf[Double], l.asInstanceOf[Int])
+  override protected def doGenCode(ctx: codegen.CodegenContext, ev: codegen.ExprCode) =
+    defineCodeGen(ctx, ev, (x, y, l) => s"graft.geo.index.S2Cell.cellId($x, $y, $l)")
+  override protected def withNewChildrenInternal(f: Expression, s: Expression, t: Expression) =
+    copy(f, s, t)
 }
 
 /** `s2_cover(geom, level)` → S2 cells (exact rect-bound quadtree descent)
@@ -257,17 +280,19 @@ case class S2CoverExpr(geom: Expression, level: Expression) extends GeoExpressio
 }
 
 /** `tile_key(lng, lat, z)` — packed Web-Mercator ZXY tile key
-  * ([z:6][x:29][y:29]); the raster→vector tile-assignment kernel. */
+  * ([z:6][x:29][y:29]); the raster→vector tile-assignment kernel.
+  * Codegen-enabled. */
 case class TileKeyExpr(lng: Expression, lat: Expression, z: Expression)
-    extends GeoExpression with ImplicitCastInputTypes {
-  override def children: Seq[Expression]      = Seq(lng, lat, z)
+    extends TernaryExpression with ImplicitCastInputTypes {
+  override def first: Expression  = lng
+  override def second: Expression = lat
+  override def third: Expression  = z
   override def inputTypes = Seq(DoubleType, DoubleType, IntegerType)
-  override def dataType: DataType             = LongType
-  override protected def evalNotNull(v: Array[Any]): Any = {
-    val zz     = v(2).asInstanceOf[Int]
-    val (x, y) = GeoAlgo.tileXY(v(0).asInstanceOf[Double], v(1).asInstanceOf[Double], zz)
-    GeoAlgo.packTile(zz, x, y)
-  }
-  override protected def withNewChildrenInternal(c: IndexedSeq[Expression]) =
-    copy(c(0), c(1), c(2))
+  override def dataType: DataType = LongType
+  override protected def nullSafeEval(x: Any, y: Any, zz: Any): Any =
+    GeoAlgo.tileKeyPacked(x.asInstanceOf[Double], y.asInstanceOf[Double], zz.asInstanceOf[Int])
+  override protected def doGenCode(ctx: codegen.CodegenContext, ev: codegen.ExprCode) =
+    defineCodeGen(ctx, ev, (x, y, zz) => s"graft.geo.algo.GeoAlgo.tileKeyPacked($x, $y, $zz)")
+  override protected def withNewChildrenInternal(f: Expression, s: Expression, t: Expression) =
+    copy(f, s, t)
 }

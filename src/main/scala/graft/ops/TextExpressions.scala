@@ -175,6 +175,12 @@ object TextKernels {
 
   // ---------------------------------------------------------- vectors
 
+  /** ArrayData-typed kernel so codegen can call it without conversion
+    * boilerplate (brute-force ANN hot path). */
+  def cosineAD(a: org.apache.spark.sql.catalyst.util.ArrayData,
+               b: org.apache.spark.sql.catalyst.util.ArrayData): Double =
+    cosine(a.toFloatArray(), b.toFloatArray())
+
   def cosine(a: Array[Float], b: Array[Float]): Double = {
     var dot = 0.0; var na = 0.0; var nb = 0.0
     var i = 0
@@ -259,15 +265,21 @@ case class TokenCountBpe(text: Expression) extends GeoExpression {
   override protected def withNewChildrenInternal(c: IndexedSeq[Expression]) = copy(c(0))
 }
 
-/** Cosine over array<float> columns (embeddings). */
-case class VecCosine(a: Expression, b: Expression) extends GeoExpression {
-  override def children: Seq[Expression] = Seq(a, b)
-  override def dataType: DataType        = DoubleType
-  override protected def evalNotNull(v: Array[Any]): Any =
-    TextKernels.cosine(
-      v(0).asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData].toFloatArray(),
-      v(1).asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData].toFloatArray())
-  override protected def withNewChildrenInternal(c: IndexedSeq[Expression]) = copy(c(0), c(1))
+/** Cosine over array<float> columns (embeddings). Codegen-enabled. */
+case class VecCosine(a: Expression, b: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+  override def left: Expression  = a
+  override def right: Expression = b
+  override def dataType: DataType = DoubleType
+  override protected def nullSafeEval(x: Any, y: Any): Any =
+    TextKernels.cosineAD(
+      x.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData],
+      y.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData])
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode) =
+    defineCodeGen(ctx, ev, (x, y) => s"graft.ops.TextKernels.cosineAD($x, $y)")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression) = copy(l, r)
 }
 
 case class HyperplaneSig(vec: Expression, bits: Expression, seed: Expression)

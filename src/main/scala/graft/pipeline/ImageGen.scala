@@ -161,7 +161,7 @@ object ImageGen {
   /** Attach the closed-form lng/lat (pure integer Column math — the same
     * formula the DuckDB oracle uses). */
   def withLngLat(df: DataFrame): DataFrame = {
-    val id = regexp_replace(col("image_id"), "img_", "").cast("long")
+    val id = substring(col("image_id"), 5, 20).cast("long") // "img_<id>"
     df.withColumn("__h", (id * 48271L) % Mod)
       .withColumn("lng", (col("__h") % 36000L) / 100.0 - 180.0)
       // integer division: Spark's `/` on longs is double division

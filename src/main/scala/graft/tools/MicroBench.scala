@@ -1,0 +1,30 @@
+package graft.tools
+
+/** Single-threaded kernel microbenchmarks (dev tool, not part of the driver
+  * contract). `sbt "runMain graft.tools.MicroBench"`. */
+object MicroBench {
+  def main(args: Array[String]): Unit = {
+    time("imagegen", 200000)(id => {
+      val bytes = graft.pipeline.ImageGen.encode(id)
+      val (w, h, _, rgb) = graft.pipeline.ImageGen.decode(bytes)
+      graft.pipeline.ImageGen.phash(w, h, rgb) ^ graft.pipeline.ImageGen.caption(id).length
+    })
+    time("hex_cell", 2000000)(id =>
+      graft.geo.index.HexCell.cellId((id % 36000) / 100.0 - 180.0, (id % 16800) / 100.0 - 84.0, 5))
+    time("s2_cell", 2000000)(id =>
+      graft.geo.index.S2Cell.cellId((id % 36000) / 100.0 - 180.0, (id % 16800) / 100.0 - 84.0, 12))
+    time("tile_key", 2000000)(id =>
+      graft.geo.algo.GeoAlgo.tileKeyPacked((id % 36000) / 100.0 - 180.0, (id % 16800) / 100.0 - 84.0, 12))
+    time("minhash128", 20000)(id =>
+      graft.ops.TextKernels.minhash("the quick brown fox " * 20 + id, 128, 5).length.toLong)
+  }
+  def time(name: String, n: Long)(f: Long => Long): Unit = {
+    var i = 0L; var acc = 0L
+    while (i < n / 4) { acc ^= f(i); i += 1 } // warmup
+    val t0 = System.nanoTime()
+    i = 0
+    while (i < n) { acc ^= f(i); i += 1 }
+    val sec = (System.nanoTime() - t0) / 1e9
+    println(f"$name: ${n / sec}%.0f rows/sec 1-thread (${sec * 1e9 / n}%.0f ns/row) acc=$acc")
+  }
+}
