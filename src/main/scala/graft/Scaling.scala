@@ -29,11 +29,12 @@ object Scaling {
     }
 
     // interleave A/B/A/B and take the best of each level: the host CPU is
-    // shared + credit-throttled, so best-of measures the engine
-    val lows  = Seq(runAt(low), runAt(low))
-    val highs = Seq(runAt(high), runAt(high))
-    val (rpsLow, secLow)   = lows.maxBy(_._1)
-    val (rpsHigh, secHigh) = highs.maxBy(_._1)
+    // shared + credit-throttled, so best-of under alternating conditions
+    // measures the engine rather than the hypervisor's credit state
+    val l1 = runAt(low); val h1 = runAt(high)
+    val l2 = runAt(low); val h2 = runAt(high)
+    val (rpsLow, secLow)   = Seq(l1, l2).maxBy(_._1)
+    val (rpsHigh, secHigh) = Seq(h1, h2).maxBy(_._1)
     val factor     = high.toDouble / low.toDouble
     val efficiency = rpsHigh / (factor * rpsLow)
     println(

@@ -19,6 +19,9 @@ import graft.geo.model.GeoModel.GType
   */
 abstract class GeoExpression extends Expression with CodegenFallback {
   override def nullable: Boolean = true
+  // literal-argument calls participate in constant folding (and the
+  // PipPrefilterRule's foldable-geometry detection)
+  override def foldable: Boolean = children.forall(_.foldable)
   protected def evalNotNull(values: Array[Any]): Any
   final override def eval(input: InternalRow): Any = {
     val cs   = children

@@ -86,8 +86,10 @@ object GeoFunctions {
 class GeoExtensions extends (SparkSessionExtensions => Unit) {
   import org.apache.spark.sql.catalyst.FunctionIdentifier
   import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     GeoFunctions.builders.foreach { case (name, b) =>
       ext.injectFunction((FunctionIdentifier(name), new ExpressionInfo("graft", name), b))
     }
+    ext.injectOptimizerRule(_ => graft.geo.plans.PipPrefilterRule)
+  }
 }
