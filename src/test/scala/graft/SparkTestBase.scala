@@ -16,6 +16,8 @@ object SparkTestBase {
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")
     graft.geo.sql.GeoFunctions.register(s)
+    graft.ops.TextFunctions.register(s)
+    graft.ops.Multimodal.register(s)
     s
   }
 }

@@ -1,0 +1,72 @@
+package graft.ops
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+
+import graft.SparkTestBase
+
+class SessionIvfSpec extends AnyFunSuite {
+  lazy val spark = SparkTestBase.spark
+  import spark.implicits._
+
+  lazy val embs = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet").cache()
+
+  test("IVF with nprobe = nlist equals brute force exactly") {
+    val qs = embs.limit(12).select($"vec_id".as("qid"), $"embedding".as("qvec"))
+    val ivf = Similarity.ivfTopK(qs, "qid", "qvec",
+      embs.select($"vec_id", $"embedding"), "vec_id", "embedding", k = 4, nlist = 8, nprobe = 8)
+      .select("qid", "vec_id", "rank")
+    val brute = Similarity.bruteForceTopK(qs, "qid", "qvec",
+      embs.select($"vec_id", $"embedding"), "vec_id", "embedding", k = 4)
+      .select("qid", "vec_id", "rank")
+    assert(ivf.exceptAll(brute).isEmpty && brute.exceptAll(ivf).isEmpty)
+  }
+
+  test("IVF with nprobe < nlist: planted twin recall stays high") {
+    val corpus = embs.select($"vec_id", $"embedding")
+    val qs = corpus.limit(100).select(($"vec_id" + 900000L).as("qid"),
+      transform($"embedding", x => x + lit(0.0005f)).as("qvec"))
+    val out = Similarity.ivfTopK(qs, "qid", "qvec", corpus, "vec_id", "embedding",
+      k = 1, nlist = 16, nprobe = 4)
+    val hits = out.where($"qid" - 900000L === $"vec_id").count()
+    assert(hits >= 90, s"IVF recall $hits/100 < 90 (twin lives in the probed list)")
+  }
+
+  test("streaming sessionization (flatMapGroupsWithState) matches the batch oracle") {
+    val raw = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+      .select($"user_id", ($"ts".cast("timestamp").cast("double") * 1000).cast("long").as("ts_ms"),
+        $"value")
+    val gap = 120 // minutes
+
+    val batch = Sessionize.sessionsBatch(raw, gap)
+      .select($"user_id", $"start_ms", $"end_ms", $"n_events",
+        round($"total_value", 4).as("tv")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4))).toSet
+
+    // drive the stream in ONE batch; per-user far-future sentinel events
+    // close every real session through the normal gap logic (no reliance on
+    // processing-time timeouts — each extra state commit costs process forks
+    // in this no-native-Hadoop sandbox). Sentinel sessions stay open in
+    // state and are never emitted.
+    val sentinels = raw.groupBy($"user_id")
+      .agg((max($"ts_ms") + gap * 60000L * 10).as("ts_ms"))
+      .withColumn("value", lit(0.0))
+      .select("user_id", "ts_ms", "value")
+    val dir = java.nio.file.Files.createTempDirectory("sess_src")
+    raw.unionByName(sentinels).write.mode("overwrite").parquet(dir.toString + "/b1")
+    val stream = spark.readStream.schema(raw.schema).parquet(dir.toString + "/b1")
+      .as[Sessionize.Ev]
+    val q = Sessionize.sessionsStream(stream, gap)
+      .writeStream.format("memory").queryName("sessions")
+      .outputMode("append").start()
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.sql("select * from sessions")
+      .select($"user_id", $"start_ms", $"end_ms", $"n_events",
+        round($"total_value", 4).as("tv")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4))).toSet
+    assert(streamed == batch,
+      s"stream=${streamed.size} batch=${batch.size}; missing=${(batch -- streamed).take(3)}; extra=${(streamed -- batch).take(3)}")
+  }
+}
