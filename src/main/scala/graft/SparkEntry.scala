@@ -309,6 +309,17 @@ object SparkEntry {
       SpatialJoins.pipJoin(imgs, "lng", "lat", polys, "geom", res = 5)
         .select(col("image_id"), col("poly_id"))
     }),
+    "q29_sessions" -> ((s, dir) => {
+      // gap-based sessionization (batch formulation; the streaming
+      // flatMapGroupsWithState twin is proven equal in SessionIvfSpec)
+      val ev = s.read.parquet(t(dir, "events"))
+        .select(col("user_id"),
+          (unix_micros(col("ts").cast("timestamp")) / 1000L).cast("long").as("ts_ms"),
+          round(col("value") * 100.0, 0).as("value")) // cents as double => exact sums
+      graft.ops.Sessionize.sessionsBatch(ev, gapMinutes = 120)
+        .select(col("user_id"), col("start_ms"), col("end_ms"), col("n_events"),
+          col("total_value").cast("long").as("cents"))
+    }),
     "q25_s2_cells" -> ((s, dir) => {
       registerAll(s)
       // cell ids + range-pruning roundtrip (no SQL equivalent → rows-only)
@@ -406,6 +417,20 @@ object SparkEntry {
         |  SELECT qid, vec_id,
         |    row_number() OVER (PARTITION BY qid ORDER BY cosine DESC, vec_id) AS rank
         |  FROM d) WHERE rank <= 3""".stripMargin,
+    "q29_sessions" ->
+      """WITH e AS (
+        |  SELECT user_id, epoch_us(ts) // 1000 AS ts_ms,
+        |         round(value * 100.0, 0) AS cents FROM events),
+        |m AS (
+        |  SELECT *, CASE WHEN lag(ts_ms) OVER w IS NULL
+        |                   OR ts_ms - lag(ts_ms) OVER w > 120 * 60000 THEN 1 ELSE 0 END AS newflag
+        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_ms)),
+        |s AS (
+        |  SELECT *, sum(newflag) OVER (PARTITION BY user_id ORDER BY ts_ms
+        |    ROWS UNBOUNDED PRECEDING) AS sess FROM m)
+        |SELECT user_id, min(ts_ms) AS start_ms, max(ts_ms) AS end_ms,
+        |       count(*) AS n_events, CAST(sum(cents) AS BIGINT) AS cents
+        |FROM s GROUP BY user_id, sess""".stripMargin,
     "q21_image_tiles" ->
       s"""${imagesSqlCte(2000)}
          |SELECT CAST(floor((lng + 180.0) / 360.0 * 256) AS BIGINT) AS tx,
