@@ -101,6 +101,13 @@ object SpatialJoins {
     * Queries still unsatisfied past `maxRadius` fall back to a brute-force
     * pass (correct, rare — empty regions only).
     *
+    * Polar caveat: the planar hex grid distorts toward the poles, so the
+    * ring bound rarely certifies for queries at |lat| ≳ 85° and those
+    * queries take the fallback (correct but unindexed). At planetary scale,
+    * route the polar caps (a fraction (1-sin φcap) of a uniform sphere —
+    * 0.4% above 85°) through a rotated-frame hex index or S2 cells, which
+    * cover the poles natively.
+    *
     * @param queries DataFrame with (qidCol, qLng, qLat)
     * @param points  DataFrame with (idCol, pLng, pLat); extra cols carried
     * @return qid, point columns, `dist_m`, `rank` (1..k)
