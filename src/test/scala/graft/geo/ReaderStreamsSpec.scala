@@ -81,6 +81,27 @@ class ReaderStreamsSpec extends AnyFunSuite {
     assert(seenP == Seq("""{"code":"09001","nom":"Foix"}"""))
   }
 
+  test("DataSourceV2 geojson format reads features via spark.read") {
+    val path = fixturePath
+    val df = spark.read.format("geojson").load(path)
+    assert(df.schema.fieldNames.toSeq == Seq("file", "feature_json"))
+    val rows = df.select(
+      from_geojson(col("feature_json")).getField("feature").getField("properties").as("p"))
+      .collect()
+    assert(rows.length == 1)
+    assert(rows(0).getString(0) == """{"code":"09001","nom":"Foix"}""")
+    // multi-file parallelism: one partition per file
+    val dir = Files.createTempDirectory("dsv2_multi")
+    (1 to 3).foreach { i =>
+      Files.writeString(dir.resolve(s"f$i.geojson"),
+        s"""{"type":"FeatureCollection","features":[
+           |{"type":"Feature","properties":{"i":$i}}]}""".stripMargin)
+    }
+    val multi = spark.read.format("geojson").load(dir.toString + "/*.geojson")
+    assert(multi.rdd.getNumPartitions == 3)
+    assert(multi.count() == 3)
+  }
+
   test("multi-feature document splits correctly") {
     val fc =
       """{"type":"FeatureCollection","meta":{"x":1},"features":[
