@@ -320,6 +320,24 @@ object SparkEntry {
         .select(col("user_id"), col("start_ms"), col("end_ms"), col("n_events"),
           col("total_value").cast("long").as("cents"))
     }),
+    "q30_geojson_source" -> ((s, dir) => {
+      // full source/sink loop: build FeatureCollection documents from nation,
+      // write via GeoJsonWriter, re-read via the DataSourceV2 `geojson`
+      // format, parse back with from_geojson
+      registerAll(s)
+      val tmp = java.nio.file.Files.createTempDirectory("graft_q30").toString + "/docs"
+      val fjson = concat(
+        lit("""{"type":"Feature","properties":{"name":""""), col("n_name"),
+        lit(""""},"geometry":{"type":"Point","coordinates":["""),
+        col("n_nationkey").cast("string"), lit(","),
+        (col("n_nationkey") * 2L).cast("string"), lit("]}}"))
+      graft.geo.sources.GeoJsonWriter.writeFeatureCollections(
+        s.read.parquet(t(dir, "nation")).select(fjson.as("json")), "json", tmp, partitions = 2)
+      val f = from_geojson(col("feature_json")).getField("feature")
+      s.read.format("geojson").load(s"$tmp/part-*")
+        .select(get_json_object(f.getField("properties"), "$.name").as("name"),
+          element_at(f.getField("geometry").getField("coords"), 1).as("lng"))
+    }),
     "q25_s2_cells" -> ((s, dir) => {
       registerAll(s)
       // cell ids + range-pruning roundtrip (no SQL equivalent → rows-only)
@@ -371,6 +389,8 @@ object SparkEntry {
         |  ELSE 'A Geojson text should contain one object with a member `type`.'
         |  END AS err FROM documents""".stripMargin,
     "q27_fold_props" -> "SELECT DISTINCT n_name AS name FROM nation",
+    "q30_geojson_source" ->
+      "SELECT n_name AS name, CAST(n_nationkey AS DOUBLE) AS lng FROM nation",
     "q28_map_props" -> "SELECT n_nationkey, upper(n_name) AS name FROM nation",
     "q07_agg" ->
       """SELECT l_returnflag, l_linestatus,

@@ -67,8 +67,74 @@ object JValue {
 
   /** C-printf `%.16g` compatible double formatting (jsone.ml:814-819).
     * Java's `%g` keeps trailing zeros; C's strips them, so we post-process.
+    *
+    * Hot path: `String.format` costs ~1.5µs per double (it dominated
+    * serialization at 10x the parse cost), so doubles whose shortest
+    * representation (`Double.toString`) carries <= 16 significant digits
+    * take [[formatG16Fast]] — Java's `%g` rounds the SHORTEST digits to the
+    * precision, so for those values the outputs are identical (verified
+    * differentially in GeoJsonCodecSpec).
     */
   def formatG16(d: Double): String = {
+    val fast = formatG16Fast(d)
+    if (fast != null) fast else formatG16Slow(d)
+  }
+
+  /** Shortest-repr-based %.16g; null when the slow path is required. */
+  private def formatG16Fast(d: Double): String = {
+    val s   = java.lang.Double.toString(d) // shortest round-trip repr
+    val neg = s.charAt(0) == '-'
+    val body = if (neg) s.substring(1) else s
+    val ePos = body.indexOf('E')
+    val (mant, exp10) =
+      if (ePos < 0) (body, 0) else (body.substring(0, ePos), body.substring(ePos + 1).toInt)
+    val dot = mant.indexOf('.')
+    if (dot < 0) return null // unexpected form; defer
+    // digits without the point; strip trailing zeros of the fraction
+    var digits = mant.substring(0, dot) + mant.substring(dot + 1)
+    var fracLen = mant.length - dot - 1
+    while (fracLen > 0 && digits.charAt(digits.length - 1) == '0') {
+      digits = digits.substring(0, digits.length - 1); fracLen -= 1
+    }
+    // position of the decimal point relative to digits start
+    var pointAt = dot + exp10
+    // strip leading zeros (e.g. "0.07" -> digits "007" -> "7", pointAt adjusts)
+    var lead = 0
+    while (lead < digits.length - 1 && digits.charAt(lead) == '0') lead += 1
+    digits = digits.substring(lead)
+    pointAt -= lead
+    if (digits == "0") return if (neg) "-0" else "0"
+    if (digits.length > 16) return null // needs true 16-digit rounding
+    // C %g: scientific iff exponent < -4 or >= precision; exponent here is
+    // pointAt-1 (power of ten of the leading digit)
+    val e = pointAt - 1
+    val sb = new java.lang.StringBuilder(26)
+    if (neg) sb.append('-')
+    if (e < -4 || e >= 16) {
+      sb.append(digits.charAt(0))
+      if (digits.length > 1) { sb.append('.').append(digits, 1, digits.length) }
+      sb.append('e').append(if (e < 0) '-' else '+')
+      val ae = Math.abs(e)
+      if (ae < 10) sb.append('0')
+      sb.append(ae)
+    } else if (e >= 0) {
+      if (digits.length <= pointAt) {
+        sb.append(digits)
+        var i = digits.length
+        while (i < pointAt) { sb.append('0'); i += 1 }
+      } else {
+        sb.append(digits, 0, pointAt).append('.').append(digits, pointAt, digits.length)
+      }
+    } else {
+      sb.append("0.")
+      var i = 0
+      while (i < -pointAt) { sb.append('0'); i += 1 }
+      sb.append(digits)
+    }
+    sb.toString
+  }
+
+  private def formatG16Slow(d: Double): String = {
     if (d == Math.rint(d) && Math.abs(d) < 1e16) {
       // integral values within %.16g's fixed range print without a point
       val l = d.toLong

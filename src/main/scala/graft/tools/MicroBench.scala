@@ -17,6 +17,19 @@ object MicroBench {
       graft.geo.algo.GeoAlgo.tileKeyPacked((id % 36000) / 100.0 - 180.0, (id % 16800) / 100.0 - 84.0, 12))
     time("minhash128", 20000)(id =>
       graft.ops.TextKernels.minhash("the quick brown fox " * 20 + id, 128, 5).length.toLong)
+    val pointJson = """{"type":"Point","coordinates":[125.6,10.1]}"""
+    time("parse_point", 500000)(id =>
+      graft.geo.json.GeoJsonCodec.parse(pointJson).toOption.get.bbox.size.toLong + id)
+    val polyJson = {
+      val ring = (0 until 200).map(i => s"[${100 + i % 7}.$i,${i % 80}.5]").mkString("[", ",", "]")
+      s"""{"type":"Polygon","coordinates":[$ring]}"""
+    }
+    time("parse_poly200", 100000)(id =>
+      graft.geo.json.GeoJsonCodec.parse(polyJson).toOption.get.bbox.size.toLong + id)
+    time("roundtrip_poly200", 50000) { id =>
+      val g = graft.geo.json.GeoJsonCodec.parse(polyJson).toOption.get
+      graft.geo.json.GeoJsonCodec.render(g).length.toLong + id
+    }
   }
   def time(name: String, n: Long)(f: Long => Long): Unit = {
     var i = 0L; var acc = 0L

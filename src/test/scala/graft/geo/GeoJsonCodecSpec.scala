@@ -172,6 +172,37 @@ class GeoJsonCodecSpec extends AnyFunSuite {
     assert(JValue.formatG16(1.0 / 3.0) == "0.3333333333333333")
   }
 
+  test("formatG16 fast path is byte-identical to Java %.16g (differential)") {
+    val rng = new scala.util.Random(11)
+    def slow(d: Double): String = {
+      if (d == Math.rint(d) && Math.abs(d) < 1e16) {
+        val l = d.toLong
+        if (l == 0 && 1.0 / d < 0) "-0" else l.toString
+      } else {
+        var s = String.format(java.util.Locale.ROOT, "%.16g", java.lang.Double.valueOf(d))
+        if (s.contains('e')) {
+          val i = s.indexOf('e'); var m = s.substring(0, i); val e = s.substring(i)
+          if (m.contains('.')) m = m.reverse.dropWhile(_ == '0').reverse
+          if (m.endsWith(".")) m = m.dropRight(1)
+          s = m + e
+        } else if (s.contains('.')) {
+          s = s.reverse.dropWhile(_ == '0').reverse
+          if (s.endsWith(".")) s = s.dropRight(1)
+        }
+        s
+      }
+    }
+    val samples = Seq(0.0, -0.0, 0.07, 125.6, 1e20, -1e-7, 33.87, 1.0 / 3.0,
+      6371008.8, 1e16, 9.999999999999999e15, 123456.789, 1e-4, 9.99e-5) ++
+      (1 to 20000).map(_ => (rng.nextInt(36000001) - 18000000) / 100000.0) ++
+      (1 to 5000).map(_ => rng.nextDouble() * math.pow(10, rng.nextInt(30) - 15)) ++
+      (1 to 2000).map(_ => java.lang.Double.longBitsToDouble(rng.nextLong()))
+        .filterNot(d => d.isNaN || d.isInfinite)
+    samples.foreach { d =>
+      assert(JValue.formatG16(d) == slow(d), s"mismatch for $d (bits=${java.lang.Double.doubleToLongBits(d)})")
+    }
+  }
+
   test("id can be string or number and round-trips") {
     val s = GeoJsonCodec.parse("""{"type":"Feature","id":"abc"}""").toOption.get
     assert(s.body.asInstanceOf[GFeature].f.id.contains(StringId("abc")))
