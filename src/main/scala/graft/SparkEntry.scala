@@ -338,6 +338,14 @@ object SparkEntry {
         .select(get_json_object(f.getField("properties"), "$.name").as("name"),
           element_at(f.getField("geometry").getField("coords"), 1).as("lng"))
     }),
+    "q31_measures" -> ((s, dir) => {
+      registerAll(s)
+      val p = regionPolys(s, dir)
+      p.select(col("r_regionkey"),
+        round(st_area(col("geom")), 6).as("area_deg2"),
+        round(element_at(st_centroid(col("geom")), 1), 6).as("clng"),
+        round(element_at(st_centroid(col("geom")), 2), 6).as("clat"))
+    }),
     "q25_s2_cells" -> ((s, dir) => {
       registerAll(s)
       // cell ids + range-pruning roundtrip (no SQL equivalent → rows-only)
@@ -392,6 +400,11 @@ object SparkEntry {
     "q30_geojson_source" ->
       "SELECT n_name AS name, CAST(n_nationkey AS DOUBLE) AS lng FROM nation",
     "q28_map_props" -> "SELECT n_nationkey, upper(n_name) AS name FROM nation",
+    "q31_measures" ->
+      s"""WITH box AS ($regionBoxesSql)
+         |SELECT r_regionkey, round((e - w) * (n - s), 6) AS area_deg2,
+         |       round((w + e) / 2, 6) AS clng, round((s + n) / 2, 6) AS clat
+         |FROM box""".stripMargin,
     "q07_agg" ->
       """SELECT l_returnflag, l_linestatus,
         |  CAST(sum(l_quantity) AS BIGINT) AS sum_qty,

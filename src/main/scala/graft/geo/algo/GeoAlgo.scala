@@ -156,6 +156,125 @@ object GeoAlgo {
     case _ => false
   }
 
+  // -------------------------------------------------------------- measures
+
+  /** Shoelace signed area of ring [start, end) (position indices), in the
+    * planar lng/lat square-degree space. */
+  private def ringSignedArea(coords: Array[Double], posOff: Array[Int], start: Int, end: Int): Double = {
+    var a = 0.0
+    var j = end - 1
+    var i = start
+    while (i < end) {
+      val xi = coords(posOff(i)); val yi = coords(posOff(i) + 1)
+      val xj = coords(posOff(j)); val yj = coords(posOff(j) + 1)
+      a += xj * yi - xi * yj
+      j = i; i += 1
+    }
+    a / 2.0
+  }
+
+  /** Filled-ring centroid (cx, cy) and |area| via the shoelace integrals
+    * (sign cancels in the division). */
+  private def ringCentroid(coords: Array[Double], posOff: Array[Int], start: Int, end: Int): (Double, Double, Double) = {
+    var a = 0.0; var cx = 0.0; var cy = 0.0
+    var j = end - 1
+    var i = start
+    while (i < end) {
+      val xi = coords(posOff(i)); val yi = coords(posOff(i) + 1)
+      val xj = coords(posOff(j)); val yj = coords(posOff(j) + 1)
+      val cross = xj * yi - xi * yj
+      a += cross
+      cx += (xj + xi) * cross
+      cy += (yj + yi) * cross
+      j = i; i += 1
+    }
+    a /= 2.0
+    if (a == 0.0) (coords(posOff(start)), coords(posOff(start) + 1), 0.0)
+    else ((cx / (6.0 * a)), (cy / (6.0 * a)), math.abs(a))
+  }
+
+  /** Planar area (square degrees), JTS semantics: |shell| - Σ|holes| per
+    * polygon part; non-areal types → 0. */
+  def area(gtype: Int, coords: Array[Double], posOff: Array[Int],
+           ringOff: Array[Int], partOff: Array[Int]): Double = gtype match {
+    case 5 | 6 =>
+      var total = 0.0
+      var p = 0
+      while (p < partOff.length - 1) {
+        var r = partOff(p)
+        while (r < partOff(p + 1)) {
+          val a = math.abs(ringSignedArea(coords, posOff, ringOff(r), ringOff(r + 1)))
+          total += (if (r == partOff(p)) a else -a)
+          r += 1
+        }
+        p += 1
+      }
+      total
+    case _ => 0.0
+  }
+
+  /** Planar centroid (lng, lat), matching JTS per dimension class:
+    * points → mean; lines → length-weighted segment midpoints; polygons →
+    * area-weighted filled-ring centroids with holes negative. */
+  def centroid(gtype: Int, coords: Array[Double], posOff: Array[Int],
+               ringOff: Array[Int], partOff: Array[Int]): (Double, Double) = gtype match {
+    case 1 | 2 => // Point / MultiPoint: mean of positions
+      val n = posOff.length - 1
+      var sx = 0.0; var sy = 0.0
+      var i = 0
+      while (i < n) { sx += coords(posOff(i)); sy += coords(posOff(i) + 1); i += 1 }
+      (sx / n, sy / n)
+    case 3 | 4 => // lineal: length-weighted midpoints (planar length)
+      var w = 0.0; var sx = 0.0; var sy = 0.0
+      var r = 0
+      while (r < ringOff.length - 1) {
+        var i = ringOff(r)
+        while (i < ringOff(r + 1) - 1) {
+          val x1 = coords(posOff(i)); val y1 = coords(posOff(i) + 1)
+          val x2 = coords(posOff(i + 1)); val y2 = coords(posOff(i + 1) + 1)
+          val len = math.hypot(x2 - x1, y2 - y1)
+          w += len; sx += len * (x1 + x2) / 2; sy += len * (y1 + y2) / 2
+          i += 1
+        }
+        r += 1
+      }
+      if (w == 0) (coords(posOff(0)), coords(posOff(0) + 1)) else (sx / w, sy / w)
+    case 5 | 6 => // areal: shell-positive / hole-negative weighting
+      var w = 0.0; var sx = 0.0; var sy = 0.0
+      var p = 0
+      while (p < partOff.length - 1) {
+        var r = partOff(p)
+        while (r < partOff(p + 1)) {
+          val (cx, cy, a) = ringCentroid(coords, posOff, ringOff(r), ringOff(r + 1))
+          val s = if (r == partOff(p)) a else -a
+          w += s; sx += s * cx; sy += s * cy
+          r += 1
+        }
+        p += 1
+      }
+      if (w == 0) (coords(posOff(0)), coords(posOff(0) + 1)) else (sx / w, sy / w)
+    case _ => (coords(posOff(0)), coords(posOff(0) + 1))
+  }
+
+  /** Great-circle path length in metres: sum of haversine segments of every
+    * line/ring (for polygons this is the perimeter). Points → 0. */
+  def lengthMeters(gtype: Int, coords: Array[Double], posOff: Array[Int],
+                   ringOff: Array[Int]): Double = {
+    if (gtype == 1 || gtype == 2) return 0.0
+    var total = 0.0
+    var r = 0
+    while (r < ringOff.length - 1) {
+      var i = ringOff(r)
+      while (i < ringOff(r + 1) - 1) {
+        total += haversine(coords(posOff(i)), coords(posOff(i) + 1),
+          coords(posOff(i + 1)), coords(posOff(i + 1) + 1))
+        i += 1
+      }
+      r += 1
+    }
+    total
+  }
+
   // ------------------------------------------------------------------ bbox
 
   /** (west, south, east, north) over all positions. Antimeridian-crossing

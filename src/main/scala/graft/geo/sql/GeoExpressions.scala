@@ -166,6 +166,62 @@ case class StBBox(child: Expression) extends GeoExpression {
   override protected def withNewChildrenInternal(c: IndexedSeq[Expression]) = copy(c(0))
 }
 
+/** `st_centroid(geom)` → [lng, lat] (planar, JTS-matching semantics per
+  * dimension class; collections via children). */
+case class StCentroid(child: Expression) extends GeoExpression {
+  override def children: Seq[Expression] = Seq(child)
+  override def dataType: DataType        = ArrayType(DoubleType, containsNull = false)
+  override protected def evalNotNull(v: Array[Any]): Any = {
+    val r = v(0).asInstanceOf[InternalRow]
+    if (GeomAccess.gtype(r) == GType.Collection) return null // dimension mix: undefined here
+    val (x, y) = GeoAlgo.centroid(GeomAccess.gtype(r), GeomAccess.coords(r),
+      GeomAccess.posOff(r), GeomAccess.ringOff(r), GeomAccess.partOff(r))
+    new GenericArrayData(Array(x, y))
+  }
+  override protected def withNewChildrenInternal(c: IndexedSeq[Expression]) = copy(c(0))
+}
+
+/** `st_area(geom)` → planar square degrees (|shell| - Σ|holes|). */
+case class StArea(child: Expression) extends GeoExpression {
+  override def children: Seq[Expression] = Seq(child)
+  override def dataType: DataType        = DoubleType
+  override protected def evalNotNull(v: Array[Any]): Any = {
+    val r = v(0).asInstanceOf[InternalRow]
+    if (GeomAccess.gtype(r) == GType.Collection)
+      GeomAccess.childStrings(r).map { s =>
+        val g = GeoJsonCodec.geometryOfJson(JValue.parseUnsafe(s))
+          .fold(e => throw new IllegalArgumentException(e), identity)
+        StArea(Literal(GeoStruct.packGeometry(g), GeoStruct.geometryType))
+          .eval(null).asInstanceOf[Double]
+      }.sum
+    else
+      GeoAlgo.area(GeomAccess.gtype(r), GeomAccess.coords(r), GeomAccess.posOff(r),
+        GeomAccess.ringOff(r), GeomAccess.partOff(r))
+  }
+  override protected def withNewChildrenInternal(c: IndexedSeq[Expression]) = copy(c(0))
+}
+
+/** `st_length_m(geom)` → great-circle metres of all segments (perimeter for
+  * polygons). */
+case class StLengthM(child: Expression) extends GeoExpression {
+  override def children: Seq[Expression] = Seq(child)
+  override def dataType: DataType        = DoubleType
+  override protected def evalNotNull(v: Array[Any]): Any = {
+    val r = v(0).asInstanceOf[InternalRow]
+    if (GeomAccess.gtype(r) == GType.Collection)
+      GeomAccess.childStrings(r).map { s =>
+        val g = GeoJsonCodec.geometryOfJson(JValue.parseUnsafe(s))
+          .fold(e => throw new IllegalArgumentException(e), identity)
+        StLengthM(Literal(GeoStruct.packGeometry(g), GeoStruct.geometryType))
+          .eval(null).asInstanceOf[Double]
+      }.sum
+    else
+      GeoAlgo.lengthMeters(GeomAccess.gtype(r), GeomAccess.coords(r),
+        GeomAccess.posOff(r), GeomAccess.ringOff(r))
+  }
+  override protected def withNewChildrenInternal(c: IndexedSeq[Expression]) = copy(c(0))
+}
+
 /** `st_geometry_type(geom)` → "Point" | ... | "GeometryCollection". */
 case class StGeometryType(child: Expression) extends GeoExpression {
   override def children: Seq[Expression] = Seq(child)

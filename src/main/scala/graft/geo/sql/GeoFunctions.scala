@@ -22,6 +22,9 @@ object GeoFunctions {
     "to_geojson_geom"   -> (es => ToGeoJsonGeom(es.head)),
     "st_contains"       -> (es => StContains(es(0), es(1), es(2))),
     "st_bbox"           -> (es => StBBox(es.head)),
+    "st_centroid"       -> (es => StCentroid(es.head)),
+    "st_area"           -> (es => StArea(es.head)),
+    "st_length_m"       -> (es => StLengthM(es.head)),
     "st_geometry_type"  -> (es => StGeometryType(es.head)),
     "haversine"         -> (es => Haversine(es(0), es(1), es(2), es(3))),
     "hex_cell"          -> (es => HexCellExpr(es(0), es(1), es(2))),
@@ -54,6 +57,9 @@ object GeoFunctions {
   def st_contains(geom: Column, lng: Column, lat: Column): Column =
     call_function("st_contains", geom, lng, lat)
   def st_bbox(geom: Column): Column          = call_function("st_bbox", geom)
+  def st_centroid(geom: Column): Column      = call_function("st_centroid", geom)
+  def st_area(geom: Column): Column          = call_function("st_area", geom)
+  def st_length_m(geom: Column): Column      = call_function("st_length_m", geom)
   def st_geometry_type(geom: Column): Column = call_function("st_geometry_type", geom)
   def haversine(lng1: Column, lat1: Column, lng2: Column, lat2: Column): Column =
     call_function("haversine", lng1, lat1, lng2, lat2)

@@ -1,0 +1,114 @@
+package graft.geo
+
+import org.scalatest.funsuite.AnyFunSuite
+import scala.util.Random
+
+import graft.geo.algo.GeoAlgo
+import graft.geo.json.{GeoJsonCodec, JValue}
+import graft.geo.sql.GeomAccess
+import graft.geo.sql.GeoStruct
+
+/** st_centroid / st_area / st_length_m kernels oracled against JTS (planar
+  * centroid/area are defined identically) and closed-form expectations.
+  */
+class MeasuresSpec extends AnyFunSuite {
+  val rng = new Random(3)
+
+  def packed(json: String) =
+    GeoStruct.packGeometry(JValue.parse(json).flatMap(GeoJsonCodec.geometryOfJson)
+      .fold(e => fail(e), identity))
+
+  def measure(json: String): (Double, Double, Double) = {
+    val r = packed(json)
+    val (cx, cy) = GeoAlgo.centroid(GeomAccess.gtype(r), GeomAccess.coords(r),
+      GeomAccess.posOff(r), GeomAccess.ringOff(r), GeomAccess.partOff(r))
+    val a = GeoAlgo.area(GeomAccess.gtype(r), GeomAccess.coords(r),
+      GeomAccess.posOff(r), GeomAccess.ringOff(r), GeomAccess.partOff(r))
+    (cx, cy, a)
+  }
+
+  def randomRing(cx: Double, cy: Double, n: Int, rad: Double): Seq[(Double, Double)] = {
+    val pts = (0 until n).map { i =>
+      val ang = 2 * math.Pi * i / n
+      val r   = rad * (0.5 + rng.nextDouble() * 0.5)
+      (cx + r * math.cos(ang), cy + r * math.sin(ang))
+    }
+    pts :+ pts.head
+  }
+
+  def ringJson(ring: Seq[(Double, Double)]): String =
+    ring.map { case (x, y) => s"[$x,$y]" }.mkString("[", ",", "]")
+
+  test("polygon centroid/area match JTS on random star polygons (+holes)") {
+    import org.locationtech.jts.geom.{Coordinate, GeometryFactory}
+    val gf = new GeometryFactory()
+    for (_ <- 1 to 300) {
+      val shell = randomRing(rng.nextDouble() * 300 - 150, rng.nextDouble() * 140 - 70,
+        5 + rng.nextInt(12), 0.5 + rng.nextDouble() * 3)
+      val withHole = rng.nextBoolean()
+      val hole = if (withHole) {
+        val (sx, sy) = shell.head
+        // tiny hole near a shell vertex center-of-mass; keep it inside by
+        // shrinking around the shell centroid
+        val cx = shell.map(_._1).sum / shell.length
+        val cy = shell.map(_._2).sum / shell.length
+        Some(randomRing(cx, cy, 6, 0.05).map(identity))
+      } else None
+      val json = s"""{"type":"Polygon","coordinates":[${ringJson(shell)}${
+        hole.map(h => "," + ringJson(h)).getOrElse("")}]}"""
+
+      val jtsShell = gf.createLinearRing(shell.map { case (x, y) => new Coordinate(x, y) }.toArray)
+      val jtsHoles = hole.toArray.map(h =>
+        gf.createLinearRing(h.map { case (x, y) => new Coordinate(x, y) }.toArray))
+      val jts = gf.createPolygon(jtsShell, jtsHoles)
+      if (jts.isValid) {
+        val (cx, cy, a) = measure(json)
+        assert(math.abs(a - jts.getArea) < 1e-9 * math.max(1, jts.getArea), s"area vs JTS: $a ${jts.getArea}")
+        val c = jts.getCentroid
+        assert(math.abs(cx - c.getX) < 1e-9 && math.abs(cy - c.getY) < 1e-9,
+          s"centroid vs JTS: ($cx,$cy) vs (${c.getX},${c.getY})")
+      }
+    }
+  }
+
+  test("multipoint/linestring centroids match JTS") {
+    import org.locationtech.jts.geom.{Coordinate, GeometryFactory}
+    val gf = new GeometryFactory()
+    for (_ <- 1 to 200) {
+      val pts = (0 until 2 + rng.nextInt(8)).map(_ =>
+        (rng.nextDouble() * 300 - 150, rng.nextDouble() * 140 - 70))
+      val coordsJson = pts.map { case (x, y) => s"[$x,$y]" }.mkString("[", ",", "]")
+      val coords = pts.map { case (x, y) => new Coordinate(x, y) }.toArray
+
+      val (mx, my, _) = measure(s"""{"type":"MultiPoint","coordinates":$coordsJson}""")
+      val mc = gf.createMultiPointFromCoords(coords).getCentroid
+      assert(math.abs(mx - mc.getX) < 1e-9 && math.abs(my - mc.getY) < 1e-9)
+
+      val (lx, ly, _) = measure(s"""{"type":"LineString","coordinates":$coordsJson}""")
+      val lc = gf.createLineString(coords).getCentroid
+      assert(math.abs(lx - lc.getX) < 1e-9 && math.abs(ly - lc.getY) < 1e-9, "lineal centroid")
+    }
+  }
+
+  test("length: haversine path sums and polygon perimeter") {
+    val r = packed("""{"type":"LineString","coordinates":[[0.0,0.0],[0.0,1.0],[0.0,3.0]]}""")
+    val len = GeoAlgo.lengthMeters(GeomAccess.gtype(r), GeomAccess.coords(r),
+      GeomAccess.posOff(r), GeomAccess.ringOff(r))
+    assert(math.abs(len - GeoAlgo.haversine(0, 0, 0, 3)) < 1e-6) // meridian path is additive
+    val sq = packed("""{"type":"Polygon","coordinates":[[[0.0,0.0],[1.0,0.0],[1.0,1.0],[0.0,1.0],[0.0,0.0]]]}""")
+    val per = GeoAlgo.lengthMeters(GeomAccess.gtype(sq), GeomAccess.coords(sq),
+      GeomAccess.posOff(sq), GeomAccess.ringOff(sq))
+    assert(per > 4.4e5 && per < 4.5e5, s"unit-square perimeter ≈ 444.8 km, got $per")
+  }
+
+  test("expressions registered and usable from SQL") {
+    val spark = graft.SparkTestBase.spark
+    val row = spark.sql(
+      """select st_centroid(g) c, st_area(g) a, st_length_m(g) l from (
+        |  select from_geojson_geom('{"type":"Polygon","coordinates":[[[0.0,0.0],[2.0,0.0],[2.0,2.0],[0.0,2.0],[0.0,0.0]]]}') g)
+        |""".stripMargin).collect()(0)
+    assert(row.getSeq[Double](0) == Seq(1.0, 1.0))
+    assert(row.getDouble(1) == 4.0)
+    assert(row.getDouble(2) > 8.8e5)
+  }
+}

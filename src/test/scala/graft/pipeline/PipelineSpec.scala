@@ -66,6 +66,22 @@ class PipelineSpec extends AnyFunSuite {
     assert(!info3.resumed && builds == 2)
   }
 
+  test("stages: a crashed (partial, no _SUCCESS) stage recomputes cleanly") {
+    val dir = Files.createTempDirectory("graft_crash").toString
+    // simulate a mid-write crash: data files exist but no _SUCCESS marker
+    val partial = new java.io.File(s"$dir/s2")
+    partial.mkdirs()
+    Files.writeString(java.nio.file.Paths.get(s"$dir/s2/part-00000.parquet"), "garbage")
+    var builds = 0
+    val (df, info) = Stages.runStage(spark, dir, "s2") {
+      builds += 1; spark.range(50).toDF()
+    }
+    assert(!info.resumed && builds == 1 && df.count() == 50)
+    // and now it resumes
+    val (_, info2) = Stages.runStage(spark, dir, "s2")(spark.range(50).toDF())
+    assert(info2.resumed)
+  }
+
   test("flagship pipeline end-to-end: join rows + tile totals + resume") {
     val dir = Files.createTempDirectory("graft_pipe").toString
     val r = GeoImagePipeline.run(spark, nImages = 3000, workDir = dir)
