@@ -299,6 +299,51 @@ object S2Cell {
     out.result()
   }
 
+  /** The point's cell at every level in [minLevel, maxLevel] — the point
+    * side of the multi-level cover join. */
+  def ancestors(lng: Double, lat: Double, minLevel: Int, maxLevel: Int): Array[Long] = {
+    val leaf = cellId(lng, lat, maxLevel)
+    val out  = new Array[Long](maxLevel - minLevel + 1)
+    var l = minLevel
+    while (l <= maxLevel) { out(l - minLevel) = parent(leaf, l); l += 1 }
+    out
+  }
+
+  /** Multi-level cover of the lat/lng box: descend the quadtree, but emit a
+    * cell WITHOUT descending when its rect bound lies fully inside the box —
+    * interior area costs O(1) cells per level instead of O(area/cellsize²),
+    * so a continent-sized box covers in O(perimeter · levels) cells. Sound:
+    * every point of the box lies in some emitted cell's range (cells are
+    * emitted exactly where the fixed-level recursion would have descended).
+    * Emitted levels span [minLevel, maxLevel].
+    */
+  def coverBoxMulti(w: Double, s: Double, e: Double, n: Double,
+                    minLevel: Int, maxLevel: Int): Array[Long] = {
+    val out = Array.newBuilder[Long]
+    def insideBox(b: Bound): Boolean = {
+      if (b.fullLng) return false
+      if (b.latLo < s || b.latHi > n) return false
+      // circle-interval containment via (start, span): cell ⊆ box iff the
+      // cell's start sits within the box arc AND fits before its end
+      def norm(x: Double) = { var v = x % 360.0; if (v > 180) v -= 360; if (v < -180) v += 360; v }
+      def span(lo: Double, hi: Double) = { val d = (hi - lo) % 360.0; if (d < 0) d + 360 else d }
+      val cellSpan = span(norm(b.lngLo), norm(b.lngHi))
+      val boxSpan  = if (norm(w) == norm(e) && w != e) 360.0 else span(norm(w), norm(e))
+      val offset   = span(norm(w), norm(b.lngLo))
+      offset + cellSpan <= boxSpan
+    }
+    def recurse(id: Long): Unit = {
+      val b   = bound(id)
+      val lvl = level(id)
+      if (!b.intersectsBox(w, s, e, n)) return
+      if (lvl >= maxLevel || (lvl >= minLevel && insideBox(b))) out += id
+      else children(id).foreach(recurse)
+    }
+    var f = 0
+    while (f < 6) { recurse(fromFacePosLevel(f, 0L, 0)); f += 1 }
+    out.result()
+  }
+
   /** Pick a covering level so the cover stays under ~maxCells for this box
     * (cell edge ~ box size / 2), then cover.
     */

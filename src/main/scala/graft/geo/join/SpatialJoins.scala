@@ -82,6 +82,34 @@ object SpatialJoins {
     joined
   }
 
+  /** Multi-level PIP join for MIXED-size polygon sets: polygon covers carry
+    * interior cells at coarse levels and boundary cells refined to
+    * `maxLevel` (O(perimeter) cover size even for continent-scale
+    * geometries), points explode their ancestor cell per level
+    * (maxLevel-minLevel+1 rows, a narrow map). Cover cells are disjoint and
+    * a point has one ancestor per level, so each (point, polygon) pair
+    * matches at most once — no dedup needed. Same refine step as
+    * [[pipJoin]].
+    */
+  def pipJoinMultiLevel(
+      points: DataFrame,
+      lngCol: String,
+      latCol: String,
+      polys: DataFrame,
+      geomCol: String,
+      minLevel: Int = 4,
+      maxLevel: Int = 12,
+      broadcastPolys: Boolean = true): DataFrame = {
+    val polyCells = polys.withColumn("__cell",
+      explode(s2_cover_multi(col(geomCol), lit(minLevel), lit(maxLevel))))
+    val ptCells = points.withColumn("__cell",
+      explode(s2_ancestors(col(lngCol), col(latCol), lit(minLevel), lit(maxLevel))))
+    val rhs = if (broadcastPolys) broadcast(polyCells) else polyCells
+    ptCells.join(rhs, Seq("__cell"))
+      .where(st_contains(col(geomCol), col(lngCol), col(latCol)))
+      .drop("__cell")
+  }
+
   /** Hex resolution whose cell size is about half the given box span
     * (degrees) — 2-8 cover cells per polygon, the sweet spot between join
     * fan-out and cell selectivity. */

@@ -338,6 +338,56 @@ case class S2CoverExpr(geom: Expression, level: Expression) extends GeoExpressio
   override protected def withNewChildrenInternal(c: IndexedSeq[Expression]) = copy(c(0), c(1))
 }
 
+/** `s2_cover_multi(geom, minLevel, maxLevel)` → multi-level cover cells
+  * (interior at coarse levels, boundary refined to maxLevel — O(perimeter)
+  * covers for arbitrarily large geometries). */
+case class S2CoverMultiExpr(geom: Expression, minLevel: Expression, maxLevel: Expression)
+    extends GeoExpression {
+  override def children: Seq[Expression] = Seq(geom, minLevel, maxLevel)
+  override def dataType: DataType        = ArrayType(LongType, containsNull = false)
+  override protected def evalNotNull(v: Array[Any]): Any = {
+    val r    = v(0).asInstanceOf[InternalRow]
+    val minL = v(1).asInstanceOf[Int]
+    val maxL = v(2).asInstanceOf[Int]
+    val set  = new java.util.TreeSet[java.lang.Long]()
+    GeomAccess.wrappedBoxes(r).foreach { b =>
+      S2Cell.coverBoxMulti(b(0), b(1), b(2), b(3), minL, maxL).foreach(set.add(_))
+    }
+    // normalize: per-ring boxes overlap (e.g. shell + hole), so the union
+    // can hold a cell AND its ancestor; keep only the outermost cells so the
+    // cover stays disjoint (quadtree ranges are nested-or-disjoint) and the
+    // ancestor-explode join emits each pair at most once
+    val cells = new Array[Long](set.size)
+    val it0   = set.iterator(); var n = 0
+    while (it0.hasNext) { cells(n) = it0.next(); n += 1 }
+    val sorted = cells.sortBy(S2Cell.rangeMin)
+    val out    = Array.newBuilder[Long]
+    var coveredUntil = Long.MinValue
+    sorted.foreach { c =>
+      if (S2Cell.rangeMax(c) > coveredUntil) {
+        out += c
+        coveredUntil = S2Cell.rangeMax(c)
+      }
+    }
+    new GenericArrayData(out.result().sorted)
+  }
+  override protected def withNewChildrenInternal(c: IndexedSeq[Expression]) =
+    copy(c(0), c(1), c(2))
+}
+
+/** `s2_ancestors(lng, lat, minLevel, maxLevel)` → the point's cell at each
+  * level (the point side of the multi-level join). */
+case class S2AncestorsExpr(lng: Expression, lat: Expression, minLevel: Expression, maxLevel: Expression)
+    extends GeoExpression {
+  override def children: Seq[Expression] = Seq(lng, lat, minLevel, maxLevel)
+  override def dataType: DataType        = ArrayType(LongType, containsNull = false)
+  override protected def evalNotNull(v: Array[Any]): Any =
+    new GenericArrayData(S2Cell.ancestors(v(0).asInstanceOf[Double], v(1).asInstanceOf[Double],
+      v(2).asInstanceOf[Int], v(3).asInstanceOf[Int]))
+  override protected def withNewChildrenInternal(c: IndexedSeq[Expression]) =
+    copy(c(0), c(1), c(2), c(3))
+}
+
 /** `tile_key(lng, lat, z)` — packed Web-Mercator ZXY tile key
   * ([z:6][x:29][y:29]); the raster→vector tile-assignment kernel.
   * Codegen-enabled. */

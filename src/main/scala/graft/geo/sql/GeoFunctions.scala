@@ -32,6 +32,8 @@ object GeoFunctions {
     "hex_cover"         -> (es => HexCoverExpr(es(0), es(1))),
     "s2_cell"           -> (es => S2CellExpr(es(0), es(1), es(2))),
     "s2_cover"          -> (es => S2CoverExpr(es(0), es(1))),
+    "s2_cover_multi"    -> (es => S2CoverMultiExpr(es(0), es(1), es(2))),
+    "s2_ancestors"      -> (es => S2AncestorsExpr(es(0), es(1), es(2), es(3))),
     "tile_key"          -> (es => TileKeyExpr(es(0), es(1), es(2))))
 
   @volatile private var registered: Set[Int] = Set.empty
@@ -70,6 +72,10 @@ object GeoFunctions {
   def s2_cell(lng: Column, lat: Column, level: Column): Column =
     call_function("s2_cell", lng, lat, level)
   def s2_cover(geom: Column, level: Column): Column = call_function("s2_cover", geom, level)
+  def s2_cover_multi(geom: Column, minLevel: Column, maxLevel: Column): Column =
+    call_function("s2_cover_multi", geom, minLevel, maxLevel)
+  def s2_ancestors(lng: Column, lat: Column, minLevel: Column, maxLevel: Column): Column =
+    call_function("s2_ancestors", lng, lat, minLevel, maxLevel)
   def tile_key(lng: Column, lat: Column, z: Column): Column =
     call_function("tile_key", lng, lat, z)
 

@@ -121,6 +121,47 @@ class SpatialJoinSpec extends AnyFunSuite {
     assert(out == Set(1L, 2L)) // the two nearest of the three
   }
 
+  test("multi-level cover: sound, and interior emits coarse cells") {
+    import graft.geo.index.S2Cell
+    val rng = new scala.util.Random(5)
+    // big box: multi-level cover must be far smaller than fixed-level
+    val (w0, s0, e0, n0) = (-60.0, -30.0, 40.0, 45.0)
+    val multi = S2Cell.coverBoxMulti(w0, s0, e0, n0, 3, 12)
+    val fixed = S2Cell.coverBox(w0, s0, e0, n0, 12)
+    assert(multi.length.toLong * 50 < fixed.length,
+      s"multi=${multi.length} fixed=${fixed.length}")
+    val multiSet = multi.toSet
+    // soundness: a contained point's ancestor at SOME level is in the cover
+    for (_ <- 1 to 2000) {
+      val px = w0 + rng.nextDouble() * (e0 - w0)
+      val py = s0 + rng.nextDouble() * (n0 - s0)
+      val anc = S2Cell.ancestors(px, py, 3, 12)
+      assert(anc.exists(multiSet.contains), s"($px,$py) missed by multi-level cover")
+      // and at EXACTLY one level (cells disjoint)
+      assert(anc.count(multiSet.contains) == 1)
+    }
+  }
+
+  test("multi-level PIP join equals brute force on mixed-size polygons") {
+    val pts = points(3000).cache()
+    val mixed = (polysJson :+
+      ("huge", """{"type":"Polygon","coordinates":[[[60.0,-50.0],[170.0,-50.0],[170.0,60.0],[60.0,60.0],[60.0,-50.0]]]}"""))
+      .toDF("poly_id", "geojson")
+      .select($"poly_id", from_geojson_geom($"geojson").as("geom"))
+    val bigPts = spark.range(3000).select(
+      $"id" + 100000L as "id",
+      (pmod($"id" * 7919, lit(24000)) / 100.0 + 50.0).as("lng"),
+      (pmod($"id" * 104729, lit(12000)) / 100.0 - 60.0).as("lat"))
+    val all = pts.unionByName(bigPts).cache()
+    val fast = SpatialJoins.pipJoinMultiLevel(all, "lng", "lat", mixed, "geom",
+      minLevel = 3, maxLevel = 11).select("id", "poly_id")
+    val brute = all.crossJoin(mixed)
+      .where(st_contains($"geom", $"lng", $"lat")).select("id", "poly_id")
+    assert(fast.count() > 0)
+    assert(fast.exceptAll(brute).isEmpty && brute.exceptAll(fast).isEmpty,
+      s"fast=${fast.count()} brute=${brute.count()}")
+  }
+
   test("tile assignment buckets and accessors") {
     val pts = points(1000)
     val tiled = SpatialJoins.assignTiles(pts, "lng", "lat", z = 10)
