@@ -328,7 +328,8 @@ object S2Cell {
       def norm(x: Double) = { var v = x % 360.0; if (v > 180) v -= 360; if (v < -180) v += 360; v }
       def span(lo: Double, hi: Double) = { val d = (hi - lo) % 360.0; if (d < 0) d + 360 else d }
       val cellSpan = span(norm(b.lngLo), norm(b.lngHi))
-      val boxSpan  = if (norm(w) == norm(e) && w != e) 360.0 else span(norm(w), norm(e))
+      // a [-180,180]-wide box normalizes to span 0 — treat >=360° as full
+      val boxSpan  = if (e - w >= 360.0 - 1e-12) 360.0 else span(norm(w), norm(e))
       val offset   = span(norm(w), norm(b.lngLo))
       offset + cellSpan <= boxSpan
     }

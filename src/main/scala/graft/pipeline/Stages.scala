@@ -57,7 +57,10 @@ object Stages {
       val wallMs = (System.nanoTime() - t0) / 1000000
       val parts  = {
         import scala.jdk.CollectionConverters._
-        acc.value.asScala.toSeq.sortBy(_._1)
+        // task retries/speculation can report a partition twice — keep one
+        // entry per partition (they count the same rows on success)
+        acc.value.asScala.toSeq.groupBy(_._1).map { case (pid, vs) => (pid, vs.map(_._2).max) }
+          .toSeq.sortBy(_._1)
       }
       val rows = parts.map(_._2).sum
       val lineageJson = {
