@@ -162,6 +162,25 @@ class SpatialJoinSpec extends AnyFunSuite {
       s"fast=${fast.count()} brute=${brute.count()}")
   }
 
+  test("multi-level PIP join across the antimeridian") {
+    val seamPolys = Seq(
+      ("seam", """{"type":"Polygon","coordinates":[[[170.0,40.0],[-170.0,40.0],[-170.0,50.0],[170.0,50.0],[170.0,40.0]]]}"""),
+      ("bigseam", """{"type":"Polygon","coordinates":[[[120.0,-20.0],[-120.0,-20.0],[-120.0,30.0],[120.0,30.0],[120.0,-20.0]]]}"""))
+      .toDF("poly_id", "geojson")
+      .select($"poly_id", from_geojson_geom($"geojson").as("geom"))
+    val pts = spark.range(2000).select(
+      $"id",
+      (pmod($"id" * 7919, lit(36000)) / 100.0 - 180.0).as("lng"),
+      (pmod($"id" * 104729, lit(16000)) / 100.0 - 80.0).as("lat")).cache()
+    val fast = SpatialJoins.pipJoinMultiLevel(pts, "lng", "lat", seamPolys, "geom",
+      minLevel = 2, maxLevel = 10).select("id", "poly_id")
+    val brute = pts.crossJoin(seamPolys)
+      .where(st_contains($"geom", $"lng", $"lat")).select("id", "poly_id")
+    assert(fast.count() > 0)
+    assert(fast.exceptAll(brute).isEmpty && brute.exceptAll(fast).isEmpty,
+      s"fast=${fast.count()} brute=${brute.count()}")
+  }
+
   test("tile assignment buckets and accessors") {
     val pts = points(1000)
     val tiled = SpatialJoins.assignTiles(pts, "lng", "lat", z = 10)
