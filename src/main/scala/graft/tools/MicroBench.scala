@@ -30,6 +30,19 @@ object MicroBench {
       val g = graft.geo.json.GeoJsonCodec.parse(polyJson).toOption.get
       graft.geo.json.GeoJsonCodec.render(g).length.toLong + id
     }
+    // the reference's own bench input (bench/input.json == simple.geojson,
+    // 18,699 B, 987-position polygon): full decode -> typed doc -> encode
+    val simple = {
+      val in = getClass.getResourceAsStream("/geo-fixtures/simple.geojson")
+      if (in == null) None
+      else Some(try scala.io.Source.fromInputStream(in, "UTF-8").mkString finally in.close())
+    }
+    simple.foreach { doc =>
+      time("roundtrip_simple_geojson", 20000) { id =>
+        val g = graft.geo.json.GeoJsonCodec.parse(doc).toOption.get
+        graft.geo.json.GeoJsonCodec.render(g).length.toLong + id
+      }
+    }
   }
   def time(name: String, n: Long)(f: Long => Long): Unit = {
     var i = 0L; var acc = 0L
