@@ -25,13 +25,34 @@ def main(out_dir: str, sf_dir: str) -> int:
     for q, sql in sorted(oracle.items()):
         try:
             files = glob.glob(os.path.join(out_dir, q, "*.parquet"))
-            s = pq.read_table(files[0]).to_pandas()
-            d = con.execute(sql).df()
+            s_tbl = pq.read_table(files[0])
+            d_tbl = con.execute(sql).arrow()
+            s = s_tbl.to_pandas()
+            d = d_tbl.to_pandas()
             s = s[sorted(s.columns)].sort_values(by=sorted(s.columns)).reset_index(drop=True)
             d = d[sorted(d.columns)].sort_values(by=sorted(d.columns)).reset_index(drop=True)
+            # TYPE-family-strict like the driver's hash: the driver converts
+            # DuckDB results to pandas, where DECIMAL/HUGEINT become float64
+            # — so Spark int64 vs DuckDB sum(BIGINT)=HUGEINT hash-MISMATCHES
+            # ("1" vs "1.0") even with equal values (round 1's q10/q14 bug),
+            # while int32-vs-int64 and double-vs-DECIMAL are tolerated
+            # (q04/q31 passed). Flag exactly the int-vs-float family diffs.
+            def family(t):
+                t = str(t)
+                if t.startswith(("int", "uint")):
+                    return "int"
+                if t.startswith(("float", "double", "decimal", "halffloat")):
+                    return "float"
+                return t
+            s_types = {f.name: family(f.type) for f in s_tbl.schema}
+            d_types = {f.name: family(f.type) for f in d_tbl.schema}
             status = "OK"
             if list(s.columns) != list(d.columns):
                 status = f"SCHEMA {list(s.columns)} vs {list(d.columns)}"
+            elif s_types != d_types:
+                diffs = {c: (s_types.get(c), d_types.get(c))
+                         for c in s_types if s_types.get(c) != d_types.get(c)}
+                status = f"TYPES {diffs}"
             elif len(s) != len(d):
                 status = f"ROWS {len(s)} vs {len(d)}"
             else:

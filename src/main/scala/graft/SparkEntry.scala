@@ -421,7 +421,7 @@ object SparkEntry {
         |  FROM orders) WHERE rank <= 2""".stripMargin,
     "q10_events" ->
       """SELECT event_type, count(*) AS n, count(DISTINCT user_id) AS users,
-        |  sum(CAST(regexp_extract(props, '(\d+)', 1) AS BIGINT)) AS sum_k
+        |  CAST(sum(CAST(regexp_extract(props, '(\d+)', 1) AS BIGINT)) AS BIGINT) AS sum_k
         |FROM events GROUP BY 1""".stripMargin,
     "q11_dedup_exact" ->
       """WITH corpus AS (
@@ -440,7 +440,7 @@ object SparkEntry {
         |  length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS n_digits,
         |  length(text) - length(replace(text, ' ', '')) AS n_spaces FROM documents""".stripMargin,
     "q14_lang_dist" ->
-      "SELECT lang, count(*) AS n, sum(n_chars) AS chars FROM documents GROUP BY 1",
+      "SELECT lang, count(*) AS n, CAST(sum(n_chars) AS BIGINT) AS chars FROM documents GROUP BY 1",
     "q17_ann_brute" ->
       """WITH qs AS (SELECT vec_id AS qid, embedding AS qvec FROM embeddings WHERE vec_id < 20),
         |d AS (SELECT q.qid, c.vec_id,

@@ -138,6 +138,28 @@ object S2Cell {
   def rangeMin(id: Long): Long = id - (lsb(id) - 1)
   def rangeMax(id: Long): Long = id + (lsb(id) - 1)
 
+  /** Normalize a union of covers to disjoint outermost cells: per-ring boxes
+    * overlap (e.g. shell + hole, multipolygon parts), so the union can hold
+    * a cell AND its ancestor; only the outermost survive so the ancestor-
+    * explode join emits each (point, polygon) pair at most once. Quadtree
+    * ranges are nested-or-disjoint, so one rangeMin sweep suffices — ties
+    * sort ancestor-first (smaller level): a descendant in the leftmost child
+    * chain shares rangeMin with its ancestor and must lose to it.
+    * Returns ascending ids.
+    */
+  def normalizeCover(cells: Array[Long]): Array[Long] = {
+    val sorted = cells.sortBy(c => (rangeMin(c), level(c)))
+    val out    = Array.newBuilder[Long]
+    var coveredUntil = Long.MinValue
+    sorted.foreach { c =>
+      if (rangeMax(c) > coveredUntil) {
+        out += c
+        coveredUntil = rangeMax(c)
+      }
+    }
+    out.result().sorted
+  }
+
   /** The four children of a cell. */
   def children(id: Long): Array[Long] = {
     val l   = lsb(id)

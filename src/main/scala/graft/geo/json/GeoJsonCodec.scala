@@ -51,7 +51,7 @@ object GeoJsonCodec {
             case JStr("FeatureCollection") =>
               collectionOfJson(o).map(fc => GeoJson(GCollection(fc), bbox))
             case JStr(_) => geometryOfJson(o).map(g => GeoJson(GGeometry(g), bbox))
-            case _       => Left("Expected `type` to be a string")
+            case _       => Left("Ezjsone.get_string")
           }
       }
     case _ => Left("A Geojson text should contain one object with a member `type`.")
@@ -91,24 +91,52 @@ object GeoJsonCodec {
                   case Some(JArr(items)) =>
                     val fmGc = foreignMembers(json, gcKeys)
                     sequence(items.map(geometryOfJson)).map(cs => Geometry(GeometryCollection(cs), fmGc))
-                  case Some(_) => Left("Expected geometries to be a list")
+                  case Some(_) => Left("Ezjsone.get_list")
                   case None    => Left("A geometry collection should have a member called geometries")
                 }
               case other => Left(s"Unknown type of geometry $other")
             }
-          case Some(_) => Left("Expected `type` to be a string")
+          case Some(_) => Left("Ezjsone.get_string")
         }
       case _ => Left("A Geojson text should contain one object with a member `type`.")
     }
   }
 
-  /** parse_by_type, geojson.ml:70-83: both "type" and "coordinates" required */
+  /** parse_by_type, geojson.ml:70-83: both "type" and "coordinates" required.
+    * Strings are byte-verbatim from the reference: the missing-`type` message
+    * is built as `"JSON should" ^ "have …"` — NO space (geojson.ml:74-76) —
+    * and the missing-`coordinates` message carries no type suffix
+    * (geojson.ml:78). A present type is re-checked against the expected name
+    * (geojson.ml:80-83); non-strings surface ezjsone's get_string message
+    * (ezjsone.ml:196-198 via geojsone.ml:44-45). */
   private def coords(o: JObj, typName: String): Either[Err, JValue] =
     (o.get("type"), o.get("coordinates")) match {
-      case (Some(_), Some(c)) => Right(c)
-      case (None, _)          => Left(s"JSON should have a key-value for `type' whilst parsing $typName")
-      case (_, None)          => Left(s"JSON should have a key-value for `coordinates' whilst parsing $typName")
+      case (None, _) => Left(s"JSON shouldhave a key-value for `type' whilst parsing $typName")
+      case (_, None) => Left("JSON should have a key-value for `coordinates'")
+      case (Some(JStr(t)), Some(c)) =>
+        if (t == typName) Right(c)
+        else Left(s"Expected type of `$typName' but got $t")
+      case (Some(_), Some(_)) => Left("Ezjsone.get_string")
     }
+
+  /** Direct per-type parse (the reference's per-module `base_of_json`,
+    * e.g. geojson.ml:92 `Point.base_of_json`): unlike [[geometryOfJson]]'s
+    * dispatch, this path can observe a `type` that names a DIFFERENT
+    * geometry and produces the reference's `Expected type of …` message. */
+  def geometryOfJsonAs(json: JValue, typName: String): Either[Err, Geometry] = json match {
+    case o: JObj =>
+      val fm = foreignMembers(o, geometryKeys)
+      typName match {
+        case "Point"           => coords(o, typName).flatMap(parsePosition).map(p => Geometry(Point(p), fm))
+        case "MultiPoint"      => coords(o, typName).flatMap(parsePositions).map(ps => Geometry(MultiPoint(ps), fm))
+        case "LineString"      => coords(o, typName).flatMap(parseLine).map(ps => Geometry(LineString(ps), fm))
+        case "MultiLineString" => coords(o, typName).flatMap(parseLines).map(ls => Geometry(MultiLineString(ls), fm))
+        case "Polygon"         => coords(o, typName).flatMap(parseRings).map(rs => Geometry(Polygon(rs), fm))
+        case "MultiPolygon"    => coords(o, typName).flatMap(parsePolys).map(ps => Geometry(MultiPolygon(ps), fm))
+        case other             => Left(s"Unknown type of geometry $other")
+      }
+    case _ => Left(s"JSON shouldhave a key-value for `type' whilst parsing $typName")
+  }
 
   private def parsePosition(j: JValue): Either[Err, Position] = j match {
     case JArr(items) =>
@@ -116,15 +144,15 @@ object GeoJsonCodec {
       var i = 0
       items.foreach {
         case JNum(d) => out(i) = d; i += 1
-        case other   => return Left(s"Expected float, got ${other.render}")
+        case other   => return Left("Ezjsone.get_float")
       }
       Right(out)
-    case other => Left(s"Expected an array, got ${other.render}")
+    case other => Left("Ezjsone.get_list")
   }
 
   private def parsePositions(j: JValue): Either[Err, Vector[Position]] = j match {
     case JArr(items) => sequence(items.map(parsePosition))
-    case other       => Left(s"Expected an array, got ${other.render}")
+    case other       => Left("Ezjsone.get_list")
   }
 
   /** geojson.ml:133-139 */
@@ -136,19 +164,22 @@ object GeoJsonCodec {
 
   private def parseLines(j: JValue): Either[Err, Vector[Vector[Position]]] = j match {
     case JArr(items) => sequence(items.map(parseLine))
-    case other       => Left(s"Expected an array, got ${other.render}")
+    case other       => Left("Ezjsone.get_list")
   }
 
-  /** Polygon rings are LineStrings in the reference (geojson.ml:178-179) so
-    * the >= 2 arity check applies to each ring (geojson.ml:192-199). */
+  /** Polygon rings parse as raw nested float arrays with NO arity check
+    * (geojson.ml:192-199: `Polygon.parse_coords` nests `J.to_array` over
+    * floats directly) — unlike MultiLineString, which reuses
+    * `LineString.parse_coords` and so inherits the >= 2 check
+    * (geojson.ml:161-164). */
   private def parseRings(j: JValue): Either[Err, Vector[Vector[Position]]] = j match {
-    case JArr(items) => sequence(items.map(parseLine))
-    case other       => Left(s"Expected an array, got ${other.render}")
+    case JArr(items) => sequence(items.map(parsePositions))
+    case other       => Left("Ezjsone.get_list")
   }
 
   private def parsePolys(j: JValue): Either[Err, Vector[Vector[Vector[Position]]]] = j match {
     case JArr(items) => sequence(items.map(parseRings))
-    case other       => Left(s"Expected an array, got ${other.render}")
+    case other       => Left("Ezjsone.get_list")
   }
 
   /** geojson.ml:335-343 */
@@ -178,7 +209,7 @@ object GeoJsonCodec {
           }
         case Some(JStr(s)) =>
           Left(s"A Geojson feature requires the type `Feature`. Found type, but it was $s")
-        case Some(_) => Left("Expected `type` to be a string")
+        case Some(_) => Left("Ezjsone.get_string")
         case None =>
           Left("A Geojson feature requires the type `Feature`. No type was found.")
       }
@@ -193,12 +224,12 @@ object GeoJsonCodec {
           val fm = foreignMembers(o, collectionKeys)
           o.get("features") match {
             case Some(JArr(items)) => sequence(items.map(featureOfJson)).map(fs => FeatureCollection(fs, fm))
-            case Some(_)           => Left("Expected features to be a list")
+            case Some(_)           => Left("Ezjsone.get_list")
             case None              => Left("A feature collection should have a member called `features`.")
           }
         case Some(JStr(s)) =>
           Left(s"A Geojson feature collection requires the type `FeatureCollection`. Found type, but it was $s")
-        case Some(_) => Left("Expected `type` to be a string")
+        case Some(_) => Left("Ezjsone.get_string")
         case None =>
           Left("A Geojson feature collection requires the type `FeatureCollection`. No type was found.")
       }

@@ -66,18 +66,53 @@ object JValue {
   }
 
   /** C-printf `%.16g` compatible double formatting (jsone.ml:814-819).
-    * Java's `%g` keeps trailing zeros; C's strips them, so we post-process.
+    * C's `%g` rounds the EXACT binary expansion of the double to 16
+    * significant digits and strips trailing zeros; Java's `String.format`
+    * rounds the shortest round-trip repr instead, which diverges on
+    * subnormals and near-power-of-ten values (e.g. 1.5e-323: C
+    * `1.48219693752374e-323`, Java `1.500000000000000e-323`) — so the slow
+    * path here does true exact-expansion rounding via `BigDecimal(d)`.
     *
-    * Hot path: `String.format` costs ~1.5µs per double (it dominated
-    * serialization at 10x the parse cost), so doubles whose shortest
-    * representation (`Double.toString`) carries <= 16 significant digits
-    * take [[formatG16Fast]] — Java's `%g` rounds the SHORTEST digits to the
-    * precision, so for those values the outputs are identical (verified
-    * differentially in GeoJsonCodecSpec).
+    * Hot path: doubles whose shortest representation (`Double.toString`)
+    * carries <= 16 significant digits AND provably lies in the same 16-digit
+    * decimal rounding cell as the exact expansion (ulp guard below) render
+    * straight from the shortest digits (verified differentially against
+    * python/C `%.16g` in GeoJsonCodecSpec).
     */
   def formatG16(d: Double): String = {
     val fast = formatG16Fast(d)
     if (fast != null) fast else formatG16Slow(d)
+  }
+
+  /** C `%g` rendering of (sign, significant digits, leading-digit power of
+    * ten): scientific iff e < -4 or e >= 16, >=2-digit exponent, trailing
+    * zeros already stripped from `digits`. */
+  private def renderG(neg: Boolean, digits: String, e: Int): String = {
+    val pointAt = e + 1
+    val sb = new java.lang.StringBuilder(26)
+    if (neg) sb.append('-')
+    if (e < -4 || e >= 16) {
+      sb.append(digits.charAt(0))
+      if (digits.length > 1) { sb.append('.').append(digits, 1, digits.length) }
+      sb.append('e').append(if (e < 0) '-' else '+')
+      val ae = Math.abs(e)
+      if (ae < 10) sb.append('0')
+      sb.append(ae)
+    } else if (e >= 0) {
+      if (digits.length <= pointAt) {
+        sb.append(digits)
+        var i = digits.length
+        while (i < pointAt) { sb.append('0'); i += 1 }
+      } else {
+        sb.append(digits, 0, pointAt).append('.').append(digits, pointAt, digits.length)
+      }
+    } else {
+      sb.append("0.")
+      var i = 0
+      while (i < -pointAt) { sb.append('0'); i += 1 }
+      sb.append(digits)
+    }
+    sb.toString
   }
 
   /** Shortest-repr-based %.16g; null when the slow path is required. */
@@ -105,56 +140,39 @@ object JValue {
     pointAt -= lead
     if (digits == "0") return if (neg) "-0" else "0"
     if (digits.length > 16) return null // needs true 16-digit rounding
-    // C %g: scientific iff exponent < -4 or >= precision; exponent here is
-    // pointAt-1 (power of ten of the leading digit)
     val e = pointAt - 1
-    val sb = new java.lang.StringBuilder(26)
-    if (neg) sb.append('-')
-    if (e < -4 || e >= 16) {
-      sb.append(digits.charAt(0))
-      if (digits.length > 1) { sb.append('.').append(digits, 1, digits.length) }
-      sb.append('e').append(if (e < 0) '-' else '+')
-      val ae = Math.abs(e)
-      if (ae < 10) sb.append('0')
-      sb.append(ae)
-    } else if (e >= 0) {
-      if (digits.length <= pointAt) {
-        sb.append(digits)
-        var i = digits.length
-        while (i < pointAt) { sb.append('0'); i += 1 }
-      } else {
-        sb.append(digits, 0, pointAt).append('.').append(digits, pointAt, digits.length)
-      }
-    } else {
-      sb.append("0.")
-      var i = 0
-      while (i < -pointAt) { sb.append('0'); i += 1 }
-      sb.append(digits)
-    }
-    sb.toString
+    // Safety guard: the shortest repr r is a point of the 16-significant-
+    // digit decimal grid, and |d_exact - r| <= ulp(d)/2. If ulp(d) is
+    // strictly inside one grid cell, d_exact rounds to r and the fast path
+    // equals C's exact rounding. The grid spacing at r is 10^(e-15) — one
+    // decade finer (10^(e-16)) just BELOW r when r is exactly a power of ten
+    // (digits == "1"), where the exact value may sit in the lower decade
+    // (e.g. 1e23 whose double is 9.99...e22). Subnormals fail the guard
+    // automatically (ulp 4.9e-324 vs grid ~1e-339) and defer to slow.
+    val grid = if (digits == "1") Math.pow(10.0, (e - 16).toDouble)
+               else Math.pow(10.0, (e - 15).toDouble)
+    if (!(Math.ulp(d) < grid)) return null
+    renderG(neg, digits, e)
   }
 
+  /** True C %.16g: round the exact binary expansion (BigDecimal(d)) to 16
+    * significant digits, ties-to-even (glibc under round-to-nearest). */
   private def formatG16Slow(d: Double): String = {
     if (d == Math.rint(d) && Math.abs(d) < 1e16) {
       // integral values within %.16g's fixed range print without a point
       val l = d.toLong
       if (l == 0 && 1.0 / d < 0) "-0" else l.toString
     } else {
-      var s = String.format(java.util.Locale.ROOT, "%.16g", java.lang.Double.valueOf(d))
-      if (s.contains('e')) {
-        // split mantissa/exponent, strip mantissa trailing zeros
-        val i   = s.indexOf('e')
-        var m   = s.substring(0, i)
-        val e   = s.substring(i)
-        if (m.contains('.')) m = m.reverse.dropWhile(_ == '0').reverse
-        if (m.endsWith(".")) m = m.dropRight(1)
-        // C prints exponent as at least two digits: e+05 etc. Java %g gives e+05 too.
-        s = m + e
-      } else if (s.contains('.')) {
-        s = s.reverse.dropWhile(_ == '0').reverse
-        if (s.endsWith(".")) s = s.dropRight(1)
-      }
-      s
+      val neg = java.lang.Double.doubleToRawLongBits(d) < 0
+      val bd = new java.math.BigDecimal(Math.abs(d)) // exact expansion
+        .round(new java.math.MathContext(16, java.math.RoundingMode.HALF_EVEN))
+      var digits = bd.unscaledValue.toString
+      var scale  = bd.scale
+      val e      = digits.length - 1 - scale
+      var end    = digits.length
+      while (end > 1 && digits.charAt(end - 1) == '0') end -= 1
+      digits = digits.substring(0, end)
+      renderG(neg, digits, e)
     }
   }
 

@@ -353,23 +353,10 @@ case class S2CoverMultiExpr(geom: Expression, minLevel: Expression, maxLevel: Ex
     GeomAccess.wrappedBoxes(r).foreach { b =>
       S2Cell.coverBoxMulti(b(0), b(1), b(2), b(3), minL, maxL).foreach(set.add(_))
     }
-    // normalize: per-ring boxes overlap (e.g. shell + hole), so the union
-    // can hold a cell AND its ancestor; keep only the outermost cells so the
-    // cover stays disjoint (quadtree ranges are nested-or-disjoint) and the
-    // ancestor-explode join emits each pair at most once
     val cells = new Array[Long](set.size)
     val it0   = set.iterator(); var n = 0
     while (it0.hasNext) { cells(n) = it0.next(); n += 1 }
-    val sorted = cells.sortBy(S2Cell.rangeMin)
-    val out    = Array.newBuilder[Long]
-    var coveredUntil = Long.MinValue
-    sorted.foreach { c =>
-      if (S2Cell.rangeMax(c) > coveredUntil) {
-        out += c
-        coveredUntil = S2Cell.rangeMax(c)
-      }
-    }
-    new GenericArrayData(out.result().sorted)
+    new GenericArrayData(S2Cell.normalizeCover(cells))
   }
   override protected def withNewChildrenInternal(c: IndexedSeq[Expression]) =
     copy(c(0), c(1), c(2))

@@ -82,9 +82,12 @@ class EdgeSemanticsSpec extends AnyFunSuite {
   test("non-object top level and bad types fail with reference messages") {
     assert(GeoJsonCodec.parse("[1,2]").isLeft)
     assert(GeoJsonCodec.parse(""""point"""").isLeft)
-    assert(GeoJsonCodec.parse("""{"type":42}""") == Left("Expected `type` to be a string"))
+    // non-string `type` surfaces the vendored backend's get_string message
+    // (ezjsone.ml:196-198 via geojsone.ml:44-49 catch_err)
+    assert(GeoJsonCodec.parse("""{"type":42}""") == Left("Ezjsone.get_string"))
+    // geojson.ml:78 — verbatim, NO " whilst parsing <type>" suffix
     assert(GeoJsonCodec.parse("""{"type":"Point"}""") ==
-      Left("JSON should have a key-value for `coordinates' whilst parsing Point"))
+      Left("JSON should have a key-value for `coordinates'"))
   }
 
   test("deeply nested GeometryCollections round-trip (recursion escape hatch)") {

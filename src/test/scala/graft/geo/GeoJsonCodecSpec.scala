@@ -172,34 +172,83 @@ class GeoJsonCodecSpec extends AnyFunSuite {
     assert(JValue.formatG16(1.0 / 3.0) == "0.3333333333333333")
   }
 
-  test("formatG16 fast path is byte-identical to Java %.16g (differential)") {
+  test("formatG16 matches C %.16g on pinned goldens (incl. subnormals, powers of ten)") {
+    // (raw double bits, C printf "%.16g" output) — generated with glibc
+    // printf semantics (round the EXACT binary expansion to 16 significant
+    // digits, ties-to-even, strip trailing zeros). Java's String.format
+    // diverges on many of these (it rounds the shortest repr instead), which
+    // is why these are pinned as bits→bytes goldens.
+    val goldens: Seq[(Long, String)] = Seq(
+      (0L, "0"),
+      (-9223372036854775808L, "-0"),
+      (1L, "4.940656458412465e-324"),
+      (-9223372036854775807L, "-4.940656458412465e-324"),
+      (3L, "1.48219693752374e-323"),
+      (4950912855330343670L, "9.999999999999999e+22"), // the 1e23 double
+      (-4272459181524432138L, "-9.999999999999999e+22"),
+      (2024022533073106L, "9.999999999999999e-309"),   // the 1e-308 double
+      (4503599627370496L, "2.225073858507201e-308"),   // MIN_NORMAL
+      (4846369599423283200L, "1e+16"),
+      (4591870180066957722L, "0.1"),
+      (4599075939470750515L, "0.3"),
+      (6103021453049119613L, "1e+100"),
+      (-6112511492357225168L, "-1e-100"),
+      (4638387860618067575L, "123.456"),
+      (4708598829584429875L, "6371008.8"),
+      (4599676419421066581L, "0.3333333333333333"),
+      (4936209963552724370L, "1e+22"),
+      (4277919505920253670L, "1e-22"),
+      (4859383997932765184L, "7.205759403792794e+16"), // 2^56
+      (2053695854357871005L, "2.095121832385084e-171"),
+      (-4767551708636701999L, "-8.095896314512539e-11"),
+      (4517457392071889495L, "1.027147186531985e-06"),
+      (2574020394472462046L, "1.330540658375276e-136"),
+      (1890702223848595625L, "2.74162775016167e-182"),
+      (-4783835782282728083L, "-6.457680489997276e-12"),
+      (-8386507121505214128L, "-9.936982866895821e-253"),
+      (-4449218834499770593L, "-147741606739.8056"),
+      (-4362763256166880669L, "-9.165411812000722e+16"),
+      (4879548657232103939L, "1.70338826681018e+18"),
+      (78313164820976L, "3.86918443551475e-310"),
+      (744515597706649L, "3.678395796198172e-309"),
+      (183130382509121L, "9.047843070752339e-310"),
+      (400000484126216L, "1.976264975266302e-309"))
+    goldens.foreach { case (bits, expected) =>
+      val d = java.lang.Double.longBitsToDouble(bits)
+      assert(JValue.formatG16(d) == expected, s"mismatch for $d (bits=$bits)")
+    }
+  }
+
+  test("formatG16 fast path agrees with exact-expansion rounding (differential)") {
     val rng = new scala.util.Random(11)
-    def slow(d: Double): String = {
-      if (d == Math.rint(d) && Math.abs(d) < 1e16) {
-        val l = d.toLong
-        if (l == 0 && 1.0 / d < 0) "-0" else l.toString
-      } else {
-        var s = String.format(java.util.Locale.ROOT, "%.16g", java.lang.Double.valueOf(d))
-        if (s.contains('e')) {
-          val i = s.indexOf('e'); var m = s.substring(0, i); val e = s.substring(i)
-          if (m.contains('.')) m = m.reverse.dropWhile(_ == '0').reverse
-          if (m.endsWith(".")) m = m.dropRight(1)
-          s = m + e
-        } else if (s.contains('.')) {
-          s = s.reverse.dropWhile(_ == '0').reverse
-          if (s.endsWith(".")) s = s.dropRight(1)
-        }
-        s
-      }
+    // independent reimplementation of C %.16g: exact binary expansion via
+    // BigDecimal, HALF_EVEN to 16 significant digits, %g notation rules
+    def exact(d: Double): String = {
+      val neg = java.lang.Double.doubleToRawLongBits(d) < 0
+      if (d == 0.0) return if (neg) "-0" else "0"
+      val bd = new java.math.BigDecimal(Math.abs(d))
+        .round(new java.math.MathContext(16, java.math.RoundingMode.HALF_EVEN))
+      var digits = bd.unscaledValue.toString
+      val e = digits.length - 1 - bd.scale
+      digits = digits.reverse.dropWhile(_ == '0').reverse
+      if (digits.isEmpty) digits = "0"
+      val mant = if (digits.length == 1) digits else digits.head + "." + digits.tail
+      val s =
+        if (e < -4 || e >= 16) mant + "e" + (if (e < 0) "-" else "+") + f"${Math.abs(e)}%02d"
+        else if (e >= 0) {
+          if (digits.length <= e + 1) digits + "0" * (e + 1 - digits.length)
+          else digits.substring(0, e + 1) + "." + digits.substring(e + 1)
+        } else "0." + "0" * (-e - 1) + digits
+      if (neg) "-" + s else s
     }
     val samples = Seq(0.0, -0.0, 0.07, 125.6, 1e20, -1e-7, 33.87, 1.0 / 3.0,
       6371008.8, 1e16, 9.999999999999999e15, 123456.789, 1e-4, 9.99e-5) ++
       (1 to 20000).map(_ => (rng.nextInt(36000001) - 18000000) / 100000.0) ++
       (1 to 5000).map(_ => rng.nextDouble() * math.pow(10, rng.nextInt(30) - 15)) ++
-      (1 to 2000).map(_ => java.lang.Double.longBitsToDouble(rng.nextLong()))
-        .filterNot(d => d.isNaN || d.isInfinite)
-    samples.foreach { d =>
-      assert(JValue.formatG16(d) == slow(d), s"mismatch for $d (bits=${java.lang.Double.doubleToLongBits(d)})")
+      (1 to 3000).map(_ => java.lang.Double.longBitsToDouble(rng.nextLong())) ++
+      (1 to 1000).map(_ => java.lang.Double.longBitsToDouble(rng.nextLong() >>> 14)) // subnormal-ish
+    samples.filterNot(d => d.isNaN || d.isInfinite).foreach { d =>
+      assert(JValue.formatG16(d) == exact(d), s"mismatch for $d (bits=${java.lang.Double.doubleToLongBits(d)})")
     }
   }
 

@@ -101,6 +101,37 @@ class IndexSpec extends AnyFunSuite {
 
   // ------------------------------------------------------------------ hex
 
+
+  test("s2: normalizeCover keeps only outermost cells, incl. shared-rangeMin ties") {
+    val a  = S2Cell.fromFacePosLevel(2, 5L, 4)
+    // leftmost child chain shares rangeMin with the ancestor — the tie case
+    val d1 = S2Cell.children(a).head
+    val d2 = S2Cell.children(d1).head
+    assert(S2Cell.rangeMin(d2) == S2Cell.rangeMin(a))
+    assert(S2Cell.normalizeCover(Array(d2, a, d1)).toSeq == Seq(a))
+    // an interior descendant is also dropped
+    val mid = S2Cell.children(a)(2)
+    assert(S2Cell.normalizeCover(Array(a, mid)).toSeq == Seq(a))
+    // rightmost child chain shares rangeMax — also dropped
+    val r1 = S2Cell.children(a).last
+    assert(S2Cell.rangeMax(r1) == S2Cell.rangeMax(a))
+    assert(S2Cell.normalizeCover(Array(r1, a)).toSeq == Seq(a))
+    // disjoint cells pass through, ascending
+    val b = S2Cell.fromFacePosLevel(3, 9L, 4)
+    assert(S2Cell.normalizeCover(Array(b, a)).toSeq == Seq(a, b).sorted)
+    // result is pairwise disjoint for a random mixed-level soup
+    val rng = new scala.util.Random(7)
+    val soup = Array.fill(200) {
+      val lvl = 2 + rng.nextInt(5)
+      S2Cell.fromFacePosLevel(rng.nextInt(6), rng.nextInt(1 << (2 * lvl)).toLong, lvl)
+    }
+    val norm = S2Cell.normalizeCover(soup)
+    norm.sliding(2).foreach {
+      case Array(x, y) => assert(S2Cell.rangeMax(x) < S2Cell.rangeMin(y))
+      case _           =>
+    }
+  }
+
   test("hex: center of cell maps back to the same cell; res/q/r round-trip") {
     for (_ <- 1 to 2000) {
       val res = rng.nextInt(HexCell.MaxRes + 1)
