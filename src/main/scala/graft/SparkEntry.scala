@@ -161,19 +161,20 @@ object SparkEntry {
         .distinct()
     }),
     "q28_map_props" -> ((s, dir) => {
-      // map_props equivalent (geojsone.ml:198-221): uppercase the name
+      // map_props equivalent (geojsone.ml:198-221): uppercase the name via
+      // the GeoStreams operator (staged projections — parse once, small
+      // codegen units), then re-parse the rewritten text to prove the loop
       registerAll(s)
       val nation = s.read.parquet(t(dir, "nation"))
       val fjson = concat(lit("""{"type":"Feature","properties":{"name":""""),
         col("n_name"), lit(""""}}"""))
-      val top    = from_geojson(fjson)
-      val newTop = top.withField("feature.properties",
-        concat(lit("""{"name":""""),
-          upper(get_json_object(top.getField("feature").getField("properties"), "$.name")),
-          lit(""""}""")))
-      val back = from_geojson(to_geojson(newTop))
-      nation.select(col("n_nationkey"),
-        get_json_object(back.getField("feature").getField("properties"), "$.name").as("name"))
+      val mapped = graft.streaming.GeoStreams.mapProps(
+        nation.withColumn("json", fjson), "json",
+        p => concat(lit("""{"name":""""), upper(get_json_object(p, "$.name")), lit(""""}""")))
+      mapped
+        .withColumn("__back", from_geojson(col("json")))
+        .select(col("n_nationkey"),
+          get_json_object(col("__back.feature.properties"), "$.name").as("name"))
     }),
 
     // ---- relational baseline (Spark built-ins; SURVEY.md §2.4/§2.8)

@@ -95,6 +95,66 @@ case class GeoJsonError(child: Expression) extends GeoExpression {
   override protected def withNewChildrenInternal(c: IndexedSeq[Expression]) = copy(c(0))
 }
 
+/** `with_feature_props(json, new_props_json)` — single-pass rewrite of a
+  * Feature document's properties: parse → replace → serialize, never
+  * materializing the typed struct in a row (the moral twin of geojsone's
+  * streaming map_props, geojsone.ml:198-221, which rewrites the token
+  * stream in one pass). Non-Feature documents pass through unchanged;
+  * unparseable inputs → null (PERMISSIVE). */
+case class WithFeatureProps(json: Expression, newProps: Expression)
+    extends Expression with CodegenFallback {
+  import graft.geo.model.GeoModel._
+  override def nullable: Boolean = true
+  override def foldable: Boolean = children.forall(_.foldable)
+  override def children: Seq[Expression] = Seq(json, newProps)
+  override def dataType: DataType        = StringType
+  // custom null semantics: a null REPLACEMENT (feature had no properties and
+  // the rewrite produced null) passes the document through unchanged, like
+  // the reference's streaming rewrite skipping an absent member
+  override def eval(input: InternalRow): Any = {
+    val j = json.eval(input)
+    if (j == null) return null
+    GeoJsonCodec.parse(j.asInstanceOf[UTF8String].toString).fold(_ => null, {
+      case GeoJson(GFeature(f), bbox) =>
+        val p = newProps.eval(input)
+        if (p == null) UTF8String.fromString(GeoJsonCodec.render(GeoJson(GFeature(f), bbox)))
+        else
+          JValue.parse(p.asInstanceOf[UTF8String].toString).fold(_ => null,
+            pj => UTF8String.fromString(
+              GeoJsonCodec.render(GeoJson(GFeature(f.copy(properties = Some(pj))), bbox))))
+      case other => UTF8String.fromString(GeoJsonCodec.render(other))
+    })
+  }
+  override protected def withNewChildrenInternal(c: IndexedSeq[Expression]) = copy(c(0), c(1))
+}
+
+/** `with_feature_geometry(json, geom_struct)` — single-pass rewrite of a
+  * Feature document's geometry from a packed geometry struct (streaming
+  * map_geometry twin, geojsone.ml:165-196). Non-Feature documents pass
+  * through unchanged. */
+case class WithFeatureGeometry(json: Expression, geom: Expression)
+    extends Expression with CodegenFallback {
+  import graft.geo.model.GeoModel._
+  override def nullable: Boolean = true
+  override def foldable: Boolean = children.forall(_.foldable)
+  override def children: Seq[Expression] = Seq(json, geom)
+  override def dataType: DataType        = StringType
+  // null replacement (feature had no geometry) → pass through, as map_props
+  override def eval(input: InternalRow): Any = {
+    val j = json.eval(input)
+    if (j == null) return null
+    GeoJsonCodec.parse(j.asInstanceOf[UTF8String].toString).fold(_ => null, {
+      case GeoJson(GFeature(f), bbox) =>
+        val g = geom.eval(input)
+        val nf = if (g == null) f
+                 else f.copy(geometry = Some(GeoStruct.unpackGeometry(g.asInstanceOf[InternalRow])))
+        UTF8String.fromString(GeoJsonCodec.render(GeoJson(GFeature(nf), bbox)))
+      case other => UTF8String.fromString(GeoJsonCodec.render(other))
+    })
+  }
+  override protected def withNewChildrenInternal(c: IndexedSeq[Expression]) = copy(c(0), c(1))
+}
+
 /** `to_geojson(top_struct)` — serialize back to minified GeoJSON text with
   * reference key order and %.16g floats (geojson.ml:512-516, jsone.ml:818).
   */

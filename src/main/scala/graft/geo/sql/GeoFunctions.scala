@@ -20,6 +20,8 @@ object GeoFunctions {
     "to_geojson"        -> (es => ToGeoJson(es.head)),
     "from_geojson_geom" -> (es => FromGeoJsonGeom(es.head)),
     "to_geojson_geom"   -> (es => ToGeoJsonGeom(es.head)),
+    "with_feature_props"    -> (es => WithFeatureProps(es(0), es(1))),
+    "with_feature_geometry" -> (es => WithFeatureGeometry(es(0), es(1))),
     "st_contains"       -> (es => StContains(es(0), es(1), es(2))),
     "st_bbox"           -> (es => StBBox(es.head)),
     "st_centroid"       -> (es => StCentroid(es.head)),
@@ -56,6 +58,10 @@ object GeoFunctions {
   def to_geojson(c: Column): Column        = call_function("to_geojson", c)
   def from_geojson_geom(c: Column): Column = call_function("from_geojson_geom", c)
   def to_geojson_geom(c: Column): Column   = call_function("to_geojson_geom", c)
+  def with_feature_props(json: Column, p: Column): Column =
+    call_function("with_feature_props", json, p)
+  def with_feature_geometry(json: Column, g: Column): Column =
+    call_function("with_feature_geometry", json, g)
   def st_contains(geom: Column, lng: Column, lat: Column): Column =
     call_function("st_contains", geom, lng, lat)
   def st_bbox(geom: Column): Column          = call_function("st_bbox", geom)

@@ -22,18 +22,22 @@ object GeoStreams {
     * re-serializing to GeoJSON text. `f` maps geometry-struct → geometry-
     * struct.
     */
-  def mapGeometry(df: DataFrame, jsonCol: String, f: Column => Column): DataFrame = {
-    val top    = from_geojson(col(jsonCol))
-    val newTop = top.withField("feature.geometry", f(top.getField("feature").getField("geometry")))
-    df.withColumn(jsonCol, to_geojson(newTop))
-  }
+  def mapGeometry(df: DataFrame, jsonCol: String, f: Column => Column): DataFrame =
+    df.withColumn(jsonCol, with_feature_geometry(col(jsonCol),
+      f(from_geojson(col(jsonCol)).getField("feature").getField("geometry"))))
 
-  /** map_props (geojsone.ml:198-221): rewrite the properties JSON text. */
-  def mapProps(df: DataFrame, jsonCol: String, f: Column => Column): DataFrame = {
-    val top    = from_geojson(col(jsonCol))
-    val newTop = top.withField("feature.properties", f(top.getField("feature").getField("properties")))
-    df.withColumn(jsonCol, to_geojson(newTop))
-  }
+  /** map_props (geojsone.ml:198-221): rewrite the properties JSON text.
+    *
+    * Implementation note: this deliberately does NOT go through
+    * `from_geojson → withField → to_geojson` over the full top struct — that
+    * formulation materializes the wide nested struct in a row (a one-time
+    * multi-second Janino row-writer compile) or, inlined, duplicates the
+    * parse inside a giant UpdateFields tree (measured 14.5 s of plan/codegen
+    * for a 25-row table). `with_feature_props` is a single string→string
+    * kernel, the moral twin of the reference's one-pass streaming rewrite. */
+  def mapProps(df: DataFrame, jsonCol: String, f: Column => Column): DataFrame =
+    df.withColumn(jsonCol, with_feature_props(col(jsonCol),
+      f(from_geojson(col(jsonCol)).getField("feature").getField("properties"))))
 
   /** fold_geometry (geojsone.ml:223-242): aggregate over the geometry
     * column; `agg` receives the packed geometry struct column. */
