@@ -20,14 +20,36 @@ object Dedup {
 
   /** Exact dedup: every row tagged with the canonical (minimum) id of its
     * identical-text group. Output: idCol, canonical_id, is_dup.
-    * One hash-agg shuffle keyed by the text (map-side partial agg applies);
-    * at 100 TB, group instead by (xxhash64(text), length(text)) and verify
-    * — same plan shape, smaller shuffle rows.
+    *
+    * Scale-safe plan: groups on the NARROW `(xxhash64(text), length(text))`
+    * key — 16 fixed bytes through the agg exchange instead of the full
+    * document text — then verifies candidates by comparing the actual text
+    * against the group minimum's text (`min_by` carries exactly one text
+    * per group through map-side partial agg). Rows that hash-collide with a
+    * different text (vanishingly rare at 64 bits + length, but exactness is
+    * the contract) fall to a full-text re-group among themselves only.
+    * `hashFn` is injectable so the collision path is testable with a weak
+    * hash (DedupExactSpec proves equality under a 1-bit hash).
     */
-  def exact(df: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val canon = df.groupBy(col(textCol))
-      .agg(min(col(idCol)).as("canonical_id"))
-    df.join(canon, Seq(textCol))
+  def exact(df: DataFrame, idCol: String, textCol: String,
+            hashFn: Column => Column = xxhash64(_)): DataFrame = {
+    val d = df.select(col(idCol), col(textCol))
+      .withColumn("__h", hashFn(col(textCol)))
+      .withColumn("__l", length(col(textCol)))
+    val canon = d.groupBy(col("__h"), col("__l"))
+      .agg(min(col(idCol)).as("__cand"), min_by(col(textCol), col(idCol)).as("__ct"))
+    val joined = d.join(canon, Seq("__h", "__l"))
+    val matched = joined.where(col(textCol) === col("__ct"))
+      .select(col(idCol), col("__cand").as("canonical_id"))
+    // collision stragglers: every row of a colliding text lands here (none
+    // matches the group-min text), so a per-text min over just these rows
+    // yields the correct canonical id
+    val stragglers = joined.where(col(textCol) =!= col("__ct"))
+    val fixed = stragglers
+      .join(stragglers.groupBy(col(textCol)).agg(min(col(idCol)).as("canonical_id")),
+        Seq(textCol))
+      .select(col(idCol), col("canonical_id"))
+    matched.unionByName(fixed)
       .withColumn("is_dup", col(idCol) =!= col("canonical_id"))
       .select(col(idCol), col("canonical_id"), col("is_dup"))
   }

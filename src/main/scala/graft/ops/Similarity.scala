@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -71,22 +71,36 @@ object Similarity {
       .withColumn("__h", xxhash64(col("__k")))
       .orderBy("__h").limit(nlist)
       .select("__v").as[Array[Float]].collect()
-    val centDf = broadcast(
-      centroids.zipWithIndex.map { case (v, i) => (i, v) }.toSeq.toDF("__list", "__cent"))
+    val nl      = centroids.length
+    // the centroid table rides into every task as a LITERAL array (it IS the
+    // broadcast — nlist rows of data, no exchange, no join)
+    val centArr = typedlit(centroids.map(_.toSeq).toSeq)
 
-    // corpus side: each vector assigned to its single nearest centroid
-    val w0 = Window.partitionBy(col(cid)).orderBy(col("__csim").desc, col("__list"))
-    val assigned = corpus.crossJoin(centDf)
-      .withColumn("__csim", vec_cosine(col(cvec), col("__cent")))
-      .withColumn("__r", row_number().over(w0)).where(col("__r") === 1)
-      .drop("__cent", "__csim", "__r")
+    // corpus side: nearest-centroid assignment as a narrow argmax over the
+    // literal centroid array — zero shuffle of the corpus (the previous
+    // crossJoin + Window.partitionBy(cid) formulation exchanged
+    // corpus × nlist rows on the corpus id: a full-corpus shuffle, the
+    // scale-killer at 10^12 rows). Strict > keeps the smallest list index
+    // on cosine ties, matching the window's (desc sim, asc list) order.
+    def bestList(vec: Column): Column = aggregate(
+      sequence(lit(0), lit(nl - 1)),
+      struct(lit(-2.0).as("s"), lit(0).as("i")),
+      (acc, i) => {
+        val sim = vec_cosine(vec, element_at(centArr, i + 1))
+        when(sim > acc.getField("s"), struct(sim.as("s"), i.as("i"))).otherwise(acc)
+      }).getField("i")
+    val assigned = corpus.withColumn("__list", bestList(col(cvec)))
 
-    // query side: probe the nprobe nearest lists
-    val wq = Window.partitionBy(col(qid)).orderBy(col("__qsim").desc, col("__list"))
-    val probes = queries.crossJoin(centDf)
-      .withColumn("__qsim", vec_cosine(col(qvec), col("__cent")))
-      .withColumn("__r", row_number().over(wq)).where(col("__r") <= nprobe)
-      .drop("__cent", "__qsim", "__r")
+    // query side: top-nprobe lists, also narrow — score every centroid,
+    // sort (desc sim, asc list), take nprobe, explode
+    val scored = transform(sequence(lit(0), lit(nl - 1)),
+      i => struct(vec_cosine(col(qvec), element_at(centArr, i + 1)).as("s"), i.as("i")))
+    val ordered = array_sort(scored, (a, b) =>
+      when(a.getField("s") > b.getField("s"), -1)
+        .when(a.getField("s") < b.getField("s"), 1)
+        .otherwise(a.getField("i") - b.getField("i")))
+    val probes = queries.withColumn("__list",
+      explode(transform(slice(ordered, 1, math.min(nprobe, nl)), _.getField("i"))))
 
     val w = Window.partitionBy(col(qid)).orderBy(col("cosine").desc, col(cid))
     probes.join(assigned, Seq("__list"))

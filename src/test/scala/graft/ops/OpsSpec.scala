@@ -27,6 +27,46 @@ class OpsSpec extends AnyFunSuite {
     assert(out.where($"is_dup" && $"doc_id" === $"canonical_id").count() == 0)
   }
 
+  test("exact dedup: equality with groupBy-text oracle, incl. forced hash collisions") {
+    val corpus = docs.select($"doc_id", $"text").unionByName(
+      docs.limit(200).select(($"doc_id" + 100000L).as("doc_id"), $"text"))
+    val oracle = corpus.join(
+        corpus.groupBy("text").agg(min("doc_id").as("canonical_id")), Seq("text"))
+      .select($"doc_id", $"canonical_id", ($"doc_id" =!= $"canonical_id").as("is_dup"))
+    def sameAs(df: org.apache.spark.sql.DataFrame) =
+      df.exceptAll(oracle).isEmpty && oracle.exceptAll(df).isEmpty
+    assert(sameAs(Dedup.exact(corpus, "doc_id", "text")))
+    // 1-bit "hash" ⇒ every group is a collision pile-up ⇒ the straggler
+    // re-group path carries the result; must still be exact
+    assert(sameAs(Dedup.exact(corpus, "doc_id", "text", t => length(t) % 2)))
+    // constant hash: one giant group, all but one text are stragglers
+    assert(sameAs(Dedup.exact(corpus, "doc_id", "text", _ => lit(0L))))
+  }
+
+  test("exact dedup shuffles the narrow hash key, not the text") {
+    val plan = Dedup.exact(docs, "doc_id", "text").queryExecution.executedPlan.toString
+    // the corpus-scale aggregation exchanges on (__h, __l)
+    assert(plan.contains("hashpartitioning(__h"), plan.take(2000))
+    assert(plan.contains("min_by"), "verify text must ride the agg via min_by")
+    // text-keyed exchanges may appear only in the collision-straggler branch
+    // (runtime rows ~0); the corpus-side agg (first exchange in the main
+    // branch, which the plan prints first) must be the hash key
+    assert(plan.indexOf("hashpartitioning(__h") < {
+      val t = plan.indexOf("hashpartitioning(text"); if (t < 0) Int.MaxValue else t
+    }, "corpus-scale agg must shuffle on the hash, not the text")
+  }
+
+  test("IVF assignment is a narrow argmax: single Window, no corpus exchange") {
+    val qs  = embs.limit(4).select($"vec_id".as("qid"), $"embedding".as("qvec"))
+    val out = Similarity.ivfTopK(qs, "qid", "qvec",
+      embs.select($"vec_id", $"embedding"), "vec_id", "embedding", k = 2, nlist = 8, nprobe = 2)
+    val plan = out.queryExecution.executedPlan.toString
+    val windows = "Window \\[".r.findAllIn(plan).length
+    assert(windows == 1, s"expected exactly the final top-k window, got $windows:\n${plan.take(3000)}")
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      "assignment must not cross-join the corpus against the centroid table")
+  }
+
   test("minhash-LSH finds mutated near-dups and respects the threshold") {
     val base = docs.limit(60).select($"doc_id", $"text")
     // plant near-dups: append a few tokens (high jaccard), ids offset by 10^6
