@@ -231,14 +231,22 @@ object SparkEntry {
       s.read.parquet(t(dir, "documents"))
         .groupBy(col("lang")).agg(count(lit(1)).as("n"), sum(col("n_chars")).as("chars"))
     }),
+    // Planted-pair contracts (q15/q16/q19): the corpus is the table plus an
+    // EXACT copy of every row at id+10000. Identical text/vector ⇒ identical
+    // signature ⇒ same band bucket, so LSH recall on the planted pairs is
+    // provably 1.0 and the output (restricted to the planted (a, a+10000)
+    // shape to exclude any natural near-dup pairs, whose recall is
+    // probabilistic) is deterministic and SQL-oracle-checkable. Full
+    // near-dup behavior (mutated texts, thresholds, recall) is spec-proven
+    // in OpsSpec.
     "q15_minhash_dups" -> ((s, dir) => {
       registerAll(s)
       val docs = s.read.parquet(t(dir, "documents")).select("doc_id", "text")
       val corpus = docs.unionByName(
-        docs.select((col("doc_id") + 10000L).as("doc_id"),
-          concat(col("text"), lit(" tail")).as("text")))
+        docs.select((col("doc_id") + 10000L).as("doc_id"), col("text")))
       Dedup.minhashPairs(corpus, "doc_id", "text", threshold = 0.6)
-        .select(col("id_a"), col("id_b")) // jaccard value excluded: fp-sensitive
+        .where(col("id_b") === col("id_a") + 10000L && col("id_a") < 10000L)
+        .select(col("id_a"), col("id_b")) // jaccard (=1.0 here) excluded: fp-sensitive
     }),
     "q16_simhash_dups" -> ((s, dir) => {
       registerAll(s)
@@ -246,6 +254,8 @@ object SparkEntry {
       val corpus = docs.unionByName(
         docs.select((col("doc_id") + 10000L).as("doc_id"), col("text")))
       Dedup.simhashPairs(corpus, "doc_id", "text").where(col("hamming") === 0)
+        .where(col("id_b") === col("id_a") + 10000L && col("id_a") < 10000L)
+        .select(col("id_a"), col("id_b"))
     }),
     "q17_ann_brute" -> ((s, dir) => {
       registerAll(s)
@@ -257,12 +267,18 @@ object SparkEntry {
         .select(col("qid"), col("vec_id"), col("rank"))
     }),
     "q18_ann_lsh" -> ((s, dir) => {
+      // deterministic LSH contract: a corpus-member query's own bucket
+      // contains itself and cosine(self,self) is the unique maximum, so
+      // rank 1 must be the query itself — this exercises signature,
+      // multi-probe, bucket join, cosine and ranking end-to-end. Top-k
+      // recall on near-neighbors (probabilistic) is spec-proven in OpsSpec.
       registerAll(s)
       val embs = s.read.parquet(t(dir, "embeddings"))
       val qs = embs.where(col("vec_id") < 20)
         .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
       Similarity.lshTopK(qs, "qid", "qvec",
         embs.select(col("vec_id"), col("embedding")), "vec_id", "embedding", k = 3, bits = 8)
+        .where(col("rank") === 1)
         .select(col("qid"), col("vec_id"), col("rank"))
     }),
     "q19_embedding_dups" -> ((s, dir) => {
@@ -271,14 +287,54 @@ object SparkEntry {
       val corpus = embs.unionByName(
         embs.select((col("vec_id") + 10000L).as("vec_id"), col("embedding")))
       Dedup.embeddingPairs(corpus, "vec_id", "embedding", threshold = 0.999, bits = 12)
+        .where(col("id_b") === col("id_a") + 10000L && col("id_a") < 10000L)
         .select(col("id_a"), col("id_b"))
     }),
     "q20_text_analysis" -> ((s, dir) => {
+      // the SQL-expressible counting/quality columns (integer-valued, so the
+      // oracle is exact); the custom-kernel columns live in q33 (rows-only)
+      registerAll(s)
+      val docs = s.read.parquet(t(dir, "documents"))
+      val stop = size(filter(split(lower(col("text")), "\\s+"),
+        w => w.isin("the", "and", "of", "to", "a", "in", "is", "that", "it", "for")))
+      TextOps.withTokenCounts(docs, "text")
+        .select(col("doc_id"), col("n_tokens_ws"), stop.as("n_stopwords"),
+          length(col("text")).as("n_chars_out"))
+    }),
+    "q33_text_fingerprints" -> ((s, dir) => {
+      // custom text kernels (lang-ID vote, BPE-ish tokenizer, winnowing) —
+      // not ANSI-SQL-expressible → rows-only driver check; semantics are
+      // spec-proven in OpsSpec (planted passages, script detection)
       registerAll(s)
       val docs = s.read.parquet(t(dir, "documents"))
       TextOps.withTokenCounts(TextOps.withLangId(docs, "text"), "text")
-        .select(col("doc_id"), col("lang_pred"), col("n_tokens_ws"), col("n_tokens_bpe"),
+        .select(col("doc_id"), col("lang_pred"), col("n_tokens_bpe"),
           size(winnow_fp(col("text"), lit(8), lit(4))).as("n_fingerprints"))
+    }),
+    "q32_ann_ivf" -> ((s, dir) => {
+      // IVF with nprobe = nlist is exactly brute force (every list probed);
+      // oracled with the same SQL as q17 — this exercises the narrow-argmax
+      // assignment + probe machinery end-to-end under the driver gate
+      registerAll(s)
+      val embs = s.read.parquet(t(dir, "embeddings"))
+      val qs = embs.where(col("vec_id") < 20)
+        .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+      Similarity.ivfTopK(qs, "qid", "qvec",
+          embs.select(col("vec_id"), col("embedding")), "vec_id", "embedding",
+          k = 3, nlist = 8, nprobe = 8)
+        .select(col("qid"), col("vec_id"), col("rank"))
+    }),
+    "q34_random_roundtrip" -> ((s, dir) => {
+      // Random generator API (reference Random.random, geojson.ml:625-678):
+      // generated text is canonical, so serialize∘parse must be the identity
+      // byte-for-byte; the skeleton rotation (id % 7) is SQL-predictable
+      registerAll(s)
+      val docs = s.read.parquet(t(dir, "documents")).select("doc_id")
+      docs.withColumn("json", random_geojson(col("doc_id"), lit(42L)))
+        .withColumn("back", to_geojson(from_geojson(col("json"))))
+        .select(col("doc_id"),
+          get_json_object(col("json"), "$.type").as("kind"),
+          (col("back") === col("json")).as("ok"))
     }),
 
     // ---- image+caption table (north rule)
@@ -357,6 +413,16 @@ object SparkEntry {
     }))
 
   // -------------------------------------------------------------- oracles
+
+  private val bruteTopKSql =
+    """WITH qs AS (SELECT vec_id AS qid, embedding AS qvec FROM embeddings WHERE vec_id < 20),
+      |d AS (SELECT q.qid, c.vec_id,
+      |  list_cosine_similarity(q.qvec, c.embedding) AS cosine
+      |  FROM qs q CROSS JOIN embeddings c)
+      |SELECT qid, vec_id, rank FROM (
+      |  SELECT qid, vec_id,
+      |    row_number() OVER (PARTITION BY qid ORDER BY cosine DESC, vec_id) AS rank
+      |  FROM d) WHERE rank <= 3""".stripMargin
 
   def oracleSql: Map[String, String] = Map(
     "q01_parse_extract" ->
@@ -442,15 +508,32 @@ object SparkEntry {
         |  length(text) - length(replace(text, ' ', '')) AS n_spaces FROM documents""".stripMargin,
     "q14_lang_dist" ->
       "SELECT lang, count(*) AS n, CAST(sum(n_chars) AS BIGINT) AS chars FROM documents GROUP BY 1",
-    "q17_ann_brute" ->
-      """WITH qs AS (SELECT vec_id AS qid, embedding AS qvec FROM embeddings WHERE vec_id < 20),
-        |d AS (SELECT q.qid, c.vec_id,
-        |  list_cosine_similarity(q.qvec, c.embedding) AS cosine
-        |  FROM qs q CROSS JOIN embeddings c)
-        |SELECT qid, vec_id, rank FROM (
-        |  SELECT qid, vec_id,
-        |    row_number() OVER (PARTITION BY qid ORDER BY cosine DESC, vec_id) AS rank
-        |  FROM d) WHERE rank <= 3""".stripMargin,
+    "q17_ann_brute" -> bruteTopKSql,
+    "q32_ann_ivf"   -> bruteTopKSql, // nprobe = nlist ⇒ IVF ≡ brute force
+    "q18_ann_lsh" ->
+      "SELECT vec_id AS qid, vec_id, 1 AS rank FROM embeddings WHERE vec_id < 20",
+    "q15_minhash_dups" ->
+      "SELECT doc_id AS id_a, doc_id + 10000 AS id_b FROM documents",
+    "q16_simhash_dups" ->
+      "SELECT doc_id AS id_a, doc_id + 10000 AS id_b FROM documents",
+    "q19_embedding_dups" ->
+      "SELECT vec_id AS id_a, vec_id + 10000 AS id_b FROM embeddings",
+    "q20_text_analysis" ->
+      """SELECT doc_id,
+        |  CASE WHEN length(trim(text)) = 0 THEN 0
+        |       ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS n_tokens_ws,
+        |  len(list_filter(regexp_split_to_array(lower(text), '\s+'),
+        |      w -> w IN ('the','and','of','to','a','in','is','that','it','for'))) AS n_stopwords,
+        |  length(text) AS n_chars_out
+        |FROM documents""".stripMargin,
+    "q34_random_roundtrip" ->
+      """SELECT doc_id,
+        |  CASE CAST(doc_id % 7 AS INT)
+        |    WHEN 0 THEN 'Point' WHEN 1 THEN 'LineString' WHEN 2 THEN 'Polygon'
+        |    WHEN 3 THEN 'MultiPoint' WHEN 4 THEN 'MultiPolygon' WHEN 5 THEN 'Feature'
+        |    ELSE 'FeatureCollection' END AS kind,
+        |  TRUE AS ok
+        |FROM documents""".stripMargin,
     "q29_sessions" ->
       """WITH e AS (
         |  SELECT user_id, epoch_us(ts) // 1000 AS ts_ms,

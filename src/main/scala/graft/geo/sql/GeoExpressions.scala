@@ -155,6 +155,23 @@ case class WithFeatureGeometry(json: Expression, geom: Expression)
   override protected def withNewChildrenInternal(c: IndexedSeq[Expression]) = copy(c(0), c(1))
 }
 
+/** `random_geojson(id, seed)` — deterministic skeleton-driven random
+  * document (the engine surface of the reference's `Random.random`,
+  * geojson.ml:625-678): skeleton rotates on id % 7, coordinates from a
+  * seeded splitmix64 stream, text rendered in canonical %.16g form (so
+  * `to_geojson(from_geojson(x)) = x` byte-for-byte). Generate corpora with
+  * `spark.range(n).select(random_geojson(col("id"), lit(seed)))`. */
+case class RandomGeoJson(id: Expression, seed: Expression)
+    extends GeoExpression with ImplicitCastInputTypes {
+  override def children: Seq[Expression] = Seq(id, seed)
+  override def inputTypes = Seq(LongType, LongType)
+  override def dataType: DataType = StringType
+  override protected def evalNotNull(v: Array[Any]): Any =
+    UTF8String.fromString(GeoJsonCodec.render(
+      graft.geo.gen.GeoGen.docFor(v(0).asInstanceOf[Long], v(1).asInstanceOf[Long])))
+  override protected def withNewChildrenInternal(c: IndexedSeq[Expression]) = copy(c(0), c(1))
+}
+
 /** `to_geojson(top_struct)` — serialize back to minified GeoJSON text with
   * reference key order and %.16g floats (geojson.ml:512-516, jsone.ml:818).
   */

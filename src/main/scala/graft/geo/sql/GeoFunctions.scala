@@ -22,6 +22,7 @@ object GeoFunctions {
     "to_geojson_geom"   -> (es => ToGeoJsonGeom(es.head)),
     "with_feature_props"    -> (es => WithFeatureProps(es(0), es(1))),
     "with_feature_geometry" -> (es => WithFeatureGeometry(es(0), es(1))),
+    "random_geojson"        -> (es => RandomGeoJson(es(0), es(1))),
     "st_contains"       -> (es => StContains(es(0), es(1), es(2))),
     "st_bbox"           -> (es => StBBox(es.head)),
     "st_centroid"       -> (es => StCentroid(es.head)),
@@ -62,6 +63,8 @@ object GeoFunctions {
     call_function("with_feature_props", json, p)
   def with_feature_geometry(json: Column, g: Column): Column =
     call_function("with_feature_geometry", json, g)
+  def random_geojson(id: Column, seed: Column): Column =
+    call_function("random_geojson", id, seed)
   def st_contains(geom: Column, lng: Column, lat: Column): Column =
     call_function("st_contains", geom, lng, lat)
   def st_bbox(geom: Column): Column          = call_function("st_bbox", geom)

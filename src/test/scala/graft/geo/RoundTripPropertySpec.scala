@@ -93,4 +93,41 @@ class RoundTripPropertySpec extends AnyFunSuite {
       assert(geoEq(back, g), GeoJsonCodec.render(g))
     }
   }
+
+  test("engine Random generator (GeoGen): canonical text, byte-stable round-trip") {
+    import graft.geo.gen.GeoGen
+    (0L until 1000L).foreach { id =>
+      val g        = GeoGen.docFor(id, seed = 42L)
+      val rendered = GeoJsonCodec.render(g)
+      val back     = GeoJsonCodec.parse(rendered)
+      assert(back.isRight, s"id=$id failed to parse: $rendered")
+      assert(geoEq(back.toOption.get, g), s"id=$id value mismatch: $rendered")
+      // generated text is already canonical ⇒ serialize∘parse is identity
+      assert(GeoJsonCodec.render(back.toOption.get) == rendered, s"id=$id not byte-stable")
+      // skeleton rotation is id % 7 (the SQL-predictable contract of q34)
+      val expected = (id % 7) match {
+        case 0 => "Point"; case 1 => "LineString"; case 2 => "Polygon"
+        case 3 => "MultiPoint"; case 4 => "MultiPolygon"; case 5 => "Feature"
+        case _ => "FeatureCollection"
+      }
+      val kind = back.toOption.get.body match {
+        case GGeometry(geo) => GType.name(GType.of(geo.shape))
+        case GFeature(_)    => "Feature"
+        case GCollection(_) => "FeatureCollection"
+      }
+      assert(kind == expected, s"id=$id kind $kind != $expected")
+      // skeleton arities respected: closed polygon rings etc.
+      back.toOption.get.body match {
+        case GGeometry(Geometry(Polygon(rings), _)) =>
+          assert(rings.head.length == 5 && (rings.head.head sameElements rings.head.last))
+        case _ =>
+      }
+    }
+    // model-level skeleton mirror: reference signature random ~f skeleton
+    import GeoGen._
+    var x = 1.0
+    val g2 = random(RFC(List(RFeature(None, RMultiLineString(2, 3)))), () => { x += 0.25; x })
+    val fc = g2.body.asInstanceOf[GCollection].fc
+    assert(fc.features.head.geometry.get.shape.asInstanceOf[MultiLineString].lines.map(_.length) == Vector(3, 3))
+  }
 }
