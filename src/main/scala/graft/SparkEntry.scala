@@ -143,12 +143,16 @@ object SparkEntry {
         .agg(count(lit(1)).as("n"))
     }),
     "q26_parse_errors" -> ((s, dir) => {
+      // geojson_error is struct<msg,line,col> (decode errors located at the
+      // end of the decoded value — both docs are single-line, so col=len+1)
       registerAll(s)
       val docs = s.read.parquet(t(dir, "documents"))
       val bad = when(col("doc_id") % 2 === 0,
           lit("""{"type":"Wibble","coordinates":[]}"""))
         .otherwise(lit("""{"notype":1}"""))
-      docs.select(col("doc_id"), geojson_error(bad).as("err"))
+      val e = geojson_error(bad)
+      docs.select(col("doc_id"), e.getField("msg").as("err"),
+        e.getField("line").as("eline"), e.getField("col").as("ecol"))
     }),
     "q27_fold_props" -> ((s, dir) => {
       // fold_props equivalent (geojsone.ml:244-257): collect distinct names
@@ -462,7 +466,10 @@ object SparkEntry {
       """SELECT doc_id, CASE WHEN doc_id % 2 = 0
         |  THEN 'Unknown type of geometry Wibble'
         |  ELSE 'A Geojson text should contain one object with a member `type`.'
-        |  END AS err FROM documents""".stripMargin,
+        |  END AS err,
+        |  1 AS eline,
+        |  CASE WHEN doc_id % 2 = 0 THEN 35 ELSE 13 END AS ecol
+        |FROM documents""".stripMargin,
     "q27_fold_props" -> "SELECT DISTINCT n_name AS name FROM nation",
     "q30_geojson_source" ->
       "SELECT n_name AS name, CAST(n_nationkey AS DOUBLE) AS lng FROM nation",

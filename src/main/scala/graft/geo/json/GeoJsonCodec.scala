@@ -36,7 +36,16 @@ object GeoJsonCodec {
   // ---------------------------------------------------------------- parse
 
   def parse(text: String): Either[Err, GeoJson] =
-    JValue.parse(text).flatMap(ofJson)
+    parseWithError(text).left.map(_.msg)
+
+  /** Located variant: lexer failures carry the lexer's failure point;
+    * semantic (decode) failures carry the end-of-value position — the eager
+    * analogue of the streaming decoder's `decoded_range`
+    * (geojsone.ml:27-37). */
+  def parseWithError(text: String): Either[ParseError, GeoJson] =
+    JValue.parseLoc(text).flatMap { case (v, endLine, endCol) =>
+      ofJson(v).left.map(msg => ParseError(msg, endLine, endCol))
+    }
 
   /** geojson.ml:485-510 */
   def ofJson(json: JValue): Either[Err, GeoJson] = json match {

@@ -22,6 +22,13 @@ final case class JObj(fields: Vector[(String, JValue)]) extends JValue {
   def get(key: String): Option[JValue] = fields.collectFirst { case (k, v) if k == key => v }
 }
 
+/** A parse failure with its (1-based) source location — the engine-side
+  * counterpart of the reference's located errors (jsone.ml:87-108 `error`,
+  * geojsone.ml:27-37 `Err.location`): lexer errors carry the failure point;
+  * decode (semantic) errors carry the end of the decoded value, the eager
+  * analogue of the streaming decoder's last `decoded_range`. */
+final case class ParseError(msg: String, line: Int, col: Int)
+
 object JValue {
   private val factory = new JsonFactory()
 
@@ -29,16 +36,38 @@ object JValue {
     * jsone.ml:424-433 — `float_of_string` for every number).
     */
   def parse(text: String): Either[String, JValue] =
+    parseLoc(text).left.map(_.msg).map(_._1)
+
+  /** Parse with location: Right((value, endLine, endCol)) where (endLine,
+    * endCol) is the position just after the JSON value — the location
+    * attached to semantic errors raised by the layer above — or
+    * Left(ParseError) with the lexer's failure point. */
+  def parseLoc(text: String): Either[ParseError, (JValue, Int, Int)] = {
+    var p: JsonParser = null
     try {
-      val p = factory.createParser(text)
+      p = factory.createParser(text)
       try {
         p.nextToken()
         val v = readValue(p)
-        // trailing garbage check
-        if (p.nextToken() != null) Left("Trailing content after JSON value")
-        else Right(v)
+        val hasTrailing = p.nextToken() != null
+        val loc = p.currentLocation()
+        if (hasTrailing)
+          Left(ParseError("Trailing content after JSON value", loc.getLineNr, loc.getColumnNr))
+        else Right((v, loc.getLineNr, loc.getColumnNr))
       } finally p.close()
-    } catch { case e: Exception => Left(Option(e.getMessage).getOrElse("parse error")) }
+    } catch {
+      case e: com.fasterxml.jackson.core.JsonProcessingException =>
+        val loc = e.getLocation
+        val (l, c) = if (loc == null) (1, 1) else (loc.getLineNr, loc.getColumnNr)
+        Left(ParseError(Option(e.getOriginalMessage).getOrElse("parse error"), l, c))
+      case e: Exception =>
+        val (l, c) =
+          if (p != null && p.currentLocation() != null)
+            (p.currentLocation().getLineNr, p.currentLocation().getColumnNr)
+          else (1, 1)
+        Left(ParseError(Option(e.getMessage).getOrElse("parse error"), l, c))
+    }
+  }
 
   def parseUnsafe(text: String): JValue =
     parse(text).fold(m => throw new IllegalArgumentException(m), identity)

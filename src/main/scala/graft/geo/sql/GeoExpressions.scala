@@ -83,15 +83,20 @@ case class FromGeoJson(child: Expression) extends GeoExpression {
   override protected def withNewChildrenInternal(c: IndexedSeq[Expression]) = copy(c(0))
 }
 
-/** `geojson_error(str)` — the reference's `result` error channel
-  * (geojson.ml Err `Msg): the parse error message, or null if the text
-  * parses. */
+/** `geojson_error(str)` — the reference's `result` error channel with its
+  * location (geojson.ml `Msg + geojsone.ml:27-37 Err.location):
+  * struct<msg, line, col> (1-based), or null if the text parses. Lexer
+  * failures carry the failure point; semantic decode failures carry the
+  * end-of-value position (eager analogue of the streaming decoder's
+  * decoded_range). */
 case class GeoJsonError(child: Expression) extends GeoExpression {
   override def children: Seq[Expression] = Seq(child)
-  override def dataType: DataType        = StringType
+  override def dataType: DataType = StructType(Seq(
+    StructField("msg", StringType), StructField("line", IntegerType),
+    StructField("col", IntegerType)))
   override protected def evalNotNull(v: Array[Any]): Any =
-    GeoJsonCodec.parse(v(0).asInstanceOf[UTF8String].toString)
-      .fold(e => UTF8String.fromString(e), _ => null)
+    GeoJsonCodec.parseWithError(v(0).asInstanceOf[UTF8String].toString)
+      .fold(e => InternalRow(UTF8String.fromString(e.msg), e.line, e.col), _ => null)
   override protected def withNewChildrenInternal(c: IndexedSeq[Expression]) = copy(c(0))
 }
 

@@ -54,15 +54,22 @@ class GeoSqlSpec extends AnyFunSuite {
     assert(r.getLong(2) != 0 && r.getLong(3) != 0)
   }
 
-  test("parse errors → null struct + geojson_error carries the message") {
+  test("parse errors → null struct + geojson_error carries message and location") {
     val df = Seq("""{"no":"type"}""", """{"type":"LineString","coordinates":[[1.0,2.0]]}""",
-      """{"type":"Point","coordinates":[125.6,10.1]}""").toDF("raw")
-    val out = df.select(from_geojson($"raw").isNull.as("failed"), geojson_error($"raw").as("err"))
-      .collect()
+      """{"type":"Point","coordinates":[125.6,10.1]}""",
+      "{\"type\":\n\"Poi").toDF("raw")
+    val out = df.select(from_geojson($"raw").isNull.as("failed"),
+      geojson_error($"raw").getField("msg").as("msg"),
+      geojson_error($"raw").getField("line").as("line"),
+      geojson_error($"raw").getField("col").as("col")).collect()
+    // semantic errors: location = end of the decoded value (line 1, len+1)
     assert(out(0).getBoolean(0) && out(0).getString(1) ==
       "A Geojson text should contain one object with a member `type`.")
+    assert(out(0).getInt(2) == 1 && out(0).getInt(3) == """{"no":"type"}""".length + 1)
     assert(out(1).getBoolean(0) && out(1).getString(1) == "LineStrings should have two or more points")
     assert(!out(2).getBoolean(0) && out(2).isNullAt(1))
+    // lexer error: location = the failure point (unclosed string on line 2)
+    assert(out(3).getBoolean(0) && out(3).getInt(2) == 2, out(3).toString)
   }
 
   test("accessor columns: kind, bbox, feature fields, st_bbox") {
