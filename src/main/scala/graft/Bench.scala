@@ -63,8 +63,15 @@ object Bench {
     val qs = (results :+ ("flagship_pip_tile" -> flagSec))
       .map { case (k, v) => "\"" + k + f"\":$v%.3f" }.mkString("{", ",", "}")
     val total = results.map(_._2).sum + flagSec
-    println(
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir","flagship_rows":$nImg,"flagship_rows_per_sec":$rps%.0f,"cpus":"$cpus"}""")
+    val json =
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir","flagship_rows":$nImg,"flagship_rows_per_sec":$rps%.0f,"cpus":"$cpus"}"""
+    println(json)
+    // machine-readable copy: sbt decorates stdout with [info] prefixes,
+    // which broke the driver's JSON parse in round 1 (BENCH_r01 parsed:null)
+    val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "/tmp/bench.json")
+    try java.nio.file.Files.write(java.nio.file.Paths.get(out),
+      (json + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    catch { case e: Exception => System.err.println(s"[bench] could not write $out: $e") }
     spark.stop()
   }
 }

@@ -259,6 +259,10 @@ object GeoJsonCodec {
 
   def render(g: GeoJson): String = toJson(g).render
 
+  /** 2-space-indent output (the reference encoder's ~minify:false mode,
+    * jsone.ml:751-767,839-900). */
+  def renderPretty(g: GeoJson): String = JValue.renderPretty(toJson(g))
+
   def toJson(g: GeoJson): JValue = g.body match {
     case GFeature(f)    => featureToJson(f, g.bbox)
     case GCollection(c) => collectionToJson(c, g.bbox)

@@ -228,6 +228,44 @@ object JValue {
       sb.append('}')
   }
 
+  /** 2-space-indent pretty printer with the reference encoder's exact
+    * layout (jsone.ml:751-767 w_indent = nest*2 spaces; jsone.ml:839-900):
+    * every member/array value on its own line, `"name": ` with one space
+    * after the colon (w_name + u_sp, jsone.ml:798-802,858-861), closers on
+    * their own line at the OUTER indent, empty containers stay `{}`/`[]`
+    * (last_start short-circuit, jsone.ml:867-869). */
+  def renderPretty(v: JValue): String = {
+    val sb = new StringBuilder; writePretty(sb, v, 0); sb.toString
+  }
+
+  def writePretty(sb: StringBuilder, v: JValue, nest: Int): Unit = {
+    def indent(n: Int): Unit = { var i = 0; while (i < 2 * n) { sb.append(' '); i += 1 } }
+    v match {
+      case JObj(fields) if fields.nonEmpty =>
+        sb.append('{')
+        var first = true
+        fields.foreach { case (k, fv) =>
+          if (!first) sb.append(',')
+          first = false
+          sb.append('\n'); indent(nest + 1)
+          writeString(sb, k); sb.append(':'); sb.append(' ')
+          writePretty(sb, fv, nest + 1)
+        }
+        sb.append('\n'); indent(nest); sb.append('}')
+      case JArr(items) if items.nonEmpty =>
+        sb.append('[')
+        var first = true
+        items.foreach { it =>
+          if (!first) sb.append(',')
+          first = false
+          sb.append('\n'); indent(nest + 1)
+          writePretty(sb, it, nest + 1)
+        }
+        sb.append('\n'); indent(nest); sb.append(']')
+      case other => write(sb, other) // scalars and empty containers as minified
+    }
+  }
+
   private def writeString(sb: StringBuilder, s: String): Unit = {
     sb.append('"')
     var i = 0

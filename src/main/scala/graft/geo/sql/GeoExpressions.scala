@@ -188,6 +188,18 @@ case class ToGeoJson(child: Expression) extends GeoExpression {
   override protected def withNewChildrenInternal(c: IndexedSeq[Expression]) = copy(c(0))
 }
 
+/** `to_geojson_pretty(top_struct)` — the reference encoder's ~minify:false
+  * mode: 2-space indent, one member/value per line (jsone.ml:751-767,
+  * 839-900). */
+case class ToGeoJsonPretty(child: Expression) extends GeoExpression {
+  override def children: Seq[Expression] = Seq(child)
+  override def dataType: DataType        = StringType
+  override protected def evalNotNull(v: Array[Any]): Any =
+    UTF8String.fromString(
+      GeoJsonCodec.renderPretty(GeoStruct.unpackTop(v(0).asInstanceOf[InternalRow])))
+  override protected def withNewChildrenInternal(c: IndexedSeq[Expression]) = copy(c(0))
+}
+
 /** `from_geojson_geom(str)` — parse a bare geometry object to the packed
   * geometry struct; the hot-path input for joins. */
 case class FromGeoJsonGeom(child: Expression) extends GeoExpression {

@@ -18,6 +18,7 @@ object GeoFunctions {
     "from_geojson"      -> (es => FromGeoJson(es.head)),
     "geojson_error"     -> (es => GeoJsonError(es.head)),
     "to_geojson"        -> (es => ToGeoJson(es.head)),
+    "to_geojson_pretty" -> (es => ToGeoJsonPretty(es.head)),
     "from_geojson_geom" -> (es => FromGeoJsonGeom(es.head)),
     "to_geojson_geom"   -> (es => ToGeoJsonGeom(es.head)),
     "with_feature_props"    -> (es => WithFeatureProps(es(0), es(1))),
@@ -57,6 +58,7 @@ object GeoFunctions {
   def from_geojson(c: Column): Column      = call_function("from_geojson", c)
   def geojson_error(c: Column): Column     = call_function("geojson_error", c)
   def to_geojson(c: Column): Column        = call_function("to_geojson", c)
+  def to_geojson_pretty(c: Column): Column = call_function("to_geojson_pretty", c)
   def from_geojson_geom(c: Column): Column = call_function("from_geojson_geom", c)
   def to_geojson_geom(c: Column): Column   = call_function("to_geojson_geom", c)
   def with_feature_props(json: Column, p: Column): Column =

@@ -52,17 +52,36 @@ object GeoStreams {
     df.agg(aggs(p).head, aggs(p).tail: _*)
   }
 
-  /** iter_geometry (geojsone.ml:259-275): side-effecting visit of each
-    * feature's geometry as GeoJSON text, in document order (the reference is
-    * a single-fiber sequential visit, so this drains to the driver with
-    * `toLocalIterator` — one partition in flight at a time, constant
-    * driver memory). Distributed side effects should use `df.foreach`. */
+  /** iter_geometry (geojsone.ml:259-275): side-effecting visit of every
+    * `"geometry"` member in document order, exactly like the reference's
+    * token-stream scan — it fires wherever the member name appears (each
+    * feature of a collection; even inside user properties), passes the full
+    * member value (bbox and foreign members intact, the reference's
+    * `G.of_json` result), and does not recurse into a visited subtree
+    * (`decode_single_object` consumes it). The reference is a single-fiber
+    * sequential visit, so this drains to the driver with `toLocalIterator`
+    * — one partition in flight at a time, constant driver memory.
+    * Distributed side effects should use `df.foreach`. */
   def iterGeometry(df: DataFrame, jsonCol: String)(f: String => Unit): Unit =
-    df.select(to_geojson_geom(from_geojson(col(jsonCol)).getField("feature").getField("geometry")))
-      .toLocalIterator().forEachRemaining(r => f(r.getString(0)))
+    iterMember(df, jsonCol, "geometry")(f)
 
-  /** iter_props (geojsone.ml:277-290). */
+  /** iter_props (geojsone.ml:277-290): every `"properties"` member. */
   def iterProps(df: DataFrame, jsonCol: String)(f: String => Unit): Unit =
-    df.select(from_geojson(col(jsonCol)).getField("feature").getField("properties"))
-      .toLocalIterator().forEachRemaining(r => f(r.getString(0)))
+    iterMember(df, jsonCol, "properties")(f)
+
+  private def iterMember(df: DataFrame, jsonCol: String, member: String)(
+      f: String => Unit): Unit = {
+    import graft.geo.json.{JArr, JObj, JValue}
+    def walk(v: JValue): Unit = v match {
+      case JObj(fields) =>
+        fields.foreach { case (k, fv) =>
+          if (k == member) f(fv.render) // consume: no recursion inside
+          else walk(fv)
+        }
+      case JArr(items) => items.foreach(walk)
+      case _           =>
+    }
+    df.select(col(jsonCol)).toLocalIterator()
+      .forEachRemaining(r => JValue.parse(r.getString(0)).foreach(walk))
+  }
 }

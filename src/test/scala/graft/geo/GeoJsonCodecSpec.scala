@@ -252,6 +252,31 @@ class GeoJsonCodecSpec extends AnyFunSuite {
     }
   }
 
+  test("pretty printer: 2-space indent with the reference encoder's layout") {
+    // jsone.ml:751-767 (w_indent = nest*2), 839-900: one member/value per
+    // line, `"name": ` separator, closers at the outer indent, `{}`/`[]`
+    // stay inline (last_start short-circuit)
+    val src = """{"type":"Feature","properties":{},"geometry":{"type":"Point","coordinates":[1.5,42.75]}}"""
+    val g   = GeoJsonCodec.parse(src).toOption.get
+    val expected =
+      """{
+        |  "type": "Feature",
+        |  "geometry": {
+        |    "type": "Point",
+        |    "coordinates": [
+        |      1.5,
+        |      42.75
+        |    ]
+        |  },
+        |  "properties": {}
+        |}""".stripMargin
+    assert(GeoJsonCodec.renderPretty(g) == expected)
+    // pretty output re-parses to the same value
+    assert(JValue.eq(
+      GeoJsonCodec.toJson(GeoJsonCodec.parse(GeoJsonCodec.renderPretty(g)).toOption.get),
+      GeoJsonCodec.toJson(g)))
+  }
+
   test("id can be string or number and round-trips") {
     val s = GeoJsonCodec.parse("""{"type":"Feature","id":"abc"}""").toOption.get
     assert(s.body.asInstanceOf[GFeature].f.id.contains(StringId("abc")))

@@ -39,6 +39,27 @@ class ReaderStreamsSpec extends AnyFunSuite {
     assert(top.getString(1) == """{"code":"09001","nom":"Foix"}""")
   }
 
+  test("UTF-16BE/LE input (BOM and BOM-less) reads through the file path") {
+    // the reference guesses the encoding from the first bytes
+    // (uutfe.ml:415-430: BOM, or the RFC 4627 null-byte pattern); Jackson's
+    // byte-source bootstrapper applies the same detection on our file path
+    val doc =
+      """{"type":"FeatureCollection","features":[
+        |{"type":"Feature","properties":{"nom":"Foix"},
+        | "geometry":{"type":"Point","coordinates":[1.5,42.75]}}]}""".stripMargin
+    val dir = java.nio.file.Files.createTempDirectory("graft_utf16")
+    val be  = dir.resolve("be.json"); val le = dir.resolve("le.json")
+    val bom = Array[Byte](0xFE.toByte, 0xFF.toByte)
+    java.nio.file.Files.write(be, bom ++ doc.getBytes("UTF-16BE")) // BOM'd
+    java.nio.file.Files.write(le, doc.getBytes("UTF-16LE"))        // null-pattern only
+    Seq(be, le).foreach { p =>
+      val feats = GeoJsonReader.featureTexts(spark, p.toString).collect()
+      assert(feats.length == 1, p.toString)
+      assert(graft.geo.json.GeoJsonCodec.parse(feats(0)).isRight, feats(0))
+      assert(feats(0).contains(""""nom":"Foix""""), feats(0))
+    }
+  }
+
   test("map_props: capitalise nom (expect golden: Foix→FOIX)") {
     val df = GeoJsonReader.featureTexts(spark, fixturePath).toDF("json")
     val out = GeoStreams.mapProps(df, "json", p =>
