@@ -144,44 +144,95 @@ object JValue {
     sb.toString
   }
 
-  /** Shortest-repr-based %.16g; null when the slow path is required. */
+  // 10^(i-350); out-of-range lookups clamp to 0 / +inf (both fail the guard
+  // conservatively, deferring to the exact slow path)
+  private val POW10: Array[Double] = Array.tabulate(700)(i => Math.pow(10.0, (i - 350).toDouble))
+  @inline private def pow10(e: Int): Double = {
+    val i = e + 350
+    if (i < 0) 0.0 else if (i >= 700) Double.PositiveInfinity else POW10(i)
+  }
+
+  /** Shortest-repr-based %.16g; null when the slow path is required.
+    * Allocation-light (serialization's hottest kernel): scans the
+    * `Double.toString` chars in place, no intermediate substrings.
+    *
+    * Safety guard: the shortest repr r is a point of the 16-significant-
+    * digit decimal grid, and |d_exact - r| <= ulp(d)/2. If ulp(d) is
+    * strictly inside one grid cell, d_exact rounds to r and the fast path
+    * equals C's exact rounding. The grid spacing at r is 10^(e-15) — one
+    * decade finer (10^(e-16)) just BELOW r when r is exactly a power of ten
+    * (single digit "1"), where the exact value may sit in the lower decade
+    * (e.g. 1e23 whose double is 9.99...e22). Subnormals fail the guard
+    * automatically (ulp 4.9e-324 vs grid ~1e-339) and defer to slow.
+    */
   private def formatG16Fast(d: Double): String = {
-    val s   = java.lang.Double.toString(d) // shortest round-trip repr
-    val neg = s.charAt(0) == '-'
-    val body = if (neg) s.substring(1) else s
-    val ePos = body.indexOf('E')
-    val (mant, exp10) =
-      if (ePos < 0) (body, 0) else (body.substring(0, ePos), body.substring(ePos + 1).toInt)
-    val dot = mant.indexOf('.')
-    if (dot < 0) return null // unexpected form; defer
-    // digits without the point; strip trailing zeros of the fraction
-    var digits = mant.substring(0, dot) + mant.substring(dot + 1)
-    var fracLen = mant.length - dot - 1
-    while (fracLen > 0 && digits.charAt(digits.length - 1) == '0') {
-      digits = digits.substring(0, digits.length - 1); fracLen -= 1
+    val s     = java.lang.Double.toString(d) // shortest round-trip repr
+    val n     = s.length
+    val neg   = s.charAt(0) == '-'
+    val start = if (neg) 1 else 0
+    var ePos  = -1
+    var dot   = -1
+    var i     = start
+    while (i < n && ePos < 0) {
+      val c = s.charAt(i)
+      if (c == 'E') ePos = i
+      else { if (c == '.') dot = i; i += 1 }
     }
-    // position of the decimal point relative to digits start
-    var pointAt = dot + exp10
-    // strip leading zeros (e.g. "0.07" -> digits "007" -> "7", pointAt adjusts)
-    var lead = 0
-    while (lead < digits.length - 1 && digits.charAt(lead) == '0') lead += 1
-    digits = digits.substring(lead)
-    pointAt -= lead
-    if (digits == "0") return if (neg) "-0" else "0"
-    if (digits.length > 16) return null // needs true 16-digit rounding
-    val e = pointAt - 1
-    // Safety guard: the shortest repr r is a point of the 16-significant-
-    // digit decimal grid, and |d_exact - r| <= ulp(d)/2. If ulp(d) is
-    // strictly inside one grid cell, d_exact rounds to r and the fast path
-    // equals C's exact rounding. The grid spacing at r is 10^(e-15) — one
-    // decade finer (10^(e-16)) just BELOW r when r is exactly a power of ten
-    // (digits == "1"), where the exact value may sit in the lower decade
-    // (e.g. 1e23 whose double is 9.99...e22). Subnormals fail the guard
-    // automatically (ulp 4.9e-324 vs grid ~1e-339) and defer to slow.
-    val grid = if (digits == "1") Math.pow(10.0, (e - 16).toDouble)
-               else Math.pow(10.0, (e - 15).toDouble)
+    if (dot < 0) return null // unexpected form; defer
+    val mantEnd = if (ePos < 0) n else ePos
+    val exp10   = if (ePos < 0) 0 else Integer.parseInt(s, ePos + 1, n, 10)
+    val intLen  = dot - start // digits before the point
+    // digit k (0-based, point elided) lives at s(start + k) or +1 past the dot
+    @inline def digitAt(k: Int): Char = s.charAt(if (k < intLen) start + k else start + k + 1)
+    val nDigits = mantEnd - start - 1
+    var firstNZ = 0
+    while (firstNZ < nDigits && digitAt(firstNZ) == '0') firstNZ += 1
+    if (firstNZ == nDigits) return if (neg) "-0" else "0"
+    var lastNZ = nDigits - 1
+    while (lastNZ > firstNZ && digitAt(lastNZ) == '0') lastNZ -= 1
+    val count = lastNZ - firstNZ + 1
+    if (count > 16) return null // needs true 16-digit rounding
+    val e = intLen - 1 - firstNZ + exp10 // power of ten of the leading digit
+    val grid = if (count == 1 && digitAt(firstNZ) == '1') pow10(e - 16) else pow10(e - 15)
     if (!(Math.ulp(d) < grid)) return null
-    renderG(neg, digits, e)
+    // render (C %g: scientific iff e < -4 or >= 16, >=2-digit exponent)
+    val out = new Array[Char](32)
+    var o = 0
+    if (neg) { out(o) = '-'; o += 1 }
+    if (e < -4 || e >= 16) {
+      out(o) = digitAt(firstNZ); o += 1
+      if (count > 1) {
+        out(o) = '.'; o += 1
+        var k = firstNZ + 1
+        while (k <= lastNZ) { out(o) = digitAt(k); o += 1; k += 1 }
+      }
+      out(o) = 'e'; o += 1
+      out(o) = if (e < 0) '-' else '+'; o += 1
+      val ae = Math.abs(e)
+      if (ae >= 100) { out(o) = ('0' + ae / 100).toChar; o += 1 }
+      out(o) = ('0' + (ae / 10) % 10).toChar; o += 1
+      out(o) = ('0' + ae % 10).toChar; o += 1
+    } else if (e >= 0) {
+      val pointAt = e + 1
+      if (count <= pointAt) {
+        var k = firstNZ
+        while (k <= lastNZ) { out(o) = digitAt(k); o += 1; k += 1 }
+        var z = count
+        while (z < pointAt) { out(o) = '0'; o += 1; z += 1 }
+      } else {
+        var k = firstNZ
+        while (k < firstNZ + pointAt) { out(o) = digitAt(k); o += 1; k += 1 }
+        out(o) = '.'; o += 1
+        while (k <= lastNZ) { out(o) = digitAt(k); o += 1; k += 1 }
+      }
+    } else {
+      out(o) = '0'; o += 1; out(o) = '.'; o += 1
+      var z = 0
+      while (z < -e - 1) { out(o) = '0'; o += 1; z += 1 }
+      var k = firstNZ
+      while (k <= lastNZ) { out(o) = digitAt(k); o += 1; k += 1 }
+    }
+    new String(out, 0, o)
   }
 
   /** True C %.16g: round the exact binary expansion (BigDecimal(d)) to 16
@@ -266,7 +317,7 @@ object JValue {
     }
   }
 
-  private def writeString(sb: StringBuilder, s: String): Unit = {
+  private[json] def writeString(sb: StringBuilder, s: String): Unit = {
     sb.append('"')
     var i = 0
     while (i < s.length) {

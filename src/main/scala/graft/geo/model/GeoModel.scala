@@ -83,6 +83,15 @@ object GeoModel {
       case _: MultiPolygon       => MultiPolygon
       case _: GeometryCollection => Collection
     }
+    def ofName(s: String): Int = s match {
+      case "Point"           => Point
+      case "MultiPoint"      => MultiPoint
+      case "LineString"      => LineString
+      case "MultiLineString" => MultiLineString
+      case "Polygon"         => Polygon
+      case "MultiPolygon"    => MultiPolygon
+      case _                 => Collection
+    }
     def name(t: Int): String = t match {
       case Point           => "Point"
       case MultiPoint      => "MultiPoint"

@@ -201,14 +201,23 @@ case class ToGeoJsonPretty(child: Expression) extends GeoExpression {
 }
 
 /** `from_geojson_geom(str)` — parse a bare geometry object to the packed
-  * geometry struct; the hot-path input for joins. */
+  * geometry struct; the hot-path input for joins. Plain documents stream
+  * through [[GeoParse.parseGeometryFast]] (single pass, no intermediate
+  * trees); everything else (foreign members, bbox, collections, unusual key
+  * order, errors) takes the general codec path — byte-identical results
+  * asserted differentially in GeoParseSpec. */
 case class FromGeoJsonGeom(child: Expression) extends GeoExpression {
   override def children: Seq[Expression] = Seq(child)
   override def dataType: DataType        = GeoStruct.geometryType
-  override protected def evalNotNull(v: Array[Any]): Any =
-    JValue.parse(v(0).asInstanceOf[UTF8String].toString)
-      .flatMap(GeoJsonCodec.geometryOfJson)
-      .fold(_ => null, GeoStruct.packGeometry)
+  override protected def evalNotNull(v: Array[Any]): Any = {
+    val text = v(0).asInstanceOf[UTF8String].toString
+    val fast = GeoParse.parseGeometryFast(text)
+    if (fast ne GeoParse.Fallback) fast
+    else
+      JValue.parse(text)
+        .flatMap(GeoJsonCodec.geometryOfJson)
+        .fold(_ => null, GeoStruct.packGeometry)
+  }
   override protected def withNewChildrenInternal(c: IndexedSeq[Expression]) = copy(c(0))
 }
 

@@ -94,6 +94,13 @@ class RoundTripPropertySpec extends AnyFunSuite {
     }
   }
 
+  test("direct render == JValue-tree render, byte-for-byte (500 random docs)") {
+    samples(500).foreach { g =>
+      assert(GeoJsonCodec.render(g) == GeoJsonCodec.toJson(g).render,
+        s"direct writer diverged: ${GeoJsonCodec.toJson(g).render}")
+    }
+  }
+
   test("engine Random generator (GeoGen): canonical text, byte-stable round-trip") {
     import graft.geo.gen.GeoGen
     (0L until 1000L).foreach { id =>
