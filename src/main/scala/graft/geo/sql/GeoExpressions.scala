@@ -70,17 +70,57 @@ object GeomAccess {
     else GeoAlgo.contains(gtype(r), coords(r), posOff(r), ringOff(r), partOff(r), lng, lat)
 }
 
+/** Static kernel entry points for generated code (Scala object = static
+  * forwarders, same pattern as GeoAlgo/HexCell calls in codegen). */
+object GeoRuntime {
+  def fromGeoJson(s: UTF8String): InternalRow =
+    GeoJsonCodec.parse(s.toString).fold(_ => null, GeoStruct.packTop)
+
+  def fromGeoJsonGeom(s: UTF8String): InternalRow = {
+    val text = s.toString
+    val fast = GeoParse.parseGeometryFast(text)
+    if (fast ne GeoParse.Fallback) fast.asInstanceOf[InternalRow]
+    else
+      JValue.parse(text).flatMap(GeoJsonCodec.geometryOfJson)
+        .fold(_ => null, GeoStruct.packGeometry)
+  }
+
+  def toGeoJson(r: InternalRow): UTF8String =
+    UTF8String.fromString(GeoJsonCodec.render(GeoStruct.unpackTop(r)))
+
+  def toGeoJsonGeom(r: InternalRow): UTF8String = {
+    val b = new StringBuilder(128)
+    GeoJsonCodec.writeGeometry(b, GeoStruct.unpackGeometry(r))
+    UTF8String.fromString(b.toString)
+  }
+}
+
+/** Base for the codec kernels: REAL codegen (a static GeoRuntime call), so
+  * projections containing them stay inside WholeStageCodegen and Spark's
+  * subexpression elimination collapses repeated parses of the same column —
+  * with CodegenFallback the Project is kicked out of whole-stage codegen and
+  * each field extraction re-parses (measured ~Nx for N fields). */
+abstract class GeoKernelUnary extends UnaryExpression {
+  override def nullable: Boolean = true
+  /** fully-qualified static method UTF8String/InternalRow → value-or-null */
+  protected def kernel: String
+  override protected def doGenCode(ctx: codegen.CodegenContext, ev: codegen.ExprCode) =
+    nullSafeCodeGen(ctx, ev, c => s"""
+      ${ev.value} = $kernel($c);
+      ${ev.isNull} = ${ev.value} == null;
+    """)
+}
+
 /** `from_geojson(str)` — parse a GeoJSON text to the packed top-level struct
   * (SURVEY.md §2.1, geojson.ml:485-510). Parse errors → null (PERMISSIVE
   * mode, the documented divergence from jsone's resync recovery).
   */
-case class FromGeoJson(child: Expression) extends GeoExpression {
-  override def children: Seq[Expression] = Seq(child)
-  override def dataType: DataType        = GeoStruct.topType
-  override protected def evalNotNull(v: Array[Any]): Any =
-    GeoJsonCodec.parse(v(0).asInstanceOf[UTF8String].toString)
-      .fold(_ => null, GeoStruct.packTop)
-  override protected def withNewChildrenInternal(c: IndexedSeq[Expression]) = copy(c(0))
+case class FromGeoJson(child: Expression) extends GeoKernelUnary {
+  override def dataType: DataType = GeoStruct.topType
+  override protected def kernel   = "graft.geo.sql.GeoRuntime.fromGeoJson"
+  override protected def nullSafeEval(v: Any): Any =
+    GeoRuntime.fromGeoJson(v.asInstanceOf[UTF8String])
+  override protected def withNewChildInternal(c: Expression) = copy(c)
 }
 
 /** `geojson_error(str)` — the reference's `result` error channel with its
@@ -180,12 +220,12 @@ case class RandomGeoJson(id: Expression, seed: Expression)
 /** `to_geojson(top_struct)` — serialize back to minified GeoJSON text with
   * reference key order and %.16g floats (geojson.ml:512-516, jsone.ml:818).
   */
-case class ToGeoJson(child: Expression) extends GeoExpression {
-  override def children: Seq[Expression] = Seq(child)
-  override def dataType: DataType        = StringType
-  override protected def evalNotNull(v: Array[Any]): Any =
-    UTF8String.fromString(GeoJsonCodec.render(GeoStruct.unpackTop(v(0).asInstanceOf[InternalRow])))
-  override protected def withNewChildrenInternal(c: IndexedSeq[Expression]) = copy(c(0))
+case class ToGeoJson(child: Expression) extends GeoKernelUnary {
+  override def dataType: DataType = StringType
+  override protected def kernel   = "graft.geo.sql.GeoRuntime.toGeoJson"
+  override protected def nullSafeEval(v: Any): Any =
+    GeoRuntime.toGeoJson(v.asInstanceOf[InternalRow])
+  override protected def withNewChildInternal(c: Expression) = copy(c)
 }
 
 /** `to_geojson_pretty(top_struct)` — the reference encoder's ~minify:false
@@ -206,29 +246,21 @@ case class ToGeoJsonPretty(child: Expression) extends GeoExpression {
   * trees); everything else (foreign members, bbox, collections, unusual key
   * order, errors) takes the general codec path — byte-identical results
   * asserted differentially in GeoParseSpec. */
-case class FromGeoJsonGeom(child: Expression) extends GeoExpression {
-  override def children: Seq[Expression] = Seq(child)
-  override def dataType: DataType        = GeoStruct.geometryType
-  override protected def evalNotNull(v: Array[Any]): Any = {
-    val text = v(0).asInstanceOf[UTF8String].toString
-    val fast = GeoParse.parseGeometryFast(text)
-    if (fast ne GeoParse.Fallback) fast
-    else
-      JValue.parse(text)
-        .flatMap(GeoJsonCodec.geometryOfJson)
-        .fold(_ => null, GeoStruct.packGeometry)
-  }
-  override protected def withNewChildrenInternal(c: IndexedSeq[Expression]) = copy(c(0))
+case class FromGeoJsonGeom(child: Expression) extends GeoKernelUnary {
+  override def dataType: DataType = GeoStruct.geometryType
+  override protected def kernel   = "graft.geo.sql.GeoRuntime.fromGeoJsonGeom"
+  override protected def nullSafeEval(v: Any): Any =
+    GeoRuntime.fromGeoJsonGeom(v.asInstanceOf[UTF8String])
+  override protected def withNewChildInternal(c: Expression) = copy(c)
 }
 
 /** `to_geojson_geom(geom_struct)` — serialize a bare geometry. */
-case class ToGeoJsonGeom(child: Expression) extends GeoExpression {
-  override def children: Seq[Expression] = Seq(child)
-  override def dataType: DataType        = StringType
-  override protected def evalNotNull(v: Array[Any]): Any =
-    UTF8String.fromString(
-      GeoJsonCodec.geometryToJson(GeoStruct.unpackGeometry(v(0).asInstanceOf[InternalRow])).render)
-  override protected def withNewChildrenInternal(c: IndexedSeq[Expression]) = copy(c(0))
+case class ToGeoJsonGeom(child: Expression) extends GeoKernelUnary {
+  override def dataType: DataType = StringType
+  override protected def kernel   = "graft.geo.sql.GeoRuntime.toGeoJsonGeom"
+  override protected def nullSafeEval(v: Any): Any =
+    GeoRuntime.toGeoJsonGeom(v.asInstanceOf[InternalRow])
+  override protected def withNewChildInternal(c: Expression) = copy(c)
 }
 
 /** `st_contains(geom, lng, lat)` — ray-casting PIP with winding-number
