@@ -93,6 +93,9 @@ object GeoRuntime {
     GeoJsonCodec.writeGeometry(b, GeoStruct.unpackGeometry(r))
     UTF8String.fromString(b.toString)
   }
+
+  def geometryTypeName(r: InternalRow): UTF8String =
+    UTF8String.fromString(GType.name(GeomAccess.gtype(r)))
 }
 
 /** Base for the codec kernels: REAL codegen (a static GeoRuntime call), so
@@ -357,13 +360,16 @@ case class StLengthM(child: Expression) extends GeoExpression {
   override protected def withNewChildrenInternal(c: IndexedSeq[Expression]) = copy(c(0))
 }
 
-/** `st_geometry_type(geom)` → "Point" | ... | "GeometryCollection". */
-case class StGeometryType(child: Expression) extends GeoExpression {
-  override def children: Seq[Expression] = Seq(child)
-  override def dataType: DataType        = StringType
-  override protected def evalNotNull(v: Array[Any]): Any =
-    UTF8String.fromString(GType.name(GeomAccess.gtype(v(0).asInstanceOf[InternalRow])))
-  override protected def withNewChildrenInternal(c: IndexedSeq[Expression]) = copy(c(0))
+/** `st_geometry_type(geom)` → "Point" | ... | "GeometryCollection".
+  * Codegen-enabled: appears in parse-heavy projections (q01 shape), where a
+  * CodegenFallback would eject the Project from whole-stage codegen and
+  * defeat the shared-parse subexpression elimination. */
+case class StGeometryType(child: Expression) extends GeoKernelUnary {
+  override def dataType: DataType = StringType
+  override protected def kernel   = "graft.geo.sql.GeoRuntime.geometryTypeName"
+  override protected def nullSafeEval(v: Any): Any =
+    GeoRuntime.geometryTypeName(v.asInstanceOf[InternalRow])
+  override protected def withNewChildInternal(c: Expression) = copy(c)
 }
 
 /** `haversine(lng1, lat1, lng2, lat2)` — great-circle metres.
