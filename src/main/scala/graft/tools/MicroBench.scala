@@ -26,6 +26,10 @@ object MicroBench {
     }
     time("parse_poly200", 100000)(id =>
       graft.geo.json.GeoJsonCodec.parse(polyJson).toOption.get.bbox.size.toLong + id)
+    // the join hot path: single-pass Jackson -> packed row (GeoParse)
+    time("fastparse_poly200", 100000)(id =>
+      graft.geo.sql.GeoParse.parseGeometryFast(polyJson)
+        .asInstanceOf[org.apache.spark.sql.catalyst.InternalRow].numFields.toLong + id)
     time("roundtrip_poly200", 50000) { id =>
       val g = graft.geo.json.GeoJsonCodec.parse(polyJson).toOption.get
       graft.geo.json.GeoJsonCodec.render(g).length.toLong + id
