@@ -147,14 +147,21 @@ object SpatialJoins {
       pLng: String, pLat: String,
       k: Int,
       res: Int,
-      maxRadius: Int = 64): DataFrame = {
+      maxRadius: Int = 64,
+      initialRadius: Int = 4,
+      growth: Int = 4): DataFrame = {
     import org.apache.spark.sql.expressions.Window
 
     val pts = points.withColumn("__pcell", hex_cell(col(pLng), col(pLat), lit(res)))
 
     var remaining = queries
     var resultOpt: Option[DataFrame] = None
-    var radius    = 2
+    // ring schedule 4 -> 16 -> 64: each round costs ~3 fixed-overhead Spark
+    // jobs regardless of data size, so FEWER, WIDER rounds beat the
+    // doubling schedule (2..64 = 6 rounds) — candidates per round grow only
+    // by the ring area ratio while the job count halves. The distance bound
+    // uses the actual explored radius, so soundness is schedule-independent.
+    var radius    = initialRadius
     while (radius <= maxRadius && !remaining.isEmpty) {
       // seam-aware probing: the planar hex grid does not wrap at ±180, so a
       // query within ring-reach of the antimeridian also probes its ±360°
@@ -191,7 +198,7 @@ object SpatialJoins {
       remaining = remaining
         .join(perQ.where(col("__done")).select(col(qidCol)), Seq(qidCol), "left_anti")
         .localCheckpoint()
-      radius *= 2
+      radius *= growth
     }
     // brute-force fallback for stragglers (provably correct; hits only when
     // the neighborhood is emptier than maxRadius rings)
