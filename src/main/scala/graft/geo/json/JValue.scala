@@ -72,6 +72,10 @@ object JValue {
   def parseUnsafe(text: String): JValue =
     parse(text).fold(m => throw new IllegalArgumentException(m), identity)
 
+  /** Read the JSON value AT the parser's current token (shared with the
+    * fast-path top parser for properties subtrees). */
+  private[geo] def readValueAt(p: JsonParser): JValue = readValue(p)
+
   private def readValue(p: JsonParser): JValue = p.currentToken() match {
     case JsonToken.VALUE_NULL           => JNull
     case JsonToken.VALUE_TRUE           => JBool(true)

@@ -73,8 +73,12 @@ object GeomAccess {
 /** Static kernel entry points for generated code (Scala object = static
   * forwarders, same pattern as GeoAlgo/HexCell calls in codegen). */
 object GeoRuntime {
-  def fromGeoJson(s: UTF8String): InternalRow =
-    GeoJsonCodec.parse(s.toString).fold(_ => null, GeoStruct.packTop)
+  def fromGeoJson(s: UTF8String): InternalRow = {
+    val text = s.toString
+    val fast = GeoParse.parseTopFast(text)
+    if (fast ne GeoParse.Fallback) fast.asInstanceOf[InternalRow]
+    else GeoJsonCodec.parse(text).fold(_ => null, GeoStruct.packTop)
+  }
 
   def fromGeoJsonGeom(s: UTF8String): InternalRow = {
     val text = s.toString

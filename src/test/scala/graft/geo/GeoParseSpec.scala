@@ -71,6 +71,67 @@ class GeoParseSpec extends AnyFunSuite {
     }
   }
 
+  private def checkTop(text: String): Unit = {
+    val fast = GeoParse.parseTopFast(text)
+    val slow = GeoJsonCodec.parse(text).toOption.map(GeoStruct.packTop)
+    if (fast ne GeoParse.Fallback) {
+      assert(slow.isDefined, s"top fast accepted what slow rejects: $text")
+      val a = graft.geo.sql.GeoRuntime.toGeoJson(fast.asInstanceOf[InternalRow]).toString
+      val b = graft.geo.sql.GeoRuntime.toGeoJson(slow.get).toString
+      assert(a == b, s"top fast/slow mismatch for: $text\nfast=$a\nslow=$b")
+      // struct-level null/empty parity where render can't see it
+      val fr = fast.asInstanceOf[InternalRow]; val sr = slow.get
+      (0 until 6).foreach(i => assert(fr.isNullAt(i) == sr.isNullAt(i), s"field $i nullness: $text"))
+    }
+  }
+
+  test("top fast path: plain geometry and Feature documents match the codec") {
+    val accepted = Seq(
+      """{"type":"Point","coordinates":[1.5,2.5]}""",
+      """{"type":"Polygon","coordinates":[[[0,0],[4,0],[4,4],[0,0]]]}""",
+      """{"type":"Feature"}""",
+      """{"type":"Feature","properties":{"name":"Foix","n":7}}""",
+      """{"type":"Feature","properties":null}""",
+      """{"type":"Feature","geometry":{"type":"Point","coordinates":[1,2]},"properties":{"a":[1,2.5,"x"]}}""",
+      """{"type":"Feature","properties":{"a":1},"geometry":{"type":"LineString","coordinates":[[0,0],[1,1]]}}""",
+      """{"type":"Feature","id":"abc","geometry":{"type":"Point","coordinates":[1,2]}}""",
+      """{"type":"Feature","id":42.5}""",
+      """{"type":"Feature","bbox":[0,0,4,4],"geometry":{"type":"Point","coordinates":[1,2]}}""",
+      """{"type":"Feature","bbox":[]}""")
+    accepted.foreach { t =>
+      assert(GeoParse.parseTopFast(t) ne GeoParse.Fallback, s"expected top fast accept: $t")
+      checkTop(t)
+    }
+  }
+
+  test("top fast path falls back on FC / foreign members / dup keys / error shapes") {
+    val oddballs = Seq(
+      """{"type":"FeatureCollection","features":[]}""",
+      """{"type":"Feature","title":"x"}""",                         // foreign member
+      """{"type":"Feature","geometry":null}""",                      // null geometry = error
+      """{"type":"Feature","geometry":{"type":"Point","coordinates":[1,2]},"geometry":{"type":"Point","coordinates":[3,4]}}""",
+      """{"type":"Feature","id":true}""",                            // bad id = error
+      """{"type":"Feature","bbox":"x"}""",                           // silent-None bbox
+      """{"type":"Feature","bbox":[1,"x"]}""",                       // silent-None bbox
+      """{"properties":{},"type":"Feature"}""",                      // type not first
+      """{"type":"Point","coordinates":[1,2],"bbox":[0,0,2,2]}""",   // top bbox on geometry doc
+      """{"type":"Feature","properties":{}} tail""")
+    oddballs.foreach { t =>
+      assert(GeoParse.parseTopFast(t) eq GeoParse.Fallback, s"expected top fallback: $t")
+    }
+  }
+
+  test("top differential: generated docs of all 7 skeleton kinds") {
+    import graft.geo.gen.GeoGen
+    var fastCount = 0
+    (0L until 2000L).foreach { id =>
+      val text = GeoJsonCodec.render(GeoGen.docFor(id, 11L))
+      if (GeoParse.parseTopFast(text) ne GeoParse.Fallback) fastCount += 1
+      checkTop(text)
+    }
+    assert(fastCount > 1200, s"fast path should take geometry+feature kinds, took $fastCount")
+  }
+
   test("differential: 2000 generated geometry docs agree byte-for-byte") {
     import graft.geo.gen.GeoGen
     var fastCount = 0
