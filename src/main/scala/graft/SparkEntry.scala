@@ -407,6 +407,21 @@ object SparkEntry {
         round(element_at(st_centroid(col("geom")), 1), 6).as("clng"),
         round(element_at(st_centroid(col("geom")), 2), 6).as("clat"))
     }),
+    "q35_knn_s2" -> ((s, dir) => {
+      // pole-safe S2 kNN: every 5th query sits at lat 83.9..89.9 where the
+      // planar hex grid distorts; oracled against brute-force haversine
+      registerAll(s)
+      val qs = s.read.parquet(t(dir, "nation"))
+        .withColumn("qlng", (col("n_nationkey") * 104729L % 36000L) / 100.0 - 180.0)
+        .withColumn("qlat", when(col("n_nationkey") % 5 === 0,
+            lit(89.9) - (col("n_nationkey") % 7).cast("double"))
+          .otherwise((col("n_nationkey") * 7919L % 16000L) / 100.0 - 80.0))
+        .select("n_nationkey", "qlng", "qlat")
+      SpatialJoins.knnJoinS2(qs, "n_nationkey", "qlng", "qlat",
+          customerPoints(s, dir).select("c_custkey", "lng", "lat"), "lng", "lat",
+          k = 3, minLevel = 4, maxLevel = 9)
+        .select(col("n_nationkey"), col("c_custkey"), col("rank"))
+    }),
     "q25_s2_cells" -> ((s, dir) => {
       registerAll(s)
       // cell ids + range-pruning roundtrip (no SQL equivalent → rows-only)
@@ -444,6 +459,18 @@ object SparkEntry {
          |qs AS (SELECT n_nationkey,
          |  (n_nationkey * 104729 % 36000)/100.0 - 180.0 AS qlng,
          |  (n_nationkey * 7919 % 16800)/100.0 - 84.0 AS qlat FROM nation),
+         |d AS (SELECT q.n_nationkey, p.c_custkey, p.lng, p.lat,
+         |  $haversineSql AS dist_m FROM qs q CROSS JOIN pts p)
+         |SELECT n_nationkey, c_custkey, rank FROM (
+         |  SELECT n_nationkey, c_custkey,
+         |    row_number() OVER (PARTITION BY n_nationkey ORDER BY dist_m, lng, lat) AS rank
+         |  FROM d) WHERE rank <= 3""".stripMargin,
+    "q35_knn_s2" ->
+      s"""WITH pts AS ($customerPointsSql),
+         |qs AS (SELECT n_nationkey,
+         |  (n_nationkey * 104729 % 36000)/100.0 - 180.0 AS qlng,
+         |  CASE WHEN n_nationkey % 5 = 0 THEN 89.9 - CAST(n_nationkey % 7 AS DOUBLE)
+         |       ELSE (n_nationkey * 7919 % 16000)/100.0 - 80.0 END AS qlat FROM nation),
          |d AS (SELECT q.n_nationkey, p.c_custkey, p.lng, p.lat,
          |  $haversineSql AS dist_m FROM qs q CROSS JOIN pts p)
          |SELECT n_nationkey, c_custkey, rank FROM (

@@ -220,6 +220,96 @@ object SpatialJoins {
     res0
   }
 
+  /** kNN join on S2 cells — the pole-safe variant. The planar hex grid of
+    * [[knnJoin]] distorts near the poles (its ring bound collapses and polar
+    * queries fall through to the brute-force tail); S2's cube faces have no
+    * singularity there, so this join stays cell-pruned at any latitude.
+    *
+    * Per round, each query covers a METRIC cap (radius r, growing 4x/round)
+    * with a sound lat/lng box:
+    *   Δφ = r / R  (great-circle distance ≥ R·|Δφ_rad|)
+    *   Δλ = 2·asin(min(1, r / (2·R·cos φmax)))  with φmax = max |lat| in the
+    *        band — from haversine ≥ 2R·cos φmax·sin(|Δλ|/2) — so every point
+    *        within r lies inside the box; full-longitude when the band
+    *        touches a pole or Δλ ≥ 180°.
+    * The box is covered multi-level (`s2_cover_box`, normalized disjoint) and
+    * equi-joined against the points' level ancestors, so each (q, p) pair
+    * appears at most once. A query is DONE when it holds k hits with the
+    * k-th distance ≤ r: nothing outside the cap can be nearer. Stragglers
+    * (neighborhood emptier than the last radius) take the brute-force tail.
+    *
+    * @return qid, point columns, `dist_m`, `rank` (1..k)
+    */
+  def knnJoinS2(
+      queries: DataFrame,
+      qidCol: String, qLng: String, qLat: String,
+      points: DataFrame,
+      pLng: String, pLat: String,
+      k: Int,
+      minLevel: Int = 4,
+      maxLevel: Int = 10,
+      initialRadiusM: Double = 100000.0,
+      maxRounds: Int = 5): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val R = 6371008.8 // metres; matches GeoAlgo.haversine
+
+    val pts = points.withColumn("__pcell",
+      explode(s2_ancestors(col(pLng), col(pLat), lit(minLevel), lit(maxLevel))))
+
+    var remaining = queries
+    var resultOpt: Option[DataFrame] = None
+    var radiusM   = initialRadiusM
+    var round     = 0
+    while (round < maxRounds && !remaining.isEmpty) {
+      // rBox > r > rDone: the box is drawn a hair wide and the done test a
+      // hair strict, so float rounding (haversine error ~1e-15 relative)
+      // can never exclude a true neighbor the done test would have trusted
+      val rBox   = radiusM * (1.0 + 1e-9)
+      val dPhi   = lit(rBox / R * (180.0 / math.Pi))
+      val sBound = greatest(lit(-90.0), col(qLat) - dPhi)
+      val nBound = least(lit(90.0), col(qLat) + dPhi)
+      val phiMax = least(lit(89.9999), greatest(abs(sBound), abs(nBound)))
+      val dLng   = degrees(lit(2.0) * asin(least(lit(1.0),
+        lit(rBox) / (lit(2.0 * R) * cos(radians(phiMax))))))
+      val polar  = (col(qLat) + dPhi >= 90.0) || (col(qLat) - dPhi <= -90.0) || (dLng >= 180.0)
+      val w0 = when(polar, lit(-180.0)).otherwise(col(qLng) - dLng) // may wrap (<-180): s2_cover_box norms
+      val e0 = when(polar, lit(180.0)).otherwise(col(qLng) + dLng)
+      val cand = remaining
+        .withColumn("__cell", explode(s2_cover_box(w0, sBound, e0, nBound,
+          lit(minLevel), lit(maxLevel))))
+        .join(pts, col("__cell") === col("__pcell"))
+        .withColumn("dist_m", haversine(col(qLng), col(qLat), col(pLng), col(pLat)))
+      val w = Window.partitionBy(col(qidCol)).orderBy(col("dist_m"), col(pLng), col(pLat))
+      // per-round localCheckpoint: same exponential-analysis guard as knnJoin
+      val ranked = cand.withColumn("rank", row_number().over(w)).where(col("rank") <= k)
+        .localCheckpoint()
+      val perQ = ranked.groupBy(qidCol)
+        .agg(count(lit(1)).as("__n"), max("dist_m").as("__kth"))
+        .withColumn("__done", col("__n") === k && col("__kth") <= radiusM * (1.0 - 1e-9))
+      val doneQ = perQ.where(col("__done")).select(col(qidCol))
+      val done  = ranked.join(doneQ, Seq(qidCol), "left_semi").drop("__cell", "__pcell")
+      resultOpt = Some(resultOpt.map(_.unionByName(done)).getOrElse(done))
+      remaining = remaining.join(doneQ, Seq(qidCol), "left_anti").localCheckpoint()
+      radiusM *= 4
+      round += 1
+    }
+    val tail =
+      if (remaining.isEmpty) None
+      else {
+        val w = Window.partitionBy(col(qidCol)).orderBy(col("dist_m"), col(pLng), col(pLat))
+        Some(remaining.crossJoin(points)
+          .withColumn("dist_m", haversine(col(qLng), col(qLat), col(pLng), col(pLat)))
+          .withColumn("rank", row_number().over(w)).where(col("rank") <= k))
+      }
+    (resultOpt, tail) match {
+      case (Some(a), Some(b)) => a.unionByName(b, allowMissingColumns = true)
+      case (Some(a), None)    => a
+      case (None, Some(b))    => b
+      case (None, None)       => queries.limit(0).crossJoin(points.limit(0))
+        .withColumn("dist_m", lit(0.0)).withColumn("rank", lit(1))
+    }
+  }
+
   /** Sound per-row lower bound (metres) on distances outside ring `radius`
     * — Column form of [[HexCell.ringLowerBoundMetres]]. */
   private def ringLowerBoundCol(lat: Column, res: Int, radius: Int): Column = {

@@ -507,6 +507,26 @@ case class S2CoverMultiExpr(geom: Expression, minLevel: Expression, maxLevel: Ex
     copy(c(0), c(1), c(2))
 }
 
+/** `s2_cover_box(w, s, e, n, minLevel, maxLevel)` → normalized multi-level
+  * S2 cover of a lat/lng box given as COLUMNS (per-row boxes — the probe
+  * side of the S2 kNN join). w > e means the box wraps the antimeridian;
+  * S2 cube faces handle poles natively. */
+case class S2CoverBoxExpr(w: Expression, s: Expression, e: Expression, n: Expression,
+                          minLevel: Expression, maxLevel: Expression)
+    extends GeoExpression with ImplicitCastInputTypes {
+  override def children: Seq[Expression] = Seq(w, s, e, n, minLevel, maxLevel)
+  override def inputTypes = Seq(DoubleType, DoubleType, DoubleType, DoubleType, IntegerType, IntegerType)
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override protected def evalNotNull(v: Array[Any]): Any = {
+    val cells = S2Cell.coverBoxMulti(v(0).asInstanceOf[Double], v(1).asInstanceOf[Double],
+      v(2).asInstanceOf[Double], v(3).asInstanceOf[Double],
+      v(4).asInstanceOf[Int], v(5).asInstanceOf[Int])
+    new GenericArrayData(S2Cell.normalizeCover(cells))
+  }
+  override protected def withNewChildrenInternal(c: IndexedSeq[Expression]) =
+    copy(c(0), c(1), c(2), c(3), c(4), c(5))
+}
+
 /** `s2_ancestors(lng, lat, minLevel, maxLevel)` → the point's cell at each
   * level (the point side of the multi-level join). */
 case class S2AncestorsExpr(lng: Expression, lat: Expression, minLevel: Expression, maxLevel: Expression)

@@ -38,6 +38,7 @@ object GeoFunctions {
     "s2_cover"          -> (es => S2CoverExpr(es(0), es(1))),
     "s2_cover_multi"    -> (es => S2CoverMultiExpr(es(0), es(1), es(2))),
     "s2_ancestors"      -> (es => S2AncestorsExpr(es(0), es(1), es(2), es(3))),
+    "s2_cover_box"      -> (es => S2CoverBoxExpr(es(0), es(1), es(2), es(3), es(4), es(5))),
     "tile_key"          -> (es => TileKeyExpr(es(0), es(1), es(2))))
 
   @volatile private var registered: Set[Int] = Set.empty
@@ -85,6 +86,9 @@ object GeoFunctions {
   def s2_cover(geom: Column, level: Column): Column = call_function("s2_cover", geom, level)
   def s2_cover_multi(geom: Column, minLevel: Column, maxLevel: Column): Column =
     call_function("s2_cover_multi", geom, minLevel, maxLevel)
+  def s2_cover_box(w: Column, s: Column, e: Column, n: Column,
+                   minLevel: Column, maxLevel: Column): Column =
+    call_function("s2_cover_box", w, s, e, n, minLevel, maxLevel)
   def s2_ancestors(lng: Column, lat: Column, minLevel: Column, maxLevel: Column): Column =
     call_function("s2_ancestors", lng, lat, minLevel, maxLevel)
   def tile_key(lng: Column, lat: Column, z: Column): Column =

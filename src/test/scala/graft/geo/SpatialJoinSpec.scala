@@ -89,6 +89,52 @@ class SpatialJoinSpec extends AnyFunSuite {
     assert(fast.exceptAll(brute).isEmpty && brute.exceptAll(fast).isEmpty)
   }
 
+  test("S2 kNN join equals brute force: uniform, POLAR and seam-crossing queries") {
+    // world-wide points incl. dense polar caps — the hex kNN's weak corner
+    val pts = spark.range(3000).select(
+      $"id".as("pid"),
+      (pmod($"id" * 7919, lit(36000)) / 100.0 - 180.0).as("lng"),
+      when($"id" % 5 === 0, pmod($"id" * 131, lit(300)) / 100.0 + 87.0)        // 87..90 N
+        .when($"id" % 5 === 1, lit(-87.0) - pmod($"id" * 131, lit(300)) / 100.0) // 87..90 S
+        .otherwise(pmod($"id" * 104729, lit(16000)) / 100.0 - 80.0).as("lat"))
+      .cache()
+    val qs = (
+      // polar queries (both poles, incl. lat 89.9+), seam queries, uniform
+      Seq((1L, 10.0, 89.5), (2L, -120.0, 88.2), (3L, 45.0, 89.97), (4L, 0.0, -89.3),
+          (5L, 179.9, -88.0), (6L, -179.95, 44.5), (7L, 180.0, 0.0)) ++
+        (8L to 30L).map(i => (i, (i * 37 % 360) - 180.0, (i * 23 % 160) - 80.0))
+      ).toDF("qid", "qlng", "qlat").cache()
+    val k = 5
+    val fast = SpatialJoins.knnJoinS2(qs, "qid", "qlng", "qlat", pts, "lng", "lat", k,
+        minLevel = 4, maxLevel = 9)
+      .select("qid", "pid", "rank")
+    val w = Window.partitionBy($"qid").orderBy($"dist_m", $"lng", $"lat")
+    val brute = qs.crossJoin(pts)
+      .withColumn("dist_m", haversine($"qlng", $"qlat", $"lng", $"lat"))
+      .withColumn("rank", row_number().over(w)).where($"rank" <= k)
+      .select("qid", "pid", "rank")
+    assert(fast.count() == 30L * k)
+    assert(fast.exceptAll(brute).isEmpty && brute.exceptAll(fast).isEmpty)
+  }
+
+  test("S2 kNN sparse-neighborhood fallback stays exact") {
+    val pts = spark.range(15).select(
+      $"id".as("pid"),
+      (pmod($"id" * 97, lit(360)) - 180.0 + 0.5).as("lng"),
+      (pmod($"id" * 61, lit(160)) - 80.0 + 0.5).as("lat")).cache()
+    val qs = Seq((1L, 0.0, 89.9), (2L, 12.0, 13.0)).toDF("qid", "qlng", "qlat")
+    val k = 4
+    val fast = SpatialJoins.knnJoinS2(qs, "qid", "qlng", "qlat", pts, "lng", "lat", k,
+        initialRadiusM = 1000.0, maxRounds = 2) // force the brute tail
+      .select("qid", "pid", "rank")
+    val w = Window.partitionBy($"qid").orderBy($"dist_m", $"lng", $"lat")
+    val brute = qs.crossJoin(pts)
+      .withColumn("dist_m", haversine($"qlng", $"qlat", $"lng", $"lat"))
+      .withColumn("rank", row_number().over(w)).where($"rank" <= k)
+      .select("qid", "pid", "rank")
+    assert(fast.exceptAll(brute).isEmpty && brute.exceptAll(fast).isEmpty)
+  }
+
   test("kNN across the antimeridian finds neighbors on the other side of the seam") {
     // points on both sides of ±180 at similar latitudes
     val pts = spark.range(400).select(
