@@ -54,6 +54,26 @@ object Dedup {
       .select(col(idCol), col("canonical_id"), col("is_dup"))
   }
 
+  /** Streaming twin of [[exact]]: first-arrival canonicalization over an
+    * unbounded stream. Emits only the FIRST row of each identical-text
+    * group (state keyed by the narrow `(xxhash64(text), length)` pair, not
+    * the text — same scale story as the batch plan). With a watermark on
+    * `eventTimeCol` the state is GC'd once a group's window passes
+    * (`dropDuplicatesWithinWatermark`); without one, state grows with the
+    * number of distinct documents (exact, unbounded — batch semantics).
+    * Works identically on batch frames (proven equal in OpsSpec).
+    */
+  def exactStreaming(df: DataFrame, idCol: String, textCol: String,
+                     eventTimeCol: Option[String] = None): DataFrame = {
+    val keyed = df.withColumn("__h", xxhash64(col(textCol)))
+      .withColumn("__l", length(col(textCol)))
+    val out = eventTimeCol match {
+      case Some(_) => keyed.dropDuplicatesWithinWatermark("__h", "__l")
+      case None    => keyed.dropDuplicates("__h", "__l")
+    }
+    out.drop("__h", "__l")
+  }
+
   /** MinHash-LSH candidate pairs, Jaccard-verified.
     * Probability a pair with Jaccard j collides: 1-(1-j^r)^b with
     * r = numHashes/bands rows per band.

@@ -33,6 +33,30 @@ class SessionIvfSpec extends AnyFunSuite {
     assert(hits >= 90, s"IVF recall $hits/100 < 90 (twin lives in the probed list)")
   }
 
+  test("streaming exact dedup: first occurrence per text survives, narrow state key") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select($"doc_id", $"text")
+    // duplicate every text under higher ids: first arrival (min doc_id in
+    // one ordered batch) must win
+    val corpus = docs.unionByName(
+      docs.select(($"doc_id" + 100000L).as("doc_id"), $"text")).orderBy("doc_id")
+    val dir = java.nio.file.Files.createTempDirectory("dedup_src")
+    corpus.coalesce(1).write.mode("overwrite").parquet(dir.toString + "/b1")
+    val stream = spark.readStream.schema(corpus.schema).parquet(dir.toString + "/b1")
+    val q = Dedup.exactStreaming(stream, "doc_id", "text")
+      .writeStream.format("memory").queryName("dedup_stream")
+      .outputMode("append").start()
+    q.processAllAvailable()
+    q.stop()
+    val out = spark.sql("select * from dedup_stream")
+    // one survivor per distinct text, and no survivor from the duplicated range
+    val nDistinct = docs.select("text").distinct().count()
+    assert(out.count() == nDistinct, s"${out.count()} vs $nDistinct")
+    // batch mode of the same operator agrees
+    val batchOut = Dedup.exactStreaming(corpus, "doc_id", "text")
+    assert(batchOut.count() == nDistinct)
+  }
+
   test("streaming sessionization (flatMapGroupsWithState) matches the batch oracle") {
     val raw = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
       .select($"user_id", ($"ts".cast("timestamp").cast("double") * 1000).cast("long").as("ts_ms"),
