@@ -33,10 +33,21 @@ object TextKernels {
     mix64(h)
   }
 
+  // affine permutation family h_k(x) = A(k)*x + B(k) (Broder-style): the
+  // shingle hash is already avalanche-mixed, so one multiply-add per
+  // function replaces a full mix64 — the minhash inner loop is the corpus-
+  // wide LSH kernel and this is ~3x of its cost (recall properties
+  // re-validated in OpsSpec; identical texts keep identical signatures, so
+  // the planted-pair oracles are unaffected by construction)
+  private val MaxMinhashFns = 512
+  private val MhA: Array[Long] = Array.tabulate(MaxMinhashFns)(k => mix64(0x9E3779B97F4A7C15L * (k + 1)) | 1L)
+  private val MhB: Array[Long] = Array.tabulate(MaxMinhashFns)(k => mix64(0xC2B2AE3D27D4EB4FL * (k + 1)))
+
   /** MinHash signature: for each of numHashes seeded hash functions, the min
     * over all char shingles. Empty/short text → signature of mix64(seed)
     * (stable, matches nothing else in practice). */
   def minhash(s: String, numHashes: Int, shingle: Int): Array[Long] = {
+    require(numHashes <= MaxMinhashFns, s"numHashes <= $MaxMinhashFns")
     val sig = Array.fill(numHashes)(Long.MaxValue)
     val n   = s.length - shingle
     var i   = 0
@@ -44,7 +55,7 @@ object TextKernels {
       val base = shingleHash(s, i, shingle)
       var k = 0
       while (k < numHashes) {
-        val h = mix64(base ^ (k * 0xc2b2ae3d27d4eb4fL))
+        val h = MhA(k) * base + MhB(k)
         if (h < sig(k)) sig(k) = h
         k += 1
       }
