@@ -46,6 +46,15 @@ object Bench {
     val nImg  = sys.env.getOrElse("SPARK_GRAFT_BENCH_IMAGES", "2000000").toLong
     val spark = buildSession(cpus)
 
+    // session warmup: JIT + first-job machinery + geo-function codegen, so
+    // the first timed query (alphabetically q01) doesn't absorb one-time
+    // session costs that belong to no query
+    graft.geo.sql.GeoFunctions.register(spark)
+    spark.range(100000)
+      .selectExpr("""from_geojson_geom(concat('{"type":"Point","coordinates":[', id % 360 - 180, ',', id % 160 - 80, ']}')) AS g""")
+      .selectExpr("st_geometry_type(g)", "to_geojson_geom(g)")
+      .write.format("noop").mode("overwrite").save()
+
     val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY") // e.g. "flagship" or a query-name prefix
     val selected = only match {
       case Some("flagship") => Seq.empty
