@@ -36,19 +36,115 @@ object GeoJsonReader {
           .getField("feature").as("feature"))
   }
 
-  /** Lazy iterator over the "features" array elements of one stream.
-    * Non-features members (fm, bbox) are skipped; nested "features" keys
-    * inside properties are not confused because only the TOP-level object's
-    * member is honored (depth tracking).
+  /** Lazy iterator over the feature texts of one stream, auto-detecting the
+    * container format in constant memory:
+    *
+    *  - RFC 8142 GeoJSON text sequences (RS 0x1E before each text);
+    *  - ND-JSON / concatenated JSON (a sequence of root-level objects —
+    *    Jackson reads consecutive root values natively);
+    *  - a single FeatureCollection document (the original geojsone case):
+    *    each element of the top-level "features" array. Nested "features"
+    *    keys inside properties are not confused (depth tracking).
     */
-  private[sources] def splitFeatures(in: java.io.InputStream): Iterator[String] = {
+  private[sources] def splitFeatures(in0: java.io.InputStream): Iterator[String] = {
     val factory = new JsonFactory()
+    // sniff RS (RFC 8142): strip separators with a filter stream — each
+    // text is then just another consecutive root value
+    val pb    = new java.io.PushbackInputStream(in0, 1)
+    val first = pb.read()
+    if (first == -1) { pb.close(); return Iterator.empty }
+    pb.unread(first)
+    val in: java.io.InputStream =
+      if (first == 0x1E) new java.io.FilterInputStream(pb) {
+        override def read(): Int = {
+          var b = super.read(); while (b == 0x1E) b = super.read(); b
+        }
+        override def read(buf: Array[Byte], off: Int, len: Int): Int = {
+          val n = super.read(buf, off, len)
+          if (n <= 0) return n
+          var w = off; var r = off
+          while (r < off + n) { if (buf(r) != 0x1E) { buf(w) = buf(r); w += 1 }; r += 1 }
+          val kept = w - off
+          if (kept == 0) read(buf, off, len) else kept
+        }
+      }
+      else pb
     val parser  = factory.createParser(in)
+    // a single FeatureCollection document? (first root value has a
+    // top-level "features" array) — otherwise treat every root value as a
+    // feature text (ND-JSON / concatenated / RS sequence)
+    if (first != '{') return rootValues(factory, parser, in)
+    splitCollection(factory, parser, in)
+  }
 
-    // advance to the start of the top-level "features" array
+  /** Every root-level JSON value as its own text (ND-JSON etc.). */
+  private def rootValues(factory: JsonFactory, parser: com.fasterxml.jackson.core.JsonParser,
+                         in: java.io.InputStream): Iterator[String] =
+    new Iterator[String] {
+      private var nextTok = parser.nextToken()
+      override def hasNext: Boolean = {
+        val h = nextTok != null
+        if (!h) { parser.close(); in.close() }
+        h
+      }
+      override def next(): String = {
+        val sw  = new java.io.StringWriter()
+        val gen = factory.createGenerator(sw)
+        gen.copyCurrentStructure(parser)
+        gen.close()
+        nextTok = parser.nextToken()
+        sw.toString
+      }
+    }
+
+  /** First root value starts with '{': disambiguate a FeatureCollection
+    * DOCUMENT (split its "features" array) from a SEQUENCE of root objects
+    * (ND-JSON / concatenated / RS — each root value is a feature text). The
+    * discriminator is the first top-level member: `"type":
+    * "FeatureCollection"` or `"features"` ⇒ document; `"type": <anything
+    * else>` ⇒ sequence (our writer and the codec always emit `type` first);
+    * any other first member ⇒ legacy document scan. */
+  private def splitCollection(factory: JsonFactory,
+                              parser: com.fasterxml.jackson.core.JsonParser,
+                              in: java.io.InputStream): Iterator[String] = {
+
     var t = parser.nextToken()
     require(t == JsonToken.START_OBJECT, "GeoJSON document must be an object")
-    var found = false
+    t = parser.nextToken()
+    if (t == JsonToken.FIELD_NAME && parser.currentName() == "type") {
+      val vt = parser.nextToken()
+      if (vt == JsonToken.VALUE_STRING && parser.getText != "FeatureCollection") {
+        // a sequence of feature objects; re-emit the partially-consumed
+        // first object token-by-token, then iterate the remaining roots
+        val typ = parser.getText
+        val sw  = new java.io.StringWriter()
+        val gen = factory.createGenerator(sw)
+        gen.writeStartObject()
+        gen.writeFieldName("type")
+        gen.writeString(typ)
+        var depth = 1
+        while (depth > 0) {
+          parser.nextToken() match {
+            case JsonToken.START_OBJECT | JsonToken.START_ARRAY => depth += 1
+            case JsonToken.END_OBJECT | JsonToken.END_ARRAY     => depth -= 1
+            case _                                              => ()
+          }
+          gen.copyCurrentEvent(parser)
+        }
+        gen.close()
+        return Iterator.single(sw.toString) ++ rootValues(factory, parser, in)
+      }
+      // non-string type value: skip its subtree so the depth scan below
+      // starts balanced at the top level
+      if (vt == JsonToken.START_OBJECT || vt == JsonToken.START_ARRAY) parser.skipChildren()
+    }
+    // document mode: advance to the start of the top-level "features" array
+    // (the "type" member, if that's what we just consumed, is behind us)
+    var found = t == JsonToken.FIELD_NAME && parser.currentName() == "features" && {
+      val nxt = parser.nextToken()
+      require(nxt == JsonToken.START_ARRAY, "features must be an array")
+      true
+    }
     var depth = 1
     while (!found && { t = parser.nextToken(); t != null }) {
       t match {

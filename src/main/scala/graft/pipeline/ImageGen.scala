@@ -41,6 +41,15 @@ object ImageGen {
     val out = new Array[Byte](w * h * 3)
     var x   = id * 2654435761L + 1442695040888963407L
     var i   = 0
+    val n8  = out.length - 7
+    // 8 bytes per xorshift64 step (one step per byte made the PRNG the
+    // synthesis hot spot; all 8 state bytes are fine for synthetic pixels)
+    while (i < n8) {
+      x ^= x << 13; x ^= x >>> 7; x ^= x << 17
+      var v = x; var j = 0
+      while (j < 8) { out(i + j) = (v & 0xff).toByte; v >>>= 8; j += 1 }
+      i += 8
+    }
     while (i < out.length) {
       x ^= x << 13; x ^= x >>> 7; x ^= x << 17
       out(i) = (x & 0xff).toByte

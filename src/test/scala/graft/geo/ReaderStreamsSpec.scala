@@ -39,6 +39,43 @@ class ReaderStreamsSpec extends AnyFunSuite {
     assert(top.getString(1) == """{"code":"09001","nom":"Foix"}""")
   }
 
+  test("container auto-detect: FeatureCollection doc, ND-JSON, RFC 8142 RS sequence") {
+    val f1 = """{"type":"Feature","properties":{"nom":"A"},"geometry":{"type":"Point","coordinates":[1,2]}}"""
+    val f2 = """{"type":"Feature","properties":{"nom":"B"}}"""
+    val f3 = """{"type":"Feature","properties":{"nom":"C"},"geometry":{"type":"LineString","coordinates":[[0,0],[1,1]]}}"""
+    val dir = java.nio.file.Files.createTempDirectory("graft_formats")
+    // (a) classic FeatureCollection document
+    java.nio.file.Files.write(dir.resolve("fc.json"),
+      s"""{"type":"FeatureCollection","features":[$f1,$f2,$f3]}""".getBytes("UTF-8"))
+    // (b) ND-JSON (one feature per line — what GeoJsonWriter.writeLines emits)
+    java.nio.file.Files.write(dir.resolve("nd.json"), s"$f1\n$f2\n$f3\n".getBytes("UTF-8"))
+    // (c) RFC 8142 GeoJSON text sequence (RS 0x1E before each text)
+    val rs = 0x1E.toChar
+    java.nio.file.Files.write(dir.resolve("seq.json"),
+      s"$rs$f1\n$rs$f2\n$rs$f3\n".getBytes("UTF-8"))
+    Seq("fc.json", "nd.json", "seq.json").foreach { f =>
+      val texts = GeoJsonReader.featureTexts(spark, dir.resolve(f).toString).collect()
+      assert(texts.length == 3, s"$f: ${texts.length}")
+      texts.foreach(t => assert(graft.geo.json.GeoJsonCodec.parse(t).isRight, s"$f: $t"))
+      val noms = texts.flatMap(t =>
+        Option(get_json_object_str(t))).sorted.toSeq
+      assert(noms == Seq("A", "B", "C"), s"$f: $noms")
+    }
+    // an FC whose first member is "features" (type later) still splits
+    java.nio.file.Files.write(dir.resolve("fc2.json"),
+      s"""{"features":[$f1,$f2],"type":"FeatureCollection"}""".getBytes("UTF-8"))
+    assert(GeoJsonReader.featureTexts(spark, dir.resolve("fc2.json").toString).collect().length == 2)
+  }
+
+  private def get_json_object_str(t: String): String =
+    graft.geo.json.JValue.parseUnsafe(t) match {
+      case o: graft.geo.json.JObj =>
+        o.get("properties").collect { case p: graft.geo.json.JObj =>
+          p.get("nom").collect { case graft.geo.json.JStr(s) => s }
+        }.flatten.orNull
+      case _ => null
+    }
+
   test("UTF-16BE/LE input (BOM and BOM-less) reads through the file path") {
     // the reference guesses the encoding from the first bytes
     // (uutfe.ml:415-430: BOM, or the RFC 4627 null-byte pattern); Jackson's
