@@ -54,6 +54,19 @@ object Bench {
       .selectExpr("""from_geojson_geom(concat('{"type":"Point","coordinates":[', id % 360 - 180, ',', id % 160 - 80, ']}')) AS g""")
       .selectExpr("st_geometry_type(g)", "to_geojson_geom(g)")
       .write.format("noop").mode("overwrite").save()
+    // also pre-compile the kNN round plans (window + ring join + checkpoint
+    // machinery): the loop generates several codegen units per round whose
+    // one-time Janino cost otherwise lands on the first kNN query
+    locally {
+      import org.apache.spark.sql.functions._
+      val wq = spark.range(4).select(col("id").as("n_nationkey"),
+        (col("id") * 7.0).as("qlng"), (col("id") * 3.0).as("qlat"))
+      val wp = spark.range(64).select(col("id").as("c_custkey"),
+        (col("id") % 16 * 2.0 - 16.0).as("lng"), (col("id") % 8 * 2.0 - 8.0).as("lat"))
+      graft.geo.join.SpatialJoins.knnJoin(wq, "n_nationkey", "qlng", "qlat",
+        wp, "lng", "lat", k = 3, res = 2)
+        .write.format("noop").mode("overwrite").save()
+    }
 
     val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY") // e.g. "flagship" or a query-name prefix
     val selected = only match {

@@ -167,13 +167,14 @@ object SpatialJoins {
       // query within ring-reach of the antimeridian also probes its ±360°
       // translates — neighbors across the seam live in those frames' cells.
       val reach = (radius + 2) * HexCell.sizeDeg(res)
+      // all probe cells of one query live on its own row, so de-duplicating
+      // the ±360° seam frames is a narrow array_distinct — the previous
+      // explode + dropDuplicates(qid, cell) paid a full exchange per round
+      val shifts = when(abs(col(qLng)) > 180.0 - reach,
+        array(lit(0.0), lit(360.0), lit(-360.0))).otherwise(array(lit(0.0)))
       val cand = remaining
-        .withColumn("__qshift", explode(
-          when(abs(col(qLng)) > 180.0 - reach,
-            array(lit(0.0), lit(360.0), lit(-360.0))).otherwise(array(lit(0.0)))))
-        .withColumn("__qcell", hex_cell(col(qLng) + col("__qshift"), col(qLat), lit(res)))
-        .withColumn("__cell", explode(hex_kring(col("__qcell"), lit(radius))))
-        .dropDuplicates(qidCol, "__cell")
+        .withColumn("__cell", explode(array_distinct(flatten(transform(shifts,
+          sh => hex_kring(hex_cell(col(qLng) + sh, col(qLat), lit(res)), lit(radius)))))))
         .join(pts, col("__cell") === col("__pcell"))
         .withColumn("dist_m", haversine(col(qLng), col(qLat), col(pLng), col(pLat)))
       val w      = Window.partitionBy(col(qidCol)).orderBy(col("dist_m"), col(pLng), col(pLat))
@@ -193,7 +194,7 @@ object SpatialJoins {
         .withColumn("__done", col("__n") === k && col("__kth") <= col("__lb"))
       val doneQ = perQ.where(col("__done")).select(col(qidCol))
       val done  = ranked.join(doneQ, Seq(qidCol), "left_semi")
-        .drop("__qshift", "__qcell", "__cell", "__pcell", "__lb")
+        .drop("__cell", "__pcell", "__lb")
       resultOpt = Some(resultOpt.map(_.unionByName(done)).getOrElse(done))
       remaining = remaining
         .join(perQ.where(col("__done")).select(col(qidCol)), Seq(qidCol), "left_anti")
