@@ -66,6 +66,9 @@ object Bench {
       graft.geo.join.SpatialJoins.knnJoin(wq, "n_nationkey", "qlng", "qlat",
         wp, "lng", "lat", k = 3, res = 2)
         .write.format("noop").mode("overwrite").save()
+      graft.geo.join.SpatialJoins.knnJoinS2(wq, "n_nationkey", "qlng", "qlat",
+        wp, "lng", "lat", k = 3, minLevel = 4, maxLevel = 9)
+        .write.format("noop").mode("overwrite").save()
     }
 
     val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY") // e.g. "flagship" or a query-name prefix
