@@ -417,11 +417,11 @@ object SparkEntry {
             lit(89.9) - (col("n_nationkey") % 7).cast("double"))
           .otherwise((col("n_nationkey") * 7919L % 16000L) / 100.0 - 80.0))
         .select("n_nationkey", "qlng", "qlat")
-      // sparse global points (~1.5k-15k rows): start at 1500 km so most
-      // queries certify in round 1 instead of burning fixed-cost rounds
+      // default auto radius: sized from point density so most queries
+      // certify in round 1 instead of burning fixed-cost rounds
       SpatialJoins.knnJoinS2(qs, "n_nationkey", "qlng", "qlat",
           customerPoints(s, dir).select("c_custkey", "lng", "lat"), "lng", "lat",
-          k = 3, minLevel = 4, maxLevel = 9, initialRadiusM = 1500000.0)
+          k = 3, minLevel = 4, maxLevel = 9)
         .select(col("n_nationkey"), col("c_custkey"), col("rank"))
     }),
     "q25_s2_cells" -> ((s, dir) => {

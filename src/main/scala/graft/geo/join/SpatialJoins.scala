@@ -249,17 +249,27 @@ object SpatialJoins {
       k: Int,
       minLevel: Int = 4,
       maxLevel: Int = 10,
-      initialRadiusM: Double = 100000.0,
+      initialRadiusM: Double = -1.0,
       maxRounds: Int = 5): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val R = 6371008.8 // metres; matches GeoAlgo.haversine
+
+    // auto initial radius (<= 0): size the first cap so ~4k points of a
+    // uniform corpus fall inside — r0 = 2 sqrt(k A / (pi N)) — so most
+    // queries certify in round 1 instead of burning fixed-cost rounds
+    val r0 =
+      if (initialRadiusM > 0) initialRadiusM
+      else {
+        val n = math.max(1L, points.count())
+        2.0 * math.sqrt(k * 5.1e14 / (math.Pi * n))
+      }
 
     val pts = points.withColumn("__pcell",
       explode(s2_ancestors(col(pLng), col(pLat), lit(minLevel), lit(maxLevel))))
 
     var remaining = queries
     var resultOpt: Option[DataFrame] = None
-    var radiusM   = initialRadiusM
+    var radiusM   = r0
     var round     = 0
     while (round < maxRounds && !remaining.isEmpty) {
       // rBox > r > rDone: the box is drawn a hair wide and the done test a
