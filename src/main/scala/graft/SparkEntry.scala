@@ -424,6 +424,28 @@ object SparkEntry {
           k = 3, minLevel = 4, maxLevel = 9)
         .select(col("n_nationkey"), col("c_custkey"), col("rank"))
     }),
+    "q36_intersects" -> ((s, dir) => {
+      // polygon-polygon intersects join (beyond the reference's surface):
+      // region boxes vs a second synthesized box set; offsets .005 vs .003
+      // guarantee strict overlap-or-disjoint (never exact touching), so the
+      // SQL interval-overlap oracle is exact
+      registerAll(s)
+      val a = regionPolys(s, dir)
+      val b0 = s.read.parquet(t(dir, "nation"))
+        .withColumn("w2", (col("n_nationkey") * 37 % 300).cast("double") - 160.003)
+        .withColumn("e2", col("w2") + 25.0)
+        .withColumn("s2", (col("n_nationkey") * 17 % 110).cast("double") - 55.003)
+        .withColumn("n2", col("s2") + 20.0)
+      val bjson = concat(lit("""{"type":"Polygon","coordinates":[[["""),
+        col("w2").cast("string"), lit(","), col("s2").cast("string"), lit("],["),
+        col("e2").cast("string"), lit(","), col("s2").cast("string"), lit("],["),
+        col("e2").cast("string"), lit(","), col("n2").cast("string"), lit("],["),
+        col("w2").cast("string"), lit(","), col("n2").cast("string"), lit("],["),
+        col("w2").cast("string"), lit(","), col("s2").cast("string"), lit("]]]}"))
+      val b = b0.select(col("n_nationkey"), from_geojson_geom(bjson).as("geom"))
+      SpatialJoins.intersectsJoin(a, "r_regionkey", "geom", b, "n_nationkey", "geom",
+        minLevel = 2, maxLevel = 8)
+    }),
     "q25_s2_cells" -> ((s, dir) => {
       registerAll(s)
       // cell ids + range-pruning roundtrip (no SQL equivalent → rows-only)
@@ -500,6 +522,15 @@ object SparkEntry {
         |  CASE WHEN doc_id % 2 = 0 THEN 35 ELSE 13 END AS ecol
         |FROM documents""".stripMargin,
     "q27_fold_props" -> "SELECT DISTINCT n_name AS name FROM nation",
+    "q36_intersects" ->
+      s"""WITH box AS ($regionBoxesSql),
+         |b AS (SELECT n_nationkey,
+         |  (n_nationkey * 37 % 300) - 160.003 AS w2,
+         |  (n_nationkey * 37 % 300) - 160.003 + 25.0 AS e2,
+         |  (n_nationkey * 17 % 110) - 55.003 AS s2,
+         |  (n_nationkey * 17 % 110) - 55.003 + 20.0 AS n2 FROM nation)
+         |SELECT r.r_regionkey, b.n_nationkey FROM box r, b
+         |WHERE r.w < b.e2 AND b.w2 < r.e AND r.s < b.n2 AND b.s2 < r.n""".stripMargin,
     "q30_geojson_source" ->
       "SELECT n_name AS name, CAST(n_nationkey AS DOUBLE) AS lng FROM nation",
     "q28_map_props" -> "SELECT n_nationkey, upper(n_name) AS name FROM nation",

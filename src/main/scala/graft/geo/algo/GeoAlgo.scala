@@ -156,6 +156,89 @@ object GeoAlgo {
     case _ => false
   }
 
+  // -------------------------------------------- polygon-polygon intersects
+
+  /** Segments (a,b) and (c,d) share a point (proper crossing, touching, or
+    * collinear overlap) — planar orientation tests. */
+  def segmentsIntersect(ax: Double, ay: Double, bx: Double, by: Double,
+                        cx: Double, cy: Double, dx: Double, dy: Double): Boolean = {
+    @inline def orient(px: Double, py: Double, qx: Double, qy: Double,
+                       rx: Double, ry: Double): Double =
+      (qx - px) * (ry - py) - (qy - py) * (rx - px)
+    val d1 = orient(cx, cy, dx, dy, ax, ay)
+    val d2 = orient(cx, cy, dx, dy, bx, by)
+    val d3 = orient(ax, ay, bx, by, cx, cy)
+    val d4 = orient(ax, ay, bx, by, dx, dy)
+    if (((d1 > 0 && d2 < 0) || (d1 < 0 && d2 > 0)) &&
+        ((d3 > 0 && d4 < 0) || (d3 < 0 && d4 > 0))) return true
+    @inline def onSeg(px: Double, py: Double, qx: Double, qy: Double,
+                      rx: Double, ry: Double): Boolean =
+      math.min(px, qx) <= rx && rx <= math.max(px, qx) &&
+        math.min(py, qy) <= ry && ry <= math.max(py, qy)
+    (d1 == 0 && onSeg(cx, cy, dx, dy, ax, ay)) ||
+      (d2 == 0 && onSeg(cx, cy, dx, dy, bx, by)) ||
+      (d3 == 0 && onSeg(ax, ay, bx, by, cx, cy)) ||
+      (d4 == 0 && onSeg(ax, ay, bx, by, dx, dy))
+  }
+
+  /** Areal-areal intersects over two packed (Multi)Polygons (planar; the
+    * antimeridian is NOT special-cased here — split seam-crossing rings
+    * upstream). True iff a vertex of one lies inside the other (holes
+    * honored via even-odd [[contains]]) or any boundary segments meet —
+    * which together cover containment, partial overlap, and boundary
+    * touching. Non-areal gtypes → false. Boundary segments include the
+    * implicit closing edge of unclosed rings. O(edgesA × edgesB) — exact
+    * refinement for candidate pairs, not a scan primitive.
+    */
+  def intersectsPolygonal(
+      gtA: Int, cA: Array[Double], pA: Array[Int], rA: Array[Int], fA: Array[Int],
+      gtB: Int, cB: Array[Double], pB: Array[Int], rB: Array[Int], fB: Array[Int]): Boolean = {
+    if ((gtA != 5 && gtA != 6) || (gtB != 5 && gtB != 6)) return false
+    // vertex-in tests (first vertex of every ring is enough for containment
+    // without boundary crossing: if no edges meet, each ring lies wholly
+    // inside or outside)
+    var r = 0
+    while (r < rA.length - 1) {
+      val i = rA(r)
+      if (i < rA(r + 1) &&
+          contains(gtB, cB, pB, rB, fB, cA(pA(i)), cA(pA(i) + 1))) return true
+      r += 1
+    }
+    r = 0
+    while (r < rB.length - 1) {
+      val i = rB(r)
+      if (i < rB(r + 1) &&
+          contains(gtA, cA, pA, rA, fA, cB(pB(i)), cB(pB(i) + 1))) return true
+      r += 1
+    }
+    // any edge pair meets
+    var ra = 0
+    while (ra < rA.length - 1) {
+      val sa = rA(ra); val ea = rA(ra + 1)
+      var ia = sa
+      while (ia < ea) {
+        val ja  = if (ia + 1 < ea) ia + 1 else sa // closing edge
+        val ax = cA(pA(ia)); val ay = cA(pA(ia) + 1)
+        val bx = cA(pA(ja)); val by = cA(pA(ja) + 1)
+        var rb = 0
+        while (rb < rB.length - 1) {
+          val sb = rB(rb); val eb = rB(rb + 1)
+          var ib = sb
+          while (ib < eb) {
+            val jb = if (ib + 1 < eb) ib + 1 else sb
+            if (segmentsIntersect(ax, ay, bx, by,
+                cB(pB(ib)), cB(pB(ib) + 1), cB(pB(jb)), cB(pB(jb) + 1))) return true
+            ib += 1
+          }
+          rb += 1
+        }
+        ia += 1
+      }
+      ra += 1
+    }
+    false
+  }
+
   // -------------------------------------------------------------- measures
 
   /** Shoelace signed area of ring [start, end) (position indices), in the

@@ -110,6 +110,54 @@ object SpatialJoins {
       .drop("__cell")
   }
 
+  /** Polygon-polygon intersects join (beyond the reference's surface): for
+    * every pair (a, b) whose geometries share any point.
+    *
+    * Candidates: both sides take normalized multi-level covers. Quadtree
+    * cell ranges are nested-or-disjoint, so two covers overlap iff some cell
+    * of one CONTAINS some cell of the other — i.e. they share a key when the
+    * finer cell is lifted to its ancestors:
+    * `(A.cells ⋈ B.cells∪ancestors) ∪ (A.cells∪ancestors ⋈ B.cells)`,
+    * two plain equi-joins, deduped on (aId, bId). Covers are O(perimeter) at
+    * `maxLevel`; ancestor lifting adds × (levels). Refinement is the exact
+    * planar [[graft.geo.algo.GeoAlgo.intersectsPolygonal]] kernel
+    * (`st_intersects`).
+    *
+    * @return one row per intersecting pair: aId, bId columns only.
+    */
+  def intersectsJoin(
+      aDf: DataFrame, aId: String, aGeom: String,
+      bDf: DataFrame, bId: String, bGeom: String,
+      minLevel: Int = 4,
+      maxLevel: Int = 10,
+      broadcastB: Boolean = true): DataFrame = {
+    def cells(df: DataFrame, geom: String, lifted: Boolean): DataFrame = {
+      val base = df.withColumn("__c0",
+        explode(s2_cover_multi(col(geom), lit(minLevel), lit(maxLevel))))
+      if (!lifted) base.withColumn("__cell", col("__c0")).drop("__c0")
+      else base.withColumn("__cell",
+        explode(s2_cell_ancestors(col("__c0"), lit(minLevel)))).drop("__c0")
+    }
+    def half(a: DataFrame, b: DataFrame): DataFrame = {
+      val rhs = if (broadcastB) broadcast(b) else b
+      a.join(rhs, Seq("__cell")).select(col(aId), col(bId))
+    }
+    val aPlain  = cells(aDf.select(col(aId), col(aGeom)), aGeom, lifted = false)
+    val aLifted = cells(aDf.select(col(aId), col(aGeom)), aGeom, lifted = true)
+    val bPlain  = cells(bDf.select(col(bId), col(bGeom)), bGeom, lifted = false)
+    val bLifted = cells(bDf.select(col(bId), col(bGeom)), bGeom, lifted = true)
+    val cand = half(aPlain, bLifted).unionByName(half(aLifted, bPlain))
+      .dropDuplicates(aId, bId)
+    // internal aliases: both sides may use the same geometry column name
+    val aG = aDf.select(col(aId), col(aGeom).as("__ga"))
+    val bG = bDf.select(col(bId), col(bGeom).as("__gb"))
+    cand
+      .join(aG, Seq(aId))
+      .join(if (broadcastB) broadcast(bG) else bG, Seq(bId))
+      .where(st_intersects(col("__ga"), col("__gb")))
+      .select(col(aId), col(bId))
+  }
+
   /** Hex resolution whose cell size is about half the given box span
     * (degrees) — 2-8 cover cells per polygon, the sweet spot between join
     * fan-out and cell selectivity. */

@@ -59,6 +59,25 @@ object GeomAccess {
       }
     else GeoAlgo.ringWrappedBoxes(coords(r), posOff(r), ringOff(r))
 
+  /** Areal-areal intersects over packed rows (recursing into collections). */
+  def intersects(a: InternalRow, b: InternalRow): Boolean = {
+    if (gtype(a) == GType.Collection)
+      return childStrings(a).exists { s =>
+        val g = GeoJsonCodec.geometryOfJson(JValue.parseUnsafe(s))
+          .fold(e => throw new IllegalArgumentException(e), identity)
+        intersects(GeoStruct.packGeometry(g), b)
+      }
+    if (gtype(b) == GType.Collection)
+      return childStrings(b).exists { s =>
+        val g = GeoJsonCodec.geometryOfJson(JValue.parseUnsafe(s))
+          .fold(e => throw new IllegalArgumentException(e), identity)
+        intersects(a, GeoStruct.packGeometry(g))
+      }
+    GeoAlgo.intersectsPolygonal(
+      gtype(a), coords(a), posOff(a), ringOff(a), partOff(a),
+      gtype(b), coords(b), posOff(b), ringOff(b), partOff(b))
+  }
+
   /** st_contains kernel over the packed row (recursing into collections). */
   def contains(r: InternalRow, lng: Double, lat: Double): Boolean =
     if (gtype(r) == GType.Collection)
@@ -288,6 +307,42 @@ case class StContains(geom: Expression, lng: Expression, lat: Expression)
       s"graft.geo.sql.GeomAccess.contains((org.apache.spark.sql.catalyst.InternalRow)$g, $x, $y)")
   override protected def withNewChildrenInternal(f: Expression, s: Expression, t: Expression) =
     copy(f, s, t)
+}
+
+/** `st_intersects(geomA, geomB)` — planar areal-areal intersects (vertex
+  * containment or boundary contact; holes honored). Codegen-enabled: the
+  * intersects-join refinement hot path. */
+case class StIntersects(a: Expression, b: Expression) extends BinaryExpression {
+  override def left: Expression  = a
+  override def right: Expression = b
+  override def dataType: DataType = BooleanType
+  override protected def nullSafeEval(x: Any, y: Any): Any =
+    GeomAccess.intersects(x.asInstanceOf[InternalRow], y.asInstanceOf[InternalRow])
+  override protected def doGenCode(ctx: codegen.CodegenContext, ev: codegen.ExprCode) =
+    defineCodeGen(ctx, ev, (x, y) =>
+      s"graft.geo.sql.GeomAccess.intersects((org.apache.spark.sql.catalyst.InternalRow)$x, (org.apache.spark.sql.catalyst.InternalRow)$y)")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression) = copy(l, r)
+}
+
+/** `s2_cell_ancestors(cell, minLevel)` → the cell plus its ancestors down
+  * to minLevel (the containment-key side of the intersects join). */
+case class S2CellAncestorsExpr(cell: Expression, minLevel: Expression)
+    extends GeoExpression with ImplicitCastInputTypes {
+  override def children: Seq[Expression] = Seq(cell, minLevel)
+  override def inputTypes = Seq(LongType, IntegerType)
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override protected def evalNotNull(v: Array[Any]): Any = {
+    val id   = v(0).asInstanceOf[Long]
+    val minL = v(1).asInstanceOf[Int]
+    val lvl  = S2Cell.level(id)
+    val out  = new Array[Long](math.max(1, lvl - minL + 1))
+    var i = 0
+    var l = lvl
+    while (l >= minL && i < out.length) { out(i) = S2Cell.parent(id, l); i += 1; l -= 1 }
+    if (i == 0) { out(0) = id; i = 1 }
+    new GenericArrayData(java.util.Arrays.copyOf(out, i))
+  }
+  override protected def withNewChildrenInternal(c: IndexedSeq[Expression]) = copy(c(0), c(1))
 }
 
 /** `st_bbox(geom)` → [w, s, e, n] (naive min/max; see hex_cover/s2_cover for

@@ -25,6 +25,7 @@ object GeoFunctions {
     "with_feature_geometry" -> (es => WithFeatureGeometry(es(0), es(1))),
     "random_geojson"        -> (es => RandomGeoJson(es(0), es(1))),
     "st_contains"       -> (es => StContains(es(0), es(1), es(2))),
+    "st_intersects"     -> (es => StIntersects(es(0), es(1))),
     "st_bbox"           -> (es => StBBox(es.head)),
     "st_centroid"       -> (es => StCentroid(es.head)),
     "st_area"           -> (es => StArea(es.head)),
@@ -39,6 +40,7 @@ object GeoFunctions {
     "s2_cover_multi"    -> (es => S2CoverMultiExpr(es(0), es(1), es(2))),
     "s2_ancestors"      -> (es => S2AncestorsExpr(es(0), es(1), es(2), es(3))),
     "s2_cover_box"      -> (es => S2CoverBoxExpr(es(0), es(1), es(2), es(3), es(4), es(5))),
+    "s2_cell_ancestors" -> (es => S2CellAncestorsExpr(es(0), es(1))),
     "tile_key"          -> (es => TileKeyExpr(es(0), es(1), es(2))))
 
   @volatile private var registered: Set[Int] = Set.empty
@@ -70,6 +72,9 @@ object GeoFunctions {
     call_function("random_geojson", id, seed)
   def st_contains(geom: Column, lng: Column, lat: Column): Column =
     call_function("st_contains", geom, lng, lat)
+  def st_intersects(a: Column, b: Column): Column = call_function("st_intersects", a, b)
+  def s2_cell_ancestors(cell: Column, minLevel: Column): Column =
+    call_function("s2_cell_ancestors", cell, minLevel)
   def st_bbox(geom: Column): Column          = call_function("st_bbox", geom)
   def st_centroid(geom: Column): Column      = call_function("st_centroid", geom)
   def st_area(geom: Column): Column          = call_function("st_area", geom)

@@ -1,0 +1,117 @@
+package graft.geo
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import org.locationtech.jts.geom.{Coordinate, GeometryFactory, LinearRing}
+
+import graft.SparkTestBase
+import graft.geo.json.{GeoJsonCodec, JValue}
+import graft.geo.sql.{GeoFunctions, GeoStruct}
+import graft.geo.sql.GeoFunctions._
+
+/** st_intersects + intersectsJoin: fuzz against JTS (the vendored test
+  * oracle, never a runtime dependency) and brute-force join equality. */
+class IntersectsSpec extends AnyFunSuite {
+  lazy val spark = SparkTestBase.spark
+  import spark.implicits._
+  GeoFunctions.register(SparkTestBase.spark)
+
+  private val gf = new GeometryFactory()
+
+  /** Random closed simple-ish polygon (star-convex around a center, so
+    * non-convex but non-self-intersecting) with continuous coordinates —
+    * degenerate contacts have measure zero, keeping the naive-double kernel
+    * and JTS's robust predicates in agreement. */
+  private def randomPoly(rng: scala.util.Random, cx: Double, cy: Double,
+                         rMin: Double, rMax: Double, nPts: Int): Vector[(Double, Double)] = {
+    val pts = (0 until nPts).map { i =>
+      val ang = 2 * math.Pi * i / nPts
+      val r   = rMin + rng.nextDouble() * (rMax - rMin)
+      (cx + r * math.cos(ang), cy + r * math.sin(ang))
+    }.toVector
+    pts :+ pts.head
+  }
+
+  private def toJson(ring: Vector[(Double, Double)]): String =
+    ring.map { case (x, y) => s"[$x,$y]" }.mkString("""{"type":"Polygon","coordinates":[[""", ",", "]]}")
+
+  private def toJts(ring: Vector[(Double, Double)]) = {
+    val shell: LinearRing = gf.createLinearRing(
+      ring.map { case (x, y) => new Coordinate(x, y) }.toArray)
+    gf.createPolygon(shell)
+  }
+
+  private def packed(json: String) =
+    GeoStruct.packGeometry(
+      GeoJsonCodec.geometryOfJson(JValue.parseUnsafe(json)).toOption.get)
+
+  test("st_intersects matches JTS on 400 random polygon pairs (all regimes)") {
+    val rng = new scala.util.Random(31)
+    var agree = 0; var hits = 0
+    (1 to 400).foreach { _ =>
+      val cx = rng.nextDouble() * 40 - 20
+      val cy = rng.nextDouble() * 30 - 15
+      // second center from overlapping to far — samples intersecting,
+      // containing (small inside big) and disjoint configurations
+      val dx = (rng.nextDouble() * 10 - 5) * (if (rng.nextBoolean()) 0.3 else 1.5)
+      val dy = (rng.nextDouble() * 8 - 4) * (if (rng.nextBoolean()) 0.3 else 1.5)
+      val a = randomPoly(rng, cx, cy, 1.0, 3.0, 5 + rng.nextInt(8))
+      val b = randomPoly(rng, cx + dx, cy + dy,
+        if (rng.nextInt(4) == 0) 0.2 else 1.0, if (rng.nextInt(4) == 0) 0.6 else 2.5,
+        4 + rng.nextInt(8))
+      val ours = graft.geo.sql.GeomAccess.intersects(packed(toJson(a)), packed(toJson(b)))
+      val jts  = toJts(a).intersects(toJts(b))
+      assert(ours == jts, s"mismatch ours=$ours jts=$jts\nA=${toJson(a)}\nB=${toJson(b)}")
+      agree += 1; if (jts) hits += 1
+    }
+    // the sample must exercise both outcomes
+    assert(hits > 50 && hits < 350, s"degenerate sample: $hits/400 intersecting")
+  }
+
+  test("st_intersects: holes, containment, boundary touch") {
+    def g(s: String) = packed(s)
+    val outer = g("""{"type":"Polygon","coordinates":[[[0,0],[10,0],[10,10],[0,10],[0,0]],[[3,3],[7,3],[7,7],[3,7],[3,3]]]}""")
+    val inHole   = g("""{"type":"Polygon","coordinates":[[[4,4],[6,4],[6,6],[4,6],[4,4]]]}""")
+    val inSolid  = g("""{"type":"Polygon","coordinates":[[[1,1],[2,1],[2,2],[1,2],[1,1]]]}""")
+    val spanning = g("""{"type":"Polygon","coordinates":[[[2,5],[8,5],[8,6],[2,6],[2,5]]]}""")
+    val touching = g("""{"type":"Polygon","coordinates":[[[10,0],[14,0],[14,4],[10,4],[10,0]]]}""")
+    val disjoint = g("""{"type":"Polygon","coordinates":[[[20,20],[22,20],[22,22],[20,22],[20,20]]]}""")
+    import graft.geo.sql.GeomAccess.{intersects => ix}
+    assert(!ix(outer, inHole), "polygon fully inside the hole is disjoint")
+    assert(ix(outer, inSolid), "polygon inside the solid part intersects")
+    assert(ix(outer, spanning), "polygon crossing the hole boundary intersects")
+    assert(ix(outer, touching), "shared edge counts as intersecting")
+    assert(!ix(outer, disjoint))
+    // containment both directions
+    assert(ix(inSolid, outer))
+    // multipolygon: one part hits
+    val mp = g("""{"type":"MultiPolygon","coordinates":[[[[30,30],[31,30],[31,31],[30,31],[30,30]]],[[[1,1],[1.5,1],[1.5,1.5],[1,1.5],[1,1]]]]}""")
+    assert(ix(outer, mp) && ix(mp, outer))
+    // non-areal args are false
+    val line = g("""{"type":"LineString","coordinates":[[0,0],[10,10]]}""")
+    assert(!ix(outer, line) && !ix(line, outer))
+  }
+
+  test("intersectsJoin equals brute-force st_intersects cross join") {
+    val rng = new scala.util.Random(7)
+    def polyDf(n: Int, idCol: String, seedShift: Int) = {
+      val rows = (0 until n).map { i =>
+        val cx = ((i * 37 + seedShift) % 300) / 10.0 - 15.0
+        val cy = ((i * 53 + seedShift) % 200) / 10.0 - 10.0
+        (i.toLong, toJson(randomPoly(rng, cx, cy, 0.5, 2.0, 5 + i % 6)))
+      }
+      rows.toDF(idCol, "json").select(col(idCol), from_geojson_geom($"json").as("geom"))
+        .cache()
+    }
+    val a = polyDf(60, "aid", 0)
+    val b = polyDf(50, "bid", 11)
+    val fast = graft.geo.join.SpatialJoins.intersectsJoin(a, "aid", "geom", b, "bid", "geom",
+        minLevel = 4, maxLevel = 11)
+      .as[(Long, Long)].collect().toSet
+    val brute = a.crossJoin(b.withColumnRenamed("geom", "geomB"))
+      .where(st_intersects($"geom", $"geomB"))
+      .select($"aid", $"bid").as[(Long, Long)].collect().toSet
+    assert(fast == brute, s"missing=${(brute -- fast).take(5)} extra=${(fast -- brute).take(5)}")
+    assert(brute.nonEmpty)
+  }
+}
