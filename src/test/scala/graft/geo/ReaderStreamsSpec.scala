@@ -195,6 +195,28 @@ class ReaderStreamsSpec extends AnyFunSuite {
     assert(got == expect)
   }
 
+  test("stream-static PIP join: streaming points against static polygons") {
+    // the pipJoin plan is a narrow map + broadcast equi-join + refine, so it
+    // runs unchanged on a readStream input (stream-static join)
+    val polys = Seq((1L, """{"type":"Polygon","coordinates":[[[0,0],[10,0],[10,10],[0,10],[0,0]]]}"""),
+                    (2L, """{"type":"Polygon","coordinates":[[[20,20],[30,20],[30,30],[20,30],[20,20]]]}"""))
+      .toDF("poly_id", "json")
+      .select($"poly_id", from_geojson_geom($"json").as("geom"))
+    val pts = (0 until 200).map(i => (i.toLong, (i % 40).toDouble, (i % 35).toDouble))
+      .toDF("pid", "lng", "lat")
+    val dir = java.nio.file.Files.createTempDirectory("pip_stream")
+    pts.coalesce(1).write.mode("overwrite").parquet(dir.toString + "/b1")
+    val stream = spark.readStream.schema(pts.schema).parquet(dir.toString + "/b1")
+    val q = graft.geo.join.SpatialJoins.pipJoin(stream, "lng", "lat", polys, "geom", res = 3)
+      .select("pid", "poly_id")
+      .writeStream.format("memory").queryName("pip_stream").outputMode("append").start()
+    q.processAllAvailable(); q.stop()
+    val streamed = spark.sql("select * from pip_stream").as[(Long, Long)].collect().toSet
+    val batch = graft.geo.join.SpatialJoins.pipJoin(pts, "lng", "lat", polys, "geom", res = 3)
+      .select("pid", "poly_id").as[(Long, Long)].collect().toSet
+    assert(streamed == batch && batch.nonEmpty)
+  }
+
   test("streaming map_geometry on a feature-text stream") {
     // stream of per-feature JSON rows through the same narrow map
     val dir = Files.createTempDirectory("geojson_stream")
