@@ -131,22 +131,21 @@ object SpatialJoins {
       minLevel: Int = 4,
       maxLevel: Int = 10,
       broadcastB: Boolean = true): DataFrame = {
-    def cells(df: DataFrame, geom: String, lifted: Boolean): DataFrame = {
-      val base = df.withColumn("__c0",
-        explode(s2_cover_multi(col(geom), lit(minLevel), lit(maxLevel))))
-      if (!lifted) base.withColumn("__cell", col("__c0")).drop("__c0")
-      else base.withColumn("__cell",
-        explode(s2_cell_ancestors(col("__c0"), lit(minLevel)))).drop("__c0")
-    }
-    def half(a: DataFrame, b: DataFrame): DataFrame = {
-      val rhs = if (broadcastB) broadcast(b) else b
-      a.join(rhs, Seq("__cell")).select(col(aId), col(bId))
-    }
-    val aPlain  = cells(aDf.select(col(aId), col(aGeom)), aGeom, lifted = false)
-    val aLifted = cells(aDf.select(col(aId), col(aGeom)), aGeom, lifted = true)
-    val bPlain  = cells(bDf.select(col(bId), col(bGeom)), bGeom, lifted = false)
-    val bLifted = cells(bDf.select(col(bId), col(bGeom)), bGeom, lifted = true)
-    val cand = half(aPlain, bLifted).unionByName(half(aLifted, bPlain))
+    // one cover pass per side: posexplode of the ancestor lift tags the
+    // cover cell itself with __pos = 0 (s2_cell_ancestors emits the cell
+    // first); containment then needs ONE equi-join with the condition that
+    // at least one side is a plain cover cell — (A.plain x B.lifted) and
+    // (A.lifted x B.plain) in a single pass, no duplicate cover computation
+    def keys(df: DataFrame, id: String, geom: String, pos: String): DataFrame =
+      df.select(col(id), col(geom))
+        .withColumn("__c0", explode(s2_cover_multi(col(geom), lit(minLevel), lit(maxLevel))))
+        .select(col(id), posexplode(s2_cell_ancestors(col("__c0"), lit(minLevel))).as(Seq(pos, "__cell")))
+    val aK = keys(aDf, aId, aGeom, "__pa")
+    val bK = keys(bDf, bId, bGeom, "__pb")
+    val rhsK = if (broadcastB) broadcast(bK) else bK
+    val cand = aK.join(rhsK, Seq("__cell"))
+      .where(col("__pa") === 0 || col("__pb") === 0)
+      .select(col(aId), col(bId))
       .dropDuplicates(aId, bId)
     // internal aliases: both sides may use the same geometry column name
     val aG = aDf.select(col(aId), col(aGeom).as("__ga"))
@@ -327,10 +326,14 @@ object SpatialJoins {
       val dPhi   = lit(rBox / R * (180.0 / math.Pi))
       val sBound = greatest(lit(-90.0), col(qLat) - dPhi)
       val nBound = least(lit(90.0), col(qLat) + dPhi)
-      val phiMax = least(lit(89.9999), greatest(abs(sBound), abs(nBound)))
+      val phiMax = greatest(abs(sBound), abs(nBound))
       val dLng   = degrees(lit(2.0) * asin(least(lit(1.0),
-        lit(rBox) / (lit(2.0 * R) * cos(radians(phiMax))))))
-      val polar  = (col(qLat) + dPhi >= 90.0) || (col(qLat) - dPhi <= -90.0) || (dLng >= 180.0)
+        lit(rBox) / (lit(2.0 * R) * cos(radians(least(lit(89.99), phiMax)))))))
+      // polar threshold 89.99 (not 90): if the band peaks above it, the
+      // clamped cos() in dLng is no longer a sound under-estimate of the
+      // true max latitude, so take the full-longitude box instead (the cap
+      // is within ~1.1 km of the pole — trivial extra cover)
+      val polar  = (phiMax >= 89.99) || (dLng >= 180.0)
       val w0 = when(polar, lit(-180.0)).otherwise(col(qLng) - dLng) // may wrap (<-180): s2_cover_box norms
       val e0 = when(polar, lit(180.0)).otherwise(col(qLng) + dLng)
       val cand = remaining

@@ -113,6 +113,11 @@ object JValue {
     * python/C `%.16g` in GeoJsonCodecSpec).
     */
   def formatG16(d: Double): String = {
+    // C printf prints non-finite doubles as nan/inf/-inf (not JSON, but a
+    // programmatic model may carry them; the old String.format path emitted
+    // Java's "NaN"/"Infinity", and BigDecimal would throw)
+    if (java.lang.Double.isNaN(d)) return "nan"
+    if (java.lang.Double.isInfinite(d)) return if (d > 0) "inf" else "-inf"
     val fast = formatG16Fast(d)
     if (fast != null) fast else formatG16Slow(d)
   }

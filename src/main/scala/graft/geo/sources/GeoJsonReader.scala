@@ -69,19 +69,46 @@ object GeoJsonReader {
         }
       }
       else pb
-    val parser  = factory.createParser(in)
-    // a single FeatureCollection document? (first root value has a
-    // top-level "features" array) — otherwise treat every root value as a
-    // feature text (ND-JSON / concatenated / RS sequence)
-    if (first != '{') return rootValues(factory, parser, in)
+    val parser = factory.createParser(in)
+    // route on the first TOKEN (Jackson has already skipped whitespace and
+    // handled BOM/encoding — a raw-byte '{' test would misroute docs with
+    // leading whitespace or UTF-16 encodings): a root object may be a
+    // FeatureCollection document or the first feature of a sequence
+    // (splitCollection disambiguates); anything else is a plain sequence
+    val t0 = parser.nextToken()
+    if (t0 == null) { parser.close(); in.close(); return Iterator.empty }
+    if (t0 != JsonToken.START_OBJECT) return rootValuesFromCurrent(factory, parser, in)
     splitCollection(factory, parser, in)
   }
 
-  /** Every root-level JSON value as its own text (ND-JSON etc.). */
+  /** Every root-level JSON value as its own text, starting AFTER the current
+    * one (ND-JSON etc.). */
   private def rootValues(factory: JsonFactory, parser: com.fasterxml.jackson.core.JsonParser,
                          in: java.io.InputStream): Iterator[String] =
     new Iterator[String] {
       private var nextTok = parser.nextToken()
+      override def hasNext: Boolean = {
+        val h = nextTok != null
+        if (!h) { parser.close(); in.close() }
+        h
+      }
+      override def next(): String = {
+        val sw  = new java.io.StringWriter()
+        val gen = factory.createGenerator(sw)
+        gen.copyCurrentStructure(parser)
+        gen.close()
+        nextTok = parser.nextToken()
+        sw.toString
+      }
+    }
+
+  /** Every root-level JSON value as its own text, INCLUDING the current
+    * token's value. */
+  private def rootValuesFromCurrent(factory: JsonFactory,
+                                    parser: com.fasterxml.jackson.core.JsonParser,
+                                    in: java.io.InputStream): Iterator[String] =
+    new Iterator[String] {
+      private var nextTok = parser.currentToken()
       override def hasNext: Boolean = {
         val h = nextTok != null
         if (!h) { parser.close(); in.close() }
@@ -108,9 +135,8 @@ object GeoJsonReader {
                               parser: com.fasterxml.jackson.core.JsonParser,
                               in: java.io.InputStream): Iterator[String] = {
 
+    // caller already consumed the START_OBJECT token
     var t = parser.nextToken()
-    require(t == JsonToken.START_OBJECT, "GeoJSON document must be an object")
-    t = parser.nextToken()
     if (t == JsonToken.FIELD_NAME && parser.currentName() == "type") {
       val vt = parser.nextToken()
       if (vt == JsonToken.VALUE_STRING && parser.getText != "FeatureCollection") {

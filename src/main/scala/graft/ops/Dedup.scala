@@ -55,21 +55,25 @@ object Dedup {
   }
 
   /** Streaming twin of [[exact]]: first-arrival canonicalization over an
-    * unbounded stream. Emits only the FIRST row of each identical-text
-    * group (state keyed by the narrow `(xxhash64(text), length)` pair, not
-    * the text — same scale story as the batch plan). With a watermark on
-    * `eventTimeCol` the state is GC'd once a group's window passes
-    * (`dropDuplicatesWithinWatermark`); without one, state grows with the
-    * number of distinct documents (exact, unbounded — batch semantics).
-    * Works identically on batch frames (proven equal in OpsSpec).
+    * unbounded stream, keyed by the narrow `(xxhash64(text), length)` pair.
+    *
+    * HASH-distinct, not text-exact: streaming state cannot run the batch
+    * verify + straggler re-group, so two DISTINCT texts that collide on
+    * (64-bit hash, length) conflate with probability ~2^-64 per pair — use
+    * the batch [[exact]] when absolute exactness is the contract. With
+    * `eventTime = Some((col, delay))` a watermark is applied and state is
+    * GC'd once a group's window passes (`dropDuplicatesWithinWatermark`);
+    * without it state grows with the number of distinct documents. Works
+    * identically on batch frames (proven in SessionIvfSpec).
     */
   def exactStreaming(df: DataFrame, idCol: String, textCol: String,
-                     eventTimeCol: Option[String] = None): DataFrame = {
+                     eventTime: Option[(String, String)] = None): DataFrame = {
     val keyed = df.withColumn("__h", xxhash64(col(textCol)))
       .withColumn("__l", length(col(textCol)))
-    val out = eventTimeCol match {
-      case Some(_) => keyed.dropDuplicatesWithinWatermark("__h", "__l")
-      case None    => keyed.dropDuplicates("__h", "__l")
+    val out = eventTime match {
+      case Some((c, delay)) =>
+        keyed.withWatermark(c, delay).dropDuplicatesWithinWatermark("__h", "__l")
+      case None => keyed.dropDuplicates("__h", "__l")
     }
     out.drop("__h", "__l")
   }

@@ -217,6 +217,10 @@ class GeoJsonCodecSpec extends AnyFunSuite {
       val d = java.lang.Double.longBitsToDouble(bits)
       assert(JValue.formatG16(d) == expected, s"mismatch for $d (bits=$bits)")
     }
+    // C printf non-finite spellings (programmatic models only; must not throw)
+    assert(JValue.formatG16(Double.NaN) == "nan")
+    assert(JValue.formatG16(Double.PositiveInfinity) == "inf")
+    assert(JValue.formatG16(Double.NegativeInfinity) == "-inf")
   }
 
   test("formatG16 fast path agrees with exact-expansion rounding (differential)") {

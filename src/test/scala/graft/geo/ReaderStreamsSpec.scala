@@ -65,6 +65,19 @@ class ReaderStreamsSpec extends AnyFunSuite {
     java.nio.file.Files.write(dir.resolve("fc2.json"),
       s"""{"features":[$f1,$f2],"type":"FeatureCollection"}""".getBytes("UTF-8"))
     assert(GeoJsonReader.featureTexts(spark, dir.resolve("fc2.json").toString).collect().length == 2)
+    // leading whitespace / BOM / UTF-16 before the FC must still SPLIT (the
+    // container routing is token-level, not raw-first-byte): regression for
+    // the first-byte sniff that emitted the whole doc as one row
+    val fcDoc = s"""{"type":"FeatureCollection","features":[$f1,$f2,$f3]}"""
+    java.nio.file.Files.write(dir.resolve("fc_ws.json"), ("\n  " + fcDoc).getBytes("UTF-8"))
+    java.nio.file.Files.write(dir.resolve("fc_bom.json"),
+      Array[Byte](0xEF.toByte, 0xBB.toByte, 0xBF.toByte) ++ fcDoc.getBytes("UTF-8"))
+    java.nio.file.Files.write(dir.resolve("fc_u16.json"),
+      Array[Byte](0xFE.toByte, 0xFF.toByte) ++ fcDoc.getBytes("UTF-16BE"))
+    Seq("fc_ws.json", "fc_bom.json", "fc_u16.json").foreach { f =>
+      val n = GeoJsonReader.featureTexts(spark, dir.resolve(f).toString).collect().length
+      assert(n == 3, s"$f split into $n rows, expected 3 features")
+    }
   }
 
   private def get_json_object_str(t: String): String =

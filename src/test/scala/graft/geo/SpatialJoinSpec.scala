@@ -117,6 +117,27 @@ class SpatialJoinSpec extends AnyFunSuite {
     assert(fast.exceptAll(brute).isEmpty && brute.exceptAll(fast).isEmpty)
   }
 
+  test("S2 kNN exact within 100m of the pole (dLng clamp soundness)") {
+    // a tight cluster straddling the 89.999+ band where a naive cos clamp
+    // under-estimates the box width; brute-force equality must hold
+    val pts = (
+      Seq((1L, 10.0, 89.9994), (2L, 120.0, 89.9996), (3L, -60.0, 89.9997),
+          (4L, 170.0, 89.9993), (5L, -179.0, 89.9995), (6L, 0.0, 89.95),
+          (7L, 45.0, 89.90)) ++ (8L to 40L).map(i => (i, (i * 31 % 360) - 180.0, 80.0 + (i % 90) / 10.0))
+      ).toDF("pid", "lng", "lat").cache()
+    val qs = Seq((1L, -100.0, 89.9995), (2L, 60.0, 89.9992)).toDF("qid", "qlng", "qlat")
+    val k = 4
+    val fast = SpatialJoins.knnJoinS2(qs, "qid", "qlng", "qlat", pts, "lng", "lat", k,
+        initialRadiusM = 100.0, maxRounds = 8) // forces tiny first caps at the pole
+      .select("qid", "pid", "rank")
+    val w = Window.partitionBy($"qid").orderBy($"dist_m", $"lng", $"lat")
+    val brute = qs.crossJoin(pts)
+      .withColumn("dist_m", haversine($"qlng", $"qlat", $"lng", $"lat"))
+      .withColumn("rank", row_number().over(w)).where($"rank" <= k)
+      .select("qid", "pid", "rank")
+    assert(fast.exceptAll(brute).isEmpty && brute.exceptAll(fast).isEmpty)
+  }
+
   test("S2 kNN sparse-neighborhood fallback stays exact") {
     val pts = spark.range(15).select(
       $"id".as("pid"),
