@@ -68,6 +68,37 @@ class IntersectsSpec extends AnyFunSuite {
     assert(hits > 50 && hits < 350, s"degenerate sample: $hits/400 intersecting")
   }
 
+  test("st_intersects matches JTS on 200 random pairs WITH holes") {
+    val rng = new scala.util.Random(47)
+    def toJsonHoled(shell: Vector[(Double, Double)], hole: Vector[(Double, Double)]): String = {
+      def ring(r: Vector[(Double, Double)]) = r.map { case (x, y) => s"[$x,$y]" }.mkString("[", ",", "]")
+      s"""{"type":"Polygon","coordinates":[${ring(shell)},${ring(hole)}]}"""
+    }
+    def toJtsHoled(shell: Vector[(Double, Double)], hole: Vector[(Double, Double)]) = {
+      def lr(r: Vector[(Double, Double)]) =
+        gf.createLinearRing(r.map { case (x, y) => new Coordinate(x, y) }.toArray)
+      gf.createPolygon(lr(shell), Array(lr(hole)))
+    }
+    var hits = 0
+    (1 to 200).foreach { _ =>
+      val cx = rng.nextDouble() * 20 - 10
+      val cy = rng.nextDouble() * 16 - 8
+      val shell = randomPoly(rng, cx, cy, 2.5, 4.0, 6 + rng.nextInt(6))
+      val hole  = randomPoly(rng, cx, cy, 0.5, 1.2, 5) // star-radii keep it inside
+      val a     = toJsonHoled(shell, hole)
+      val aJts  = toJtsHoled(shell, hole)
+      // B placed anywhere from inside-the-hole to far away
+      val scale = rng.nextInt(3) match { case 0 => 0.15; case 1 => 0.8; case _ => 2.0 }
+      val b = randomPoly(rng, cx + (rng.nextDouble() * 8 - 4) * scale,
+        cy + (rng.nextDouble() * 6 - 3) * scale, 0.2 + scale / 3, 0.4 + scale, 4 + rng.nextInt(6))
+      val ours = graft.geo.sql.GeomAccess.intersects(packed(a), packed(toJson(b)))
+      val jts  = aJts.intersects(toJts(b))
+      assert(ours == jts, s"holed mismatch ours=$ours jts=$jts\nA=$a\nB=${toJson(b)}")
+      if (jts) hits += 1
+    }
+    assert(hits > 20 && hits < 190, s"degenerate holed sample: $hits/200")
+  }
+
   test("st_intersects: holes, containment, boundary touch") {
     def g(s: String) = packed(s)
     val outer = g("""{"type":"Polygon","coordinates":[[[0,0],[10,0],[10,10],[0,10],[0,0]],[[3,3],[7,3],[7,7],[3,7],[3,3]]]}""")
