@@ -181,19 +181,80 @@ object GeoAlgo {
       (d4 == 0 && onSeg(ax, ay, bx, by, dx, dy))
   }
 
-  /** Areal-areal intersects over two packed (Multi)Polygons (planar; the
-    * antimeridian is NOT special-cased here — split seam-crossing rings
-    * upstream). True iff a vertex of one lies inside the other (holes
-    * honored via even-odd [[contains]]) or any boundary segments meet —
-    * which together cover containment, partial overlap, and boundary
-    * touching. Non-areal gtypes → false. Boundary segments include the
-    * implicit closing edge of unclosed rings. O(edgesA × edgesB) — exact
-    * refinement for candidate pairs, not a scan primitive.
+  /** Areal-areal intersects over two packed (Multi)Polygons. True iff a
+    * vertex of one lies inside the other (holes honored via even-odd
+    * [[contains]]) or any boundary segments meet — which together cover
+    * containment, partial overlap, and boundary touching. Non-areal gtypes
+    * → false. Boundary segments include the implicit closing edge of
+    * unclosed rings. O(edgesA × edgesB) — exact refinement for candidate
+    * pairs, not a scan primitive.
+    *
+    * Antimeridian: seam-crossing parts are UNWRAPPED (negative longitudes
+    * of every ring in a crossing part get +360, keeping the part's rings in
+    * one frame) and the planar test runs with B shifted by {0, +360, -360}
+    * — any true spherical contact appears at exactly one relative shift.
     */
   def intersectsPolygonal(
       gtA: Int, cA: Array[Double], pA: Array[Int], rA: Array[Int], fA: Array[Int],
       gtB: Int, cB: Array[Double], pB: Array[Int], rB: Array[Int], fB: Array[Int]): Boolean = {
     if ((gtA != 5 && gtA != 6) || (gtB != 5 && gtB != 6)) return false
+    val crossA = anyPartCrosses(cA, pA, rA, fA)
+    val crossB = anyPartCrosses(cB, pB, rB, fB)
+    if (!crossA && !crossB)
+      return intersectsPlanar(gtA, cA, pA, rA, fA, gtB, cB, pB, rB, fB, 0.0)
+    val cA2 = if (crossA) unwrapParts(cA, pA, rA, fA) else cA
+    val cB2 = if (crossB) unwrapParts(cB, pB, rB, fB) else cB
+    intersectsPlanar(gtA, cA2, pA, rA, fA, gtB, cB2, pB, rB, fB, 0.0) ||
+      intersectsPlanar(gtA, cA2, pA, rA, fA, gtB, cB2, pB, rB, fB, 360.0) ||
+      intersectsPlanar(gtA, cA2, pA, rA, fA, gtB, cB2, pB, rB, fB, -360.0)
+  }
+
+  private def anyPartCrosses(c: Array[Double], p: Array[Int], r: Array[Int],
+                             f: Array[Int]): Boolean = {
+    var ri = 0
+    while (ri < r.length - 1) {
+      if (ringCrossesAntimeridian(c, p, r(ri), r(ri + 1))) return true
+      ri += 1
+    }
+    false
+  }
+
+  /** Copy of coords where every ring of a seam-crossing PART gets +360 on
+    * its negative longitudes (per-part, so holes stay in their shell's
+    * frame). */
+  private def unwrapParts(c: Array[Double], p: Array[Int], r: Array[Int],
+                          f: Array[Int]): Array[Double] = {
+    val out = java.util.Arrays.copyOf(c, c.length)
+    var part = 0
+    while (part < f.length - 1) {
+      var crosses = false
+      var ri = f(part)
+      while (!crosses && ri < f(part + 1)) {
+        crosses = ringCrossesAntimeridian(c, p, r(ri), r(ri + 1))
+        ri += 1
+      }
+      if (crosses) {
+        ri = f(part)
+        while (ri < f(part + 1)) {
+          var i = r(ri)
+          while (i < r(ri + 1)) {
+            if (out(p(i)) < 0) out(p(i)) += 360.0
+            i += 1
+          }
+          ri += 1
+        }
+      }
+      part += 1
+    }
+    out
+  }
+
+  /** Planar intersects core with B shifted by `shiftB` degrees of
+    * longitude. */
+  private def intersectsPlanar(
+      gtA: Int, cA: Array[Double], pA: Array[Int], rA: Array[Int], fA: Array[Int],
+      gtB: Int, cB: Array[Double], pB: Array[Int], rB: Array[Int], fB: Array[Int],
+      shiftB: Double): Boolean = {
     // vertex-in tests (first vertex of every ring is enough for containment
     // without boundary crossing: if no edges meet, each ring lies wholly
     // inside or outside)
@@ -201,14 +262,14 @@ object GeoAlgo {
     while (r < rA.length - 1) {
       val i = rA(r)
       if (i < rA(r + 1) &&
-          contains(gtB, cB, pB, rB, fB, cA(pA(i)), cA(pA(i) + 1))) return true
+          contains(gtB, cB, pB, rB, fB, cA(pA(i)) - shiftB, cA(pA(i) + 1))) return true
       r += 1
     }
     r = 0
     while (r < rB.length - 1) {
       val i = rB(r)
       if (i < rB(r + 1) &&
-          contains(gtA, cA, pA, rA, fA, cB(pB(i)), cB(pB(i) + 1))) return true
+          contains(gtA, cA, pA, rA, fA, cB(pB(i)) + shiftB, cB(pB(i) + 1))) return true
       r += 1
     }
     // any edge pair meets
@@ -227,7 +288,7 @@ object GeoAlgo {
           while (ib < eb) {
             val jb = if (ib + 1 < eb) ib + 1 else sb
             if (segmentsIntersect(ax, ay, bx, by,
-                cB(pB(ib)), cB(pB(ib) + 1), cB(pB(jb)), cB(pB(jb) + 1))) return true
+                cB(pB(ib)) + shiftB, cB(pB(ib) + 1), cB(pB(jb)) + shiftB, cB(pB(jb) + 1))) return true
             ib += 1
           }
           rb += 1

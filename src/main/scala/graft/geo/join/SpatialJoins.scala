@@ -301,9 +301,11 @@ object SpatialJoins {
     import org.apache.spark.sql.expressions.Window
     val R = 6371008.8 // metres; matches GeoAlgo.haversine
 
-    // auto initial radius (<= 0): size the first cap so ~4k points of a
-    // uniform corpus fall inside — r0 = 2 sqrt(k A / (pi N)) — so most
-    // queries certify in round 1 instead of burning fixed-cost rounds
+    // auto initial radius (<= 0): size the first cap so most queries
+    // certify in round 1 — r0 = 2 sqrt(k A / (pi N)). NOTE: resolving it
+    // runs one count() job at plan-construction time (an extra scan of the
+    // points input); pass an explicit initialRadiusM, or cache the points,
+    // when the input lineage is expensive
     val r0 =
       if (initialRadiusM > 0) initialRadiusM
       else {

@@ -39,12 +39,23 @@ object GeoJsonReader {
   /** Lazy iterator over the feature texts of one stream, auto-detecting the
     * container format in constant memory:
     *
-    *  - RFC 8142 GeoJSON text sequences (RS 0x1E before each text);
-    *  - ND-JSON / concatenated JSON (a sequence of root-level objects —
-    *    Jackson reads consecutive root values natively);
-    *  - a single FeatureCollection document (the original geojsone case):
-    *    each element of the top-level "features" array. Nested "features"
-    *    keys inside properties are not confused (depth tracking).
+    *  - RFC 8142 GeoJSON text sequences (RS 0x1E before each text, each text
+    *    any GeoJSON — FeatureCollections are split, features pass through);
+    *  - ND-JSON / concatenated JSON (a sequence of root-level objects, any
+    *    member order — Jackson reads consecutive root values natively);
+    *  - FeatureCollection documents (the original geojsone case): each
+    *    element of the top-level "features" array becomes a row. Nested
+    *    "features" keys inside properties are not confused (the scan only
+    *    honors the top level of each root object).
+    *
+    * Classification is PER ROOT VALUE: a root object is a collection iff its
+    * top-level `type` is "FeatureCollection" (authoritative) or — for
+    * type-less objects — it carries a top-level `features` array. Members
+    * seen before the decision are held in a bounded TokenBuffer (for a
+    * collection that is only the members preceding "features"; for a
+    * feature, the feature itself) and replayed, so memory stays constant in
+    * the document size. Non-object roots fail loudly (the reference requires
+    * an object).
     */
   private[sources] def splitFeatures(in0: java.io.InputStream): Iterator[String] = {
     val factory = new JsonFactory()
@@ -70,108 +81,117 @@ object GeoJsonReader {
       }
       else pb
     val parser = factory.createParser(in)
-    // route on the first TOKEN (Jackson has already skipped whitespace and
-    // handled BOM/encoding — a raw-byte '{' test would misroute docs with
-    // leading whitespace or UTF-16 encodings): a root object may be a
-    // FeatureCollection document or the first feature of a sequence
-    // (splitCollection disambiguates); anything else is a plain sequence
-    val t0 = parser.nextToken()
-    if (t0 == null) { parser.close(); in.close(); return Iterator.empty }
-    if (t0 != JsonToken.START_OBJECT) return rootValuesFromCurrent(factory, parser, in)
-    splitCollection(factory, parser, in)
+
+    // flatten every root value: FC roots stream their features, feature
+    // roots emit themselves
+    new Iterator[String] {
+      private var pending: Iterator[String] = Iterator.empty
+      private var closed = false
+      private def refill(): Unit = {
+        while (!pending.hasNext && !closed) {
+          val t = parser.nextToken()
+          if (t == null) { closed = true; parser.close(); in.close() }
+          else {
+            require(t == JsonToken.START_OBJECT, "GeoJSON document must be an object")
+            pending = splitRootObject(factory, parser)
+          }
+        }
+      }
+      override def hasNext: Boolean = { refill(); pending.hasNext }
+      override def next(): String = { refill(); pending.next() }
+    }
   }
 
-  /** Every root-level JSON value as its own text, starting AFTER the current
-    * one (ND-JSON etc.). */
-  private def rootValues(factory: JsonFactory, parser: com.fasterxml.jackson.core.JsonParser,
-                         in: java.io.InputStream): Iterator[String] =
-    new Iterator[String] {
-      private var nextTok = parser.nextToken()
-      override def hasNext: Boolean = {
-        val h = nextTok != null
-        if (!h) { parser.close(); in.close() }
-        h
-      }
-      override def next(): String = {
-        val sw  = new java.io.StringWriter()
-        val gen = factory.createGenerator(sw)
-        gen.copyCurrentStructure(parser)
-        gen.close()
-        nextTok = parser.nextToken()
-        sw.toString
+  /** Current token is the START_OBJECT of one root value. Classify it and
+    * return its feature texts; consumes exactly this root object (the
+    * returned iterator must be drained before the parser is advanced —
+    * [[splitFeatures]] guarantees that). */
+  private def splitRootObject(factory: JsonFactory,
+                              parser: com.fasterxml.jackson.core.JsonParser): Iterator[String] = {
+    // buffer the object head until the classification is decidable
+    val buf = new com.fasterxml.jackson.databind.util.TokenBuffer(parser)
+    buf.copyCurrentEvent(parser) // START_OBJECT
+    var decided: Option[Boolean] = None // Some(true)=collection, Some(false)=single value
+    while (decided.isEmpty) {
+      val t = parser.nextToken()
+      t match {
+        case JsonToken.FIELD_NAME if parser.currentName() == "type" =>
+          buf.copyCurrentEvent(parser)
+          val vt = parser.nextToken()
+          buf.copyCurrentEvent(parser)
+          if (vt == JsonToken.VALUE_STRING)
+            decided = Some(parser.getText == "FeatureCollection")
+          else if (vt == JsonToken.START_OBJECT || vt == JsonToken.START_ARRAY) {
+            // non-string type: buffer the subtree, keep scanning
+            copySubtreeRest(parser, buf)
+          }
+        case JsonToken.FIELD_NAME if parser.currentName() == "features" =>
+          // type-less object carrying a features array: treat as collection
+          decided = Some(true)
+          // push the name back into the buffer so collection mode below can
+          // recognize it without re-reading
+          buf.copyCurrentEvent(parser)
+        case JsonToken.FIELD_NAME =>
+          buf.copyCurrentEvent(parser)
+          val vt = parser.nextToken()
+          buf.copyCurrentEvent(parser)
+          if (vt == JsonToken.START_OBJECT || vt == JsonToken.START_ARRAY)
+            copySubtreeRest(parser, buf)
+        case JsonToken.END_OBJECT =>
+          buf.copyCurrentEvent(parser)
+          decided = Some(false) // no type, no features: one opaque value
+        case _ =>
+          buf.copyCurrentEvent(parser)
       }
     }
-
-  /** Every root-level JSON value as its own text, INCLUDING the current
-    * token's value. */
-  private def rootValuesFromCurrent(factory: JsonFactory,
-                                    parser: com.fasterxml.jackson.core.JsonParser,
-                                    in: java.io.InputStream): Iterator[String] =
-    new Iterator[String] {
-      private var nextTok = parser.currentToken()
-      override def hasNext: Boolean = {
-        val h = nextTok != null
-        if (!h) { parser.close(); in.close() }
-        h
+    if (!decided.get) {
+      // single value: replay the buffered head + copy the unread remainder
+      val sw  = new java.io.StringWriter()
+      val gen = factory.createGenerator(sw)
+      val replay = buf.asParser()
+      var rt = replay.nextToken()
+      var depth = 0
+      var sawEnd = false
+      while (rt != null) {
+        gen.copyCurrentEvent(replay)
+        rt match {
+          case JsonToken.START_OBJECT | JsonToken.START_ARRAY => depth += 1
+          case JsonToken.END_OBJECT | JsonToken.END_ARRAY     => depth -= 1; if (depth == 0) sawEnd = true
+          case _ => ()
+        }
+        rt = replay.nextToken()
       }
-      override def next(): String = {
-        val sw  = new java.io.StringWriter()
-        val gen = factory.createGenerator(sw)
-        gen.copyCurrentStructure(parser)
-        gen.close()
-        nextTok = parser.nextToken()
-        sw.toString
-      }
-    }
-
-  /** First root value starts with '{': disambiguate a FeatureCollection
-    * DOCUMENT (split its "features" array) from a SEQUENCE of root objects
-    * (ND-JSON / concatenated / RS — each root value is a feature text). The
-    * discriminator is the first top-level member: `"type":
-    * "FeatureCollection"` or `"features"` ⇒ document; `"type": <anything
-    * else>` ⇒ sequence (our writer and the codec always emit `type` first);
-    * any other first member ⇒ legacy document scan. */
-  private def splitCollection(factory: JsonFactory,
-                              parser: com.fasterxml.jackson.core.JsonParser,
-                              in: java.io.InputStream): Iterator[String] = {
-
-    // caller already consumed the START_OBJECT token
-    var t = parser.nextToken()
-    if (t == JsonToken.FIELD_NAME && parser.currentName() == "type") {
-      val vt = parser.nextToken()
-      if (vt == JsonToken.VALUE_STRING && parser.getText != "FeatureCollection") {
-        // a sequence of feature objects; re-emit the partially-consumed
-        // first object token-by-token, then iterate the remaining roots
-        val typ = parser.getText
-        val sw  = new java.io.StringWriter()
-        val gen = factory.createGenerator(sw)
-        gen.writeStartObject()
-        gen.writeFieldName("type")
-        gen.writeString(typ)
-        var depth = 1
-        while (depth > 0) {
-          parser.nextToken() match {
-            case JsonToken.START_OBJECT | JsonToken.START_ARRAY => depth += 1
-            case JsonToken.END_OBJECT | JsonToken.END_ARRAY     => depth -= 1
-            case _                                              => ()
+      if (!sawEnd) { // remainder still on the live parser
+        var depthLive = depth
+        while (depthLive > 0) {
+          val t = parser.nextToken()
+          t match {
+            case JsonToken.START_OBJECT | JsonToken.START_ARRAY => depthLive += 1
+            case JsonToken.END_OBJECT | JsonToken.END_ARRAY     => depthLive -= 1
+            case _ => ()
           }
           gen.copyCurrentEvent(parser)
         }
-        gen.close()
-        return Iterator.single(sw.toString) ++ rootValues(factory, parser, in)
       }
-      // non-string type value: skip its subtree so the depth scan below
-      // starts balanced at the top level
-      if (vt == JsonToken.START_OBJECT || vt == JsonToken.START_ARRAY) parser.skipChildren()
+      gen.close()
+      buf.close()
+      return Iterator.single(sw.toString)
     }
-    // document mode: advance to the start of the top-level "features" array
-    // (the "type" member, if that's what we just consumed, is behind us)
-    var found = t == JsonToken.FIELD_NAME && parser.currentName() == "features" && {
+    buf.close()
+    // collection mode: advance (within THIS object) to the top-level
+    // "features" array — the buffered head holds only scalar members (type,
+    // bbox, ...) or fully-buffered subtrees, so the live parser sits at the
+    // top level; if the features name was the deciding token we are already
+    // on it
+    val onFeatures = parser.currentToken() == JsonToken.FIELD_NAME &&
+      parser.currentName() == "features"
+    var found = onFeatures && {
       val nxt = parser.nextToken()
       require(nxt == JsonToken.START_ARRAY, "features must be an array")
       true
     }
     var depth = 1
+    var t: JsonToken = null
     while (!found && { t = parser.nextToken(); t != null }) {
       t match {
         case JsonToken.FIELD_NAME if depth == 1 && parser.currentName() == "features" =>
@@ -179,27 +199,59 @@ object GeoJsonReader {
           require(nxt == JsonToken.START_ARRAY, "features must be an array")
           found = true
         case JsonToken.START_OBJECT | JsonToken.START_ARRAY => depth += 1
-        case JsonToken.END_OBJECT | JsonToken.END_ARRAY     => depth -= 1
-        case _                                              => ()
+        case JsonToken.END_OBJECT | JsonToken.END_ARRAY =>
+          depth -= 1
+          if (depth == 0) return Iterator.empty // FC without features member
+        case _ => ()
       }
     }
-    if (!found) { parser.close(); in.close(); return Iterator.empty }
+    if (!found) return Iterator.empty
 
     new Iterator[String] {
       private var nextTok = parser.nextToken()
+      private var drainedObject = false
       override def hasNext: Boolean = {
         val h = nextTok == JsonToken.START_OBJECT
-        if (!h) { parser.close(); in.close() }
+        if (!h && !drainedObject) {
+          // consume the rest of the collection object (bbox/fm after the
+          // features array) so the NEXT root value can follow (RFC 8142
+          // sequences of FeatureCollections)
+          var depth = 1 // inside the FC object; features array already ended
+          while (depth > 0 && parser.nextToken() != null) {
+            parser.currentToken() match {
+              case JsonToken.START_OBJECT | JsonToken.START_ARRAY => depth += 1
+              case JsonToken.END_OBJECT | JsonToken.END_ARRAY     => depth -= 1
+              case _ => ()
+            }
+          }
+          drainedObject = true
+        }
         h
       }
       override def next(): String = {
         val sw  = new java.io.StringWriter()
         val gen = factory.createGenerator(sw)
-        gen.copyCurrentStructure(parser) // streams one feature through
+        gen.copyCurrentStructure(parser)
         gen.close()
         nextTok = parser.nextToken()
         sw.toString
       }
+    }
+  }
+
+  /** The current token opened a subtree (START_OBJECT/ARRAY, already copied
+    * to buf); copy the remainder of that subtree. */
+  private def copySubtreeRest(parser: com.fasterxml.jackson.core.JsonParser,
+                              buf: com.fasterxml.jackson.databind.util.TokenBuffer): Unit = {
+    var depth = 1
+    while (depth > 0) {
+      val t = parser.nextToken()
+      t match {
+        case JsonToken.START_OBJECT | JsonToken.START_ARRAY => depth += 1
+        case JsonToken.END_OBJECT | JsonToken.END_ARRAY     => depth -= 1
+        case _ => ()
+      }
+      buf.copyCurrentEvent(parser)
     }
   }
 }

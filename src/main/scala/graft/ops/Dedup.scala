@@ -54,8 +54,12 @@ object Dedup {
       .select(col(idCol), col("canonical_id"), col("is_dup"))
   }
 
-  /** Streaming twin of [[exact]]: first-arrival canonicalization over an
-    * unbounded stream, keyed by the narrow `(xxhash64(text), length)` pair.
+  /** Streaming twin of [[exact]]: one surviving row per distinct text over
+    * an unbounded stream, keyed by the narrow `(xxhash64(text), length)`
+    * pair. Across micro-batches the first-arriving group wins; WITHIN a
+    * batch (or on a batch frame) the surviving row of a group is an
+    * arbitrary engine pick, not a deterministic canonical — use [[exact]]
+    * when the canonical id matters.
     *
     * HASH-distinct, not text-exact: streaming state cannot run the batch
     * verify + straggler re-group, so two DISTINCT texts that collide on

@@ -123,6 +123,42 @@ class IntersectsSpec extends AnyFunSuite {
     assert(!ix(outer, line) && !ix(line, outer))
   }
 
+  test("st_intersects across the antimeridian (seam-crossing polygons)") {
+    import graft.geo.sql.GeomAccess.{intersects => ix}
+    def g(s: String) = packed(s)
+    // A wraps the seam: lng 170..-170 (i.e. 170..190 unwrapped), lat 0..10
+    val seam = g("""{"type":"Polygon","coordinates":[[[170,0],[-170,0],[-170,10],[170,10],[170,0]]]}""")
+    // B cuts through the band near lng 175 — spherically intersecting
+    val inBandE = g("""{"type":"Polygon","coordinates":[[[175,-5],[176,-5],[176,15],[175,15],[175,-5]]]}""")
+    // same on the western side of the seam
+    val inBandW = g("""{"type":"Polygon","coordinates":[[[-176,-5],[-175,-5],[-175,15],[-176,15],[-176,-5]]]}""")
+    // C near lng 0 — spherically disjoint (the naive planar edge
+    // (170,0)->(-170,0) would cross it: the old false positive)
+    val atZero = g("""{"type":"Polygon","coordinates":[[[-1,-5],[1,-5],[1,15],[-1,15],[-1,-5]]]}""")
+    // D fully inside the wrapped band, on the west side
+    val insideW = g("""{"type":"Polygon","coordinates":[[[-175,2],[-172,2],[-172,8],[-175,8],[-175,2]]]}""")
+    assert(ix(seam, inBandE) && ix(inBandE, seam), "east-side cut must intersect")
+    assert(ix(seam, inBandW) && ix(inBandW, seam), "west-side cut must intersect")
+    assert(ix(seam, insideW) && ix(insideW, seam), "containment across the seam")
+    assert(!ix(seam, atZero) && !ix(atZero, seam), "lng-0 box is spherically disjoint")
+    // two seam-crossers overlapping / disjoint
+    val seam2 = g("""{"type":"Polygon","coordinates":[[[178,5],[-178,5],[-178,20],[178,20],[178,5]]]}""")
+    val seam3 = g("""{"type":"Polygon","coordinates":[[[178,40],[-178,40],[-178,50],[178,50],[178,40]]]}""")
+    assert(ix(seam, seam2) && ix(seam2, seam))
+    assert(!ix(seam, seam3) && !ix(seam3, seam))
+    // intersectsJoin end-to-end over the seam
+    val a = Seq((1L, """{"type":"Polygon","coordinates":[[[170,0],[-170,0],[-170,10],[170,10],[170,0]]]}"""))
+      .toDF("aid", "json").select($"aid", from_geojson_geom($"json").as("geom"))
+    val b = Seq(
+      (1L, """{"type":"Polygon","coordinates":[[[175,-5],[176,-5],[176,15],[175,15],[175,-5]]]}"""),
+      (2L, """{"type":"Polygon","coordinates":[[[-1,-5],[1,-5],[1,15],[-1,15],[-1,-5]]]}"""),
+      (3L, """{"type":"Polygon","coordinates":[[[-176,2],[-175,2],[-175,8],[-176,8],[-176,2]]]}"""))
+      .toDF("bid", "json").select($"bid", from_geojson_geom($"json").as("geom"))
+    val out = graft.geo.join.SpatialJoins.intersectsJoin(a, "aid", "geom", b, "bid", "geom",
+      minLevel = 2, maxLevel = 10).as[(Long, Long)].collect().toSet
+    assert(out == Set((1L, 1L), (1L, 3L)), out.toString)
+  }
+
   test("intersectsJoin equals brute-force st_intersects cross join") {
     val rng = new scala.util.Random(7)
     def polyDf(n: Int, idCol: String, seedShift: Int) = {

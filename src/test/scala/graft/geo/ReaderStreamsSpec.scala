@@ -78,6 +78,30 @@ class ReaderStreamsSpec extends AnyFunSuite {
       val n = GeoJsonReader.featureTexts(spark, dir.resolve(f).toString).collect().length
       assert(n == 3, s"$f split into $n rows, expected 3 features")
     }
+    // RFC 8142 allows each RS text to be ANY GeoJSON: a sequence of
+    // FeatureCollections must flatten to all their features
+    java.nio.file.Files.write(dir.resolve("seq_fc.json"),
+      (s"$rs" + s"""{"type":"FeatureCollection","features":[$f1],"bbox":[0,0,2,2]}""" + "\n" +
+       s"$rs" + s"""{"type":"FeatureCollection","features":[$f2,$f3]}""" + "\n" +
+       s"$rs$f1\n").getBytes("UTF-8"))
+    assert(GeoJsonReader.featureTexts(spark, dir.resolve("seq_fc.json").toString)
+      .collect().length == 4, "RS sequence of FCs + a feature must flatten to 4")
+    // ND-JSON features whose members are NOT type-first (external writers)
+    val f4 = """{"geometry":{"type":"Point","coordinates":[5,6]},"type":"Feature","properties":{"nom":"D"}}"""
+    java.nio.file.Files.write(dir.resolve("nd2.json"), s"$f4\n$f1\n".getBytes("UTF-8"))
+    val nd2 = GeoJsonReader.featureTexts(spark, dir.resolve("nd2.json").toString).collect()
+    assert(nd2.length == 2 && nd2.exists(_.contains(""""nom":"D"""")), nd2.mkString("|"))
+    // features-member-first FC followed by another root (concatenated)
+    java.nio.file.Files.write(dir.resolve("fc3.json"),
+      (s"""{"features":[$f1],"type":"FeatureCollection"}""" + "\n" + f2).getBytes("UTF-8"))
+    assert(GeoJsonReader.featureTexts(spark, dir.resolve("fc3.json").toString).collect().length == 2)
+    // a non-object root still fails loudly (reference: document must be object)
+    java.nio.file.Files.write(dir.resolve("arr.json"), s"[$f1,$f2]".getBytes("UTF-8"))
+    val ex = intercept[org.apache.spark.SparkException] {
+      GeoJsonReader.featureTexts(spark, dir.resolve("arr.json").toString).collect()
+    }
+    assert(ex.getMessage.contains("GeoJSON document must be an object") ||
+      Option(ex.getCause).exists(_.getMessage.contains("GeoJSON document must be an object")))
   }
 
   private def get_json_object_str(t: String): String =
