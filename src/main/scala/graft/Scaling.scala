@@ -28,13 +28,17 @@ object Scaling {
       } finally spark.stop()
     }
 
-    // interleave A/B/A/B and take the best of each level: the host CPU is
+    // interleave A/B/A/B… and take the best of each level: the host CPU is
     // shared + credit-throttled, so best-of under alternating conditions
     // measures the engine rather than the hypervisor's credit state
-    val l1 = runAt(low); val h1 = runAt(high)
-    val l2 = runAt(low); val h2 = runAt(high)
-    val (rpsLow, secLow)   = Seq(l1, l2).maxBy(_._1)
-    val (rpsHigh, secHigh) = Seq(h1, h2).maxBy(_._1)
+    // (SPARK_GRAFT_SCALE_REPEATS samples more windows when one run straddles
+    // a credit cliff)
+    val repeats = sys.env.getOrElse("SPARK_GRAFT_SCALE_REPEATS", "2").toInt
+    val ls = Seq.newBuilder[(Double, Double)]
+    val hs = Seq.newBuilder[(Double, Double)]
+    (1 to repeats).foreach { _ => ls += runAt(low); hs += runAt(high) }
+    val (rpsLow, secLow)   = ls.result().maxBy(_._1)
+    val (rpsHigh, secHigh) = hs.result().maxBy(_._1)
     val factor     = high.toDouble / low.toDouble
     val efficiency = rpsHigh / (factor * rpsLow)
     println(
