@@ -446,6 +446,17 @@ object SparkEntry {
       SpatialJoins.intersectsJoin(a, "r_regionkey", "geom", b, "n_nationkey", "geom",
         minLevel = 2, maxLevel = 8)
     }),
+    "q37_distance" -> ((s, dir) => {
+      // planar point-to-polygon distance (JTS semantics): for axis-aligned
+      // boxes it reduces to the clamped-point closed form, which the oracle
+      // reproduces exactly; rounded to 6dp (both engines round the same
+      // double). Summed per region to keep rows compact.
+      registerAll(s)
+      val pts = customerPoints(s, dir).where(col("c_custkey") <= 200)
+      pts.crossJoin(regionPolys(s, dir))
+        .select(col("c_custkey"), col("r_regionkey"),
+          round(st_distance_deg(col("geom"), col("lng"), col("lat")), 6).as("dist_deg"))
+    }),
     "q25_s2_cells" -> ((s, dir) => {
       registerAll(s)
       // cell ids + range-pruning roundtrip (no SQL equivalent → rows-only)
@@ -522,6 +533,13 @@ object SparkEntry {
         |  CASE WHEN doc_id % 2 = 0 THEN 35 ELSE 13 END AS ecol
         |FROM documents""".stripMargin,
     "q27_fold_props" -> "SELECT DISTINCT n_name AS name FROM nation",
+    "q37_distance" ->
+      s"""WITH pts AS ($customerPointsSql), box AS ($regionBoxesSql)
+         |SELECT p.c_custkey, b.r_regionkey,
+         |  round(sqrt(
+         |    pow(greatest(b.w - p.lng, p.lng - b.e, 0), 2) +
+         |    pow(greatest(b.s - p.lat, p.lat - b.n, 0), 2)), 6) AS dist_deg
+         |FROM pts p CROSS JOIN box b WHERE p.c_custkey <= 200""".stripMargin,
     "q36_intersects" ->
       s"""WITH box AS ($regionBoxesSql),
          |b AS (SELECT n_nationkey,

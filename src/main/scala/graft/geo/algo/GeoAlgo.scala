@@ -300,6 +300,47 @@ object GeoAlgo {
     false
   }
 
+  /** Planar point-to-segment distance (degrees² space, like st_area). */
+  def pointSegmentDistance(px: Double, py: Double, ax: Double, ay: Double,
+                           bx: Double, by: Double): Double = {
+    val dx = bx - ax; val dy = by - ay
+    val len2 = dx * dx + dy * dy
+    val t =
+      if (len2 == 0) 0.0
+      else math.max(0.0, math.min(1.0, ((px - ax) * dx + (py - ay) * dy) / len2))
+    val cx = ax + t * dx; val cy = ay + t * dy
+    math.sqrt((px - cx) * (px - cx) + (py - cy) * (py - cy))
+  }
+
+  /** Planar distance in DEGREES from a point to a packed (Multi)Polygon:
+    * 0 when the point is inside (holes honored — a point in a hole is
+    * OUTSIDE and gets its distance to the hole ring), else the minimum
+    * distance to any boundary segment (incl. implicit closing edges). JTS
+    * `Geometry.distance(Point)` semantics exactly (planar, no seam
+    * handling). Non-areal gtypes → NaN. */
+  def distanceDeg(gtype: Int, coords: Array[Double], posOff: Array[Int],
+                  ringOff: Array[Int], partOff: Array[Int],
+                  x: Double, y: Double): Double = {
+    if (gtype != 5 && gtype != 6) return Double.NaN
+    if (contains(gtype, coords, posOff, ringOff, partOff, x, y)) return 0.0
+    var best = Double.PositiveInfinity
+    var r = 0
+    while (r < ringOff.length - 1) {
+      val s = ringOff(r); val e = ringOff(r + 1)
+      var i = s
+      while (i < e) {
+        val j = if (i + 1 < e) i + 1 else s
+        val d = pointSegmentDistance(x, y,
+          coords(posOff(i)), coords(posOff(i) + 1),
+          coords(posOff(j)), coords(posOff(j) + 1))
+        if (d < best) best = d
+        i += 1
+      }
+      r += 1
+    }
+    best
+  }
+
   // -------------------------------------------------------------- measures
 
   /** Shoelace signed area of ring [start, end) (position indices), in the

@@ -78,6 +78,17 @@ object GeomAccess {
       gtype(b), coords(b), posOff(b), ringOff(b), partOff(b))
   }
 
+  /** Planar degree distance over the packed row (collections: min over
+    * children). */
+  def distanceDeg(r: InternalRow, lng: Double, lat: Double): Double =
+    if (gtype(r) == GType.Collection)
+      childStrings(r).map { s =>
+        val g = GeoJsonCodec.geometryOfJson(JValue.parseUnsafe(s))
+          .fold(e => throw new IllegalArgumentException(e), identity)
+        distanceDeg(GeoStruct.packGeometry(g), lng, lat)
+      }.foldLeft(Double.NaN)((a, b) => if (a.isNaN || b < a) b else a)
+    else GeoAlgo.distanceDeg(gtype(r), coords(r), posOff(r), ringOff(r), partOff(r), lng, lat)
+
   /** st_contains kernel over the packed row (recursing into collections). */
   def contains(r: InternalRow, lng: Double, lat: Double): Boolean =
     if (gtype(r) == GType.Collection)
@@ -343,6 +354,25 @@ case class S2CellAncestorsExpr(cell: Expression, minLevel: Expression)
     new GenericArrayData(java.util.Arrays.copyOf(out, i))
   }
   override protected def withNewChildrenInternal(c: IndexedSeq[Expression]) = copy(c(0), c(1))
+}
+
+/** `st_distance_deg(geom, lng, lat)` — planar point-to-geometry distance in
+  * degrees (0 inside; JTS `distance` semantics; NaN for non-areal).
+  * Codegen-enabled. */
+case class StDistanceDeg(geom: Expression, lng: Expression, lat: Expression)
+    extends TernaryExpression {
+  override def first: Expression  = geom
+  override def second: Expression = lng
+  override def third: Expression  = lat
+  override def dataType: DataType = DoubleType
+  override protected def nullSafeEval(g: Any, x: Any, y: Any): Any =
+    GeomAccess.distanceDeg(g.asInstanceOf[InternalRow],
+      x.asInstanceOf[Double], y.asInstanceOf[Double])
+  override protected def doGenCode(ctx: codegen.CodegenContext, ev: codegen.ExprCode) =
+    defineCodeGen(ctx, ev, (g, x, y) =>
+      s"graft.geo.sql.GeomAccess.distanceDeg((org.apache.spark.sql.catalyst.InternalRow)$g, $x, $y)")
+  override protected def withNewChildrenInternal(f: Expression, s: Expression, t: Expression) =
+    copy(f, s, t)
 }
 
 /** `st_bbox(geom)` → [w, s, e, n] (naive min/max; see hex_cover/s2_cover for

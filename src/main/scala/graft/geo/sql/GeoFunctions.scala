@@ -26,6 +26,7 @@ object GeoFunctions {
     "random_geojson"        -> (es => RandomGeoJson(es(0), es(1))),
     "st_contains"       -> (es => StContains(es(0), es(1), es(2))),
     "st_intersects"     -> (es => StIntersects(es(0), es(1))),
+    "st_distance_deg"   -> (es => StDistanceDeg(es(0), es(1), es(2))),
     "st_bbox"           -> (es => StBBox(es.head)),
     "st_centroid"       -> (es => StCentroid(es.head)),
     "st_area"           -> (es => StArea(es.head)),
@@ -73,6 +74,8 @@ object GeoFunctions {
   def st_contains(geom: Column, lng: Column, lat: Column): Column =
     call_function("st_contains", geom, lng, lat)
   def st_intersects(a: Column, b: Column): Column = call_function("st_intersects", a, b)
+  def st_distance_deg(geom: Column, lng: Column, lat: Column): Column =
+    call_function("st_distance_deg", geom, lng, lat)
   def s2_cell_ancestors(cell: Column, minLevel: Column): Column =
     call_function("s2_cell_ancestors", cell, minLevel)
   def st_bbox(geom: Column): Column          = call_function("st_bbox", geom)

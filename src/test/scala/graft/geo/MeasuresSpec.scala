@@ -71,6 +71,43 @@ class MeasuresSpec extends AnyFunSuite {
     }
   }
 
+
+  test("st_distance_deg matches JTS distance on random polygons and points") {
+    import org.locationtech.jts.geom.{Coordinate, GeometryFactory}
+    val gf = new GeometryFactory()
+    for (_ <- 1 to 300) {
+      val cx = rng.nextDouble() * 200 - 100
+      val cy = rng.nextDouble() * 120 - 60
+      val shell = randomRing(cx, cy, 5 + rng.nextInt(10), 0.5 + rng.nextDouble() * 3)
+      val json  = s"""{"type":"Polygon","coordinates":[${ringJson(shell)}]}"""
+      val jts   = gf.createPolygon(
+        gf.createLinearRing(shell.map { case (x, y) => new Coordinate(x, y) }.toArray))
+      if (jts.isValid) {
+        // probe points: inside-ish, near the boundary, and far away
+        val probes = Seq(
+          (cx, cy),
+          (cx + rng.nextDouble() * 8 - 4, cy + rng.nextDouble() * 6 - 3),
+          (cx + 20 + rng.nextDouble() * 10, cy - 15 - rng.nextDouble() * 10))
+        val r = packed(json)
+        probes.foreach { case (px, py) =>
+          val ours = GeoAlgo.distanceDeg(GeomAccess.gtype(r), GeomAccess.coords(r),
+            GeomAccess.posOff(r), GeomAccess.ringOff(r), GeomAccess.partOff(r), px, py)
+          val ref = jts.distance(gf.createPoint(new Coordinate(px, py)))
+          assert(math.abs(ours - ref) < 1e-9 * math.max(1.0, ref),
+            s"distance vs JTS: $ours vs $ref at ($px,$py)\n$json")
+        }
+      }
+    }
+    // non-areal -> NaN; point in a hole gets the hole-ring distance
+    val holed = packed("""{"type":"Polygon","coordinates":[[[0,0],[10,0],[10,10],[0,10],[0,0]],[[4,4],[6,4],[6,6],[4,6],[4,4]]]}""")
+    val dHole = GeoAlgo.distanceDeg(5, GeomAccess.coords(holed), GeomAccess.posOff(holed),
+      GeomAccess.ringOff(holed), GeomAccess.partOff(holed), 5.0, 5.0)
+    assert(math.abs(dHole - 1.0) < 1e-12, s"hole-center distance $dHole != 1.0")
+    val line = packed("""{"type":"LineString","coordinates":[[0,0],[1,1]]}""")
+    assert(GeoAlgo.distanceDeg(3, GeomAccess.coords(line), GeomAccess.posOff(line),
+      GeomAccess.ringOff(line), GeomAccess.partOff(line), 0.0, 0.0).isNaN)
+  }
+
   test("multipoint/linestring centroids match JTS") {
     import org.locationtech.jts.geom.{Coordinate, GeometryFactory}
     val gf = new GeometryFactory()
