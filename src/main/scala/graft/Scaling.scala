@@ -34,6 +34,7 @@ object Scaling {
     // (SPARK_GRAFT_SCALE_REPEATS samples more windows when one run straddles
     // a credit cliff)
     val repeats = sys.env.getOrElse("SPARK_GRAFT_SCALE_REPEATS", "2").toInt
+    require(repeats >= 1, s"SPARK_GRAFT_SCALE_REPEATS must be >= 1, got $repeats")
     val ls = Seq.newBuilder[(Double, Double)]
     val hs = Seq.newBuilder[(Double, Double)]
     (1 to repeats).foreach { _ => ls += runAt(low); hs += runAt(high) }

@@ -450,7 +450,7 @@ object SparkEntry {
       // planar point-to-polygon distance (JTS semantics): for axis-aligned
       // boxes it reduces to the clamped-point closed form, which the oracle
       // reproduces exactly; rounded to 6dp (both engines round the same
-      // double). Summed per region to keep rows compact.
+      // double); one row per (customer, region) pair.
       registerAll(s)
       val pts = customerPoints(s, dir).where(col("c_custkey") <= 200)
       pts.crossJoin(regionPolys(s, dir))

@@ -189,60 +189,81 @@ object GeoAlgo {
     * unclosed rings. O(edgesA × edgesB) — exact refinement for candidate
     * pairs, not a scan primitive.
     *
-    * Antimeridian: seam-crossing parts are UNWRAPPED (negative longitudes
-    * of every ring in a crossing part get +360, keeping the part's rings in
-    * one frame) and the planar test runs with B shifted by {0, +360, -360}
-    * — any true spherical contact appears at exactly one relative shift.
+    * Antimeridian: every ring is UNWRAPPED cumulatively (consecutive
+    * longitude deltas normalized to |Δ| <= 180, the same walk as
+    * [[pointInRings]]' winding fallback; an identity for non-crossing
+    * rings), holes are aligned to their shell's frame, and the planar test
+    * runs with B shifted by {0, +360, -360} (range-guarded, so off frames
+    * cost nothing) — any true spherical contact, including touching at the
+    * ±180 meridian between non-crossing halves, appears at some shift.
     */
   def intersectsPolygonal(
       gtA: Int, cA: Array[Double], pA: Array[Int], rA: Array[Int], fA: Array[Int],
       gtB: Int, cB: Array[Double], pB: Array[Int], rB: Array[Int], fB: Array[Int]): Boolean = {
     if ((gtA != 5 && gtA != 6) || (gtB != 5 && gtB != 6)) return false
-    val crossA = anyPartCrosses(cA, pA, rA, fA)
-    val crossB = anyPartCrosses(cB, pB, rB, fB)
-    if (!crossA && !crossB)
-      return intersectsPlanar(gtA, cA, pA, rA, fA, gtB, cB, pB, rB, fB, 0.0)
-    val cA2 = if (crossA) unwrapParts(cA, pA, rA, fA) else cA
-    val cB2 = if (crossB) unwrapParts(cB, pB, rB, fB) else cB
-    intersectsPlanar(gtA, cA2, pA, rA, fA, gtB, cB2, pB, rB, fB, 0.0) ||
-      intersectsPlanar(gtA, cA2, pA, rA, fA, gtB, cB2, pB, rB, fB, 360.0) ||
-      intersectsPlanar(gtA, cA2, pA, rA, fA, gtB, cB2, pB, rB, fB, -360.0)
-  }
-
-  private def anyPartCrosses(c: Array[Double], p: Array[Int], r: Array[Int],
-                             f: Array[Int]): Boolean = {
-    var ri = 0
-    while (ri < r.length - 1) {
-      if (ringCrossesAntimeridian(c, p, r(ri), r(ri + 1))) return true
-      ri += 1
+    val cA2 = unwrapParts(cA, pA, rA, fA)
+    val cB2 = unwrapParts(cB, pB, rB, fB)
+    // lon ranges for the shift guard
+    var minA = Double.PositiveInfinity; var maxA = Double.NegativeInfinity
+    var i = 0
+    while (i < pA.length - 1) {
+      val x = cA2(pA(i)); if (x < minA) minA = x; if (x > maxA) maxA = x; i += 1
+    }
+    var minB = Double.PositiveInfinity; var maxB = Double.NegativeInfinity
+    i = 0
+    while (i < pB.length - 1) {
+      val x = cB2(pB(i)); if (x < minB) minB = x; if (x > maxB) maxB = x; i += 1
+    }
+    var k = 0
+    val shifts = IntersectShifts
+    while (k < 3) {
+      val sft = shifts(k)
+      if (minB + sft <= maxA && minA <= maxB + sft &&
+          intersectsPlanar(gtA, cA2, pA, rA, fA, gtB, cB2, pB, rB, fB, sft)) return true
+      k += 1
     }
     false
   }
 
-  /** Copy of coords where every ring of a seam-crossing PART gets +360 on
-    * its negative longitudes (per-part, so holes stay in their shell's
-    * frame). */
+  private val IntersectShifts = Array(0.0, 360.0, -360.0)
+
+  /** Copy of coords with every ring unwrapped to continuous longitudes
+    * (cumulative delta walk — identity for rings that never jump by more
+    * than 180°), and every non-shell ring of a part shifted by a multiple
+    * of 360 so it shares its shell's frame (holes stay inside). */
   private def unwrapParts(c: Array[Double], p: Array[Int], r: Array[Int],
                           f: Array[Int]): Array[Double] = {
     val out = java.util.Arrays.copyOf(c, c.length)
     var part = 0
     while (part < f.length - 1) {
-      var crosses = false
+      var shellFirst = 0.0
       var ri = f(part)
-      while (!crosses && ri < f(part + 1)) {
-        crosses = ringCrossesAntimeridian(c, p, r(ri), r(ri + 1))
-        ri += 1
-      }
-      if (crosses) {
-        ri = f(part)
-        while (ri < f(part + 1)) {
-          var i = r(ri)
-          while (i < r(ri + 1)) {
-            if (out(p(i)) < 0) out(p(i)) += 360.0
+      while (ri < f(part + 1)) {
+        val s = r(ri); val e = r(ri + 1)
+        if (s < e) {
+          var cur = c(p(s))
+          out(p(s)) = cur
+          var i = s + 1
+          while (i < e) {
+            val raw = c(p(i))
+            var delta = raw - cur
+            while (delta > 180) delta -= 360
+            while (delta < -180) delta += 360
+            cur += delta
+            out(p(i)) = cur
             i += 1
           }
-          ri += 1
+          if (ri == f(part)) shellFirst = out(p(s))
+          else {
+            // align this ring's frame to the shell's
+            val offset = math.rint((shellFirst - out(p(s))) / 360.0) * 360.0
+            if (offset != 0.0) {
+              var j = s
+              while (j < e) { out(p(j)) += offset; j += 1 }
+            }
+          }
         }
+        ri += 1
       }
       part += 1
     }

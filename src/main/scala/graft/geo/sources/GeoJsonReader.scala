@@ -87,14 +87,17 @@ object GeoJsonReader {
     new Iterator[String] {
       private var pending: Iterator[String] = Iterator.empty
       private var closed = false
+      private def closeAll(): Unit = { closed = true; parser.close(); in.close() }
       private def refill(): Unit = {
         while (!pending.hasNext && !closed) {
-          val t = parser.nextToken()
-          if (t == null) { closed = true; parser.close(); in.close() }
-          else {
-            require(t == JsonToken.START_OBJECT, "GeoJSON document must be an object")
-            pending = splitRootObject(factory, parser)
-          }
+          try {
+            val t = parser.nextToken()
+            if (t == null) closeAll()
+            else {
+              require(t == JsonToken.START_OBJECT, "GeoJSON document must be an object")
+              pending = splitRootObject(factory, parser)
+            }
+          } catch { case e: Throwable => closeAll(); throw e }
         }
       }
       override def hasNext: Boolean = { refill(); pending.hasNext }
@@ -127,10 +130,9 @@ object GeoJsonReader {
           }
         case JsonToken.FIELD_NAME if parser.currentName() == "features" =>
           // type-less object carrying a features array: treat as collection
+          // (the live parser stays ON this FIELD_NAME; collection mode
+          // recognizes it via currentToken, the buffer is discarded)
           decided = Some(true)
-          // push the name back into the buffer so collection mode below can
-          // recognize it without re-reading
-          buf.copyCurrentEvent(parser)
         case JsonToken.FIELD_NAME =>
           buf.copyCurrentEvent(parser)
           val vt = parser.nextToken()
@@ -213,10 +215,19 @@ object GeoJsonReader {
       override def hasNext: Boolean = {
         val h = nextTok == JsonToken.START_OBJECT
         if (!h && !drainedObject) {
+          // emission stops at the first non-object features element (same
+          // behavior as the original splitter); skip any remaining elements
+          // to the array's END_ARRAY so the drain below starts balanced
+          var tk = nextTok
+          while (tk != null && tk != JsonToken.END_ARRAY) {
+            if (tk == JsonToken.START_OBJECT || tk == JsonToken.START_ARRAY)
+              parser.skipChildren()
+            tk = parser.nextToken()
+          }
           // consume the rest of the collection object (bbox/fm after the
           // features array) so the NEXT root value can follow (RFC 8142
           // sequences of FeatureCollections)
-          var depth = 1 // inside the FC object; features array already ended
+          var depth = 1
           while (depth > 0 && parser.nextToken() != null) {
             parser.currentToken() match {
               case JsonToken.START_OBJECT | JsonToken.START_ARRAY => depth += 1

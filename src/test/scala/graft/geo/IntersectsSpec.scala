@@ -159,6 +159,27 @@ class IntersectsSpec extends AnyFunSuite {
     assert(out == Set((1L, 1L), (1L, 3L)), out.toString)
   }
 
+
+  test("seam: wide band (>180 deg span) and RFC 7946 split halves at ±180") {
+    import graft.geo.sql.GeomAccess.{intersects => ix}
+    def g(x: String) = packed(x)
+    // band covering lng 170..(+360)..10, i.e. [170,180] U [-180,10]
+    val wide = g("""{"type":"Polygon","coordinates":[[[170,0],[-170,0],[-90,0],[10,0],[10,10],[-90,10],[-170,10],[170,10],[170,0]]]}""")
+    val at5  = g("""{"type":"Polygon","coordinates":[[[4,2],[6,2],[6,8],[4,8],[4,2]]]}""")
+    val at50 = g("""{"type":"Polygon","coordinates":[[[49,2],[51,2],[51,8],[49,8],[49,2]]]}""")
+    assert(ix(wide, at5) && ix(at5, wide), "lng-5 box lies inside the wide band")
+    assert(!ix(wide, at50) && !ix(at50, wide), "lng-50 box is outside the band")
+    // the standard antimeridian-SPLIT representation: two halves sharing
+    // the meridian 180 == -180 — boundary contact counts as intersecting
+    val east = g("""{"type":"Polygon","coordinates":[[[179,0],[180,0],[180,10],[179,10],[179,0]]]}""")
+    val west = g("""{"type":"Polygon","coordinates":[[[-180,0],[-179,0],[-179,10],[-180,10],[-180,0]]]}""")
+    assert(ix(east, west) && ix(west, east), "split halves touch at the meridian")
+    // and a hole inside a seam-crossing shell keeps its frame
+    val holed = g("""{"type":"Polygon","coordinates":[[[170,0],[-170,0],[-170,10],[170,10],[170,0]],[[175,3],[-178,3],[-178,7],[175,7],[175,3]]]}""")
+    val inHole = g("""{"type":"Polygon","coordinates":[[[179,4],[-180,4],[-180,6],[179,6],[179,4]]]}""")
+    assert(!ix(holed, inHole) && !ix(inHole, holed), "box inside the seam hole is disjoint")
+  }
+
   test("intersectsJoin equals brute-force st_intersects cross join") {
     val rng = new scala.util.Random(7)
     def polyDf(n: Int, idCol: String, seedShift: Int) = {

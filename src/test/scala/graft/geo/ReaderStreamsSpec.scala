@@ -95,6 +95,14 @@ class ReaderStreamsSpec extends AnyFunSuite {
     java.nio.file.Files.write(dir.resolve("fc3.json"),
       (s"""{"features":[$f1],"type":"FeatureCollection"}""" + "\n" + f2).getBytes("UTF-8"))
     assert(GeoJsonReader.featureTexts(spark, dir.resolve("fc3.json").toString).collect().length == 2)
+    // a non-object FEATURES ELEMENT stops emission but keeps the stream in
+    // sync: the trailing FC members and the NEXT root value still arrive
+    java.nio.file.Files.write(dir.resolve("fc_mixed.json"),
+      (s"""{"type":"FeatureCollection","features":[$f1,42,$f2],"bbox":[0,0,9,9]}""" + "\n" + f3)
+        .getBytes("UTF-8"))
+    val mixed = GeoJsonReader.featureTexts(spark, dir.resolve("fc_mixed.json").toString).collect()
+    assert(mixed.length == 2, s"expected f1 + the next root, got ${mixed.length}: ${mixed.mkString("|")}")
+    assert(mixed.exists(_.contains(""""nom":"A"""")) && mixed.exists(_.contains(""""nom":"C"""")))
     // a non-object root still fails loudly (reference: document must be object)
     java.nio.file.Files.write(dir.resolve("arr.json"), s"[$f1,$f2]".getBytes("UTF-8"))
     val ex = intercept[org.apache.spark.SparkException] {
