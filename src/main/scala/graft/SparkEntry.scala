@@ -301,7 +301,7 @@ object SparkEntry {
       val docs = s.read.parquet(t(dir, "documents"))
       val stop = size(filter(split(lower(col("text")), "\\s+"),
         w => w.isin("the", "and", "of", "to", "a", "in", "is", "that", "it", "for")))
-      TextOps.withTokenCounts(docs, "text")
+      TextOps.withTokenCountWs(docs, "text")
         .select(col("doc_id"), col("n_tokens_ws"), stop.as("n_stopwords"),
           length(col("text")).as("n_chars_out"))
     }),

@@ -51,9 +51,17 @@ object TextOps {
   def withLangId(df: DataFrame, textCol: String): DataFrame =
     df.withColumn("lang_pred", lang_id(col(textCol)))
 
-  /** BPE-ish token count. */
-  def withTokenCounts(df: DataFrame, textCol: String): DataFrame =
+  /** Whitespace token count only — pure built-ins, never touches the BPE
+    * kernel. Callers that only need `n_tokens_ws` use this variant so they
+    * never depend on column pruning to skip the ~10 µs/row custom kernel
+    * (GeoExpression kernels are CodegenFallback; a cached intermediate or any
+    * other non-prunable context would otherwise pay it for nothing). */
+  def withTokenCountWs(df: DataFrame, textCol: String): DataFrame =
     df.withColumn("n_tokens_ws", tokenCountWs(col(textCol)))
+
+  /** Whitespace + BPE-ish token counts (the full variant). */
+  def withTokenCounts(df: DataFrame, textCol: String): DataFrame =
+    withTokenCountWs(df, textCol)
       .withColumn("n_tokens_bpe", token_count_bpe(col(textCol)))
 
   /** Winnowing fingerprints (rolling-hash document fingerprinting). */
