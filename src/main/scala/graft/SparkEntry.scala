@@ -457,6 +457,40 @@ object SparkEntry {
         .select(col("c_custkey"), col("r_regionkey"),
           round(st_distance_deg(col("geom"), col("lng"), col("lat")), 6).as("dist_deg"))
     }),
+    "q39_translate_pip_tile" -> ((s, dir) => {
+      // the FLAGSHIP plan shape (cover → equi-join → st_contains refine →
+      // tile assignment) with every stage SQL-oracleable: region boxes run
+      // through the translate_geom path (q24's fixture polygons are not
+      // SQL-expressible after translation; axis-aligned boxes are — exact
+      // interval arithmetic). Offsets are multiples of 0.5, so box edges
+      // keep their .005 fractional part and never touch the .01 point grid.
+      registerAll(s)
+      val imgs = ImageGen.withLngLat(ImageGen.table(s, 2000))
+      val polys = regionPolys(s, dir).withColumn("geom",
+        GeoImagePipeline.translate_geom(col("geom"),
+          col("r_regionkey") * 3.0 + 2.5, col("r_regionkey") * 1.5 - 3.0))
+      val joined = SpatialJoins.pipJoin(imgs, "lng", "lat", polys, "geom", res = 2)
+      SpatialJoins.assignTiles(joined, "lng", "lat", z = 8)
+        .select(col("image_id"), col("r_regionkey"),
+          col("tile_x").as("tx"), col("tile_y").as("ty"))
+    }),
+    "q38_dup_clusters" -> ((s, dir) => {
+      // connected-component canonicalization over a planted TRANSITIVE chain:
+      // three copies of every doc (d, d+10000, d+20000) linked d—d+10000 and
+      // d+10000—d+20000 (d and d+20000 never directly paired), plus base-id
+      // chains d—d+1 within groups of 5 — so each cluster is 15 ids whose
+      // transitive closure (diameter 6) the oracle computes in closed form:
+      // canonical = (id % 10000) // 5 * 5
+      val base = s.read.parquet(t(dir, "documents")).select(col("doc_id"))
+      val ids = base.select(col("doc_id").as("id"))
+        .unionByName(base.select((col("doc_id") + 10000L).as("id")))
+        .unionByName(base.select((col("doc_id") + 20000L).as("id")))
+      val e1 = base.select(col("doc_id").as("id_a"), (col("doc_id") + 10000L).as("id_b"))
+      val e2 = base.select((col("doc_id") + 10000L).as("id_a"), (col("doc_id") + 20000L).as("id_b"))
+      val e3 = base.where(col("doc_id") % 5 =!= 4)
+        .select(col("doc_id").as("id_a"), (col("doc_id") + 1L).as("id_b"))
+      Dedup.clusters(e1.unionByName(e2).unionByName(e3), "id", universe = Some(ids))
+    }),
     "q25_s2_cells" -> ((s, dir) => {
       registerAll(s)
       // cell ids + range-pruning roundtrip (no SQL equivalent → rows-only)
@@ -603,6 +637,14 @@ object SparkEntry {
       "SELECT doc_id AS id_a, doc_id + 10000 AS id_b FROM documents",
     "q19_embedding_dups" ->
       "SELECT vec_id AS id_a, vec_id + 10000 AS id_b FROM embeddings",
+    "q38_dup_clusters" ->
+      """WITH ids AS (
+        |  SELECT doc_id AS id FROM documents
+        |  UNION ALL SELECT doc_id + 10000 FROM documents
+        |  UNION ALL SELECT doc_id + 20000 FROM documents)
+        |SELECT id, (id % 10000) // 5 * 5 AS canonical_id,
+        |       id <> (id % 10000) // 5 * 5 AS is_dup
+        |FROM ids""".stripMargin,
     "q20_text_analysis" ->
       """SELECT doc_id,
         |  CASE WHEN length(trim(text)) = 0 THEN 0
@@ -643,6 +685,16 @@ object SparkEntry {
       s"""${imagesSqlCte(2000)}, box AS ($regionBoxesSql)
          |SELECT 'img_' || p.id AS image_id, b.r_regionkey FROM pts p, box b
          |WHERE p.lng > b.w AND p.lng < b.e AND p.lat > b.s AND p.lat < b.n""".stripMargin,
+    "q39_translate_pip_tile" ->
+      s"""${imagesSqlCte(2000)}, box AS ($regionBoxesSql)
+         |SELECT 'img_' || p.id AS image_id, b.r_regionkey,
+         |  CAST(floor((p.lng + 180.0) / 360.0 * 256) AS BIGINT) AS tx,
+         |  CAST(floor((1.0 - ln(tan(radians(p.lat)) + 1.0/cos(radians(p.lat))) / pi()) / 2.0 * 256) AS BIGINT) AS ty
+         |FROM pts p, box b
+         |WHERE p.lng > b.w + (b.r_regionkey * 3.0 + 2.5)
+         |  AND p.lng < b.e + (b.r_regionkey * 3.0 + 2.5)
+         |  AND p.lat > b.s + (b.r_regionkey * 1.5 - 3.0)
+         |  AND p.lat < b.n + (b.r_regionkey * 1.5 - 3.0)""".stripMargin,
     "q23_image_meta" ->
       """SELECT 'img_' || range AS image_id,
         |  CAST(8 + range % 9 AS INT) AS w, CAST(8 + range % 7 AS INT) AS h,

@@ -301,16 +301,19 @@ object SpatialJoins {
     import org.apache.spark.sql.expressions.Window
     val R = 6371008.8 // metres; matches GeoAlgo.haversine
 
-    // auto initial radius (<= 0): size the first cap so most queries
-    // certify in round 1 — r0 = 2 sqrt(k A / (pi N)). NOTE: resolving it
-    // runs one count() job at plan-construction time (an extra scan of the
-    // points input); pass an explicit initialRadiusM, or cache the points,
-    // when the input lineage is expensive
+    // auto initial radius (<= 0): size the first cap so most queries certify
+    // in round 1 — r0 = 2 sqrt(k A / (pi N)) with N from the PLAN-TIME row
+    // estimate (zero jobs: no eager scan of the points input, which at 100 TB
+    // would be a full-table pass before the job even starts). Only the order
+    // of magnitude matters: r0 enters as 1/sqrt(N) and the cap grows 4x per
+    // round, so a 16x row-count error costs exactly one extra round; the
+    // clamp bounds the damage from a degenerate estimate. Pass an explicit
+    // initialRadiusM when the true density is known.
     val r0 =
       if (initialRadiusM > 0) initialRadiusM
       else {
-        val n = math.max(1L, points.count())
-        2.0 * math.sqrt(k * 5.1e14 / (math.Pi * n))
+        val n = planTimeRowEstimate(points)
+        math.min(2.0e6, math.max(50.0, 2.0 * math.sqrt(k * 5.1e14 / (math.Pi * n))))
       }
 
     val pts = points.withColumn("__pcell",
@@ -371,6 +374,19 @@ object SpatialJoins {
       case (None, Some(b))    => b
       case (None, None)       => queries.limit(0).crossJoin(points.limit(0))
         .withColumn("dist_m", lit(0.0)).withColumn("rank", lit(1))
+    }
+  }
+
+  /** Row-count estimate from Catalyst plan statistics — launches ZERO Spark
+    * jobs. Uses the optimizer's rowCount when the catalog/CBO provides one,
+    * else sizeInBytes divided by the schema's default row width (file-size
+    * based for parquet scans: compression skews it, but [[knnJoinS2]] only
+    * needs the order of magnitude). */
+  private[graft] def planTimeRowEstimate(df: DataFrame): Long = {
+    val stats = df.queryExecution.optimizedPlan.stats
+    stats.rowCount.map(_.toLong).filter(_ > 0).getOrElse {
+      val width = math.max(8, df.schema.fields.map(_.dataType.defaultSize).sum)
+      math.max(1L, (stats.sizeInBytes / width).min(BigInt(Long.MaxValue)).toLong)
     }
   }
 

@@ -142,19 +142,134 @@ object Dedup {
       .select("id_a", "id_b", "hamming").distinct()
   }
 
-  /** Embedding cosine near-dups: sign-random-projection signature buckets
-    * (exact-duplicate-oriented: high thresholds → few bits differ), verified
-    * with exact cosine. Output: id_a < id_b, cosine. */
+  /** Embedding cosine near-dups via BANDED sign-random-projection buckets —
+    * the same OR-of-ANDs shape as [[minhashPairs]]: `bands` independent
+    * signatures of `bits` hyperplanes each (per-band seed), a pair is a
+    * candidate when ANY band matches.
+    *
+    * Why banded (vs one wide signature): recall for a pair at angle θ is
+    * 1-(1-(1-θ/π)^bits)^bands instead of the single-signature (1-θ/π)^bits —
+    * at cosine 0.99 the defaults give ≈0.995 vs 0.48 — while bucket
+    * cardinality per band stays n/2^bits, so the candidate join is bounded
+    * by bands × Σ bucket², never a single giant bucket of the whole
+    * near-dup mass. Candidates are deduped on (id_a, id_b) BEFORE the
+    * vectors are re-attached, so the wide embedding arrays never ride
+    * through the banded shuffle (only ids do) and a pair colliding in k
+    * bands is verified once, not k times.
+    *
+    * True exact-duplicate pile-ups (m identical vectors) still cost m²/2
+    * VERIFIED pairs — that is the correct output, not a candidate-set
+    * artifact; feed the pairs to [[clusters]] to canonicalize instead of
+    * materializing the full pair list downstream.
+    *
+    * Output: id_a < id_b, cosine (>= threshold). */
   def embeddingPairs(
       df: DataFrame, idCol: String, vecCol: String,
-      threshold: Double = 0.95, bits: Int = 16, seed: Long = 42L): DataFrame = {
-    val sig = df.select(col(idCol).as("__id"), col(vecCol).as("__v"),
-      hyperplane_sig(col(vecCol), lit(bits), lit(seed)).as("__sig"))
-    val a = sig.select(col("__sig").as("sa"), col("__id").as("id_a"), col("__v").as("va"))
-    val b = sig.select(col("__sig").as("sb"), col("__id").as("id_b"), col("__v").as("vb"))
-    a.join(b, col("sa") === col("sb") && col("id_a") < col("id_b"))
+      threshold: Double = 0.95, bits: Int = 16, bands: Int = 8,
+      seed: Long = 42L): DataFrame = {
+    val src = df.select(col(idCol).as("__id"), col(vecCol).as("__v"))
+    // per-band signature: an independent hyperplane family per band — the
+    // band seed is avalanched through xxhash64 (a linear band<<32 offset
+    // would collide with the kernel's own per-bit k<<32 offsets and make
+    // bands share hyperplanes; also ANSI-safe: no overflow-checked multiply)
+    val banded = src
+      .withColumn("__band", explode(sequence(lit(0), lit(bands - 1))))
+      .withColumn("__bh", hyperplane_sig(col("__v"),
+        lit(bits), xxhash64(lit(seed), col("__band"))))
+      .select("__id", "__band", "__bh")
+    val a = banded.select(col("__band").as("ba"), col("__bh").as("ha"), col("__id").as("id_a"))
+    val b = banded.select(col("__band").as("bb"), col("__bh").as("hb"), col("__id").as("id_b"))
+    val cand = a.join(b, col("ba") === col("bb") && col("ha") === col("hb") && col("id_a") < col("id_b"))
+      .select("id_a", "id_b").distinct()
+    val va = src.select(col("__id").as("id_a"), col("__v").as("va"))
+    val vb = src.select(col("__id").as("id_b"), col("__v").as("vb"))
+    cand.join(va, Seq("id_a")).join(vb, Seq("id_b"))
       .withColumn("cosine", vec_cosine(col("va"), col("vb")))
       .where(col("cosine") >= threshold)
       .select("id_a", "id_b", "cosine")
+  }
+
+  /** Dup-cluster canonicalization: connected components over a near-dup PAIR
+    * set — the step between [[minhashPairs]]/[[simhashPairs]]/
+    * [[embeddingPairs]] and an actually deduplicated corpus. Every id is
+    * tagged with the minimum id of its transitive cluster (pairs a-b, b-c
+    * put a and c in one cluster even when (a, c) was never emitted),
+    * matching [[exact]]'s output shape: idCol, canonical_id, is_dup.
+    *
+    * Algorithm: smallest-label propagation with POINTER JUMPING — per round
+    * every id takes the min label over itself and its neighbors, then jumps
+    * to its label's label (path halving), so convergence is O(log diameter)
+    * rounds, not O(diameter). Each round is two narrow equi-join shuffles on
+    * ids + one agg; per-round `localCheckpoint` truncates lineage (same
+    * exponential-analysis guard as SpatialJoins.knnJoin). Labels are
+    * pointwise monotone non-increasing, so a stable label sum is a sound
+    * convergence certificate (checked as decimal(38) — overflow-safe at any
+    * id scale).
+    *
+    * @param pairs    near-dup pairs; only (aCol, bCol) are read, so the LSH
+    *                 verify columns (jaccard/hamming/cosine) pass through
+    *                 untouched — pre-filter thresholds upstream
+    * @param universe optional full corpus id set (first column is read as
+    *                 the id); ids in no pair become singleton clusters
+    *                 (canonical = self). Defaults to the ids appearing in
+    *                 pairs only.
+    * @param idCol    name of the output id column
+    */
+  def clusters(
+      pairs: DataFrame,
+      idCol: String = "id",
+      aCol: String = "id_a", bCol: String = "id_b",
+      universe: Option[DataFrame] = None,
+      maxRounds: Int = 50): DataFrame = {
+    val e0 = pairs.select(col(aCol).cast("long").as("src"), col(bCol).cast("long").as("dst"))
+    // symmetric closure, self-loops dropped; checkpoint once — the pair
+    // lineage is typically an expensive LSH plan and every round re-reads it
+    val edges = e0.unionByName(e0.select(col("dst").as("src"), col("src").as("dst")))
+      .where(col("src") =!= col("dst"))
+      .distinct()
+      .localCheckpoint()
+    val ids = universe
+      .map(u => u.select(u.columns.head).toDF("id").select(col("id").cast("long")))
+      .getOrElse(edges.select(col("src").as("id")))
+      .distinct()
+    var labels = ids.select(col("id"), col("id").as("lbl")).localCheckpoint()
+    var prevSum: java.math.BigDecimal = null
+    var round = 0
+    var converged = false
+    while (!converged && round < maxRounds) {
+      val neigh = edges.join(labels.select(col("id").as("dst"), col("lbl")), "dst")
+        .select(col("src").as("id"), col("lbl"))
+      val m1 = labels.unionByName(neigh).groupBy("id").agg(min("lbl").as("lbl"))
+      // pointer jump: follow lbl -> lbl(lbl) (left join: a label outside the
+      // universe — possible only when `universe` under-covers pairs — keeps
+      // its value)
+      val jumped = m1
+        .join(m1.select(col("id").as("lbl"), col("lbl").as("__lbl2")), Seq("lbl"), "left")
+        .select(col("id"), coalesce(col("__lbl2"), col("lbl")).as("lbl"))
+        .localCheckpoint()
+      val s = jumped.agg(sum(col("lbl").cast("decimal(38,0)"))).head.getDecimal(0)
+      // s == null ⇔ zero ids (sum over empty) — trivially converged
+      converged = (s == null) || (prevSum != null && s.compareTo(prevSum) == 0)
+      prevSum = s
+      labels = jumped
+      round += 1
+    }
+    labels.select(col("id").as(idCol), col("lbl").as("canonical_id"),
+      (col("id") =!= col("lbl")).as("is_dup"))
+  }
+
+  /** End-to-end near-dedup of a text corpus: [[minhashPairs]] →
+    * [[clusters]] → keep one canonical row per cluster. Returns the
+    * surviving rows of `df` (all original columns). */
+  def nearDedupCorpus(
+      df: DataFrame, idCol: String, textCol: String,
+      numHashes: Int = 128, bands: Int = 16, shingle: Int = 5,
+      threshold: Double = 0.6): DataFrame = {
+    val pairs = minhashPairs(df, idCol, textCol, numHashes, bands, shingle, threshold)
+    // anti-join on the DUP ids (pairs-only clustering): rows in no pair are
+    // singletons and survive untouched, without dragging the whole corpus id
+    // set through the label-propagation rounds as a universe would
+    val dups = clusters(pairs, idCol).where(col("is_dup")).select(col(idCol))
+    df.join(dups, Seq(idCol), "left_anti")
   }
 }

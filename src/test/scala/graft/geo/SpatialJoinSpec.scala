@@ -117,6 +117,27 @@ class SpatialJoinSpec extends AnyFunSuite {
     assert(fast.exceptAll(brute).isEmpty && brute.exceptAll(fast).isEmpty)
   }
 
+  test("auto-radius row estimate launches zero Spark jobs") {
+    // the knnJoinS2 auto radius must come from plan statistics, never an
+    // eager count() scan of the (possibly 100 TB) points input
+    val pts = spark.read.parquet("/root/testdata/sf0.001/customer.parquet")
+      .select($"c_custkey", ($"c_custkey" % 360 - 180).cast("double").as("lng"),
+        ($"c_custkey" % 160 - 80).cast("double").as("lat"))
+    val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(js: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+        jobs.incrementAndGet()
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      val n = SpatialJoins.planTimeRowEstimate(pts)
+      Thread.sleep(1000) // listener delivery is async
+      assert(jobs.get() == 0, s"row estimate ran ${jobs.get()} jobs")
+      // order of magnitude only: true count is 1500 at sf0.001
+      assert(n > 10 && n < 1500L * 1000, s"estimate $n implausible")
+    } finally spark.sparkContext.removeSparkListener(listener)
+  }
+
   test("S2 kNN exact within 100m of the pole (dLng clamp soundness)") {
     // a tight cluster straddling the 89.999+ band where a naive cos clamp
     // under-estimates the box width; brute-force equality must hold

@@ -117,6 +117,116 @@ class OpsSpec extends AnyFunSuite {
     assert(pairs.where($"cosine" < 0.99).count() == 0)
   }
 
+  test("clusters: transitive chain a-b, b-c shares one cluster without an a-c pair") {
+    // three texts: a ~ b (prefix overlap), b ~ c (suffix overlap), a vs c
+    // nearly disjoint — minhash finds (a,b) and (b,c) but not (a,c); the
+    // cluster closure must still unite all three
+    val mid = "the quick brown fox jumps over the lazy dog near the river bank today " +
+      "and every day after that one for the whole of the long hot summer which followed " +
+      "the spring rains that had soaked the entire valley floor for weeks"
+    val a = mid + " alpha beta gamma delta"
+    val c = "one two three four five " + mid
+    val df = Seq((10L, a), (20L, mid), (30L, c)).toDF("id", "text")
+    // exact jaccards: a-mid and mid-c share all of mid (j ~ 0.9); a-c share
+    // mid but each adds its own flank (j ~ 0.82) — threshold 0.85 separates
+    val j = (x: String, y: String) =>
+      Seq((x, y)).toDF("x", "y").select(ngram_jaccard($"x", $"y", lit(5))).as[Double].head()
+    assert(j(a, mid) >= 0.87 && j(mid, c) >= 0.87, s"${j(a, mid)} ${j(mid, c)}")
+    assert(j(a, c) < 0.85, s"setup broken: j(a,c)=${j(a, c)}")
+    val pairs = Dedup.minhashPairs(df, "id", "text", threshold = 0.85)
+    val found = pairs.select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(found.contains((10L, 20L)) && found.contains((20L, 30L)), found.toString)
+    assert(!found.contains((10L, 30L)), s"a-c unexpectedly pairwise-similar: $found")
+    val cl = Dedup.clusters(pairs, "id", universe = Some(df.select("id")))
+      .select("id", "canonical_id").as[(Long, Long)].collect().toMap
+    assert(cl == Map(10L -> 10L, 20L -> 10L, 30L -> 10L), cl.toString)
+  }
+
+  test("clusters: long path converges via pointer jumping; singletons kept") {
+    // path 0-1-2-...-63 (diameter 63) plus isolated ids 100..109
+    val path = spark.range(63).select($"id".as("id_a"), ($"id" + 1).as("id_b"))
+    val uni  = spark.range(64).select($"id")
+      .unionByName(spark.range(100, 110).select($"id"))
+    val out = Dedup.clusters(path, "id", universe = Some(uni), maxRounds = 12)
+      .select("id", "canonical_id", "is_dup").as[(Long, Long, Boolean)].collect()
+    assert(out.length == 74)
+    out.foreach { case (id, c, dup) =>
+      if (id < 64) { assert(c == 0L, s"$id -> $c"); assert(dup == (id != 0L)) }
+      else { assert(c == id && !dup, s"singleton $id -> $c") }
+    }
+    // empty pair set: everything is its own singleton
+    val none = Dedup.clusters(path.limit(0), "id", universe = Some(uni))
+    assert(none.where($"is_dup").count() == 0 && none.count() == 74)
+  }
+
+  test("nearDedupCorpus keeps one canonical row per near-dup cluster") {
+    val base = docs.limit(40).select($"doc_id", $"text")
+    val corpus = base
+      .unionByName(base.select(($"doc_id" + 1000L).as("doc_id"), $"text"))
+      .unionByName(base.select(($"doc_id" + 2000L).as("doc_id"),
+        concat($"text", lit(" tail")).as("text")))
+    val kept = Dedup.nearDedupCorpus(corpus, "doc_id", "text", threshold = 0.6)
+    // exact oracle: union-find over the (tiny) verified pair set — keepers
+    // are exactly the ids that equal their component minimum; singletons
+    // (ids in no pair, incl. any doc naturally unlike everything) survive
+    val pairList = Dedup.minhashPairs(corpus, "doc_id", "text", threshold = 0.6)
+      .select("id_a", "id_b").as[(Long, Long)].collect()
+    val parent = scala.collection.mutable.Map[Long, Long]()
+    def find(x: Long): Long = { val p = parent.getOrElse(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r } }
+    pairList.foreach { case (u, v) =>
+      val (ru, rv) = (find(u), find(v))
+      if (ru != rv) { val (lo, hi) = (math.min(ru, rv), math.max(ru, rv)); parent(hi) = lo } }
+    val all = corpus.select("doc_id").as[Long].collect().toSet
+    val expected = all.filter(id => find(id) == id)
+    val ids = kept.select("doc_id").as[Long].collect().toSet
+    assert(ids == expected, s"diff: ${(ids diff expected) ++ (expected diff ids)}")
+    // exact copies at +1000 can never be a component minimum
+    assert(!ids.exists(id => id >= 1000L && id < 2000L), s"exact copies kept: $ids")
+    assert(kept.columns.toSeq == corpus.columns.toSeq)
+  }
+
+  test("embeddingPairs: banded candidates dedup on ids; copies verified once") {
+    // adversarial pile-up: n copies of ONE vector collide in every band; the
+    // id-level distinct must reduce that to exactly C(n,2) verified pairs
+    // (the true answer), not bands x C(n,2) re-verifications
+    val one = embs.limit(1).select($"embedding").as[Array[Float]].collect()(0)
+    val n = 60
+    // identical vectors at runtime, but NOT foldable (id-dependent no-op):
+    // a pure literal would let Catalyst constant-fold vec_cosine away and
+    // defeat the plan assertions below
+    val copies = spark.range(n).select($"id".as("vec_id"),
+      transform(typedlit(one), x => x + ($"id" % 1).cast("float")).as("embedding"))
+    val pairs = Dedup.embeddingPairs(copies, "vec_id", "embedding", threshold = 0.999)
+    assert(pairs.count() == n.toLong * (n - 1) / 2)
+    assert(pairs.select("id_a", "id_b").distinct().count() == n.toLong * (n - 1) / 2)
+    // cosine verification sits ABOVE the id-level distinct (plans print
+    // top-down, so every veccosine occurrence — the projection and the
+    // filter Spark pushes into the re-attach join — must appear BEFORE the
+    // distinct aggregate; per-band re-verification would put one below it)
+    val plan = pairs.queryExecution.executedPlan.toString
+    val agg  = plan.indexOf("HashAggregate(keys=[id_a")
+    assert(agg >= 0, plan.take(3000))
+    assert("veccosine".r.findAllIn(plan).nonEmpty, plan.take(3000))
+    assert(plan.lastIndexOf("veccosine") < agg,
+      "vec_cosine must only be evaluated above the id-level distinct")
+  }
+
+  test("embeddingPairs: banding recall at moderate cosine beats single-signature") {
+    // perturbed twins at cosine ~0.99: banded SRP (8 bands x 16 bits) must
+    // reach high recall where a single 16-bit signature sits near ~0.5
+    val base = embs.limit(100).select($"vec_id", $"embedding")
+    val twin = base.select(($"vec_id" + 1000000L).as("vec_id"),
+      transform($"embedding", (x, i) => x + when(i % 7 === 0, 0.03f).otherwise(0.0f))
+        .as("embedding"))
+    val pairs = Dedup.embeddingPairs(base.unionByName(twin), "vec_id", "embedding",
+      threshold = 0.9)
+    val found = pairs.select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val ids = base.select("vec_id").as[Long].collect()
+    val recall = ids.count(id => found.contains((id, id + 1000000L))).toDouble / ids.length
+    assert(recall >= 0.9, s"banded twin recall $recall < 0.9")
+  }
+
   test("brute-force cosine top-k: self is rank 1; ranks complete") {
     val qs = embs.limit(10).select($"vec_id".as("qid"), $"embedding".as("qvec"))
     val out = Similarity.bruteForceTopK(qs, "qid", "qvec",
