@@ -457,6 +457,19 @@ object SparkEntry {
         .select(col("c_custkey"), col("r_regionkey"),
           round(st_distance_deg(col("geom"), col("lng"), col("lat")), 6).as("dist_deg"))
     }),
+    "q40_json_update" -> ((s, dir) => {
+      // generic JSON path update (Ezjsone.update twin): replace a nested
+      // member in place, append a missing leaf, remove a member — output is
+      // the canonical minified text, reproducible by SQL string concat
+      registerAll(s)
+      val nation = s.read.parquet(t(dir, "nation"))
+      val doc = concat(lit("""{"type":"Feature","properties":{"name":""""),
+        col("n_name"), lit("""","rank":0},"note":"tmp"}"""))
+      val upd = json_update(json_update(doc, lit("$.properties.rank"),
+          (col("n_nationkey") * 2L).cast("string")),
+        lit("$.extra"), lit("""{"v":1}"""))
+      nation.select(col("n_nationkey"), json_remove(upd, lit("$.note")).as("doc"))
+    }),
     "q39_translate_pip_tile" -> ((s, dir) => {
       // the FLAGSHIP plan shape (cover → equi-join → st_contains refine →
       // tile assignment) with every stage SQL-oracleable: region boxes run
@@ -637,6 +650,12 @@ object SparkEntry {
       "SELECT doc_id AS id_a, doc_id + 10000 AS id_b FROM documents",
     "q19_embedding_dups" ->
       "SELECT vec_id AS id_a, vec_id + 10000 AS id_b FROM embeddings",
+    "q40_json_update" ->
+      """SELECT n_nationkey,
+        |  '{"type":"Feature","properties":{"name":"' || n_name ||
+        |  '","rank":' || CAST(n_nationkey * 2 AS BIGINT) ||
+        |  '},"extra":{"v":1}}' AS doc
+        |FROM nation""".stripMargin,
     "q38_dup_clusters" ->
       """WITH ids AS (
         |  SELECT doc_id AS id FROM documents

@@ -37,8 +37,12 @@ class GeoJsonDataSource extends TableProvider with DataSourceRegister {
 }
 
 object GeoJsonDataSource {
+  // `seq` = 0-based position of the feature within its file: (file, seq) is
+  // the reader's total document order, the sort key for the ordered folds
+  // (GeoStreams.foldGeometryOrdered) that mirror geojsone's sequential fold
   val schema: StructType = StructType(Seq(
     StructField("file", StringType, nullable = false),
+    StructField("seq", LongType, nullable = false),
     StructField("feature_json", StringType, nullable = false)))
 }
 
@@ -94,12 +98,13 @@ class GeoJsonPartitionReader(path: String) extends PartitionReader[InternalRow] 
   private val it = GeoJsonReader.splitFeatures(in)
   private val fileUtf8 = UTF8String.fromString(path)
   private var current: String = _
+  private var seq: Long = -1L
 
   override def next(): Boolean = {
-    if (it.hasNext) { current = it.next(); true } else false
+    if (it.hasNext) { current = it.next(); seq += 1; true } else false
   }
   override def get(): InternalRow =
     new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
-      Array[Any](fileUtf8, UTF8String.fromString(current)))
+      Array[Any](fileUtf8, seq, UTF8String.fromString(current)))
   override def close(): Unit = try in.close() catch { case _: Exception => () }
 }

@@ -111,4 +111,67 @@ object Accessors {
   /** set the top-level bbox */
   def setBBox(top: Column, newBBox: Column): Column =
     top.withField("bbox", newBBox)
+
+  // ---- deep setters (Prism.set / Optional update composition,
+  // optics.ml:53-160): pure Column math over the packed layout, so they stay
+  // inside Catalyst. Prism.set semantics throughout: NO-OP (the original
+  // geometry) when the focus does not exist — never null, never an error.
+
+  /** Prism-guarded update (Prism.set, optics.ml:61-67): apply `f` only when
+    * the geometry's constructor tag matches `gtype`; identity otherwise. */
+  def prismSet(g: Column, gtype: Int, f: Column => Column): Column =
+    when(g.getField("gtype") === gtype, f(g)).otherwise(g)
+
+  /** Set the n-th position (0-based, across all rings) to `pos`
+    * (array<double>, length 2 or 3 — dimension changes are handled by
+    * shifting the packed offsets). Optional.set composed from Lens.nth:
+    * no-op when n is out of range. */
+  def setPositionAt(g: Column, n: Int, pos: Column): Column = {
+    val po     = g.getField("pos_offsets")
+    val coords = g.getField("coords")
+    val start  = element_at(po, n + 1) // coord index where position n begins
+    val end    = element_at(po, n + 2)
+    val delta  = size(pos) - (end - start)
+    val newCoords = concat(slice(coords, lit(1), start), pos,
+      slice(coords, end + 1, size(coords) - end))
+    val newPo = transform(po, (x, i) => when(i > n, x + delta).otherwise(x))
+    when(lit(n) >= 0 && lit(n) < size(po) - 1,
+      g.withField("coords", newCoords).withField("pos_offsets", newPo))
+      .otherwise(g)
+  }
+
+  /** Set ring r (0-based) to `ring` (array<array<double>> of positions; the
+    * position count and dimensions may change — both offset arrays are
+    * rebuilt). No-op when r is out of range. */
+  def setRingAt(g: Column, r: Int, ring: Column): Column = {
+    val po     = g.getField("pos_offsets")
+    val ro     = g.getField("ring_offsets")
+    val coords = g.getField("coords")
+    val pStart = element_at(ro, r + 1) // first position index of ring r
+    val pEnd   = element_at(ro, r + 2) // one past its last position
+    val cStart = element_at(po, pStart + 1)
+    val cEnd   = element_at(po, pEnd + 1)
+    val flat   = flatten(ring)
+    val cDelta = size(flat) - (cEnd - cStart)
+    val pDelta = size(ring) - (pEnd - pStart)
+    val newCoords = concat(slice(coords, lit(1), cStart), flat,
+      slice(coords, cEnd + 1, size(coords) - cEnd))
+    // position offsets: untouched prefix (entries 0..pStart, the last of
+    // which is cStart), the new ring's running coordinate sums, then the
+    // suffix shifted by the coordinate-count change
+    val ringCum = aggregate(ring, array(cStart),
+      (acc, p) => concat(acc, array(element_at(acc, -1) + size(p))))
+    val newPo = concat(
+      slice(po, lit(1), pStart + 1),
+      slice(ringCum, lit(2), size(ringCum) - 1),
+      transform(slice(po, pEnd + 2, size(po) - pEnd - 1), _ + cDelta))
+    // ring offsets after r shift by the position-count change; part offsets
+    // index rings, whose count is unchanged
+    val newRo = transform(ro, (x, i) => when(i > r, x + pDelta).otherwise(x))
+    when(lit(r) >= 0 && lit(r) < size(ro) - 1,
+      g.withField("coords", newCoords)
+        .withField("pos_offsets", newPo)
+        .withField("ring_offsets", newRo))
+      .otherwise(g)
+  }
 }

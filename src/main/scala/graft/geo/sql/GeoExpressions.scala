@@ -237,6 +237,48 @@ case class WithFeatureGeometry(json: Expression, geom: Expression)
   override protected def withNewChildrenInternal(c: IndexedSeq[Expression]) = copy(c(0), c(1))
 }
 
+/** `json_update(json, path, value_json)` — set the member at a dotted path
+  * to the given JSON value: the engine twin of `Ezjsone.update` with `Some`
+  * (ezjsone.ml:297-307 via [[graft.geo.json.JsonPath]]), with its exact
+  * semantics: in-place replace, append on missing leaf, no-op on missing
+  * intermediate, member REMOVAL when the path descends into a non-object
+  * value, and null (the reference's `Not_found`) when the top level is not
+  * an object. Unparseable `json` or `value_json` → null (PERMISSIVE).
+  * Output is re-serialized canonically (minified, %.16g floats). */
+case class JsonUpdate(json: Expression, path: Expression, value: Expression)
+    extends GeoExpression {
+  override def children: Seq[Expression] = Seq(json, path, value)
+  override def dataType: DataType        = StringType
+  override protected def evalNotNull(v: Array[Any]): Any = {
+    val doc = JValue.parse(v(0).asInstanceOf[UTF8String].toString)
+    val nv  = JValue.parse(v(2).asInstanceOf[UTF8String].toString)
+    (doc, nv) match {
+      // scala.Right explicitly: catalyst's expressions.Right is in scope
+      case (scala.Right(d), scala.Right(x)) =>
+        graft.geo.json.JsonPath
+          .update(d, graft.geo.json.JsonPath.parsePath(v(1).asInstanceOf[UTF8String].toString), x)
+          .map(r => UTF8String.fromString(r.render)).orNull
+      case _ => null
+    }
+  }
+  override protected def withNewChildrenInternal(c: IndexedSeq[Expression]) = copy(c(0), c(1), c(2))
+}
+
+/** `json_remove(json, path)` — remove the member at a dotted path:
+  * `Ezjsone.update` with `None` (same `map_dict` semantics as
+  * [[JsonUpdate]]; removing a missing member is a no-op; an empty path is
+  * `Not_found` → null, as in the reference). */
+case class JsonRemove(json: Expression, path: Expression) extends GeoExpression {
+  override def children: Seq[Expression] = Seq(json, path)
+  override def dataType: DataType        = StringType
+  override protected def evalNotNull(v: Array[Any]): Any =
+    JValue.parse(v(0).asInstanceOf[UTF8String].toString).fold(_ => null, d =>
+      graft.geo.json.JsonPath
+        .remove(d, graft.geo.json.JsonPath.parsePath(v(1).asInstanceOf[UTF8String].toString))
+        .map(r => UTF8String.fromString(r.render)).orNull)
+  override protected def withNewChildrenInternal(c: IndexedSeq[Expression]) = copy(c(0), c(1))
+}
+
 /** `random_geojson(id, seed)` — deterministic skeleton-driven random
   * document (the engine surface of the reference's `Random.random`,
   * geojson.ml:625-678): skeleton rotates on id % 7, coordinates from a

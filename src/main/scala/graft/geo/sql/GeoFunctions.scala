@@ -24,6 +24,8 @@ object GeoFunctions {
     "with_feature_props"    -> (es => WithFeatureProps(es(0), es(1))),
     "with_feature_geometry" -> (es => WithFeatureGeometry(es(0), es(1))),
     "random_geojson"        -> (es => RandomGeoJson(es(0), es(1))),
+    "json_update"           -> (es => JsonUpdate(es(0), es(1), es(2))),
+    "json_remove"           -> (es => JsonRemove(es(0), es(1))),
     "st_contains"       -> (es => StContains(es(0), es(1), es(2))),
     "st_intersects"     -> (es => StIntersects(es(0), es(1))),
     "st_distance_deg"   -> (es => StDistanceDeg(es(0), es(1), es(2))),
@@ -71,6 +73,10 @@ object GeoFunctions {
     call_function("with_feature_geometry", json, g)
   def random_geojson(id: Column, seed: Column): Column =
     call_function("random_geojson", id, seed)
+  def json_update(json: Column, path: Column, value: Column): Column =
+    call_function("json_update", json, path, value)
+  def json_remove(json: Column, path: Column): Column =
+    call_function("json_remove", json, path)
   def st_contains(geom: Column, lng: Column, lat: Column): Column =
     call_function("st_contains", geom, lng, lat)
   def st_intersects(a: Column, b: Column): Column = call_function("st_intersects", a, b)

@@ -52,6 +52,38 @@ object GeoStreams {
     df.agg(aggs(p).head, aggs(p).tail: _*)
   }
 
+  /** ORDERED fold_geometry — the exact sequential document-order semantics
+    * of the reference fold (geojsone.ml:223-242 folds the token stream
+    * front-to-back) for NON-commutative `f`. [[foldGeometry]] maps the fold
+    * onto commutative Spark aggregates; when `f` is order-sensitive, this
+    * variant collects `(order, geometry)` pairs, sorts the collected array
+    * (deterministic regardless of partitioning), and folds it left with the
+    * Column function `f(acc, geom)` — one row out, column name `fold`.
+    *
+    * `order` is the reader's row order: the `geojson` source's
+    * `(file, seq)` columns (GeoJsonDataSource emits `seq` = position within
+    * the file). The whole input folds on ONE row — the inherent price of
+    * sequential semantics; prefer [[foldGeometry]] whenever `f` commutes.
+    */
+  def foldGeometryOrdered(df: DataFrame, jsonCol: String, order: Seq[Column],
+                          init: Column, f: (Column, Column) => Column): DataFrame =
+    foldOrdered(df, order,
+      from_geojson(col(jsonCol)).getField("feature").getField("geometry"), init, f)
+
+  /** ORDERED fold_props — sequential twin of [[foldProps]]; `f` receives the
+    * properties JSON text. */
+  def foldPropsOrdered(df: DataFrame, jsonCol: String, order: Seq[Column],
+                       init: Column, f: (Column, Column) => Column): DataFrame =
+    foldOrdered(df, order,
+      from_geojson(col(jsonCol)).getField("feature").getField("properties"), init, f)
+
+  private def foldOrdered(df: DataFrame, order: Seq[Column], value: Column,
+                          init: Column, f: (Column, Column) => Column): DataFrame = {
+    val keyed  = struct((order :+ value.as("__v")): _*)
+    val sorted = sort_array(collect_list(keyed)) // lexicographic: order cols first
+    df.agg(aggregate(transform(sorted, _.getField("__v")), init, f).as("fold"))
+  }
+
   /** iter_geometry (geojsone.ml:259-275): side-effecting visit of every
     * `"geometry"` member in document order, exactly like the reference's
     * token-stream scan — it fires wherever the member name appears (each

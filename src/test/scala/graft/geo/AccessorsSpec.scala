@@ -61,6 +61,89 @@ class AccessorsSpec extends AnyFunSuite {
     assert(updated.contains(""""title":"Some Islands"""")) // fm preserved
   }
 
+  test("deep setters: set-get identity over the whole geometry corpus") {
+    // Optional.set (get x) == x, for every position index of every fixture
+    // geometry (2-D and 3-D) — byte-compared through to_geojson_geom
+    val names = Seq("point.json", "linestring.json", "multipoint.json",
+      "multilinestring.json", "polygon.json", "multi_polygon.json", "geo_with_bbox.json")
+    for (n <- names) {
+      val df = Seq(fixture(n)).toDF("raw").select(from_geojson_geom($"raw").as("g"))
+      val nPos = df.select(numPositions($"g")).collect()(0).getInt(0)
+      for (i <- 0 until nPos) {
+        val r = df.select(to_geojson_geom($"g").as("orig"),
+          to_geojson_geom(setPositionAt($"g", i, positionAt($"g", i))).as("back")).collect()(0)
+        assert(r.getString(0) == r.getString(1), s"$n pos $i")
+      }
+      val nR = df.select(numRings($"g")).collect()(0).getInt(0)
+      for (r0 <- 0 until nR) {
+        val r = df.select(to_geojson_geom($"g").as("orig"),
+          to_geojson_geom(setRingAt($"g", r0, ringAt($"g", r0))).as("back")).collect()(0)
+        assert(r.getString(0) == r.getString(1), s"$n ring $r0")
+      }
+    }
+  }
+
+  test("deep setters: position update hits only its target, handles 2D->3D") {
+    val df = Seq(fixture("polygon.json")).toDF("raw")
+      .select(from_geojson_geom($"raw").as("g"))
+    val updated = df.select(
+      setPositionAt($"g", 2, typedLit(Seq(7.5, 8.5))).as("u"),
+      setPositionAt($"g", 1, typedLit(Seq(1.0, 2.0, 3.0))).as("u3"))
+    val r = updated.select(
+      positionAt($"u", 2), positionAt($"u", 0), numPositions($"u"),
+      positionAt($"u3", 1), positionAt($"u3", 2), numPositions($"u3")).collect()(0)
+    assert(r.getSeq[Double](0).toSeq == Seq(7.5, 8.5))
+    assert(r.getSeq[Double](1).toSeq ==
+      df.select(positionAt($"g", 0)).collect()(0).getSeq[Double](0).toSeq)
+    // dimension change: position 1 becomes 3-D, neighbors keep their values
+    assert(r.getSeq[Double](3).toSeq == Seq(1.0, 2.0, 3.0))
+    assert(r.getSeq[Double](4).toSeq ==
+      df.select(positionAt($"g", 2)).collect()(0).getSeq[Double](0).toSeq)
+    assert(r.getInt(2) == r.getInt(5))
+    // out of range: identity (Optional.set on a missing focus)
+    val id = df.select(to_geojson_geom($"g").as("a"),
+      to_geojson_geom(setPositionAt($"g", 99, typedLit(Seq(0.0, 0.0)))).as("b")).collect()(0)
+    assert(id.getString(0) == id.getString(1))
+  }
+
+  test("deep setters: ring replacement with different position count") {
+    val df = Seq(fixture("multi_polygon.json")).toDF("raw")
+      .select(from_geojson_geom($"raw").as("g"))
+    val newRing = typedLit(Seq(Seq(0.0, 0.0), Seq(4.0, 0.0), Seq(4.0, 4.0), Seq(0.0, 0.0)))
+    val u = df.select($"g", setRingAt($"g", 1, newRing).as("u"))
+    val r = u.select(
+      ringAt($"u", 1), numRings($"u"), numPositions($"g"), numPositions($"u"),
+      ringAt($"u", 0), ringAt($"u", 2), ringAt($"g", 0), ringAt($"g", 2)).collect()(0)
+    assert(r.getSeq[scala.collection.Seq[Double]](0).map(_.toSeq).toSeq
+      == Seq(Seq(0.0, 0.0), Seq(4.0, 0.0), Seq(4.0, 4.0), Seq(0.0, 0.0)))
+    assert(r.getInt(1) == 3)                  // ring count unchanged
+    assert(r.getInt(3) == r.getInt(2) - 1)    // 5-position ring became 4
+    // neighbors untouched
+    assert(r.getSeq[scala.collection.Seq[Double]](4).map(_.toSeq) ==
+      r.getSeq[scala.collection.Seq[Double]](6).map(_.toSeq))
+    assert(r.getSeq[scala.collection.Seq[Double]](5).map(_.toSeq) ==
+      r.getSeq[scala.collection.Seq[Double]](7).map(_.toSeq))
+    // serialized form still parses (offsets stayed consistent)
+    val txt = u.select(to_geojson_geom($"u")).as[String].collect()(0)
+    assert(Seq(txt).toDF("t").select(from_geojson_geom($"t").isNotNull).collect()(0).getBoolean(0))
+  }
+
+  test("prism-guarded set: applies on constructor match, identity otherwise") {
+    import graft.geo.model.GeoModel.GType
+    val df = Seq(fixture("point.json"), fixture("polygon.json")).toDF("raw")
+      .select($"raw", from_geojson_geom($"raw").as("g"))
+    val out = df.select(
+      st_geometry_type($"g").as("t"),
+      to_geojson_geom($"g").as("orig"),
+      to_geojson_geom(prismSet($"g", GType.Point,
+        setPositionAt(_, 0, typedLit(Seq(0.5, 0.5))))).as("set")).collect()
+    out.foreach { r =>
+      if (r.getString(0) == "Point")
+        assert(r.getString(2) == """{"type":"Point","coordinates":[0.5,0.5]}""")
+      else assert(r.getString(2) == r.getString(1)) // Prism.set: no-op on mismatch
+    }
+  }
+
   test("feature id lens handles string and numeric ids") {
     val df = Seq(
       """{"type":"Feature","id":"abc"}""",

@@ -187,7 +187,7 @@ class ReaderStreamsSpec extends AnyFunSuite {
   test("DataSourceV2 geojson format reads features via spark.read") {
     val path = fixturePath
     val df = spark.read.format("geojson").load(path)
-    assert(df.schema.fieldNames.toSeq == Seq("file", "feature_json"))
+    assert(df.schema.fieldNames.toSeq == Seq("file", "seq", "feature_json"))
     val rows = df.select(
       from_geojson(col("feature_json")).getField("feature").getField("properties").as("p"))
       .collect()
@@ -203,6 +203,26 @@ class ReaderStreamsSpec extends AnyFunSuite {
     val multi = spark.read.format("geojson").load(dir.toString + "/*.geojson")
     assert(multi.rdd.getNumPartitions == 3)
     assert(multi.count() == 3)
+  }
+
+  test("ordered fold follows reader document order for non-commutative f") {
+    // 7 features whose property is their position; the fold REVERSE-CONCATs
+    // (clearly non-commutative), so the result pins the exact (file, seq)
+    // document order the reference's sequential fold would see
+    val fc = "{\"type\":\"FeatureCollection\",\"features\":[" +
+      (0 until 7).map(i =>
+        s"""{"type":"Feature","properties":{"i":"p$i"}}""").mkString(",") + "]}"
+    val dir = Files.createTempDirectory("geojson_fold")
+    Files.writeString(dir.resolve("fc.geojson"), fc)
+    val df = spark.read.format("geojson").load(dir.toString + "/fc.geojson")
+      .repartition(4) // order must survive arbitrary partitioning
+    assert(df.select(col("seq")).orderBy("seq").collect().map(_.getLong(0)).toSeq
+      == (0L until 7L))
+    val out = GeoStreams.foldPropsOrdered(df, "feature_json",
+        Seq(col("file"), col("seq")), lit(""),
+        (acc, p) => concat(get_json_object(p, "$.i"), lit(" "), acc))
+      .collect()(0).getString(0)
+    assert(out == "p6 p5 p4 p3 p2 p1 p0 ", out)
   }
 
   test("multi-feature document splits correctly") {
