@@ -457,6 +457,22 @@ object SparkEntry {
         .select(col("c_custkey"), col("r_regionkey"),
           round(st_distance_deg(col("geom"), col("lng"), col("lat")), 6).as("dist_deg"))
     }),
+    "q41_shared_passages" -> ((s, dir) => {
+      // substring-level dedup contract: the +10000 copy is fresh text (id
+      // digits make its gibberish distinct) CARRYING the first 40 chars of
+      // its base doc — the pair shares exactly that passage. Winnowing
+      // guarantees recall 1.0 for shares >= k+w-1 = 11 chars, so restricted
+      // to the planted shape (natural cross-doc boilerplate shares are
+      // correct output but not closed-form) the result is every base id.
+      registerAll(s)
+      val docs = s.read.parquet(t(dir, "documents")).select("doc_id", "text")
+      val carriers = docs.select((col("doc_id") + 10000L).as("doc_id"),
+        concat(lit("zz"), col("doc_id").cast("string"), lit("q "),
+          substring(col("text"), 1, 40)).as("text"))
+      Dedup.sharedPassagePairs(docs.unionByName(carriers), "doc_id", "text")
+        .where(col("id_b") === col("id_a") + 10000L && col("id_a") < 10000L)
+        .select(col("id_a"), col("id_b"))
+    }),
     "q40_json_update" -> ((s, dir) => {
       // generic JSON path update (Ezjsone.update twin): replace a nested
       // member in place, append a missing leaf, remove a member — output is
@@ -650,6 +666,8 @@ object SparkEntry {
       "SELECT doc_id AS id_a, doc_id + 10000 AS id_b FROM documents",
     "q19_embedding_dups" ->
       "SELECT vec_id AS id_a, vec_id + 10000 AS id_b FROM embeddings",
+    "q41_shared_passages" ->
+      "SELECT doc_id AS id_a, doc_id + 10000 AS id_b FROM documents",
     "q40_json_update" ->
       """SELECT n_nationkey,
         |  '{"type":"Feature","properties":{"name":"' || n_name ||

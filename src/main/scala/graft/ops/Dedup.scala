@@ -189,6 +189,56 @@ object Dedup {
       .select("id_a", "id_b", "cosine")
   }
 
+  /** Substring-level (shared-passage) dup pairs — the training-data op for
+    * documents that are NOT near-duplicates overall but share a long copied
+    * passage (boilerplate, licenses, quoted spans; Lee et al.'s "Deduplicating
+    * Training Data Makes Language Models Better" motivates the substring
+    * granularity).
+    *
+    * Candidates: winnowing fingerprints (Schleimer et al., SIGMOD'03) —
+    * explode → fingerprint equi-join → per-pair distinct-shared count. The
+    * winnowing GUARANTEE makes recall exact: any shared substring of length
+    * >= k + w - 1 shares at least one fingerprint. Verification is the
+    * char-exact [[TextKernels.hasCommonSubstring]] (zero false positives
+    * from hash collisions); texts are re-attached only after the
+    * fingerprint-level aggregation, so documents never ride the fingerprint
+    * shuffle.
+    *
+    * At corpus scale, hot fingerprints (ubiquitous boilerplate k-grams)
+    * skew the bucket join: `maxDocFrequency > 0` drops fingerprints
+    * appearing in more than that many documents (one extra count pass —
+    * Lee et al. drop over-common spans the same way). Pairs whose ONLY
+    * shared passage is that common are then missed by design.
+    *
+    * Output: id_a < id_b, shared_fps (distinct shared fingerprints).
+    */
+  def sharedPassagePairs(
+      df: DataFrame, idCol: String, textCol: String,
+      k: Int = 8, w: Int = 4, minShared: Int = 1,
+      maxDocFrequency: Long = 0L): DataFrame = {
+    val minLen = k + w - 1
+    val fps0 = df.select(col(idCol).as("__id"),
+      explode(winnow_fp(col(textCol), lit(k), lit(w))).as("__fp"))
+    val fps =
+      if (maxDocFrequency <= 0) fps0
+      else fps0.join(
+        fps0.groupBy("__fp").agg(count(lit(1)).as("__df"))
+          .where(col("__df") <= maxDocFrequency).select("__fp"),
+        Seq("__fp"), "left_semi")
+    val a = fps.select(col("__fp").as("fa"), col("__id").as("id_a"))
+    val b = fps.select(col("__fp").as("fb"), col("__id").as("id_b"))
+    // winnow_fp emits DISTINCT fingerprints per doc, so the per-pair count
+    // is the distinct shared-fingerprint count with no extra dedup
+    val cand = a.join(b, col("fa") === col("fb") && col("id_a") < col("id_b"))
+      .groupBy("id_a", "id_b").agg(count(lit(1)).as("shared_fps"))
+      .where(col("shared_fps") >= minShared)
+    val ta = df.select(col(idCol).as("id_a"), col(textCol).as("__ta"))
+    val tb = df.select(col(idCol).as("id_b"), col(textCol).as("__tb"))
+    cand.join(ta, Seq("id_a")).join(tb, Seq("id_b"))
+      .where(common_substring(col("__ta"), col("__tb"), lit(minLen)))
+      .select("id_a", "id_b", "shared_fps")
+  }
+
   /** Dup-cluster canonicalization: connected components over a near-dup PAIR
     * set — the step between [[minhashPairs]]/[[simhashPairs]]/
     * [[embeddingPairs]] and an actually deduplicated corpus. Every id is

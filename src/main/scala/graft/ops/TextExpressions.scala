@@ -133,6 +133,40 @@ object TextKernels {
     out
   }
 
+  /** Exact test for a shared substring of length >= L: hash-index a's
+    * L-grams, probe with b's, confirm every hash hit by direct char
+    * comparison (regionMatches) — zero false positives, O(|a|+|b|) expected.
+    * The verification step of the Lee-et-al-style passage dedup
+    * ([[graft.ops.Dedup.sharedPassagePairs]]). */
+  def hasCommonSubstring(a: String, b: String, L: Int): Boolean = {
+    if (L <= 0) return true
+    if (a.length < L || b.length < L) return false
+    // index the SHORTER side to bound memory
+    val (x, y) = if (a.length <= b.length) (a, b) else (b, a)
+    val map = new java.util.HashMap[java.lang.Long, java.util.ArrayList[Integer]]()
+    var i = 0
+    while (i <= x.length - L) {
+      val h = java.lang.Long.valueOf(shingleHash(x, i, L))
+      var lst = map.get(h)
+      if (lst == null) { lst = new java.util.ArrayList[Integer](1); map.put(h, lst) }
+      lst.add(i)
+      i += 1
+    }
+    var j = 0
+    while (j <= y.length - L) {
+      val lst = map.get(java.lang.Long.valueOf(shingleHash(y, j, L)))
+      if (lst != null) {
+        var k = 0
+        while (k < lst.size()) {
+          if (x.regionMatches(lst.get(k), y, j, L)) return true
+          k += 1
+        }
+      }
+      j += 1
+    }
+    false
+  }
+
   // ------------------------------------------------------- language ID
 
   private val stopwords: Map[String, Set[String]] = Map(
@@ -263,6 +297,18 @@ case class WinnowFingerprint(text: Expression, k: Expression, w: Expression)
   override protected def withNewChildrenInternal(c: IndexedSeq[Expression]) = copy(c(0), c(1), c(2))
 }
 
+/** `common_substring(a, b, len)` — true iff the two texts share a verified
+  * (char-exact) common substring of at least `len` characters. */
+case class CommonSubstring(a: Expression, b: Expression, len: Expression)
+    extends GeoExpression {
+  override def children: Seq[Expression] = Seq(a, b, len)
+  override def dataType: DataType        = BooleanType
+  override protected def evalNotNull(v: Array[Any]): Any =
+    TextKernels.hasCommonSubstring(v(0).asInstanceOf[UTF8String].toString,
+      v(1).asInstanceOf[UTF8String].toString, v(2).asInstanceOf[Int])
+  override protected def withNewChildrenInternal(c: IndexedSeq[Expression]) = copy(c(0), c(1), c(2))
+}
+
 case class LangIdExpr(text: Expression) extends GeoExpression {
   override def children: Seq[Expression] = Seq(text)
   override def dataType: DataType        = StringType
@@ -317,6 +363,7 @@ object TextFunctions {
     "simhash64"     -> (es => SimHash64(es(0), es(1))),
     "ngram_jaccard" -> (es => NgramJaccard(es(0), es(1), es(2))),
     "winnow_fp"     -> (es => WinnowFingerprint(es(0), es(1), es(2))),
+    "common_substring" -> (es => CommonSubstring(es(0), es(1), es(2))),
     "lang_id"       -> (es => LangIdExpr(es.head)),
     "token_count_bpe" -> (es => TokenCountBpe(es.head)),
     "vec_cosine"    -> (es => VecCosine(es(0), es(1))),
@@ -338,6 +385,8 @@ object TextFunctions {
   def simhash64(text: Column, shingle: Column): Column = call_function("simhash64", text, shingle)
   def ngram_jaccard(a: Column, b: Column, n: Column): Column = call_function("ngram_jaccard", a, b, n)
   def winnow_fp(text: Column, k: Column, w: Column): Column = call_function("winnow_fp", text, k, w)
+  def common_substring(a: Column, b: Column, len: Column): Column =
+    call_function("common_substring", a, b, len)
   def lang_id(text: Column): Column = call_function("lang_id", text)
   def token_count_bpe(text: Column): Column = call_function("token_count_bpe", text)
   def vec_cosine(a: Column, b: Column): Column = call_function("vec_cosine", a, b)

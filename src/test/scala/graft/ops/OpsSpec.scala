@@ -273,6 +273,34 @@ class OpsSpec extends AnyFunSuite {
     assert(langs.toSeq == Seq("en", "de", "fr", "es", "zh", "ru"), langs.toSeq.toString)
   }
 
+  test("sharedPassagePairs: planted passages found, zero false positives, hot-fp filter") {
+    // gibberish corpus: 16-hex-token sentences from disjoint splitmix streams
+    // (no two docs share an 11-char substring); planted pairs share a long
+    // passage copied verbatim into otherwise-fresh gibberish
+    def tok(doc: Long, j: Int): String = f"${TextKernels.mix64(doc * 1000 + j)}%016x"
+    def gibberish(doc: Long, n: Int): String = (0 until n).map(tok(doc, _)).mkString(" ")
+    val base = (0L until 30L).map(i => (i, gibberish(i, 12)))
+    val planted = (0L until 30L).filter(_ % 3 == 0).map { i =>
+      val passage = gibberish(i, 12).substring(10, 60) // 50 chars of doc i
+      (i + 1000L, gibberish(i + 500L, 4) + " " + passage + " " + gibberish(i + 700L, 4))
+    }
+    val corpus = (base ++ planted).toDF("id", "text")
+    val pairs = Dedup.sharedPassagePairs(corpus, "id", "text")
+    val found = pairs.select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val expected = (0L until 30L).filter(_ % 3 == 0).map(i => (i, i + 1000L)).toSet
+    assert(found == expected, s"diff: ${(found diff expected) ++ (expected diff found)}")
+    // verification is exact: a doc-frequency cap of 1 keeps only fingerprints
+    // unique to a pair — planted passages are unique, so nothing changes
+    val capped = Dedup.sharedPassagePairs(corpus, "id", "text", maxDocFrequency = 2)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(capped == expected)
+    // common_substring kernel: exact boundaries
+    val probe = Seq(("abcdefghijk", "XXabcdefghijkYY", 11, true),
+      ("abcdefghijk", "XXabcdefghijYY", 11, false)).toDF("a", "b", "l", "want")
+    probe.select(common_substring($"a", $"b", $"l") === $"want").collect()
+      .foreach(r => assert(r.getBoolean(0)))
+  }
+
   test("winnowing fingerprint overlap detects shared passages") {
     val a = "the quick brown fox jumps over the lazy dog near the river bank today"
     val b = "completely different opening words but jumps over the lazy dog near the river bank today"
