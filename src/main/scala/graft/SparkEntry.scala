@@ -457,6 +457,35 @@ object SparkEntry {
         .select(col("c_custkey"), col("r_regionkey"),
           round(st_distance_deg(col("geom"), col("lng"), col("lat")), 6).as("dist_deg"))
     }),
+    "q42_sample" -> ((s, dir) => {
+      // deterministic data-mixing sampler: Knuth multiplicative hash bucket
+      // < rate — reproducible across engines (exact integer arithmetic) and
+      // monotone in the rate (the 10% sample contains the 5% sample)
+      val docs = s.read.parquet(t(dir, "documents"))
+      TextOps.deterministicSample(docs, "doc_id", perMille = 250)
+        .select(col("doc_id"))
+    }),
+    "q43_pack_plan" -> ((s, dir) => {
+      // sequence-packing plan: per-language running token sum -> bin ids
+      val docs = TextOps.withTokenCountWs(s.read.parquet(t(dir, "documents")), "text")
+      TextOps.packSequences(docs, "n_tokens_ws", "doc_id", "lang", budgetTokens = 512L)
+        .select(col("doc_id"), col("lang"), col("bin"), col("bin_offset"))
+    }),
+    "q44_contamination" -> ((s, dir) => {
+      // train/test decontamination: synthetic benchmark docs quote 40 chars
+      // of every 10th corpus doc; the planted (d, d+50000) pair is found
+      // with recall 1.0 (winnowing guarantee at >= 11 shared chars) and the
+      // char-exact verify admits no hash-collision false positives
+      registerAll(s)
+      val docs = s.read.parquet(t(dir, "documents")).select("doc_id", "text")
+      val bench = docs.where(col("doc_id") % 10 === 0)
+        .select((col("doc_id") + 50000L).as("bench_id"),
+          concat(lit("eval question quoting: "), substring(col("text"), 5, 40),
+            lit(" [end]")).as("text"))
+      Dedup.contaminationPairs(docs, "doc_id", "text", bench, "bench_id", "text")
+        .where(col("corpus_id") === col("bench_id") - 50000L)
+        .select(col("corpus_id"), col("bench_id"))
+    }),
     "q41_shared_passages" -> ((s, dir) => {
       // substring-level dedup contract: the +10000 copy is fresh text (id
       // digits make its gibberish distinct) CARRYING the first 40 chars of
@@ -668,6 +697,22 @@ object SparkEntry {
       "SELECT vec_id AS id_a, vec_id + 10000 AS id_b FROM embeddings",
     "q41_shared_passages" ->
       "SELECT doc_id AS id_a, doc_id + 10000 AS id_b FROM documents",
+    "q42_sample" ->
+      """SELECT doc_id FROM documents
+        |WHERE (doc_id * 2654435761 % 4294967296) * 1000 // 4294967296 < 250""".stripMargin,
+    "q43_pack_plan" ->
+      """SELECT doc_id, lang, CAST((cum - n) // 512 AS BIGINT) AS bin,
+        |  CAST(cum - n AS BIGINT) AS bin_offset
+        |FROM (
+        |  SELECT doc_id, lang, n,
+        |    sum(n) OVER (PARTITION BY lang ORDER BY doc_id
+        |      ROWS UNBOUNDED PRECEDING) AS cum
+        |  FROM (SELECT doc_id, lang,
+        |          CASE WHEN length(trim(text)) = 0 THEN 0
+        |               ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS n
+        |        FROM documents))""".stripMargin,
+    "q44_contamination" ->
+      "SELECT doc_id AS corpus_id, doc_id + 50000 AS bench_id FROM documents WHERE doc_id % 10 = 0",
     "q40_json_update" ->
       """SELECT n_nationkey,
         |  '{"type":"Feature","properties":{"name":"' || n_name ||

@@ -239,6 +239,37 @@ object Dedup {
       .select("id_a", "id_b", "shared_fps")
   }
 
+  /** Cross-corpus contamination check (train/test DECONTAMINATION): corpus
+    * documents sharing a verified >= k+w-1-char passage with any benchmark
+    * document. Same winnowing-bucket + char-exact-verify machinery as
+    * [[sharedPassagePairs]], but across two tables — the benchmark side is
+    * tiny (eval sets), so its fingerprint table is BROADCAST and the corpus
+    * side never shuffles at all: fingerprint explode → broadcast equi-join →
+    * per-(corpus, bench) pair count → exact verify.
+    *
+    * Output: one row per contaminated (corpusId, benchId) pair with the
+    * distinct shared-fingerprint count; anti-join the distinct corpus ids to
+    * decontaminate.
+    */
+  def contaminationPairs(
+      corpus: DataFrame, corpusId: String, corpusText: String,
+      bench: DataFrame, benchId: String, benchText: String,
+      k: Int = 8, w: Int = 4, minShared: Int = 1): DataFrame = {
+    val minLen = k + w - 1
+    val cFps = corpus.select(col(corpusId).as("corpus_id"),
+      explode(winnow_fp(col(corpusText), lit(k), lit(w))).as("__fp"))
+    val bFps = bench.select(col(benchId).as("bench_id"),
+      explode(winnow_fp(col(benchText), lit(k), lit(w))).as("__fp"))
+    val cand = cFps.join(broadcast(bFps), Seq("__fp"))
+      .groupBy("corpus_id", "bench_id").agg(count(lit(1)).as("shared_fps"))
+      .where(col("shared_fps") >= minShared)
+    val ct = corpus.select(col(corpusId).as("corpus_id"), col(corpusText).as("__tc"))
+    val bt = bench.select(col(benchId).as("bench_id"), col(benchText).as("__tb"))
+    cand.join(ct, Seq("corpus_id")).join(broadcast(bt), Seq("bench_id"))
+      .where(common_substring(col("__tc"), col("__tb"), lit(minLen)))
+      .select("corpus_id", "bench_id", "shared_fps")
+  }
+
   /** Dup-cluster canonicalization: connected components over a near-dup PAIR
     * set — the step between [[minhashPairs]]/[[simhashPairs]]/
     * [[embeddingPairs]] and an actually deduplicated corpus. Every id is

@@ -67,4 +67,50 @@ object TextOps {
   /** Winnowing fingerprints (rolling-hash document fingerprinting). */
   def withFingerprint(df: DataFrame, textCol: String, k: Int = 8, w: Int = 4): DataFrame =
     df.withColumn("fingerprint", winnow_fp(col(textCol), lit(k), lit(w)))
+
+  /** Deterministic corpus sampling — the data-mixing primitive: keep a row
+    * iff its id hashes under the rate. Multiplicative (Knuth) hashing over
+    * the id keeps the decision a pure narrow filter that (a) is reproducible
+    * across runs/engines (exact integer arithmetic, no RNG state), (b)
+    * composes monotonically — the 1% sample is a subset of the 10% sample —
+    * so mixture weights can be retuned without rescanning, and (c) is
+    * independent of partitioning, unlike `df.sample`.
+    *
+    * `perMille` is the keep rate in 1/1000ths (integer, so oracle engines
+    * reproduce the threshold exactly).
+    */
+  def deterministicSample(df: DataFrame, idCol: String, perMille: Int): DataFrame =
+    df.where(sampleBucket(col(idCol)) < perMille)
+
+  /** The sampling bucket in [0, 1000): Knuth multiplicative hash — id *
+    * 2654435761 (the golden-ratio multiplier) mod 2^32, scaled to 1/1000ths.
+    * Overflow-free for ids below ~3.4e9; for larger id spaces pre-fold with
+    * a modulus. */
+  def sampleBucket(id: Column): Column =
+    // Spark `/` on longs is DOUBLE division; dividing by 2^32 is exact in
+    // binary floating point (numerator < 2^53), so floor+cast reproduces
+    // integer division bit-for-bit (DuckDB `//`)
+    floor(pmod(id.cast("long") * 2654435761L, lit(4294967296L)) * 1000L
+      / lit(4294967296L)).cast("long")
+
+  /** Sequence-packing PLAN — assign documents to contiguous token bins of
+    * ~`budgetTokens` each (the planning pass of pretraining sequence
+    * packing): documents are laid out in `orderCol` order within each
+    * `partitionCol` group (e.g. language), and a document's bin is the bin
+    * its FIRST token lands in under running concatenation. Emits
+    * `bin_offset` (tokens preceding the doc in its group's running stream)
+    * and `bin` = bin_offset / budget (0-based). One window shuffle on the
+    * partition key; ANSI-SQL reproducible (running sum + integer division).
+    */
+  def packSequences(df: DataFrame, tokenCol: String, orderCol: String,
+                    partitionCol: String, budgetTokens: Long): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col(partitionCol)).orderBy(col(orderCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = sum(col(tokenCol).cast("long")).over(w)
+    // floor(double-div) == integer division here (see sampleBucket note);
+    // exact for any power-of-two budget and for offsets < 2^52 / budget
+    df.withColumn("bin_offset", cum - col(tokenCol))
+      .withColumn("bin", floor(col("bin_offset") / lit(budgetTokens)).cast("long"))
+  }
 }

@@ -301,6 +301,64 @@ class OpsSpec extends AnyFunSuite {
       .foreach(r => assert(r.getBoolean(0)))
   }
 
+  test("deterministic sampling: monotone rates, partition-independent, ~uniform") {
+    val ids = spark.range(20000).select($"id".as("doc_id"))
+    def sample(pm: Int) =
+      TextOps.deterministicSample(ids, "doc_id", pm).select("doc_id").as[Long].collect().toSet
+    val s100 = sample(100); val s500 = sample(500)
+    assert(s100.subsetOf(s500), "rate monotonicity broken")
+    assert(math.abs(s100.size - 2000) < 300, s"100 permille kept ${s100.size}/20000")
+    assert(math.abs(s500.size - 10000) < 700, s"500 permille kept ${s500.size}/20000")
+    // decision is a pure function of the id: partitioning must not matter
+    val repart = TextOps.deterministicSample(ids.repartition(13), "doc_id", 100)
+      .select("doc_id").as[Long].collect().toSet
+    assert(repart == s100)
+  }
+
+  test("packSequences: bins contiguous per group, budget arithmetic exact") {
+    val rows = (0L until 200L).map(i => (i, s"g${i % 3}", (i % 37 + 1).toInt))
+    val df = rows.toDF("id", "grp", "toks").repartition(7)
+    val out = TextOps.packSequences(df, "toks", "id", "grp", budgetTokens = 50L)
+      .select("id", "grp", "toks", "bin", "bin_offset")
+      .as[(Long, String, Int, Long, Long)].collect()
+    // Scala reference: running sum per group in id order
+    val expected = rows.groupBy(_._2).flatMap { case (_, docs) =>
+      var cum = 0L
+      docs.sortBy(_._1).map { case (id, g, t) =>
+        val off = cum; cum += t; (id, (off / 50L, off))
+      }
+    }.toMap
+    out.foreach { case (id, _, _, bin, off) =>
+      assert((bin, off) == expected(id), s"doc $id")
+    }
+    // bins are nondecreasing in document order within each group
+    out.groupBy(_._2).foreach { case (_, g) =>
+      val bins = g.sortBy(_._1).map(_._4)
+      assert(bins.zip(bins.tail).forall { case (a, b) => a <= b })
+    }
+  }
+
+  test("contaminationPairs: planted quotes found across tables, clean bench empty") {
+    val corpus = docs.limit(60).select($"doc_id", $"text")
+    val bench = corpus.where($"doc_id" % 7 === 0)
+      .select(($"doc_id" + 900L).as("bid"),
+        concat(lit("Q: "), substring($"text", 3, 30), lit(" ?")).as("btext"))
+    val found = Dedup.contaminationPairs(corpus, "doc_id", "text", bench, "bid", "btext")
+      .select("corpus_id", "bench_id").as[(Long, Long)].collect().toSet
+    val planted = corpus.where($"doc_id" % 7 === 0).select("doc_id").as[Long].collect()
+      .map(d => (d, d + 900L)).toSet
+    assert(planted.subsetOf(found), s"missed: ${planted diff found}")
+    // a benchmark with no corpus text in it flags nothing
+    val clean = (0 until 20).map(i => (i.toLong, f"${TextKernels.mix64(i + 77)}%016x" * 4))
+      .toDF("bid", "btext")
+    assert(Dedup.contaminationPairs(corpus, "doc_id", "text", clean, "bid", "btext")
+      .count() == 0)
+    // the benchmark fingerprint side is broadcast — the corpus never shuffles
+    val plan = Dedup.contaminationPairs(corpus, "doc_id", "text", bench, "bid", "btext")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), plan.take(2000))
+  }
+
   test("winnowing fingerprint overlap detects shared passages") {
     val a = "the quick brown fox jumps over the lazy dog near the river bank today"
     val b = "completely different opening words but jumps over the lazy dog near the river bank today"
