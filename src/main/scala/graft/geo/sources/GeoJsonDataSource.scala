@@ -83,19 +83,24 @@ class GeoJsonScan(options: CaseInsensitiveStringMap) extends Scan with Batch {
     }.toArray
   }
 
-  override def createReaderFactory(): PartitionReaderFactory = new GeoJsonReaderFactory
+  override def createReaderFactory(): PartitionReaderFactory =
+    // option("malformed", "replace") = the reference's recovery mode:
+    // malformed bytes -> U+FFFD, scan continues (default: loud failure)
+    new GeoJsonReaderFactory("replace".equalsIgnoreCase(options.get("malformed")))
 }
 
-class GeoJsonReaderFactory extends PartitionReaderFactory {
+class GeoJsonReaderFactory(malformedReplace: Boolean) extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
-    new GeoJsonPartitionReader(partition.asInstanceOf[GeoJsonInputPartition].path)
+    new GeoJsonPartitionReader(partition.asInstanceOf[GeoJsonInputPartition].path,
+      malformedReplace)
 }
 
 /** One file = one split; features stream through Jackson incrementally. */
-class GeoJsonPartitionReader(path: String) extends PartitionReader[InternalRow] {
+class GeoJsonPartitionReader(path: String, malformedReplace: Boolean = false)
+    extends PartitionReader[InternalRow] {
   private val hp = new Path(path)
   private val in = hp.getFileSystem(new org.apache.hadoop.conf.Configuration()).open(hp)
-  private val it = GeoJsonReader.splitFeatures(in)
+  private val it = GeoJsonReader.splitFeatures(in, malformedReplace)
   private val fileUtf8 = UTF8String.fromString(path)
   private var current: String = _
   private var seq: Long = -1L

@@ -17,12 +17,16 @@ import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
   */
 object GeoJsonReader {
 
-  /** One JSON text per feature of every FeatureCollection file under `path`. */
-  def featureTexts(spark: SparkSession, path: String): Dataset[String] = {
+  /** One JSON text per feature of every FeatureCollection file under `path`.
+    * `malformedReplace = true` selects the reference's error-recovery mode:
+    * malformed bytes decode to U+FFFD and the scan continues (uutfe.ml:35,68
+    * `Malformed → add U+FFFD`) instead of failing the task. */
+  def featureTexts(spark: SparkSession, path: String,
+                   malformedReplace: Boolean = false): Dataset[String] = {
     import spark.implicits._
     spark.sparkContext
       .binaryFiles(path)
-      .flatMap { case (_, pds) => splitFeatures(pds.open()) }
+      .flatMap { case (_, pds) => splitFeatures(pds.open(), malformedReplace) }
       .toDS()
   }
 
@@ -57,7 +61,41 @@ object GeoJsonReader {
     * the document size. Non-object roots fail loudly (the reference requires
     * an object).
     */
-  private[sources] def splitFeatures(in0: java.io.InputStream): Iterator[String] = {
+  /** Charset-sniffing reader with malformed → U+FFFD replacement — the
+    * engine twin of the reference's uutfe recovery (`Malformed → add
+    * U+FFFD and continue`, uutfe.ml:35,68; the decoder replaces each
+    * maximal ill-formed subsequence per the Unicode best practice the uutf
+    * family follows). Detects UTF-16BE/LE via BOM or the RFC 4627
+    * null-byte pattern (same routing as the strict path's Jackson
+    * bootstrapper), strips the BOM, defaults to UTF-8. */
+  private[sources] def replacingReader(in: java.io.InputStream): java.io.Reader = {
+    val pb   = new java.io.PushbackInputStream(in, 4)
+    val head = new Array[Byte](4)
+    var n    = 0
+    var eof  = false
+    while (n < 4 && !eof) {
+      val b = pb.read()
+      if (b == -1) eof = true else { head(n) = b.toByte; n += 1 }
+    }
+    pb.unread(head, 0, n)
+    val (cs, bomLen) =
+      if (n >= 2 && head(0) == 0xFE.toByte && head(1) == 0xFF.toByte) ("UTF-16BE", 2)
+      else if (n >= 2 && head(0) == 0xFF.toByte && head(1) == 0xFE.toByte) ("UTF-16LE", 2)
+      else if (n >= 3 && head(0) == 0xEF.toByte && head(1) == 0xBB.toByte && head(2) == 0xBF.toByte)
+        ("UTF-8", 3)
+      else if (n >= 2 && head(0) == 0 && head(1) != 0) ("UTF-16BE", 0)
+      else if (n >= 2 && head(0) != 0 && head(1) == 0) ("UTF-16LE", 0)
+      else ("UTF-8", 0)
+    var skip = bomLen
+    while (skip > 0) { pb.read(); skip -= 1 }
+    val dec = java.nio.charset.Charset.forName(cs).newDecoder()
+      .onMalformedInput(java.nio.charset.CodingErrorAction.REPLACE)
+      .onUnmappableCharacter(java.nio.charset.CodingErrorAction.REPLACE)
+    new java.io.InputStreamReader(pb, dec)
+  }
+
+  private[sources] def splitFeatures(in0: java.io.InputStream,
+                                     malformedReplace: Boolean = false): Iterator[String] = {
     val factory = new JsonFactory()
     // sniff RS (RFC 8142): strip separators with a filter stream — each
     // text is then just another consecutive root value
@@ -80,7 +118,11 @@ object GeoJsonReader {
         }
       }
       else pb
-    val parser = factory.createParser(in)
+    // strict mode: Jackson's byte-level bootstrapper (loud on malformed
+    // input); replace mode: decode through the U+FFFD-replacing reader
+    val parser =
+      if (malformedReplace) factory.createParser(replacingReader(in))
+      else factory.createParser(in)
 
     // flatten every root value: FC roots stream their features, feature
     // roots emit themselves

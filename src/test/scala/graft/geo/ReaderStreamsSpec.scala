@@ -205,6 +205,36 @@ class ReaderStreamsSpec extends AnyFunSuite {
     assert(multi.count() == 3)
   }
 
+  test("malformed=replace mode: bad bytes become U+FFFD and the scan continues") {
+    // the reference's uutfe recovery (Malformed -> add U+FFFD, uutfe.ml:35,68)
+    // as a reader mode; default stays loud (Jackson strict)
+    val good =
+      """{"type":"FeatureCollection","features":[
+        |{"type":"Feature","properties":{"name":"abXcd"}},
+        |{"type":"Feature","properties":{"name":"ok"}}]}""".stripMargin
+    val bytes = good.getBytes("UTF-8")
+    bytes(good.indexOf('X')) = 0xFF.toByte // lone 0xFF: ill-formed UTF-8
+    val dir = Files.createTempDirectory("geojson_malformed")
+    Files.write(dir.resolve("bad.geojson"), bytes)
+    intercept[Exception] {
+      spark.read.format("geojson").load(dir.toString + "/bad.geojson").collect()
+    }
+    val rows = spark.read.format("geojson").option("malformed", "replace")
+      .load(dir.toString + "/bad.geojson")
+      .select("feature_json").collect().map(_.getString(0))
+    assert(rows.length == 2, rows.toSeq.toString)
+    assert(rows(0).contains("ab\uFFFDcd"), rows(0))
+    assert(rows(1).contains("\"ok\""))
+    // replace mode keeps the UTF-16 routing (BOM'd LE file, clean content)
+    val utf16 = dir.resolve("le.geojson")
+    Files.write(utf16,
+      ("\uFEFF" + """{"type":"FeatureCollection","features":[{"type":"Feature","properties":{"n":"u16"}}]}""")
+        .getBytes("UTF-16LE"))
+    val r16 = spark.read.format("geojson").option("malformed", "replace")
+      .load(utf16.toString).select("feature_json").collect()
+    assert(r16.length == 1 && r16(0).getString(0).contains("u16"))
+  }
+
   test("ordered fold follows reader document order for non-commutative f") {
     // 7 features whose property is their position; the fold REVERSE-CONCATs
     // (clearly non-commutative), so the result pins the exact (file, seq)
