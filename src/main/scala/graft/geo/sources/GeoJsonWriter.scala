@@ -22,6 +22,14 @@ object GeoJsonWriter {
     df.select(to_geojson(col(topCol)).as("value"))
       .write.mode(SaveMode.Overwrite).text(path)
 
+  /** RFC 8142 GeoJSON text sequence: each row's JSON text prefixed with RS
+    * (0x1E) and terminated with LF — the third container format the reader
+    * auto-detects, closing the source/sink matrix. Input column: any GeoJSON
+    * text per row (features or whole FeatureCollections). */
+  def writeTextSequence(df: DataFrame, jsonCol: String, path: String): Unit =
+    df.select(concat(lit("\u001e"), col(jsonCol).cast("string")).as("value"))
+      .write.mode(SaveMode.Overwrite).text(path)
+
   /** One `{"type":"FeatureCollection","features":[...]}` document per
     * partition file. Input column: per-feature GeoJSON text. */
   def writeFeatureCollections(df: DataFrame, jsonCol: String, path: String, partitions: Int): Unit = {

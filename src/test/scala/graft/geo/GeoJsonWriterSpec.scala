@@ -27,6 +27,34 @@ class GeoJsonWriterSpec extends AnyFunSuite {
     assert(back.toSeq == (1 to 50))
   }
 
+  test("RFC 8142 text-sequence sink: RS-prefixed texts the reader re-splits") {
+    val dir = Files.createTempDirectory("gjw3").toString + "/out"
+    // mixed sequence: plain features AND a whole FeatureCollection text
+    val rows = (1 to 20).map(featureJson) :+
+      s"""{"type":"FeatureCollection","features":[${featureJson(21)},${featureJson(22)}]}"""
+    GeoJsonWriter.writeTextSequence(rows.toDF("json"), "json", dir)
+    // bytes carry the RS separator before every text
+    val files = new java.io.File(dir).listFiles().filter(_.getName.startsWith("part-"))
+    assert(files.nonEmpty)
+    val bytes = Files.readAllBytes(files.minBy(_.getName).toPath)
+    assert(bytes.count(_ == 0x1E.toByte) > 0, "no RS separators written")
+    // reader auto-detects the sequence and flattens FCs (21 + 22 included)
+    val feats = GeoJsonReader.featureTexts(spark, dir + "/part-*")
+      .collect()
+      .map(t => get_json_object_i(t))
+      .sorted
+    assert(feats.toSeq == (1 to 22))
+  }
+
+  private def get_json_object_i(t: String): Int =
+    graft.geo.json.JValue.parseUnsafe(t) match {
+      case o: graft.geo.json.JObj =>
+        o.get("properties").collect { case p: graft.geo.json.JObj =>
+          p.get("i").collect { case graft.geo.json.JNum(d) => d.toInt }
+        }.flatten.getOrElse(-1)
+      case _ => -1
+    }
+
   test("FeatureCollection document sink produces valid docs the reader can split") {
     val dir = Files.createTempDirectory("gjw2").toString + "/out"
     val df  = (1 to 40).map(featureJson).toDF("json")

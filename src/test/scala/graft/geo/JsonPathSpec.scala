@@ -76,6 +76,37 @@ class JsonPathSpec extends AnyFunSuite {
     assert(Seq("""{"a":1}""").toDF("j").select(json_update($"j", lit("$.a"), lit("{nope"))).head().isNullAt(0))
   }
 
+  test("fuzz: set-get and get-set laws over 300 random generated documents") {
+    // docs from the engine's Random generator (canonical serialization);
+    // paths enumerated from each doc's own object spine — every object-path
+    // must satisfy: find(update(d,p,v),p) == v   (set-get)
+    //               update(d,p,find(d,p)) == d   (get-set, canonical docs)
+    var checked = 0
+    for (id <- 0L until 300L) {
+      val doc = graft.geo.json.GeoJsonCodec.render(graft.geo.gen.GeoGen.docFor(id, 7L))
+      val d   = JValue.parseUnsafe(doc)
+      def paths(v: JValue, prefix: List[String]): Seq[List[String]] = v match {
+        case o: graft.geo.json.JObj =>
+          o.fields.flatMap { case (k, fv) =>
+            (prefix :+ k) +: paths(fv, prefix :+ k)
+          }
+        case _ => Seq.empty
+      }
+      for (p <- paths(d, Nil).take(20)) {
+        val v = JNum(id * 1.5)
+        val updated = JsonPath.update(d, p, v)
+          .getOrElse(fail(s"doc $id path $p: update failed"))
+        assert(JsonPath.find(updated, p).contains(v), s"doc $id path $p set-get")
+        val back = JsonPath.find(d, p)
+          .flatMap(orig => JsonPath.update(d, p, orig))
+          .getOrElse(fail(s"doc $id path $p: get-set failed"))
+        assert(JValue.eq(back, d), s"doc $id path $p get-set")
+        checked += 1
+      }
+    }
+    assert(checked > 500, s"only $checked path-law checks ran")
+  }
+
   test("SQL registration: json_update usable from spark.sql") {
     val r = spark.sql(
       """SELECT json_update('{"a":1}', '$.a', '2') AS u,

@@ -57,6 +57,22 @@ class SessionIvfSpec extends AnyFunSuite {
     assert(batchOut.count() == nDistinct)
   }
 
+  test("deterministic sampling is stream-safe: stateless filter, stream == batch") {
+    val ids = spark.range(5000).select($"id".as("doc_id"))
+    val dir = java.nio.file.Files.createTempDirectory("sample_src")
+    ids.write.mode("overwrite").parquet(dir.toString + "/b1")
+    val stream = spark.readStream.schema(ids.schema).parquet(dir.toString + "/b1")
+    val q = graft.ops.TextOps.deterministicSample(stream, "doc_id", 200)
+      .writeStream.format("memory").queryName("sample_stream")
+      .outputMode("append").start()
+    q.processAllAvailable(); q.stop()
+    val streamed = spark.sql("select doc_id from sample_stream")
+      .as[Long].collect().toSet
+    val batch = graft.ops.TextOps.deterministicSample(ids, "doc_id", 200)
+      .select("doc_id").as[Long].collect().toSet
+    assert(streamed == batch)
+  }
+
   test("streaming sessionization (flatMapGroupsWithState) matches the batch oracle") {
     val raw = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
       .select($"user_id", ($"ts".cast("timestamp").cast("double") * 1000).cast("long").as("ts_ms"),
