@@ -84,23 +84,31 @@ class GeoJsonScan(options: CaseInsensitiveStringMap) extends Scan with Batch {
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
-    // option("malformed", "replace") = the reference's recovery mode:
-    // malformed bytes -> U+FFFD, scan continues (default: loud failure)
-    new GeoJsonReaderFactory("replace".equalsIgnoreCase(options.get("malformed")))
+    // option("malformed", "replace"): malformed bytes -> U+FFFD, scan
+    // continues (uutfe recovery); option("mode", "resync"): additionally
+    // recover from malformed TOKENS via discard_to (jsone recovery).
+    // Default: loud failure on both.
+    new GeoJsonReaderFactory(
+      "replace".equalsIgnoreCase(options.get("malformed")),
+      "resync".equalsIgnoreCase(options.get("mode")))
 }
 
-class GeoJsonReaderFactory(malformedReplace: Boolean) extends PartitionReaderFactory {
+class GeoJsonReaderFactory(malformedReplace: Boolean, resync: Boolean)
+    extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
     new GeoJsonPartitionReader(partition.asInstanceOf[GeoJsonInputPartition].path,
-      malformedReplace)
+      malformedReplace, resync)
 }
 
 /** One file = one split; features stream through Jackson incrementally. */
-class GeoJsonPartitionReader(path: String, malformedReplace: Boolean = false)
+class GeoJsonPartitionReader(path: String, malformedReplace: Boolean = false,
+                             resync: Boolean = false)
     extends PartitionReader[InternalRow] {
   private val hp = new Path(path)
   private val in = hp.getFileSystem(new org.apache.hadoop.conf.Configuration()).open(hp)
-  private val it = GeoJsonReader.splitFeatures(in, malformedReplace)
+  private val it =
+    if (resync) GeoJsonReader.resyncFeatures(in)
+    else GeoJsonReader.splitFeatures(in, malformedReplace)
   private val fileUtf8 = UTF8String.fromString(path)
   private var current: String = _
   private var seq: Long = -1L

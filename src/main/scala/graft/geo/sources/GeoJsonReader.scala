@@ -22,11 +22,15 @@ object GeoJsonReader {
     * malformed bytes decode to U+FFFD and the scan continues (uutfe.ml:35,68
     * `Malformed → add U+FFFD`) instead of failing the task. */
   def featureTexts(spark: SparkSession, path: String,
-                   malformedReplace: Boolean = false): Dataset[String] = {
+                   malformedReplace: Boolean = false,
+                   resync: Boolean = false): Dataset[String] = {
     import spark.implicits._
     spark.sparkContext
       .binaryFiles(path)
-      .flatMap { case (_, pds) => splitFeatures(pds.open(), malformedReplace) }
+      .flatMap { case (_, pds) =>
+        if (resync) resyncFeatures(pds.open())
+        else splitFeatures(pds.open(), malformedReplace)
+      }
       .toDS()
   }
 
@@ -92,6 +96,156 @@ object GeoJsonReader {
       .onMalformedInput(java.nio.charset.CodingErrorAction.REPLACE)
       .onUnmappableCharacter(java.nio.charset.CodingErrorAction.REPLACE)
     new java.io.InputStreamReader(pb, dec)
+  }
+
+  /** Error-RECOVERING splitter (`mode=resync`) — the engine twin of jsone's
+    * token-level resync (`discard_to u_comma u_rbrack`, jsone.ml:487-493 +
+    * :416-422): malformed content inside a features array discards input to
+    * the next `,` / `]` (the reference's literal scan, not string-aware —
+    * faithful) and the stream continues, so ONE corrupt feature in a 10 GB
+    * document no longer fails the whole task. Bytes decode through
+    * [[replacingReader]] (U+FFFD on malformed sequences), i.e. resync
+    * implies the uutfe byte-level recovery too.
+    *
+    * Structural contract: per root value — a root object carrying a
+    * top-level `features` array streams that array's `{...}` elements
+    * (string/escape-aware bracket balance for capture); any other root
+    * object is emitted whole; a non-object root discards to the next `{`.
+    * Emitted texts are BEST-EFFORT: semantically-invalid features still
+    * emit and fall to `from_geojson`'s PERMISSIVE null + located
+    * `geojson_error` downstream, mirroring the reference's decode-error-
+    * then-continue loop.
+    */
+  private[sources] def resyncFeatures(in: java.io.InputStream): Iterator[String] = {
+    val rd = new java.io.PushbackReader(replacingReader(in), 1)
+    def readc(): Int = rd.read()
+    def unread(c: Int): Unit = if (c != -1) rd.unread(c)
+    def skipSep(): Int = { // whitespace + RS separators; returns next char
+      var c = readc()
+      while (c == ' ' || c == '\t' || c == '\n' || c == '\r' || c == 0x1E || c == 0xFEFF) c = readc()
+      c
+    }
+    /** capture a balanced JSON string starting AFTER the opening quote. */
+    def captureString(sb: StringBuilder): Unit = {
+      var c = readc()
+      while (c != -1 && c != '"') {
+        sb.append(c.toChar)
+        if (c == '\\') { val e = readc(); if (e != -1) sb.append(e.toChar); }
+        c = readc()
+      }
+      if (c != -1) sb.append('"')
+    }
+    /** capture a balanced value whose opening char is `open` (already
+      * consumed, appended by caller); string-aware. Returns false on EOF. */
+    def captureBalanced(sb: StringBuilder, open: Int): Boolean = {
+      val close = if (open == '{') '}' else ']'
+      var depth = 1
+      var c = readc()
+      while (depth > 0 && c != -1) {
+        sb.append(c.toChar)
+        if (c == '"') captureString(sb)
+        else if (c == open) depth += 1
+        else if (c == close) depth -= 1
+        c = readc()
+      }
+      unread(c)
+      depth == 0
+    }
+    /** jsone's discard_to: literal scan to `,` or `]` (NOT string-aware —
+      * reference-faithful), leaving the terminator unconsumed. */
+    def discardTo(): Unit = {
+      var c = readc()
+      while (c != -1 && c != ',' && c != ']') c = readc()
+      unread(c)
+    }
+
+    new Iterator[String] {
+      private var pending: Iterator[String] = Iterator.empty
+      private var eof = false
+      private def parseRoot(): Unit = {
+        var c = skipSep()
+        // non-object root: resync = discard to the next object start
+        while (c != -1 && c != '{') c = skipSep()
+        if (c == -1) { eof = true; return }
+        // scan the root object's members; buffer the text in case this is a
+        // single value (no features member)
+        val head = new StringBuilder("{")
+        var inFeatures = false
+        var done = false
+        while (!done && !inFeatures) {
+          val k = skipSep()
+          if (k == -1) { eof = true; done = true }
+          else if (k == '}') { head.append('}'); done = true }
+          else if (k == ',') head.append(',')
+          else if (k == '"') {
+            val keySb = new StringBuilder("\"")
+            captureString(keySb)
+            head.append(keySb)
+            val colon = skipSep()
+            if (colon == ':') {
+              head.append(':')
+              val v = skipSep()
+              if (v == -1) { eof = true; done = true }
+              else if (keySb.toString == "\"features\"" && v == '[') inFeatures = true
+              else if (v == '{' || v == '[') {
+                head.append(v.toChar)
+                if (!captureBalanced(head, v)) { eof = true; done = true }
+              }
+              else if (v == '"') { head.append('"'); captureString(head) }
+              else { // scalar: copy to the next , or } at this level
+                head.append(v.toChar)
+                var c2 = readc()
+                while (c2 != -1 && c2 != ',' && c2 != '}') { head.append(c2.toChar); c2 = readc() }
+                unread(c2)
+              }
+            } else unread(colon) // malformed member: resync at next loop
+          }
+          else () // stray char inside object head: skip it (resync)
+        }
+        if (eof && !inFeatures) return
+        if (!inFeatures) { pending = Iterator.single(head.toString); return }
+        // stream the features array elements LAZILY (constant memory, like
+        // the strict splitter) with discard_to recovery per element; the
+        // root remainder (members after features) drains when `]` arrives
+        def drainRoot(): Unit = {
+          var depth = 1
+          var c1 = readc()
+          while (depth > 0 && c1 != -1) {
+            if (c1 == '"') captureString(new StringBuilder)
+            else if (c1 == '{' || c1 == '[') depth += 1
+            else if (c1 == '}' || c1 == ']') depth -= 1
+            c1 = readc()
+          }
+          unread(c1)
+          if (c1 == -1) eof = true
+        }
+        pending = new Iterator[String] {
+          private var nextElem: String = null
+          private var arrDone = false
+          private def advance(): Unit =
+            while (nextElem == null && !arrDone) {
+              val c0 = skipSep()
+              if (c0 == -1) { eof = true; arrDone = true }
+              else if (c0 == ']') { arrDone = true; drainRoot() }
+              else if (c0 == ',') ()
+              else if (c0 == '{') {
+                val sb = new StringBuilder("{")
+                if (captureBalanced(sb, '{')) nextElem = sb.toString
+                else { eof = true; arrDone = true }
+              }
+              else discardTo() // malformed element: jsone's resync
+            }
+          override def hasNext: Boolean = { advance(); nextElem != null }
+          override def next(): String = {
+            advance(); val e = nextElem; nextElem = null; e
+          }
+        }
+      }
+      private def refill(): Unit =
+        while (!pending.hasNext && !eof) parseRoot()
+      override def hasNext: Boolean = { refill(); if (!pending.hasNext) rd.close(); pending.hasNext }
+      override def next(): String = { refill(); pending.next() }
+    }
   }
 
   private[sources] def splitFeatures(in0: java.io.InputStream,

@@ -235,6 +235,60 @@ class ReaderStreamsSpec extends AnyFunSuite {
     assert(r16.length == 1 && r16(0).getString(0).contains("u16"))
   }
 
+  test("mode=resync: malformed tokens discard to ,/] and the stream continues") {
+    // jsone's discard_to recovery (jsone.ml:487-493): a corrupt element in
+    // the features array must not cost the surrounding features
+    val f = (i: Int) => s"""{"type":"Feature","properties":{"i":$i}}"""
+    val dir = Files.createTempDirectory("geojson_resync")
+    // (a) garbage tokens between valid elements
+    Files.writeString(dir.resolve("a.geojson"),
+      s"""{"type":"FeatureCollection","features":[${f(1)}, @@garbage@@ , ${f(2)}, 42, ${f(3)}],"bbox":[0,0,9,9]}""")
+    // (b) corrupt bytes AND tokens (resync implies U+FFFD byte recovery)
+    val bBytes = s"""{"type":"FeatureCollection","features":[${f(4)}, !!, ${f(5)}]}""".getBytes("UTF-8")
+    bBytes(bBytes.length - 5) = 0xFF.toByte // inside f(5)'s tail digits — still balanced
+    Files.write(dir.resolve("b.geojson"), bBytes)
+    // (c) concatenated roots where the first root is a non-object
+    Files.writeString(dir.resolve("c.geojson"), s"42 ${f(6)}\n${f(7)}")
+    def ids(file: String): Seq[Int] =
+      spark.read.format("geojson").option("mode", "resync")
+        .load(dir.resolve(file).toString)
+        .select("feature_json").collect().toSeq
+        .map { r =>
+          graft.geo.json.JValue.parse(r.getString(0)).toOption.flatMap {
+            case o: graft.geo.json.JObj => o.get("properties").flatMap {
+              case p: graft.geo.json.JObj => p.get("i").collect {
+                case graft.geo.json.JNum(d) => d.toInt
+              }
+              case _ => None
+            }
+            case _ => None
+          }.getOrElse(-1)
+        }
+    assert(ids("a.geojson") == Seq(1, 2, 3), ids("a.geojson").toString)
+    // b: f(4) intact; f(5) carries a U+FFFD but still splits as one element
+    val b = spark.read.format("geojson").option("mode", "resync")
+      .load(dir.resolve("b.geojson").toString).select("feature_json")
+      .collect().map(_.getString(0))
+    assert(b.length == 2, b.toSeq.toString)
+    assert(b(0) == f(4))
+    assert(b(1).contains("\uFFFD"))
+    assert(ids("c.geojson") == Seq(6, 7), ids("c.geojson").toString)
+    // strict mode still fails loudly on (a)
+    intercept[Exception] {
+      spark.read.format("geojson").load(dir.resolve("a.geojson").toString).collect()
+    }
+    // resync on a CLEAN document agrees with the strict splitter
+    val clean = s"""{"type":"FeatureCollection","features":[${f(8)},${f(9)}]}"""
+    Files.writeString(dir.resolve("clean.geojson"), clean)
+    val strictRows = spark.read.format("geojson")
+      .load(dir.resolve("clean.geojson").toString).select("feature_json")
+      .collect().map(_.getString(0)).toSeq
+    val resyncRows = spark.read.format("geojson").option("mode", "resync")
+      .load(dir.resolve("clean.geojson").toString).select("feature_json")
+      .collect().map(_.getString(0)).toSeq
+    assert(strictRows == resyncRows)
+  }
+
   test("ordered fold follows reader document order for non-commutative f") {
     // 7 features whose property is their position; the fold REVERSE-CONCATs
     // (clearly non-commutative), so the result pins the exact (file, seq)
