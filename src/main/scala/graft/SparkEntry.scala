@@ -457,6 +457,17 @@ object SparkEntry {
         .select(col("c_custkey"), col("r_regionkey"),
           round(st_distance_deg(col("geom"), col("lng"), col("lat")), 6).as("dist_deg"))
     }),
+    "q45_audio" -> ((s, dir) => {
+      // audio modality: PCA1 binary payloads decoded by Catalyst expressions;
+      // energy is an exact integer the oracle recomputes from the synthesis
+      // formula with a range() cross join
+      registerAll(s)
+      val a = graft.pipeline.AudioGen.table(s, 2000)
+      a.select(col("audio_id"),
+        Multimodal.audio_meta(col("bytes")).getField("rate").as("rate"),
+        Multimodal.audio_meta(col("bytes")).getField("n_samples").as("n_samples"),
+        Multimodal.audio_energy(col("bytes")).as("energy"))
+    }),
     "q42_sample" -> ((s, dir) => {
       // deterministic data-mixing sampler: Knuth multiplicative hash bucket
       // < rate — reproducible across engines (exact integer arithmetic) and
@@ -697,6 +708,15 @@ object SparkEntry {
       "SELECT vec_id AS id_a, vec_id + 10000 AS id_b FROM embeddings",
     "q41_shared_passages" ->
       "SELECT doc_id AS id_a, doc_id + 10000 AS id_b FROM documents",
+    "q45_audio" ->
+      """WITH s AS (
+        |  SELECT a.range AS id, ((a.range * 7919 + r.range * 31) % 256 - 128) AS v
+        |  FROM range(2000) a, range(800) r)
+        |SELECT 'aud_' || id AS audio_id,
+        |  CAST(8000 + id % 3 * 4000 AS INT) AS rate,
+        |  CAST(800 AS INT) AS n_samples,
+        |  CAST(sum(v * v) AS BIGINT) AS energy
+        |FROM s GROUP BY id""".stripMargin,
     "q42_sample" ->
       """SELECT doc_id FROM documents
         |WHERE (doc_id * 2654435761 % 4294967296) * 1000 // 4294967296 < 250""".stripMargin,

@@ -8,13 +8,15 @@ import org.apache.spark.sql.functions.{call_function, col, lit}
 import graft.geo.sql.GeoExpression
 import graft.pipeline.ImageGen
 
-/** Multimodal-column plumbing: image payloads are opaque `binary` columns
-  * with typed metadata; decode / feature-extract / resize run as Catalyst
-  * expressions over the bytes. The GRB1 decoder is fully functional (our
-  * synthetic format); decoding EXTERNAL formats (jpeg/png — codec libs absent
-  * from this container) would plug into [[ImageGen.decode]], the single
-  * marked seam. The Spark-side plumbing — schema, partitioning, expression
-  * signatures, batch shape — is real and tested either way.
+/** Multimodal-column plumbing: image AND audio payloads are opaque `binary`
+  * columns with typed metadata; decode / feature-extract / resize /
+  * downsample run as Catalyst expressions over the bytes. The GRB1 (image)
+  * and PCA1 (audio) decoders are fully functional (our synthetic formats);
+  * decoding EXTERNAL formats (jpeg/png, mp3/flac — codec libs absent from
+  * this container) would plug into [[ImageGen.decode]] /
+  * [[graft.pipeline.AudioGen.decode]], the single marked seams. The
+  * Spark-side plumbing — schema, partitioning, expression signatures, batch
+  * shape — is real and tested either way.
   */
 object Multimodal {
 
@@ -96,11 +98,87 @@ object Multimodal {
     override protected def withNewChildrenInternal(c: IndexedSeq[Expression]) = copy(c(0), c(1), c(2))
   }
 
+  // ---- audio (PCA1 payloads, graft.pipeline.AudioGen) -------------------
+
+  val audioMetaType: StructType = StructType(Seq(
+    StructField("rate", IntegerType, nullable = false),
+    StructField("n_samples", IntegerType, nullable = false)))
+
+  /** `audio_meta(bytes)` → (rate, n_samples). */
+  case class AudioMeta(bytes: Expression) extends GeoExpression {
+    override def children: Seq[Expression] = Seq(bytes)
+    override def dataType: DataType        = audioMetaType
+    override protected def evalNotNull(v: Array[Any]): Any = {
+      val (rate, samples) = graft.pipeline.AudioGen.decode(v(0).asInstanceOf[Array[Byte]])
+      new GenericInternalRow(Array[Any](rate, samples.length))
+    }
+    override protected def withNewChildrenInternal(c: IndexedSeq[Expression]) = copy(c(0))
+  }
+
+  /** `audio_energy(bytes)` → Σ sample² as a LONG — exact integer, so the
+    * driver oracle reproduces it with pure SQL arithmetic. */
+  case class AudioEnergy(bytes: Expression) extends GeoExpression {
+    override def children: Seq[Expression] = Seq(bytes)
+    override def dataType: DataType        = LongType
+    override protected def evalNotNull(v: Array[Any]): Any = {
+      val (_, samples) = graft.pipeline.AudioGen.decode(v(0).asInstanceOf[Array[Byte]])
+      var sum = 0L
+      var i = 0
+      while (i < samples.length) { val s = samples(i).toLong; sum += s * s; i += 1 }
+      sum
+    }
+    override protected def withNewChildrenInternal(c: IndexedSeq[Expression]) = copy(c(0))
+  }
+
+  /** `audio_rms(bytes)` → sqrt(energy / n) (feature-extraction stand-in). */
+  case class AudioRms(bytes: Expression) extends GeoExpression {
+    override def children: Seq[Expression] = Seq(bytes)
+    override def dataType: DataType        = DoubleType
+    override protected def evalNotNull(v: Array[Any]): Any = {
+      val (_, samples) = graft.pipeline.AudioGen.decode(v(0).asInstanceOf[Array[Byte]])
+      if (samples.isEmpty) 0.0
+      else {
+        var sum = 0.0
+        var i = 0
+        while (i < samples.length) { val s = samples(i).toDouble; sum += s * s; i += 1 }
+        math.sqrt(sum / samples.length)
+      }
+    }
+    override protected def withNewChildrenInternal(c: IndexedSeq[Expression]) = copy(c(0))
+  }
+
+  /** `audio_downsample(bytes, k)` → every k-th sample re-encoded at rate/k
+    * (deterministic decimation without filtering). */
+  case class AudioDownsample(bytes: Expression, k: Expression) extends GeoExpression {
+    override def children: Seq[Expression] = Seq(bytes, k)
+    override def dataType: DataType        = BinaryType
+    override protected def evalNotNull(v: Array[Any]): Any = {
+      val (rate, samples) = graft.pipeline.AudioGen.decode(v(0).asInstanceOf[Array[Byte]])
+      val k = math.max(1, v(1).asInstanceOf[Int])
+      val n = (samples.length + k - 1) / k
+      val out = new Array[Byte](12 + n)
+      out(0) = 'P'; out(1) = 'C'; out(2) = 'A'; out(3) = '1'
+      val r1 = rate / k
+      out(4) = (r1 >> 24).toByte; out(5) = (r1 >> 16).toByte
+      out(6) = (r1 >> 8).toByte; out(7) = r1.toByte
+      out(8) = (n >> 24).toByte; out(9) = (n >> 16).toByte
+      out(10) = (n >> 8).toByte; out(11) = n.toByte
+      var i = 0
+      while (i < n) { out(12 + i) = samples(i * k); i += 1 }
+      out
+    }
+    override protected def withNewChildrenInternal(c: IndexedSeq[Expression]) = copy(c(0), c(1))
+  }
+
   val builders: Seq[(String, Seq[Expression] => Expression)] = Seq(
     "image_meta"      -> (es => ImageMeta(es.head)),
     "image_psnr"      -> (es => ImagePsnr(es(0), es(1))),
     "image_gray_mean" -> (es => ImageGrayMean(es.head)),
-    "image_resize"    -> (es => ImageResize(es(0), es(1), es(2))))
+    "image_resize"    -> (es => ImageResize(es(0), es(1), es(2))),
+    "audio_meta"       -> (es => AudioMeta(es.head)),
+    "audio_energy"     -> (es => AudioEnergy(es.head)),
+    "audio_rms"        -> (es => AudioRms(es.head)),
+    "audio_downsample" -> (es => AudioDownsample(es(0), es(1))))
 
   @volatile private var registered: Set[Int] = Set.empty
   def register(spark: SparkSession): Unit = {
@@ -118,6 +196,11 @@ object Multimodal {
   def image_gray_mean(bytes: Column): Column = call_function("image_gray_mean", bytes)
   def image_resize(bytes: Column, w: Column, h: Column): Column =
     call_function("image_resize", bytes, w, h)
+  def audio_meta(bytes: Column): Column   = call_function("audio_meta", bytes)
+  def audio_energy(bytes: Column): Column = call_function("audio_energy", bytes)
+  def audio_rms(bytes: Column): Column    = call_function("audio_rms", bytes)
+  def audio_downsample(bytes: Column, k: Column): Column =
+    call_function("audio_downsample", bytes, k)
 
   /** Frame-sample an "animation": deterministic every-nth selection over a
     * grouping key — the batch-shape pattern for video columns. */

@@ -371,6 +371,40 @@ class OpsSpec extends AnyFunSuite {
     assert(overlap(rows(1L), rows(3L)) == 0 && overlap(rows(2L), rows(3L)) == 0)
   }
 
+  test("audio: PCA1 codec roundtrip, energy/rms consistency, downsample") {
+    import Multimodal._
+    import graft.pipeline.AudioGen
+    // kernel roundtrip
+    val enc = AudioGen.encode(7L, 12000, 100)
+    val (rate, samples) = AudioGen.decode(enc)
+    assert(rate == 12000 && samples.length == 100)
+    (0 until 100).foreach(i => assert(samples(i) == AudioGen.sample(7L, i).toByte))
+    // expressions over the table
+    val a = AudioGen.table(spark, 50)
+    val out = a.select($"audio_id", $"rate", $"n_samples",
+      audio_meta($"bytes").as("meta"),
+      audio_energy($"bytes").as("energy"),
+      audio_rms($"bytes").as("rms"),
+      audio_meta(audio_downsample($"bytes", lit(4))).as("down"))
+      .collect()
+    out.foreach { r =>
+      assert(r.getStruct(3).getInt(0) == r.getInt(1))   // meta.rate == rate
+      assert(r.getStruct(3).getInt(1) == r.getInt(2))   // meta.n == n_samples
+      val energy = r.getLong(4); val n = r.getInt(2)
+      assert(math.abs(r.getDouble(5) - math.sqrt(energy.toDouble / n)) < 1e-9)
+      assert(r.getStruct(6).getInt(0) == r.getInt(1) / 4)       // rate/k
+      assert(r.getStruct(6).getInt(1) == (n + 3) / 4)           // ceil(n/k)
+    }
+    // energy matches the closed-form synthesis recomputation
+    val expect = (0L until 50L).map { id =>
+      (0 until 800).map { i => val s = AudioGen.sample(id, i).toLong; s * s }.sum
+    }
+    val got = a.orderBy("audio_id")
+      .select($"audio_id", audio_energy($"bytes")).collect()
+      .map(r => (r.getString(0), r.getLong(1))).toMap
+    (0L until 50L).foreach(id => assert(got(s"aud_$id") == expect(id.toInt)))
+  }
+
   test("multimodal: meta/psnr/gray/resize over the binary image column") {
     import Multimodal._
     val imgs = graft.pipeline.ImageGen.table(spark, 300)
