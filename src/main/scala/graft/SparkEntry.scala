@@ -457,6 +457,17 @@ object SparkEntry {
         .select(col("c_custkey"), col("r_regionkey"),
           round(st_distance_deg(col("geom"), col("lng"), col("lat")), 6).as("dist_deg"))
     }),
+    "q46_video" -> ((s, dir) => {
+      // video modality: VID1 container decoded by Catalyst expressions;
+      // meta + payload size are closed-form in the id
+      registerAll(s)
+      val v = graft.pipeline.VideoGen.table(s, 1500)
+      val m = Multimodal.video_meta(col("bytes"))
+      v.select(col("video_id"),
+        m.getField("w").as("w"), m.getField("h").as("h"),
+        m.getField("n_frames").as("n_frames"),
+        length(col("bytes")).as("n_bytes"))
+    }),
     "q45_audio" -> ((s, dir) => {
       // audio modality: PCA1 binary payloads decoded by Catalyst expressions;
       // energy is an exact integer the oracle recomputes from the synthesis
@@ -708,6 +719,12 @@ object SparkEntry {
       "SELECT vec_id AS id_a, vec_id + 10000 AS id_b FROM embeddings",
     "q41_shared_passages" ->
       "SELECT doc_id AS id_a, doc_id + 10000 AS id_b FROM documents",
+    "q46_video" ->
+      """SELECT 'vid_' || range AS video_id,
+        |  CAST(8 + range % 5 AS INT) AS w, CAST(6 + range % 4 AS INT) AS h,
+        |  CAST(4 + range % 3 AS INT) AS n_frames,
+        |  CAST(10 + (4 + range % 3) * (8 + range % 5) * (6 + range % 4) * 3 AS INT) AS n_bytes
+        |FROM range(1500)""".stripMargin,
     "q45_audio" ->
       """WITH s AS (
         |  SELECT a.range AS id, ((a.range * 7919 + r.range * 31) % 256 - 128) AS v

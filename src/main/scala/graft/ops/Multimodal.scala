@@ -170,6 +170,80 @@ object Multimodal {
     override protected def withNewChildrenInternal(c: IndexedSeq[Expression]) = copy(c(0), c(1))
   }
 
+  // ---- video (VID1 payloads, graft.pipeline.VideoGen) -------------------
+
+  val videoMetaType: StructType = StructType(Seq(
+    StructField("w", IntegerType, nullable = false),
+    StructField("h", IntegerType, nullable = false),
+    StructField("n_frames", IntegerType, nullable = false)))
+
+  /** `video_meta(bytes)` → (w, h, n_frames). */
+  case class VideoMeta(bytes: Expression) extends GeoExpression {
+    override def children: Seq[Expression] = Seq(bytes)
+    override def dataType: DataType        = videoMetaType
+    override protected def evalNotNull(v: Array[Any]): Any = {
+      val (w, h, nf, _) = graft.pipeline.VideoGen.decode(v(0).asInstanceOf[Array[Byte]])
+      new GenericInternalRow(Array[Any](w, h, nf))
+    }
+    override protected def withNewChildrenInternal(c: IndexedSeq[Expression]) = copy(c(0))
+  }
+
+  /** `video_frame(bytes, i)` → frame i as a lossless GRB1 IMAGE payload, so
+    * the image expression surface composes (null when i out of range —
+    * Optional semantics). */
+  case class VideoFrame(bytes: Expression, i: Expression) extends GeoExpression {
+    override def children: Seq[Expression] = Seq(bytes, i)
+    override def dataType: DataType        = BinaryType
+    override protected def evalNotNull(v: Array[Any]): Any = {
+      val (w, h, nf, frames) = graft.pipeline.VideoGen.decode(v(0).asInstanceOf[Array[Byte]])
+      val i = v(1).asInstanceOf[Int]
+      if (i < 0 || i >= nf) null
+      else graft.pipeline.VideoGen.frameAsImage(w, h, frames(i))
+    }
+    override protected def withNewChildrenInternal(c: IndexedSeq[Expression]) = copy(c(0), c(1))
+  }
+
+  /** `video_frames(bytes, every)` → every `every`-th frame as an ARRAY of
+    * GRB1 image payloads — explode it for per-frame pipelines (the
+    * frame-sampling batch shape). */
+  case class VideoFrames(bytes: Expression, every: Expression) extends GeoExpression {
+    override def children: Seq[Expression] = Seq(bytes, every)
+    override def dataType: DataType        = ArrayType(BinaryType, containsNull = false)
+    override protected def evalNotNull(v: Array[Any]): Any = {
+      val (w, h, nf, frames) = graft.pipeline.VideoGen.decode(v(0).asInstanceOf[Array[Byte]])
+      val k = math.max(1, v(1).asInstanceOf[Int])
+      new org.apache.spark.sql.catalyst.util.GenericArrayData(
+        (0 until nf by k).map(f =>
+          graft.pipeline.VideoGen.frameAsImage(w, h, frames(f))).toArray[Any])
+    }
+    override protected def withNewChildrenInternal(c: IndexedSeq[Expression]) = copy(c(0), c(1))
+  }
+
+  /** `video_motion(bytes)` → mean absolute per-byte difference between
+    * consecutive frames (a cheap motion-feature stand-in; 0.0 for
+    * single-frame payloads). */
+  case class VideoMotion(bytes: Expression) extends GeoExpression {
+    override def children: Seq[Expression] = Seq(bytes)
+    override def dataType: DataType        = DoubleType
+    override protected def evalNotNull(v: Array[Any]): Any = {
+      val (_, _, nf, frames) = graft.pipeline.VideoGen.decode(v(0).asInstanceOf[Array[Byte]])
+      if (nf < 2) 0.0
+      else {
+        var sum = 0.0; var cnt = 0L
+        var f = 1
+        while (f < nf) {
+          val a = frames(f - 1); val b = frames(f)
+          var i = 0
+          while (i < a.length) { sum += math.abs((a(i) & 0xff) - (b(i) & 0xff)); i += 1 }
+          cnt += a.length
+          f += 1
+        }
+        sum / cnt
+      }
+    }
+    override protected def withNewChildrenInternal(c: IndexedSeq[Expression]) = copy(c(0))
+  }
+
   val builders: Seq[(String, Seq[Expression] => Expression)] = Seq(
     "image_meta"      -> (es => ImageMeta(es.head)),
     "image_psnr"      -> (es => ImagePsnr(es(0), es(1))),
@@ -178,7 +252,11 @@ object Multimodal {
     "audio_meta"       -> (es => AudioMeta(es.head)),
     "audio_energy"     -> (es => AudioEnergy(es.head)),
     "audio_rms"        -> (es => AudioRms(es.head)),
-    "audio_downsample" -> (es => AudioDownsample(es(0), es(1))))
+    "audio_downsample" -> (es => AudioDownsample(es(0), es(1))),
+    "video_meta"       -> (es => VideoMeta(es.head)),
+    "video_frame"      -> (es => VideoFrame(es(0), es(1))),
+    "video_frames"     -> (es => VideoFrames(es(0), es(1))),
+    "video_motion"     -> (es => VideoMotion(es.head)))
 
   @volatile private var registered: Set[Int] = Set.empty
   def register(spark: SparkSession): Unit = {
@@ -201,6 +279,11 @@ object Multimodal {
   def audio_rms(bytes: Column): Column    = call_function("audio_rms", bytes)
   def audio_downsample(bytes: Column, k: Column): Column =
     call_function("audio_downsample", bytes, k)
+  def video_meta(bytes: Column): Column = call_function("video_meta", bytes)
+  def video_frame(bytes: Column, i: Column): Column = call_function("video_frame", bytes, i)
+  def video_frames(bytes: Column, every: Column): Column =
+    call_function("video_frames", bytes, every)
+  def video_motion(bytes: Column): Column = call_function("video_motion", bytes)
 
   /** Frame-sample an "animation": deterministic every-nth selection over a
     * grouping key — the batch-shape pattern for video columns. */

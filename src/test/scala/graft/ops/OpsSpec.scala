@@ -405,6 +405,36 @@ class OpsSpec extends AnyFunSuite {
     (0L until 50L).foreach(id => assert(got(s"aud_$id") == expect(id.toInt)))
   }
 
+  test("video: VID1 frames compose with the image expression surface") {
+    import Multimodal._
+    import graft.pipeline.VideoGen
+    val v = VideoGen.table(spark, 40)
+    val out = v.select($"video_id", $"w", $"h", $"n_frames",
+      video_meta($"bytes").as("meta"),
+      image_meta(video_frame($"bytes", lit(0))).as("f0meta"),
+      image_gray_mean(video_frame($"bytes", lit(1))).as("gray1"),
+      video_frame($"bytes", lit(99)).isNull.as("oob"),
+      size(video_frames($"bytes", lit(2))).as("sampled"),
+      video_motion($"bytes").as("motion"))
+      .collect()
+    out.foreach { r =>
+      val (w, h, nf) = (r.getInt(1), r.getInt(2), r.getInt(3))
+      assert(r.getStruct(4).getInt(0) == w && r.getStruct(4).getInt(1) == h
+        && r.getStruct(4).getInt(2) == nf)
+      assert(r.getStruct(5).getInt(0) == w && r.getStruct(5).getInt(1) == h)
+      assert(r.getDouble(6) > 0 && r.getDouble(6) < 255) // gray mean of frame 1
+      assert(r.getBoolean(7), "out-of-range frame must be null (Optional)")
+      assert(r.getInt(8) == (nf + 1) / 2) // every-2nd frame sample
+      assert(r.getDouble(9) > 10.0, "random frames must show motion")
+    }
+    // frame extraction is byte-exact against the kernel synthesis
+    val row = v.where($"video_id" === "vid_3")
+      .select(video_frame($"bytes", lit(2))).collect()(0)
+    val (w3, h3, _) = VideoGen.dims(3L)
+    val expect = VideoGen.frameAsImage(w3, h3, VideoGen.framePixels(3L, 2, w3, h3))
+    assert(java.util.Arrays.equals(row.getAs[Array[Byte]](0), expect))
+  }
+
   test("multimodal: meta/psnr/gray/resize over the binary image column") {
     import Multimodal._
     val imgs = graft.pipeline.ImageGen.table(spark, 300)
