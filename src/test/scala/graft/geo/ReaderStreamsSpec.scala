@@ -289,6 +289,31 @@ class ReaderStreamsSpec extends AnyFunSuite {
     assert(strictRows == resyncRows)
   }
 
+  test("resync splitter equals the strict splitter on 40 random clean documents") {
+    // generated Feature docs (random nesting, escapes, numbers) wrapped in
+    // FeatureCollections: both splitters must emit identical feature lists
+    val feats = (0L until 280L).filter(_ % 7 == 5).map(id =>
+      graft.geo.json.GeoJsonCodec.render(graft.geo.gen.GeoGen.docFor(id, 99L)))
+    val dir = Files.createTempDirectory("geojson_resync_fuzz")
+    (0 until 10).foreach { d =>
+      val group = feats.drop(d * 4).take(4)
+      Files.writeString(dir.resolve(s"fc$d.geojson"),
+        s"""{"type":"FeatureCollection","bbox":[0,0,1,1],"features":[${group.mkString(",")}]}""")
+    }
+    // compare VALUES, not bytes: the strict splitter re-renders numbers
+    // through Jackson (shortest repr) while resync copies source text
+    // verbatim — both parse to identical doubles (and the reference itself
+    // normalizes numbers to %.16g on re-encode, so neither is "the" text)
+    def canon(t: String): String = graft.geo.json.JValue.parseUnsafe(t).render
+    (0 until 10).foreach { d =>
+      val p = dir.resolve(s"fc$d.geojson").toString
+      val strict = GeoJsonReader.featureTexts(spark, p).collect().toSeq.map(canon)
+      val resync = GeoJsonReader.featureTexts(spark, p, resync = true).collect().toSeq.map(canon)
+      assert(strict == resync, s"fc$d: strict ${strict.length} vs resync ${resync.length}")
+      assert(strict.nonEmpty)
+    }
+  }
+
   test("ordered fold follows reader document order for non-commutative f") {
     // 7 features whose property is their position; the fold REVERSE-CONCATs
     // (clearly non-commutative), so the result pins the exact (file, seq)

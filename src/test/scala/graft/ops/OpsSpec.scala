@@ -159,6 +159,28 @@ class OpsSpec extends AnyFunSuite {
     assert(none.where($"is_dup").count() == 0 && none.count() == 74)
   }
 
+  test("clusters: random graph equals union-find oracle") {
+    // 3000 nodes, 2500 deterministic pseudo-random edges: a mix of small
+    // components, chains and isolated nodes; exact equality vs union-find
+    val edges = (0 until 2500).map { i =>
+      val a = TextKernels.mix64(i * 2 + 1) % 3000
+      val b = TextKernels.mix64(i * 2 + 2) % 3000
+      (math.abs(a), math.abs(b))
+    }
+    val uni = spark.range(3000).select($"id")
+    val out = Dedup.clusters(edges.toDF("id_a", "id_b"), "id", universe = Some(uni))
+      .select("id", "canonical_id").as[(Long, Long)].collect().toMap
+    val parent = scala.collection.mutable.Map[Long, Long]()
+    def find(x: Long): Long = { val p = parent.getOrElse(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r } }
+    edges.foreach { case (u, v) =>
+      val (ru, rv) = (find(u), find(v))
+      if (ru != rv) { val (lo, hi) = (math.min(ru, rv), math.max(ru, rv)); parent(hi) = lo } }
+    (0L until 3000L).foreach { id =>
+      assert(out(id) == find(id), s"node $id: got ${out(id)}, want ${find(id)}")
+    }
+  }
+
   test("nearDedupCorpus keeps one canonical row per near-dup cluster") {
     val base = docs.limit(40).select($"doc_id", $"text")
     val corpus = base
