@@ -113,4 +113,44 @@ object TextOps {
     df.withColumn("bin_offset", cum - col(tokenCol))
       .withColumn("bin", floor(col("bin_offset") / lit(budgetTokens)).cast("long"))
   }
+
+  /** Scale-safe [[packSequences]]: identical output, but the running sum is
+    * computed in TWO phases so no single task ever owns a whole partition
+    * group. [[packSequences]] windows over `partitionCol` alone — with a
+    * handful of languages over 100 TB that is a handful of tasks. Here the
+    * order column is range-sharded (`shard = orderCol / shardSize`, which
+    * preserves contiguity of the packing order), phase 1 aggregates token
+    * sums per (group, shard), phase 2 prefix-sums the per-shard totals (a
+    * window over the TINY shard table) and broadcasts them back, and phase 3
+    * windows only within (group, shard) — the wide shuffle is keyed by
+    * (group, shard), parallel in the data size.
+    *
+    * Requires a non-negative integral `orderCol` (the doc id); output
+    * equality with [[packSequences]] is spec-pinned.
+    */
+  def packSequencesSharded(df: DataFrame, tokenCol: String, orderCol: String,
+                           partitionCol: String, budgetTokens: Long,
+                           shardSize: Long = 1000000L): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val shard = floor(col(orderCol) / lit(shardSize)).cast("long")
+    val sharded = df.withColumn("__shard", shard)
+    // per-(group, shard) token totals; prefix-exclusive sum across shards
+    val totals = sharded.groupBy(col(partitionCol), col("__shard"))
+      .agg(sum(col(tokenCol).cast("long")).as("__t"))
+    val wShard = Window.partitionBy(col(partitionCol)).orderBy(col("__shard"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val offsets = totals
+      .withColumn("__base", sum(col("__t")).over(wShard) - col("__t"))
+      .select(col(partitionCol), col("__shard"), col("__base"))
+    // local running sum within the shard + the shard's base offset
+    val wLocal = Window.partitionBy(col(partitionCol), col("__shard"))
+      .orderBy(col(orderCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val localCum = sum(col(tokenCol).cast("long")).over(wLocal)
+    sharded
+      .join(broadcast(offsets), Seq(partitionCol, "__shard"))
+      .withColumn("bin_offset", col("__base") + localCum - col(tokenCol))
+      .withColumn("bin", floor(col("bin_offset") / lit(budgetTokens)).cast("long"))
+      .drop("__shard", "__base")
+  }
 }

@@ -358,6 +358,20 @@ class OpsSpec extends AnyFunSuite {
       val bins = g.sortBy(_._1).map(_._4)
       assert(bins.zip(bins.tail).forall { case (a, b) => a <= b })
     }
+    // the sharded two-phase formulation is EXACTLY equal (shard size 30 cuts
+    // every group into several shards, so the cross-shard offsets matter)
+    val shardedOut = TextOps.packSequencesSharded(df, "toks", "id", "grp",
+        budgetTokens = 50L, shardSize = 30L)
+      .select("id", "bin", "bin_offset").as[(Long, Long, Long)].collect()
+      .map { case (id, b, o) => id -> ((b, o)) }.toMap
+    out.foreach { case (id, _, _, bin, off) =>
+      assert(shardedOut(id) == ((bin, off)), s"sharded mismatch for doc $id")
+    }
+    // and the wide window is keyed by (group, shard), not the group alone
+    val plan = TextOps.packSequencesSharded(df, "toks", "id", "grp", 50L, 30L)
+      .queryExecution.executedPlan.toString
+    assert("hashpartitioning\\(grp#\\d+, __shard".r.findFirstIn(plan).isDefined,
+      plan.take(2500))
   }
 
   test("contaminationPairs: planted quotes found across tables, clean bench empty") {
