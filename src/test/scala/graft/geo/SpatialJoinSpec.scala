@@ -117,6 +117,38 @@ class SpatialJoinSpec extends AnyFunSuite {
     assert(fast.exceptAll(brute).isEmpty && brute.exceptAll(fast).isEmpty)
   }
 
+  test("streaming PIP join + tile rollup equals batch (flagship shape on a stream)") {
+    // the north-rule plan (cover -> broadcast equi-join -> refine -> tile ->
+    // rollup) is stateless up to the final agg, so it runs unchanged on a
+    // readStream source; complete-mode counts must equal the batch run
+    val pts = spark.range(4000).select(
+      $"id".as("pid"),
+      (pmod($"id" * 7919, lit(36000)) / 100.0 - 180.0).as("lng"),
+      (pmod($"id" * 104729, lit(16800)) / 100.0 - 84.0).as("lat"))
+    val polyJson = (r: Int) => {
+      val w = -170.005 + r * 66.0; val e = w + 40.0
+      val s0 = -60.005 + r * 25.0; val n = s0 + 35.0
+      s"""{"type":"Polygon","coordinates":[[[$w,$s0],[$e,$s0],[$e,$n],[$w,$n],[$w,$s0]]]}"""
+    }
+    val polys = (0 until 5).map(r => (r, polyJson(r))).toDF("rk", "pj")
+      .select($"rk", from_geojson_geom($"pj").as("geom"))
+    def pipeline(points: org.apache.spark.sql.DataFrame) =
+      SpatialJoins.assignTiles(
+          SpatialJoins.pipJoin(points, "lng", "lat", polys, "geom", res = 2),
+          "lng", "lat", z = 6)
+        .groupBy($"rk", $"tile_x", $"tile_y").agg(count(lit(1)).as("n"))
+    val dir = java.nio.file.Files.createTempDirectory("stream_pip")
+    pts.write.mode("overwrite").parquet(dir.toString + "/b1")
+    val stream = spark.readStream.schema(pts.schema).parquet(dir.toString + "/b1")
+    val q = pipeline(stream).writeStream.format("memory")
+      .queryName("pip_stream").outputMode("complete").start()
+    q.processAllAvailable(); q.stop()
+    val streamed = spark.sql("select * from pip_stream")
+    val batch = pipeline(spark.read.parquet(dir.toString + "/b1"))
+    assert(streamed.count() > 0)
+    assert(streamed.exceptAll(batch).isEmpty && batch.exceptAll(streamed).isEmpty)
+  }
+
   test("auto-radius row estimate launches zero Spark jobs") {
     // the knnJoinS2 auto radius must come from plan statistics, never an
     // eager count() scan of the (possibly 100 TB) points input
