@@ -8,13 +8,18 @@ import TextFunctions._
 /** Deduplication operators for training-data pipelines, each a declarative
   * DataFrame plan over the `documents`-shaped table:
   *
-  *  - exact          hash-groupBy canonicalization (one shuffle on the text)
-  *  - MinHash + LSH  shingle → minhash → band → bucket equi-join → verified
-  *                   n-gram Jaccard (the banding bounds candidate pairs, so
-  *                   no quadratic blow-up at scale)
-  *  - SimHash        64-bit signature, 16-bit band buckets, hamming verify
-  *  - n-gram Jaccard verification kernel (exact, pairwise)
-  *  - embedding cosine near-dup via sign-random-projection buckets
+  *  - exact            hash-groupBy canonicalization (narrow-key shuffle)
+  *  - MinHash + LSH    shingle → minhash → band → bucket equi-join →
+  *                     verified n-gram Jaccard (banding bounds candidates,
+  *                     no quadratic blow-up at scale)
+  *  - SimHash          64-bit signature, 16-bit band buckets, hamming verify
+  *  - embedding cosine BANDED sign-random-projection buckets, exact verify
+  *  - shared passages  winnowing fingerprint buckets + char-exact verify
+  *                     (substring-level dedup; cross-corpus variant =
+  *                     [[contaminationPairs]] for decontamination)
+  *  - clusters         connected components over any pair set → canonical
+  *                     ids; [[nearDedupCorpus]]/[[nearDedupEmbeddings]]
+  *                     chain pairs → clusters → surviving rows
   */
 object Dedup {
 
@@ -350,6 +355,17 @@ object Dedup {
     // anti-join on the DUP ids (pairs-only clustering): rows in no pair are
     // singletons and survive untouched, without dragging the whole corpus id
     // set through the label-propagation rounds as a universe would
+    val dups = clusters(pairs, idCol).where(col("is_dup")).select(col(idCol))
+    df.join(dups, Seq(idCol), "left_anti")
+  }
+
+  /** Embedding-side twin of [[nearDedupCorpus]]: [[embeddingPairs]] →
+    * [[clusters]] → keep one canonical row per cosine-near-dup cluster. */
+  def nearDedupEmbeddings(
+      df: DataFrame, idCol: String, vecCol: String,
+      threshold: Double = 0.95, bits: Int = 16, bands: Int = 8,
+      seed: Long = 42L): DataFrame = {
+    val pairs = embeddingPairs(df, idCol, vecCol, threshold, bits, bands, seed)
     val dups = clusters(pairs, idCol).where(col("is_dup")).select(col(idCol))
     df.join(dups, Seq(idCol), "left_anti")
   }

@@ -5,9 +5,12 @@ import org.apache.spark.sql.functions._
 
 import TextFunctions._
 
-/** Text-analysis operators: token counting, quality scoring, language ID,
-  * fingerprinting — all narrow maps (no shuffle), codegen-friendly built-ins
-  * where possible, custom expressions for the stateful kernels.
+/** Text-analysis + corpus-assembly operators: token counting, quality
+  * scoring, language ID, fingerprinting (all narrow maps), plus
+  * deterministic sampling (narrow filter) and sequence-packing plans (one
+  * window shuffle; [[packSequencesSharded]] for few-group corpora) —
+  * codegen-friendly built-ins where possible, custom expressions for the
+  * stateful kernels.
   */
 object TextOps {
 

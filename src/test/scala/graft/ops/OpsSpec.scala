@@ -208,6 +208,21 @@ class OpsSpec extends AnyFunSuite {
     assert(kept.columns.toSeq == corpus.columns.toSeq)
   }
 
+  test("nearDedupEmbeddings keeps one canonical vector per cosine cluster") {
+    val base = embs.limit(60).select($"vec_id", $"embedding")
+    val twin = base.select(($"vec_id" + 5000L).as("vec_id"),
+      transform($"embedding", x => x * 1.001f).as("embedding")) // cosine 1.0
+    val kept = Dedup.nearDedupEmbeddings(base.unionByName(twin), "vec_id", "embedding",
+      threshold = 0.999)
+    val ids = kept.select("vec_id").as[Long].collect().toSet
+    // every base id survives as its cluster's minimum; every scaled twin is
+    // a cosine-identical dup and must be gone (unless its base naturally
+    // clustered under a smaller id, in which case the cluster min survives)
+    assert(!ids.exists(_ >= 5000L), s"twins kept: ${ids.filter(_ >= 5000L)}")
+    assert(ids.nonEmpty && ids.subsetOf(base.select("vec_id").as[Long].collect().toSet))
+    assert(kept.columns.toSeq == Seq("vec_id", "embedding"))
+  }
+
   test("embeddingPairs: banded candidates dedup on ids; copies verified once") {
     // adversarial pile-up: n copies of ONE vector collide in every band; the
     // id-level distinct must reduce that to exactly C(n,2) verified pairs
