@@ -144,6 +144,23 @@ class AccessorsSpec extends AnyFunSuite {
     }
   }
 
+  test("geometry_exn raises on a geometry-less feature, projects otherwise") {
+    val withG = """{"type":"Feature","geometry":{"type":"Point","coordinates":[1.0,2.0]}}"""
+    val noG   = """{"type":"Feature","properties":{"n":1}}"""
+    val ok = Seq(withG).toDF("raw")
+      .select(featureGeometryExn(feature(from_geojson($"raw"))).getField("gtype"))
+      .collect()(0)
+    assert(!ok.isNullAt(0))
+    val ex = intercept[Exception] {
+      Seq(noG).toDF("raw")
+        .select(featureGeometryExn(feature(from_geojson($"raw"))).getField("gtype"))
+        .collect()
+    }
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(e => Option(e.getMessage).toSeq ++ messages(e.getCause))
+    assert(messages(ex).exists(_.contains("feature has no geometry")), messages(ex).toString)
+  }
+
   test("feature id lens handles string and numeric ids") {
     val df = Seq(
       """{"type":"Feature","id":"abc"}""",

@@ -289,6 +289,22 @@ class ReaderStreamsSpec extends AnyFunSuite {
     assert(strictRows == resyncRows)
   }
 
+  test("ordered GEOMETRY fold: coordinates concatenate in document order") {
+    val fc = "{\"type\":\"FeatureCollection\",\"features\":[" +
+      (0 until 5).map(i =>
+        s"""{"type":"Feature","geometry":{"type":"Point","coordinates":[$i.0,0.5]}}""")
+        .mkString(",") + "]}"
+    val dir = Files.createTempDirectory("geojson_gfold")
+    Files.writeString(dir.resolve("fc.geojson"), fc)
+    val df = spark.read.format("geojson").load(dir.toString + "/fc.geojson")
+      .repartition(3)
+    val out = GeoStreams.foldGeometryOrdered(df, "feature_json",
+        Seq(col("file"), col("seq")), lit(""),
+        (acc, g) => concat(acc, element_at(g.getField("coords"), 1).cast("int"), lit(",")))
+      .collect()(0).getString(0)
+    assert(out == "0,1,2,3,4,", out)
+  }
+
   test("resync splitter equals the strict splitter on 40 random clean documents") {
     // generated Feature docs (random nesting, escapes, numbers) wrapped in
     // FeatureCollections: both splitters must emit identical feature lists

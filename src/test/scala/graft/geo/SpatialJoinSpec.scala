@@ -149,6 +149,28 @@ class SpatialJoinSpec extends AnyFunSuite {
     assert(streamed.exceptAll(batch).isEmpty && batch.exceptAll(streamed).isEmpty)
   }
 
+  test("writeTiled: bucketed parquet, tiles contiguous within partitions") {
+    val pts = spark.range(2000).select(
+      $"id".as("pid"),
+      (pmod($"id" * 7919, lit(36000)) / 100.0 - 180.0).as("lng"),
+      (pmod($"id" * 104729, lit(16800)) / 100.0 - 84.0).as("lat"))
+    val tiled = SpatialJoins.assignTiles(pts, "lng", "lat", z = 6)
+    val dir = java.nio.file.Files.createTempDirectory("tiled_out").toString + "/t"
+    SpatialJoins.writeTiled(tiled, dir, buckets = 4)
+    val back = spark.read.parquet(dir)
+    // content identical (bucketing is layout, not semantics)
+    assert(back.exceptAll(tiled).isEmpty && tiled.exceptAll(back).isEmpty)
+    // 4 buckets; each part file's tile keys arrive sorted (contiguous tiles)
+    val files = new java.io.File(dir).listFiles()
+      .filter(f => f.getName.startsWith("part-")).map(_.toString)
+    assert(files.length == 4)
+    files.foreach { f =>
+      val keys = spark.read.parquet(f).select("tile_key")
+        .collect().map(_.getLong(0))
+      assert(keys.sameElements(keys.sorted), s"unsorted tiles in $f")
+    }
+  }
+
   test("auto-radius row estimate launches zero Spark jobs") {
     // the knnJoinS2 auto radius must come from plan statistics, never an
     // eager count() scan of the (possibly 100 TB) points input

@@ -456,6 +456,14 @@ class OpsSpec extends AnyFunSuite {
     (0L until 50L).foreach(id => assert(got(s"aud_$id") == expect(id.toInt)))
   }
 
+  test("sampleFrames keeps every n-th frame per key") {
+    val frames = (0L until 30L).map(i => (s"clip${i % 3}", i / 3)).toDF("clip", "frame")
+    val out = Multimodal.sampleFrames(frames, "clip", "frame", every = 4)
+      .select("clip", "frame").as[(String, Long)].collect()
+    assert(out.forall(_._2 % 4 == 0))
+    assert(out.length == 3 * 3) // frames 0,4,8 per clip
+  }
+
   test("video: VID1 frames compose with the image expression surface") {
     import Multimodal._
     import graft.pipeline.VideoGen
