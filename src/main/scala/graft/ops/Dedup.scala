@@ -244,6 +244,41 @@ object Dedup {
       .select("id_a", "id_b", "shared_fps")
   }
 
+  /** LSH TUNING report: measured recall of [[minhashPairs]] against the
+    * EXACT all-pairs n-gram Jaccard on a bounded sample, bucketed by
+    * Jaccard decile — how the r/b operating point is validated on a real
+    * corpus before a full run (the r=8/b=16 default came from exactly this
+    * measurement). The exact pass is O(sampleN²) BY CONSTRUCTION — this is
+    * a parameter-sweep tool over a sample, never a corpus-scale operator.
+    *
+    * Output per decile band: j_band, n_pairs (true pairs), n_found (by
+    * LSH), recall — compare against the banding theory
+    * 1-(1-j^r)^b to spot degenerate corpora (see the r=4 note on
+    * [[minhashPairs]]).
+    */
+  def minhashRecallReport(
+      df: DataFrame, idCol: String, textCol: String,
+      sampleN: Int = 500, numHashes: Int = 128, bands: Int = 16,
+      shingle: Int = 5, minJaccard: Double = 0.5): DataFrame = {
+    val sample = df.select(col(idCol).as("__id"), col(textCol).as("__t"))
+      .limit(sampleN).localCheckpoint()
+    val a = sample.select(col("__id").as("id_a"), col("__t").as("ta"))
+    val b = sample.select(col("__id").as("id_b"), col("__t").as("tb"))
+    val exact = a.crossJoin(b).where(col("id_a") < col("id_b"))
+      .withColumn("j", ngram_jaccard(col("ta"), col("tb"), lit(shingle)))
+      .where(col("j") >= minJaccard)
+      .select("id_a", "id_b", "j")
+    val found = minhashPairs(sample, "__id", "__t", numHashes, bands, shingle,
+        threshold = minJaccard)
+      .select(col("id_a"), col("id_b"), lit(1L).as("__f"))
+    exact.join(found, Seq("id_a", "id_b"), "left")
+      .withColumn("j_band", floor(col("j") * 10) / 10.0)
+      .groupBy("j_band")
+      .agg(count(lit(1)).as("n_pairs"), sum(coalesce(col("__f"), lit(0L))).as("n_found"))
+      .withColumn("recall", col("n_found").cast("double") / col("n_pairs"))
+      .orderBy("j_band")
+  }
+
   /** Cross-corpus contamination check (train/test DECONTAMINATION): corpus
     * documents sharing a verified >= k+w-1-char passage with any benchmark
     * document. Same winnowing-bucket + char-exact-verify machinery as

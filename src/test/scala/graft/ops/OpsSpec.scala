@@ -310,6 +310,29 @@ class OpsSpec extends AnyFunSuite {
     assert(langs.toSeq == Seq("en", "de", "fr", "es", "zh", "ru"), langs.toSeq.toString)
   }
 
+  test("minhashRecallReport: measured recall tracks banding theory") {
+    // corpus: docs + exact twins (+1000, j = 1.0) + lightly-mutated twins
+    // (+2000, j ~ 0.85-0.95): the top band must read recall ~1.0 and every
+    // band must sit above the theoretical floor at its LOWER edge
+    val base = docs.limit(80).select($"doc_id", $"text")
+    val corpus = base
+      .unionByName(base.select(($"doc_id" + 1000L).as("doc_id"), $"text"))
+      .unionByName(base.select(($"doc_id" + 2000L).as("doc_id"),
+        concat($"text", lit(" tail words")).as("text")))
+    val rep = Dedup.minhashRecallReport(corpus, "doc_id", "text", sampleN = 500)
+      .as[(Double, Long, Long, Double)].collect()
+    assert(rep.nonEmpty)
+    val byBand = rep.map(r => r._1 -> r).toMap
+    // exact twins land in the 1.0 band (floor(1.0*10)/10) with recall 1.0
+    assert(byBand.contains(1.0) && byBand(1.0)._4 == 1.0, byBand.toString)
+    // each band's recall >= theory at the band's LOWER edge minus slack
+    def theory(j: Double) = 1.0 - math.pow(1.0 - math.pow(j, 8), 16)
+    rep.foreach { case (band, n, f, rec) =>
+      assert(f <= n)
+      assert(rec >= theory(band) - 0.2, s"band $band recall $rec << theory ${theory(band)}")
+    }
+  }
+
   test("sharedPassagePairs: planted passages found, zero false positives, hot-fp filter") {
     // gibberish corpus: 16-hex-token sentences from disjoint splitmix streams
     // (no two docs share an 11-char substring); planted pairs share a long
