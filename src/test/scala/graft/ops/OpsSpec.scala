@@ -284,6 +284,14 @@ class OpsSpec extends AnyFunSuite {
     assert(hits >= 80, s"LSH recall $hits/100 < 80")
   }
 
+  test("q20 plan never evaluates the BPE kernel (ws-only variant)") {
+    // the ws-only token count must keep q20 independent of column pruning:
+    // no token_count_bpe node anywhere in the plan
+    val df = graft.SparkEntry.queries("q20_text_analysis")(spark, sf)
+    val plan = df.queryExecution.executedPlan.toString.toLowerCase
+    assert(!plan.contains("tokencountbpe") && !plan.contains("token_count_bpe"), plan.take(2000))
+  }
+
   test("text ops: token counts, quality, langid, fingerprints") {
     val out = TextOps.withTokenCounts(
       TextOps.withQuality(
