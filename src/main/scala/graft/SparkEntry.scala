@@ -457,6 +457,21 @@ object SparkEntry {
         .select(col("c_custkey"), col("r_regionkey"),
           round(st_distance_deg(col("geom"), col("lng"), col("lat")), 6).as("dist_deg"))
     }),
+    "q47_geo_phash_dups" -> ((s, dir) => {
+      // geo-aware perceptual dedup: copies carry the SAME phash at a
+      // location ~100 m east — found with certainty (hamming 0, adjacency
+      // guaranteed at res 6); restricted to the planted shape (natural
+      // hamming<=3 collisions between random 64-bit phashes are ~1e-14)
+      registerAll(s)
+      val base = ImageGen.withLngLat(ImageGen.table(s, 2000))
+        .withColumn("iid", expr("CAST(substring(image_id, 5) AS BIGINT)"))
+        .select("iid", "phash", "lng", "lat")
+      val copies = base.select((col("iid") + 100000L).as("iid"), col("phash"),
+        (col("lng") + 0.001).as("lng"), col("lat"))
+      Dedup.geoPhashPairs(base.unionByName(copies), "iid", "phash", "lng", "lat")
+        .where(col("id_b") === col("id_a") + 100000L && col("id_a") < 100000L)
+        .select(col("id_a"), col("id_b"))
+    }),
     "q46_video" -> ((s, dir) => {
       // video modality: VID1 container decoded by Catalyst expressions;
       // meta + payload size are closed-form in the id
@@ -719,6 +734,8 @@ object SparkEntry {
       "SELECT vec_id AS id_a, vec_id + 10000 AS id_b FROM embeddings",
     "q41_shared_passages" ->
       "SELECT doc_id AS id_a, doc_id + 10000 AS id_b FROM documents",
+    "q47_geo_phash_dups" ->
+      "SELECT range AS id_a, range + 100000 AS id_b FROM range(2000)",
     "q46_video" ->
       """SELECT 'vid_' || range AS video_id,
         |  CAST(8 + range % 5 AS INT) AS w, CAST(6 + range % 4 AS INT) AS h,

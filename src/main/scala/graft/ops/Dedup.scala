@@ -244,6 +244,58 @@ object Dedup {
       .select("id_a", "id_b", "shared_fps")
   }
 
+  /** GEO-AWARE perceptual dedup for the image+caption table: two images are
+    * near-dups when their 64-bit perceptual hashes differ in at most
+    * `maxHamming` bits AND they lie within `maxDistM` metres — the
+    * re-captured-scene case (same content, same place), where content-only
+    * phash dedup over a planetary corpus would flood on generic scenes.
+    *
+    * Candidates must collide on BOTH keys of a single equi-join:
+    * hex-cell adjacency (the b side explodes its k-ring-1, so any pair
+    * within one cell size of each other shares a key; cell size at `res`
+    * must exceed `maxDistM` — the default pairing of res 6 ≈ 0.13° with
+    * 500 m satisfies it everywhere) and a 16-bit phash band (4 bands:
+    * pigeonhole recall 1.0 for hamming <= 3, the [[simhashPairs]] scheme).
+    * Verification is exact bit_count + haversine; candidate multiplicity is
+    * bounded (bands × matching cells), removed by the final dropDuplicates
+    * on the narrow output. The b side probes its ±360° translate frames
+    * near the antimeridian (the planar grid does not wrap — the knnJoin
+    * seam discipline). Soundness of the adjacency key needs the cell's
+    * METRIC longitude extent to exceed maxDistM: with res 6 (0.131°) and
+    * 500 m that holds to |lat| ≈ 89.5°; route polar-cap corpora through an
+    * S2-keyed variant instead.
+    *
+    * Output: id_a < id_b, hamming, dist_m.
+    */
+  def geoPhashPairs(
+      df: DataFrame, idCol: String, phashCol: String,
+      lngCol: String, latCol: String,
+      maxHamming: Int = 3, maxDistM: Double = 500.0, res: Int = 6): DataFrame = {
+    import graft.geo.sql.GeoFunctions.{hex_cell, hex_kring, haversine}
+    val bands = 4
+    val a = df.select(col(idCol).as("id_a"), col(phashCol).as("pa"),
+        col(lngCol).as("la_lng"), col(latCol).as("la_lat"))
+      .withColumn("__cell", hex_cell(col("la_lng"), col("la_lat"), lit(res)))
+      .withColumn("__band", explode(sequence(lit(0), lit(bands - 1))))
+      .withColumn("__bh", expr("shiftrightunsigned(pa, __band * 16) & 65535"))
+    val reach = 2.0 * graft.geo.index.HexCell.sizeDeg(res)
+    val shifts = when(abs(col("lb_lng")) > 180.0 - reach,
+      array(lit(0.0), lit(360.0), lit(-360.0))).otherwise(array(lit(0.0)))
+    val b = df.select(col(idCol).as("id_b"), col(phashCol).as("pb"),
+        col(lngCol).as("lb_lng"), col(latCol).as("lb_lat"))
+      .withColumn("__cell", explode(array_distinct(flatten(transform(shifts,
+        sh => hex_kring(hex_cell(col("lb_lng") + sh, col("lb_lat"), lit(res)), lit(1)))))))
+      .withColumn("__band", explode(sequence(lit(0), lit(bands - 1))))
+      .withColumn("__bh", expr("shiftrightunsigned(pb, __band * 16) & 65535"))
+    a.join(b, Seq("__cell", "__band", "__bh"))
+      .where(col("id_a") < col("id_b"))
+      .withColumn("hamming", bit_count(col("pa").bitwiseXOR(col("pb"))))
+      .withColumn("dist_m", haversine(col("la_lng"), col("la_lat"), col("lb_lng"), col("lb_lat")))
+      .where(col("hamming") <= maxHamming && col("dist_m") <= maxDistM)
+      .select("id_a", "id_b", "hamming", "dist_m")
+      .dropDuplicates("id_a", "id_b")
+  }
+
   /** LSH TUNING report: measured recall of [[minhashPairs]] against the
     * EXACT all-pairs n-gram Jaccard on a bounded sample, bucketed by
     * Jaccard decile — how the r/b operating point is validated on a real

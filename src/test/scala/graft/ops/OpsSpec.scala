@@ -487,6 +487,45 @@ class OpsSpec extends AnyFunSuite {
     (0L until 50L).foreach(id => assert(got(s"aud_$id") == expect(id.toInt)))
   }
 
+  test("geoPhashPairs: hamming and distance gates, seam pairs, recall <= 3 bits") {
+    import graft.pipeline.ImageGen
+    val base = ImageGen.withLngLat(ImageGen.table(spark, 100))
+      .withColumn("iid", expr("CAST(substring(image_id, 5) AS BIGINT)"))
+      .select($"iid", $"phash", $"lng", $"lat")
+      // keep clear of the seam so the crafted seam rows below are the only
+      // cross-seam pairs, and clear of high lat for metric soundness
+      .where(abs($"lng") < 170 && abs($"lat") < 80)
+    // twin A: same phash, ~100 m away -> found
+    val twinSame = base.select(($"iid" + 1000L).as("iid"), $"phash",
+      ($"lng" + 0.001).as("lng"), $"lat")
+    // twin B: phash off by 3 bits -> still found (pigeonhole recall)
+    val twin3 = base.select(($"iid" + 2000L).as("iid"),
+      $"phash".bitwiseXOR(lit(7L)).as("phash"), ($"lng" + 0.001).as("lng"), $"lat")
+    // twin C: phash off by 5 bits -> excluded by the hamming gate
+    val twin5 = base.select(($"iid" + 3000L).as("iid"),
+      $"phash".bitwiseXOR(lit(31L)).as("phash"), ($"lng" + 0.001).as("lng"), $"lat")
+    // twin D: same phash but ~50 km away -> excluded by the distance gate
+    val twinFar = base.select(($"iid" + 4000L).as("iid"), $"phash",
+      ($"lng" + 0.5).as("lng"), $"lat")
+    val corpus = base.unionByName(twinSame).unionByName(twin3)
+      .unionByName(twin5).unionByName(twinFar)
+    val found = Dedup.geoPhashPairs(corpus, "iid", "phash", "lng", "lat")
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val ids = base.select("iid").as[Long].collect()
+    ids.foreach { i =>
+      assert(found.contains((i, i + 1000L)), s"same-phash twin of $i missed")
+      assert(found.contains((i, i + 2000L)), s"3-bit twin of $i missed")
+      assert(!found.contains((i, i + 3000L)), s"5-bit twin of $i wrongly kept")
+      assert(!found.contains((i, i + 4000L)), s"far twin of $i wrongly kept")
+    }
+    // antimeridian: a pair straddling ±180 within ~25 m must be found
+    val seam = Seq((1L, 42L, 179.9999, 10.0), (2L, 42L, -179.9999, 10.0),
+      (3L, 99L, 0.0, 0.0)).toDF("iid", "phash", "lng", "lat")
+    val seamFound = Dedup.geoPhashPairs(seam, "iid", "phash", "lng", "lat")
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(seamFound == Set((1L, 2L)), seamFound.toString)
+  }
+
   test("sampleFrames keeps every n-th frame per key") {
     val frames = (0L until 30L).map(i => (s"clip${i % 3}", i / 3)).toDF("clip", "frame")
     val out = Multimodal.sampleFrames(frames, "clip", "frame", every = 4)
