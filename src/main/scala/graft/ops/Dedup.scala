@@ -262,8 +262,10 @@ object Dedup {
     * near the antimeridian (the planar grid does not wrap — the knnJoin
     * seam discipline). Soundness of the adjacency key needs the cell's
     * METRIC longitude extent to exceed maxDistM: with res 6 (0.131°) and
-    * 500 m that holds to |lat| ≈ 89.5°; route polar-cap corpora through an
-    * S2-keyed variant instead.
+    * 500 m that holds to |lat| ≈ 88°; for polar-cap corpora pass a coarser
+    * `res` (res 4 ≈ 0.92° holds to ~89.7°) or build candidates with the
+    * [[graft.geo.join.SpatialJoins.knnJoinS2]]-style metric cap covers,
+    * which have no latitude singularity.
     *
     * Output: id_a < id_b, hamming, dist_m.
     */
