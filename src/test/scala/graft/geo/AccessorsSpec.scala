@@ -83,6 +83,33 @@ class AccessorsSpec extends AnyFunSuite {
     }
   }
 
+  test("deep setters: set-get identity over 100 generated random geometries") {
+    // the generator rotates Point/LineString/Polygon/MultiPoint/MultiPolygon
+    // (ids with kind % 7 in 0..4 are bare geometries)
+    val geomIds = (0L until 140L).filter(id => id % 7 <= 4)
+    val texts = geomIds.map(id =>
+      graft.geo.json.GeoJsonCodec.render(graft.geo.gen.GeoGen.docFor(id, 3L)))
+    val df = texts.toDF("raw").select(from_geojson_geom($"raw").as("g"))
+      .withColumn("orig", to_geojson_geom($"g"))
+    // every geometry: position 0 and last position set to themselves == id;
+    // same for ring 0 and last ring
+    val checked = df.select($"orig",
+      to_geojson_geom(setPositionAt($"g", 0, positionAt($"g", 0))).as("p0"),
+      numPositions($"g").as("np"), numRings($"g").as("nr")).collect()
+    checked.foreach { r => assert(r.getString(0) == r.getString(1), "pos 0 id") }
+    // last-index laws need per-row n: group rows by (np, nr) and apply
+    checked.map(r => (r.getInt(2), r.getInt(3))).distinct.foreach { case (np, nr) =>
+      val sub = df.where(numPositions($"g") === np && numRings($"g") === nr)
+      val rows = sub.select($"orig",
+        to_geojson_geom(setPositionAt($"g", np - 1, positionAt($"g", np - 1))).as("pl"),
+        to_geojson_geom(setRingAt($"g", nr - 1, ringAt($"g", nr - 1))).as("rl")).collect()
+      rows.foreach { r =>
+        assert(r.getString(0) == r.getString(1), s"last pos id (np=$np)")
+        assert(r.getString(0) == r.getString(2), s"last ring id (nr=$nr)")
+      }
+    }
+  }
+
   test("deep setters: position update hits only its target, handles 2D->3D") {
     val df = Seq(fixture("polygon.json")).toDF("raw")
       .select(from_geojson_geom($"raw").as("g"))

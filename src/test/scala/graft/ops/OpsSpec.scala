@@ -43,6 +43,20 @@ class OpsSpec extends AnyFunSuite {
     assert(sameAs(Dedup.exact(corpus, "doc_id", "text", _ => lit(0L))))
   }
 
+  test("exact dedup is modality-general: BINARY image payloads dedup too") {
+    // xxhash64/length/=== all operate on binary, so the same narrow-key plan
+    // deduplicates image bytes without any text assumption
+    val imgs = graft.pipeline.ImageGen.table(spark, 200)
+      .withColumn("iid", expr("CAST(substring(image_id, 5) AS BIGINT)"))
+      .select($"iid", $"bytes")
+    val corpus = imgs.unionByName(imgs.select(($"iid" + 1000L).as("iid"), $"bytes"))
+    val out = Dedup.exact(corpus, "iid", "bytes")
+    assert(out.count() == 400)
+    assert(out.where($"is_dup").count() == 200)
+    // every copy resolves to its base id
+    assert(out.where($"iid" >= 1000L && $"canonical_id" =!= $"iid" - 1000L).count() == 0)
+  }
+
   test("exact dedup shuffles the narrow hash key, not the text") {
     val plan = Dedup.exact(docs, "doc_id", "text").queryExecution.executedPlan.toString
     // the corpus-scale aggregation exchanges on (__h, __l)
