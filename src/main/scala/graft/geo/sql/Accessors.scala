@@ -85,7 +85,9 @@ object Accessors {
   def exteriorRing(g: Column): Column = ringAt(g, 0)
 
   /** ring r (0-based) as array<array<double>> of positions */
-  def ringAt(g: Column, r: Int): Column = {
+  def ringAt(g: Column, r: Int): Column = ringView(g, lit(r))
+
+  private def ringView(g: Column, r: Column): Column = {
     val ro    = g.getField("ring_offsets")
     val start = element_at(ro, r + 1)
     val end   = element_at(ro, r + 2)
@@ -94,6 +96,19 @@ object Accessors {
 
   /** number of rings (interior ring count = numRings - 1 for polygons) */
   def numRings(g: Column): Column = size(g.getField("ring_offsets")) - 1
+
+  // ---- multi-geometry part lenses (geojson.ml MultiPoint/MultiLineString/
+  // MultiPolygon accessors): parts index RINGS via part_offsets
+  /** number of parts (1 for single geometries) */
+  def numParts(g: Column): Column = size(g.getField("part_offsets")) - 1
+
+  /** part p (0-based) as its rings — array of array<array<double>> */
+  def partAt(g: Column, p: Int): Column = {
+    val po    = g.getField("part_offsets")
+    val start = element_at(po, p + 1)
+    val end   = element_at(po, p + 2)
+    transform(sequence(start, end - 1), r => ringView(g, r))
+  }
 
   private def posView(g: Column, i: Column): Column = {
     val po = g.getField("pos_offsets")

@@ -83,6 +83,26 @@ class AccessorsSpec extends AnyFunSuite {
     }
   }
 
+  test("part lenses: numParts and partAt decompose a MultiPolygon") {
+    val df = Seq(fixture("multi_polygon.json")).toDF("raw")
+      .select(geometry(from_geojson($"raw")).as("g"))
+    val r = df.select(numParts($"g"), partAt($"g", 0), partAt($"g", 1),
+      ringAt($"g", 0), ringAt($"g", 1), ringAt($"g", 2)).collect()(0)
+    assert(r.getInt(0) == 2)
+    val p0 = r.getSeq[scala.collection.Seq[scala.collection.Seq[Double]]](1)
+    val p1 = r.getSeq[scala.collection.Seq[scala.collection.Seq[Double]]](2)
+    // part 0 = its single exterior ring; part 1 = exterior + hole
+    assert(p0.length == 1 && p1.length == 2)
+    assert(p0(0) == r.getSeq(3))
+    assert(p1(0) == r.getSeq(4) && p1(1) == r.getSeq(5))
+    // a single geometry has one part equal to all of its rings
+    val pt = Seq(fixture("polygon.json")).toDF("raw")
+      .select(geometry(from_geojson($"raw")).as("g"))
+      .select(numParts($"g"), partAt($"g", 0), exteriorRing($"g")).collect()(0)
+    assert(pt.getInt(0) == 1)
+    assert(pt.getSeq[scala.collection.Seq[scala.collection.Seq[Double]]](1).head == pt.getSeq(2))
+  }
+
   test("deep setters: set-get identity over 100 generated random geometries") {
     // the generator rotates Point/LineString/Polygon/MultiPoint/MultiPolygon
     // (ids with kind % 7 in 0..4 are bare geometries)
