@@ -9,4 +9,13 @@ class EntrySpec extends AnyFunSuite {
     assert(df.count() > 0)
     assert(df.columns.contains("image_id") && df.columns.contains("poly_id"))
   }
+
+  test("driver contract: every oracle key names a query; counts as documented") {
+    val qs = SparkEntry.queries.keySet
+    val os = SparkEntry.oracleSql.keySet
+    assert(os.subsetOf(qs), s"orphan oracles: ${os diff qs}")
+    assert(qs.size == 47 && os.size == 44, s"${qs.size} queries / ${os.size} oracles")
+    // the three rows-only queries are exactly the documented ones
+    assert((qs diff os) == Set("q24_flagship", "q25_s2_cells", "q33_text_fingerprints"))
+  }
 }
