@@ -277,6 +277,21 @@ class ReaderStreamsSpec extends AnyFunSuite {
     intercept[Exception] {
       spark.read.format("geojson").load(dir.resolve("a.geojson").toString).collect()
     }
+    // unterminated-string garbage: discard_to is a LITERAL scan (reference-
+    // faithful), so the next ',' even "inside" the broken string resyncs
+    Files.writeString(dir.resolve("d.geojson"),
+      s"""{"type":"FeatureCollection","features":[${f(10)}, "broken , ${f(11)}]}""")
+    val d = spark.read.format("geojson").option("mode", "resync")
+      .load(dir.resolve("d.geojson").toString).select("feature_json")
+      .collect().map(_.getString(0))
+    assert(d.contains(f(10)) && d.contains(f(11)), d.toSeq.toString)
+    // truncation mid-feature: everything before the cut still arrives
+    Files.writeString(dir.resolve("e.geojson"),
+      s"""{"type":"FeatureCollection","features":[${f(12)},{"type":"Fea""")
+    val e = spark.read.format("geojson").option("mode", "resync")
+      .load(dir.resolve("e.geojson").toString).select("feature_json")
+      .collect().map(_.getString(0))
+    assert(e.toSeq == Seq(f(12)), e.toSeq.toString)
     // resync on a CLEAN document agrees with the strict splitter
     val clean = s"""{"type":"FeatureCollection","features":[${f(8)},${f(9)}]}"""
     Files.writeString(dir.resolve("clean.geojson"), clean)
