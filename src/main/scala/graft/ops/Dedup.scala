@@ -389,6 +389,10 @@ object Dedup {
     *                 (canonical = self). Defaults to the ids appearing in
     *                 pairs only.
     * @param idCol    name of the output id column
+    * @param maxRounds safety valve only: pointer jumping needs
+    *                 ~log2(diameter) rounds, so the default 50 covers any
+    *                 feasible graph (diameter ~2^49); an unconverged stop
+    *                 would return partial labels
     */
   def clusters(
       pairs: DataFrame,
