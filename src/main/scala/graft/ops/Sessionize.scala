@@ -31,6 +31,31 @@ object Sessionize {
       .drop("__sess")
   }
 
+  case class UserStats(user_id: Long, n_events: Long, total_value: Double,
+                       first_ms: Long, last_ms: Long)
+
+  /** Per-user LIFETIME stats with `mapGroupsWithState` — the one-output-per-
+    * key variant of the keyed-state surface ([[sessionsStream]] is the
+    * flat/multi-output one): state carries the running (count, sum, first,
+    * last) and every trigger emits the key's updated totals. Update output
+    * mode; works identically on a batch frame (spec-pinned against the
+    * groupBy oracle). */
+  def userStatsStream(events: Dataset[Ev]): Dataset[UserStats] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.user_id)
+      .mapGroupsWithState[UserStats, UserStats](GroupStateTimeout.NoTimeout) {
+        (user: Long, rows: Iterator[Ev], state: GroupState[UserStats]) =>
+          var s = state.getOption.getOrElse(
+            UserStats(user, 0L, 0.0, Long.MaxValue, Long.MinValue))
+          rows.foreach { e =>
+            s = s.copy(n_events = s.n_events + 1, total_value = s.total_value + e.value,
+              first_ms = math.min(s.first_ms, e.ts_ms), last_ms = math.max(s.last_ms, e.ts_ms))
+          }
+          state.update(s)
+          s
+      }
+  }
+
   /** Streaming sessionization with explicit keyed state: events are sorted
     * inside the handler (order-robust per trigger), state carries the open
     * session, closed sessions emit. With `idleTimeout` set, a

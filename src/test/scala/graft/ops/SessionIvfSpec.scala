@@ -57,6 +57,27 @@ class SessionIvfSpec extends AnyFunSuite {
     assert(batchOut.count() == nDistinct)
   }
 
+  test("mapGroupsWithState user stats: stream equals the groupBy oracle") {
+    val raw = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+      .select($"user_id", ($"ts".cast("timestamp").cast("double") * 1000).cast("long").as("ts_ms"),
+        $"value")
+    val dir = java.nio.file.Files.createTempDirectory("ustats_src")
+    raw.write.mode("overwrite").parquet(dir.toString + "/b1")
+    val stream = spark.readStream.schema(raw.schema).parquet(dir.toString + "/b1")
+      .as[Sessionize.Ev]
+    val q = Sessionize.userStatsStream(stream)
+      .writeStream.format("memory").queryName("ustats_stream")
+      .outputMode("update").start()
+    q.processAllAvailable(); q.stop()
+    val streamed = spark.sql(
+      "select user_id, n_events, round(total_value, 4) as tv, first_ms, last_ms from ustats_stream")
+    val oracle = raw.groupBy("user_id").agg(
+      count(lit(1)).as("n_events"), round(sum($"value"), 4).as("tv"),
+      min($"ts_ms").as("first_ms"), max($"ts_ms").as("last_ms"))
+    assert(streamed.count() == oracle.count())
+    assert(streamed.exceptAll(oracle).isEmpty && oracle.exceptAll(streamed).isEmpty)
+  }
+
   test("deterministic sampling is stream-safe: stateless filter, stream == batch") {
     val ids = spark.range(5000).select($"id".as("doc_id"))
     val dir = java.nio.file.Files.createTempDirectory("sample_src")
