@@ -483,6 +483,14 @@ object SparkEntry {
         m.getField("n_frames").as("n_frames"),
         length(col("bytes")).as("n_bytes"))
     }),
+    "q48_stratified_sample" -> ((s, dir) => {
+      // data mixing: per-language keep rates over the same deterministic
+      // hash bucket as q42 — SQL reproduces the CASE rate table exactly
+      val docs = s.read.parquet(t(dir, "documents"))
+      TextOps.stratifiedSample(docs, "doc_id", "lang",
+          Map("en" -> 500, "de" -> 250, "fr" -> 100, "zh" -> 50))
+        .select(col("doc_id"), col("lang"))
+    }),
     "q45_audio" -> ((s, dir) => {
       // audio modality: PCA1 binary payloads decoded by Catalyst expressions;
       // energy is an exact integer the oracle recomputes from the synthesis
@@ -742,6 +750,11 @@ object SparkEntry {
         |  CAST(4 + range % 3 AS INT) AS n_frames,
         |  CAST(10 + (4 + range % 3) * (8 + range % 5) * (6 + range % 4) * 3 AS INT) AS n_bytes
         |FROM range(1500)""".stripMargin,
+    "q48_stratified_sample" ->
+      """SELECT doc_id, lang FROM documents
+        |WHERE (doc_id * 2654435761 % 4294967296) * 1000 // 4294967296 <
+        |  CASE lang WHEN 'en' THEN 500 WHEN 'de' THEN 250
+        |            WHEN 'fr' THEN 100 WHEN 'zh' THEN 50 ELSE 0 END""".stripMargin,
     "q45_audio" ->
       """WITH s AS (
         |  SELECT a.range AS id, ((a.range * 7919 + r.range * 31) % 256 - 128) AS v

@@ -96,6 +96,23 @@ object TextOps {
     floor(pmod(id.cast("long") * 2654435761L, lit(4294967296L)) * 1000L
       / lit(4294967296L)).cast("long")
 
+  /** Stratified deterministic sampling — the data-MIXING op: per-group keep
+    * rates (per-mille), applied through the same multiplicative-hash bucket
+    * as [[deterministicSample]], so each group's sample is monotone in its
+    * rate and reproducible across engines. The rate table rides a broadcast
+    * join; the corpus side stays a narrow filter. Groups absent from
+    * `rates` are dropped (rate 0) — list every group to keep.
+    */
+  def stratifiedSample(df: DataFrame, idCol: String, groupCol: String,
+                       rates: Map[String, Int]): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val ratesDf = rates.toSeq.toDF(groupCol, "__rate")
+    df.join(broadcast(ratesDf), Seq(groupCol))
+      .where(sampleBucket(col(idCol)) < col("__rate"))
+      .drop("__rate")
+  }
+
   /** Sequence-packing PLAN — assign documents to contiguous token bins of
     * ~`budgetTokens` each (the planning pass of pretraining sequence
     * packing): documents are laid out in `orderCol` order within each

@@ -397,6 +397,23 @@ class OpsSpec extends AnyFunSuite {
     assert(repart == s100)
   }
 
+  test("stratifiedSample: per-group rates, absent groups dropped, bucket consistency") {
+    val rows = spark.range(9000).select($"id".as("doc_id"),
+      concat(lit("g"), pmod($"id", lit(3))).as("grp"))
+    val out = TextOps.stratifiedSample(rows, "doc_id", "grp",
+      Map("g0" -> 600, "g1" -> 100)) // g2 absent -> dropped
+    val byGrp = out.groupBy("grp").count().as[(String, Long)].collect().toMap
+    assert(!byGrp.contains("g2"))
+    assert(math.abs(byGrp("g0") - 1800) < 200, byGrp.toString) // 3000 * 0.6
+    assert(math.abs(byGrp("g1") - 300) < 120, byGrp.toString)  // 3000 * 0.1
+    // same bucket function as the unstratified sampler: a group's stratified
+    // sample == the global sample at that rate restricted to the group
+    val g0 = out.where($"grp" === "g0").select("doc_id").as[Long].collect().toSet
+    val global600 = TextOps.deterministicSample(rows.where($"grp" === "g0"), "doc_id", 600)
+      .select("doc_id").as[Long].collect().toSet
+    assert(g0 == global600)
+  }
+
   test("packSequences: bins contiguous per group, budget arithmetic exact") {
     val rows = (0L until 200L).map(i => (i, s"g${i % 3}", (i % 37 + 1).toInt))
     val df = rows.toDF("id", "grp", "toks").repartition(7)
