@@ -483,6 +483,18 @@ object SparkEntry {
         m.getField("n_frames").as("n_frames"),
         length(col("bytes")).as("n_bytes"))
     }),
+    "q49_redact_pii" -> ((s, dir) => {
+      // PII scrubbing: emails / IPv4 / +international phones planted into
+      // every doc; BOTH engines run the same RE2-compatible regex chain, so
+      // the oracle is a direct cross-engine regexp_replace equivalence
+      val docs = s.read.parquet(t(dir, "documents"))
+      val planted = concat(col("text"), lit(" contact user"),
+        col("doc_id").cast("string"), lit("@mail.example.com from 10.0."),
+        (col("doc_id") % 250).cast("string"), lit(".7 or call +1 555 000 "),
+        (col("doc_id") % 9000 + 1000).cast("string"), lit(" now"))
+      TextOps.redactPii(docs.withColumn("text", planted), "text")
+        .select(col("doc_id"), col("text"))
+    }),
     "q48_stratified_sample" -> ((s, dir) => {
       // data mixing: per-language keep rates over the same deterministic
       // hash bucket as q42 — SQL reproduces the CASE rate table exactly
@@ -750,6 +762,15 @@ object SparkEntry {
         |  CAST(4 + range % 3 AS INT) AS n_frames,
         |  CAST(10 + (4 + range % 3) * (8 + range % 5) * (6 + range % 4) * 3 AS INT) AS n_bytes
         |FROM range(1500)""".stripMargin,
+    "q49_redact_pii" ->
+      """SELECT doc_id,
+        |  regexp_replace(regexp_replace(regexp_replace(
+        |    text || ' contact user' || doc_id || '@mail.example.com from 10.0.' ||
+        |      (doc_id % 250) || '.7 or call +1 555 000 ' || (doc_id % 9000 + 1000) || ' now',
+        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        |    '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g'),
+        |    '\+\d[\d .-]{7,}\d', '<PHONE>', 'g') AS text
+        |FROM documents""".stripMargin,
     "q48_stratified_sample" ->
       """SELECT doc_id, lang FROM documents
         |WHERE (doc_id * 2654435761 % 4294967296) * 1000 // 4294967296 <

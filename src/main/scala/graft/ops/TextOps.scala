@@ -96,6 +96,22 @@ object TextOps {
     floor(pmod(id.cast("long") * 2654435761L, lit(4294967296L)) * 1000L
       / lit(4294967296L)).cast("long")
 
+  /** PII redaction — the scrubbing stage of web-corpus pipelines: masks
+    * emails, IPv4 addresses and phone-like digit runs with typed
+    * placeholders. A narrow map of pure built-in `regexp_replace`s; the
+    * patterns avoid backtracking-only constructs so the same regexes run
+    * identically under Java regex (Spark) and RE2-family engines. Order
+    * matters: emails first (their digits must not look like phones), then
+    * IPs, then phones. */
+  def redactPii(df: DataFrame, textCol: String): DataFrame =
+    df.withColumn(textCol,
+      regexp_replace(
+        regexp_replace(
+          regexp_replace(col(textCol),
+            "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", "<EMAIL>"),
+          "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b", "<IP>"),
+        "\\+\\d[\\d .-]{7,}\\d", "<PHONE>"))
+
   /** Stratified deterministic sampling — the data-MIXING op: per-group keep
     * rates (per-mille), applied through the same multiplicative-hash bucket
     * as [[deterministicSample]], so each group's sample is monotone in its

@@ -397,6 +397,28 @@ class OpsSpec extends AnyFunSuite {
     assert(repart == s100)
   }
 
+  test("redactPii masks emails, IPs and phones; idempotent; plain text untouched") {
+    val cases = Seq(
+      ("write to jane.doe+spam@sub.example.org today",
+       "write to <EMAIL> today"),
+      ("server 192.168.1.254 and peer 10.0.0.1 up",
+       "server <IP> and peer <IP> up"),
+      ("call +1 555 123-4567 or +44 20 7946 0958 now",
+       "call <PHONE> or <PHONE> now"),
+      // \b protects letter-attached version strings; bare quads redact
+      ("v2.0.1.3 stays but bare 2.0.1.3 redacts",
+       "v2.0.1.3 stays but bare <IP> redacts"),
+      ("nothing sensitive here 123 456", "nothing sensitive here 123 456"))
+    val out = TextOps.redactPii(cases.map(_._1).toDF("text"), "text")
+      .as[String].collect()
+    cases.map(_._2).zip(out).foreach { case (want, got) => assert(got == want) }
+    // idempotent: redacting redacted text changes nothing
+    val twice = TextOps.redactPii(TextOps.redactPii(docs, "text"), "text")
+      .select("text").as[String].collect()
+    val once = TextOps.redactPii(docs, "text").select("text").as[String].collect()
+    assert(twice.toSeq == once.toSeq)
+  }
+
   test("stratifiedSample: per-group rates, absent groups dropped, bucket consistency") {
     val rows = spark.range(9000).select($"id".as("doc_id"),
       concat(lit("g"), pmod($"id", lit(3))).as("grp"))
