@@ -535,7 +535,11 @@ object SparkEntry {
       // char-exact verify admits no hash-collision false positives
       registerAll(s)
       val docs = s.read.parquet(t(dir, "documents")).select("doc_id", "text")
-      val bench = docs.where(col("doc_id") % 10 === 0)
+      // length >= 44 precondition: substring(text,5,40) must carry a full
+      // >= k+w-1 = 11-char passage for the winnowing recall guarantee; a
+      // shorter doc at another scale factor would silently break oracle
+      // parity (holds trivially at current fixtures, min length 48)
+      val bench = docs.where(col("doc_id") % 10 === 0 && length(col("text")) >= 44)
         .select((col("doc_id") + 50000L).as("bench_id"),
           concat(lit("eval question quoting: "), substring(col("text"), 5, 40),
             lit(" [end]")).as("text"))
@@ -552,9 +556,12 @@ object SparkEntry {
       // correct output but not closed-form) the result is every base id.
       registerAll(s)
       val docs = s.read.parquet(t(dir, "documents")).select("doc_id", "text")
-      val carriers = docs.select((col("doc_id") + 10000L).as("doc_id"),
-        concat(lit("zz"), col("doc_id").cast("string"), lit("q "),
-          substring(col("text"), 1, 40)).as("text"))
+      // same >= 44 precondition as q44: the carried 40-char prefix must hold
+      // a full winnowing-guaranteed passage at every scale factor
+      val carriers = docs.where(length(col("text")) >= 44)
+        .select((col("doc_id") + 10000L).as("doc_id"),
+          concat(lit("zz"), col("doc_id").cast("string"), lit("q "),
+            substring(col("text"), 1, 40)).as("text"))
       Dedup.sharedPassagePairs(docs.unionByName(carriers), "doc_id", "text")
         .where(col("id_b") === col("id_a") + 10000L && col("id_a") < 10000L)
         .select(col("id_a"), col("id_b"))
@@ -753,7 +760,7 @@ object SparkEntry {
     "q19_embedding_dups" ->
       "SELECT vec_id AS id_a, vec_id + 10000 AS id_b FROM embeddings",
     "q41_shared_passages" ->
-      "SELECT doc_id AS id_a, doc_id + 10000 AS id_b FROM documents",
+      "SELECT doc_id AS id_a, doc_id + 10000 AS id_b FROM documents WHERE length(text) >= 44",
     "q47_geo_phash_dups" ->
       "SELECT range AS id_a, range + 100000 AS id_b FROM range(2000)",
     "q46_video" ->
@@ -800,7 +807,7 @@ object SparkEntry {
         |               ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS n
         |        FROM documents))""".stripMargin,
     "q44_contamination" ->
-      "SELECT doc_id AS corpus_id, doc_id + 50000 AS bench_id FROM documents WHERE doc_id % 10 = 0",
+      "SELECT doc_id AS corpus_id, doc_id + 50000 AS bench_id FROM documents WHERE doc_id % 10 = 0 AND length(text) >= 44",
     "q40_json_update" ->
       """SELECT n_nationkey,
         |  '{"type":"Feature","properties":{"name":"' || n_name ||

@@ -91,7 +91,11 @@ object Accessors {
     val ro    = g.getField("ring_offsets")
     val start = element_at(ro, r + 1)
     val end   = element_at(ro, r + 2)
-    transform(sequence(start, end - 1), i => posView(g, i))
+    // end > start guard: Spark's sequence(start, stop) DESCENDS when
+    // start > stop, so a degenerate empty ring (equal consecutive offsets)
+    // would yield a bogus 2-element reversed range — empty array instead
+    when(end > start, transform(sequence(start, end - 1), i => posView(g, i)))
+      .otherwise(array().cast("array<array<double>>"))
   }
 
   /** number of rings (interior ring count = numRings - 1 for polygons) */
@@ -107,7 +111,9 @@ object Accessors {
     val po    = g.getField("part_offsets")
     val start = element_at(po, p + 1)
     val end   = element_at(po, p + 2)
-    transform(sequence(start, end - 1), r => ringView(g, r))
+    // same descending-sequence guard as ringView for empty parts
+    when(end > start, transform(sequence(start, end - 1), r => ringView(g, r)))
+      .otherwise(array().cast("array<array<array<double>>>"))
   }
 
   private def posView(g: Column, i: Column): Column = {

@@ -210,17 +210,22 @@ object Dedup {
     * shuffle.
     *
     * At corpus scale, hot fingerprints (ubiquitous boilerplate k-grams)
-    * skew the bucket join: `maxDocFrequency > 0` drops fingerprints
-    * appearing in more than that many documents (one extra count pass —
-    * Lee et al. drop over-common spans the same way). Pairs whose ONLY
-    * shared passage is that common are then missed by design.
+    * skew the bucket join: fingerprints appearing in more than
+    * `maxDocFrequency` documents are dropped (one extra count pass — Lee et
+    * al. drop over-common spans the same way). The cap is ON BY DEFAULT
+    * (1000 docs): a fingerprint shared by >1000 documents is boilerplate at
+    * any corpus size, and without the cap a single hot bucket makes the
+    * candidate join quadratic (10^6 docs sharing a footer = 10^12
+    * candidates). Pairs whose ONLY shared passage is that common are missed
+    * by design; pass `maxDocFrequency = 0` to opt out (exact recall, unsafe
+    * on web corpora).
     *
     * Output: id_a < id_b, shared_fps (distinct shared fingerprints).
     */
   def sharedPassagePairs(
       df: DataFrame, idCol: String, textCol: String,
       k: Int = 8, w: Int = 4, minShared: Int = 1,
-      maxDocFrequency: Long = 0L): DataFrame = {
+      maxDocFrequency: Long = 1000L): DataFrame = {
     val minLen = k + w - 1
     val fps0 = df.select(col(idCol).as("__id"),
       explode(winnow_fp(col(textCol), lit(k), lit(w))).as("__fp"))
@@ -386,13 +391,17 @@ object Dedup {
     *                 untouched — pre-filter thresholds upstream
     * @param universe optional full corpus id set (first column is read as
     *                 the id); ids in no pair become singleton clusters
-    *                 (canonical = self). Defaults to the ids appearing in
-    *                 pairs only.
+    *                 (canonical = self). The label universe is ALWAYS
+    *                 universe ∪ pair endpoints — an under-covering universe
+    *                 must not leak ids into later rounds, or the stable-sum
+    *                 certificate would be unsound (equal sums while labels
+    *                 still move).
     * @param idCol    name of the output id column
     * @param maxRounds safety valve only: pointer jumping needs
     *                 ~log2(diameter) rounds, so the default 50 covers any
-    *                 feasible graph (diameter ~2^49); an unconverged stop
-    *                 would return partial labels
+    *                 feasible graph (diameter ~2^49). Exhausting it without
+    *                 the certificate holding THROWS (partial labels are a
+    *                 silent-corruption hazard, never returned).
     */
   def clusters(
       pairs: DataFrame,
@@ -407,9 +416,16 @@ object Dedup {
       .where(col("src") =!= col("dst"))
       .distinct()
       .localCheckpoint()
+    // the label universe is FIXED up front as universe ∪ edge endpoints (the
+    // symmetric closure's src column covers both): with a fixed id set and
+    // pointwise non-increasing labels, a stable label sum ⇔ no label changed
+    // — sound. (If an under-covering universe let new src ids join m1 in a
+    // later round, equal sums could mask movement.)
+    val endpointIds = edges.select(col("src").as("id"))
     val ids = universe
-      .map(u => u.select(u.columns.head).toDF("id").select(col("id").cast("long")))
-      .getOrElse(edges.select(col("src").as("id")))
+      .map(u => u.select(u.columns.head).toDF("id").select(col("id").cast("long"))
+        .unionByName(endpointIds))
+      .getOrElse(endpointIds)
       .distinct()
     var labels = ids.select(col("id"), col("id").as("lbl")).localCheckpoint()
     var prevSum: java.math.BigDecimal = null
@@ -419,9 +435,8 @@ object Dedup {
       val neigh = edges.join(labels.select(col("id").as("dst"), col("lbl")), "dst")
         .select(col("src").as("id"), col("lbl"))
       val m1 = labels.unionByName(neigh).groupBy("id").agg(min("lbl").as("lbl"))
-      // pointer jump: follow lbl -> lbl(lbl) (left join: a label outside the
-      // universe — possible only when `universe` under-covers pairs — keeps
-      // its value)
+      // pointer jump: follow lbl -> lbl(lbl); every label IS an id of the
+      // fixed universe, so the left join's coalesce is defensive only
       val jumped = m1
         .join(m1.select(col("id").as("lbl"), col("lbl").as("__lbl2")), Seq("lbl"), "left")
         .select(col("id"), coalesce(col("__lbl2"), col("lbl")).as("lbl"))
@@ -433,6 +448,10 @@ object Dedup {
       labels = jumped
       round += 1
     }
+    if (!converged)
+      throw new IllegalStateException(
+        s"Dedup.clusters: no convergence certificate after $maxRounds rounds " +
+          "(pointer jumping needs ~log2(diameter)+1; raise maxRounds)")
     labels.select(col("id").as(idCol), col("lbl").as("canonical_id"),
       (col("id") =!= col("lbl")).as("is_dup"))
   }

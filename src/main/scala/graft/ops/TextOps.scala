@@ -87,14 +87,25 @@ object TextOps {
 
   /** The sampling bucket in [0, 1000): Knuth multiplicative hash — id *
     * 2654435761 (the golden-ratio multiplier) mod 2^32, scaled to 1/1000ths.
-    * Overflow-free for ids below ~3.4e9; for larger id spaces pre-fold with
-    * a modulus. */
-  def sampleBucket(id: Column): Column =
-    // Spark `/` on longs is DOUBLE division; dividing by 2^32 is exact in
-    // binary floating point (numerator < 2^53), so floor+cast reproduces
-    // integer division bit-for-bit (DuckDB `//`)
-    floor(pmod(id.cast("long") * 2654435761L, lit(4294967296L)) * 1000L
-      / lit(4294967296L)).cast("long")
+    * Defined for ANY 64-bit id: the product is computed with BOUNDED
+    * intermediates (16-bit split below), so ANSI mode never sees a checked
+    * multiply overflow — the direct `id * 2654435761` would throw
+    * ARITHMETIC_OVERFLOW at |id| >= ~3.47e9, i.e. on every xxhash-derived id
+    * space. Wherever the direct formula is defined the split is equal to it,
+    * so the small-id oracle SQL twin (`id * 2654435761 % 2^32`) is unchanged. */
+  def sampleBucket(id: Column): Column = {
+    // (id*m) mod 2^32 with x = pmod(id, 2^32) split as hi*2^16 + lo:
+    //   (x*m) mod 2^32 = (lo*m + ((hi*m) mod 2^16) * 2^16) mod 2^32
+    // every product <= 65535 * m ~ 1.7e14 << Long.Max. Spark `/` on longs is
+    // DOUBLE division; dividing by a power of two below 2^53 is exact, so
+    // floor+cast reproduces integer division bit-for-bit (DuckDB `//`).
+    val m  = 2654435761L
+    val x  = pmod(id.cast("long"), lit(4294967296L))
+    val lo = x % 65536L
+    val hi = floor(x / 65536L).cast("long")
+    val m32 = pmod(lo * m + pmod(hi * m, lit(65536L)) * 65536L, lit(4294967296L))
+    floor(m32 * 1000L / lit(4294967296L)).cast("long")
+  }
 
   /** PII redaction — the scrubbing stage of web-corpus pipelines: masks
     * emails, IPv4 addresses and phone-like digit runs with typed

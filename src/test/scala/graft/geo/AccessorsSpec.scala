@@ -103,6 +103,18 @@ class AccessorsSpec extends AnyFunSuite {
     assert(pt.getSeq[scala.collection.Seq[scala.collection.Seq[Double]]](1).head == pt.getSeq(2))
   }
 
+  test("part lenses: degenerate empty part yields an empty array, not a bogus range") {
+    // equal consecutive part_offsets: Spark's sequence() DESCENDS when
+    // start > stop, so without the guard partAt returned a 2-element
+    // reversed ring list for an empty part
+    val df = Seq("""{"type":"MultiPolygon","coordinates":[[],[[[102.0,2.0],[103.0,2.0],[103.0,3.0],[102.0,2.0]]]]}""")
+      .toDF("raw").select(from_geojson_geom($"raw").as("g"))
+    val r = df.select(numParts($"g"), partAt($"g", 0), partAt($"g", 1)).collect()(0)
+    assert(r.getInt(0) == 2)
+    assert(r.getSeq[Any](1).isEmpty, "empty part must be an empty ring list")
+    assert(r.getSeq[Any](2).length == 1)
+  }
+
   test("deep setters: set-get identity over 100 generated random geometries") {
     // the generator rotates Point/LineString/Polygon/MultiPoint/MultiPolygon
     // (ids with kind % 7 in 0..4 are bare geometries)

@@ -383,6 +383,61 @@ class OpsSpec extends AnyFunSuite {
       .foreach(r => assert(r.getBoolean(0)))
   }
 
+  test("sharedPassagePairs: hot-fingerprint cap is ON by default (boilerplate bounded)") {
+    def tok(doc: Long, j: Int): String = f"${TextKernels.mix64(doc * 1000 + j)}%016x"
+    def gibberish(doc: Long, n: Int): String = (0 until n).map(tok(doc, _)).mkString(" ")
+    // 1100 byte-identical boilerplate docs (identical text ⇒ identical
+    // fingerprint set, no winnowing boundary effects): every fingerprint has
+    // doc frequency 1100 > the default 1000 cap and is dropped, so the
+    // candidate join produces ZERO of the C(1100,2) ~ 6e5 boilerplate pairs
+    val footer = "standard legal boilerplate footer shared by every crawled page verbatim"
+    val boiler = (0L until 1100L).map(i => (i, footer))
+    // plus one genuinely-shared unique passage that must survive the cap
+    val passage = gibberish(90000L, 8)
+    val corpus = (boiler ++ Seq((5000L, gibberish(91000L, 3) + " " + passage),
+      (5001L, gibberish(92000L, 3) + " " + passage))).toDF("id", "text")
+    val found = Dedup.sharedPassagePairs(corpus, "id", "text")
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(found == Set((5000L, 5001L)),
+      s"default cap must kill boilerplate-only pairs, keep unique ones: $found")
+    // opt-out (maxDocFrequency = 0) on a small slice: boilerplate pairs return
+    val slice = (0L until 40L).map(i => (i, footer)).toDF("id", "text")
+    val all = Dedup.sharedPassagePairs(slice, "id", "text", maxDocFrequency = 0)
+    assert(all.count() == 40L * 39 / 2)
+  }
+
+  test("sampleBucket: ANSI-safe for full-range 64-bit ids, equal to the direct formula") {
+    // xxhash-scale ids (|id| >= 3.47e9 overflowed the old checked multiply)
+    val big = Seq(Long.MaxValue, Long.MinValue, -1L, 0L, 3470000000L,
+      8187236872689921321L, -6239871263871623123L).toDF("id")
+    val got = big.select(TextOps.sampleBucket($"id").as("b")).as[Long].collect()
+    got.foreach(b => assert(b >= 0 && b < 1000))
+    // reference: BigInteger arithmetic of the documented formula
+    val want = Seq(Long.MaxValue, Long.MinValue, -1L, 0L, 3470000000L,
+      8187236872689921321L, -6239871263871623123L).map { id =>
+      val m32 = java.math.BigInteger.valueOf(id)
+        .multiply(java.math.BigInteger.valueOf(2654435761L))
+        .mod(java.math.BigInteger.valueOf(4294967296L))
+      m32.multiply(java.math.BigInteger.valueOf(1000L))
+        .divide(java.math.BigInteger.valueOf(4294967296L)).longValueExact()
+    }
+    assert(got.toSeq == want, s"got ${got.toSeq} want $want")
+  }
+
+  test("clusters: certificate is sound when a universe under-covers the pairs") {
+    // universe covers only id 0; pairs bring 0-1-2: endpoints must be folded
+    // into the label universe up front, so the closure still resolves
+    val pairs = Seq((0L, 1L), (1L, 2L)).toDF("id_a", "id_b")
+    val out = Dedup.clusters(pairs, "id", universe = Some(Seq(0L).toDF("id")))
+      .select("id", "canonical_id").as[(Long, Long)].collect().toMap
+    assert(out == Map(0L -> 0L, 1L -> 0L, 2L -> 0L), out.toString)
+    // maxRounds exhaustion throws instead of returning partial labels
+    val chain = spark.range(30).select($"id".as("id_a"), ($"id" + 1).as("id_b"))
+    intercept[IllegalStateException] {
+      Dedup.clusters(chain, "id", maxRounds = 1).count()
+    }
+  }
+
   test("deterministic sampling: monotone rates, partition-independent, ~uniform") {
     val ids = spark.range(20000).select($"id".as("doc_id"))
     def sample(pm: Int) =
