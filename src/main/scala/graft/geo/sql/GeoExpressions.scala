@@ -130,6 +130,38 @@ object GeoRuntime {
 
   def geometryTypeName(r: InternalRow): UTF8String =
     UTF8String.fromString(GType.name(GeomAccess.gtype(r)))
+
+  def randomGeoJson(id: Long, seed: Long): UTF8String =
+    UTF8String.fromString(GeoJsonCodec.render(graft.geo.gen.GeoGen.docFor(id, seed)))
+
+  /** map_props kernel: `props` null = absent-member skip (document passes
+    * through unchanged); returns null on an unparseable document (PERMISSIVE)
+    * or unparseable replacement. */
+  def withFeatureProps(json: UTF8String, props: UTF8String): UTF8String = {
+    import graft.geo.model.GeoModel._
+    GeoJsonCodec.parse(json.toString).fold(_ => null, {
+      case GeoJson(GFeature(f), bbox) =>
+        if (props == null)
+          UTF8String.fromString(GeoJsonCodec.render(GeoJson(GFeature(f), bbox)))
+        else
+          JValue.parse(props.toString).fold(_ => null,
+            pj => UTF8String.fromString(
+              GeoJsonCodec.render(GeoJson(GFeature(f.copy(properties = Some(pj))), bbox))))
+      case other => UTF8String.fromString(GeoJsonCodec.render(other))
+    })
+  }
+
+  /** map_geometry kernel: `geom` null = absent-member skip, as map_props. */
+  def withFeatureGeometry(json: UTF8String, geom: InternalRow): UTF8String = {
+    import graft.geo.model.GeoModel._
+    GeoJsonCodec.parse(json.toString).fold(_ => null, {
+      case GeoJson(GFeature(f), bbox) =>
+        val nf = if (geom == null) f
+                 else f.copy(geometry = Some(GeoStruct.unpackGeometry(geom)))
+        UTF8String.fromString(GeoJsonCodec.render(GeoJson(GFeature(nf), bbox)))
+      case other => UTF8String.fromString(GeoJsonCodec.render(other))
+    })
+  }
 }
 
 /** Base for the codec kernels: REAL codegen (a static GeoRuntime call), so
@@ -184,28 +216,40 @@ case class GeoJsonError(child: Expression) extends GeoExpression {
   * stream in one pass). Non-Feature documents pass through unchanged;
   * unparseable inputs → null (PERMISSIVE). */
 case class WithFeatureProps(json: Expression, newProps: Expression)
-    extends Expression with CodegenFallback {
-  import graft.geo.model.GeoModel._
+    extends Expression {
   override def nullable: Boolean = true
   override def foldable: Boolean = children.forall(_.foldable)
   override def children: Seq[Expression] = Seq(json, newProps)
   override def dataType: DataType        = StringType
   // custom null semantics: a null REPLACEMENT (feature had no properties and
   // the rewrite produced null) passes the document through unchanged, like
-  // the reference's streaming rewrite skipping an absent member
+  // the reference's streaming rewrite skipping an absent member — so the
+  // kernel receives a possibly-null second argument in BOTH modes below
   override def eval(input: InternalRow): Any = {
     val j = json.eval(input)
-    if (j == null) return null
-    GeoJsonCodec.parse(j.asInstanceOf[UTF8String].toString).fold(_ => null, {
-      case GeoJson(GFeature(f), bbox) =>
-        val p = newProps.eval(input)
-        if (p == null) UTF8String.fromString(GeoJsonCodec.render(GeoJson(GFeature(f), bbox)))
-        else
-          JValue.parse(p.asInstanceOf[UTF8String].toString).fold(_ => null,
-            pj => UTF8String.fromString(
-              GeoJsonCodec.render(GeoJson(GFeature(f.copy(properties = Some(pj))), bbox))))
-      case other => UTF8String.fromString(GeoJsonCodec.render(other))
-    })
+    if (j == null) null
+    else GeoRuntime.withFeatureProps(j.asInstanceOf[UTF8String],
+      newProps.eval(input).asInstanceOf[UTF8String])
+  }
+  // real codegen (static GeoRuntime call): one CodegenFallback in a Project
+  // ejects the WHOLE projection from whole-stage codegen and disables
+  // subexpression elimination for every sibling (CLAUDE.md; the measured
+  // ~3x re-parse pathology the codec kernels already avoid)
+  override protected def doGenCode(ctx: codegen.CodegenContext,
+                                   ev: codegen.ExprCode): codegen.ExprCode = {
+    import org.apache.spark.sql.catalyst.expressions.codegen.Block._
+    val jc = json.genCode(ctx)
+    val pc = newProps.genCode(ctx)
+    ev.copy(code = code"""
+      ${jc.code}
+      boolean ${ev.isNull} = true;
+      UTF8String ${ev.value} = null;
+      if (!${jc.isNull}) {
+        ${pc.code}
+        ${ev.value} = graft.geo.sql.GeoRuntime.withFeatureProps(
+          ${jc.value}, ${pc.isNull} ? null : ${pc.value});
+        ${ev.isNull} = (${ev.value} == null);
+      }""")
   }
   override protected def withNewChildrenInternal(c: IndexedSeq[Expression]) = copy(c(0), c(1))
 }
@@ -215,8 +259,7 @@ case class WithFeatureProps(json: Expression, newProps: Expression)
   * map_geometry twin, geojsone.ml:165-196). Non-Feature documents pass
   * through unchanged. */
 case class WithFeatureGeometry(json: Expression, geom: Expression)
-    extends Expression with CodegenFallback {
-  import graft.geo.model.GeoModel._
+    extends Expression {
   override def nullable: Boolean = true
   override def foldable: Boolean = children.forall(_.foldable)
   override def children: Seq[Expression] = Seq(json, geom)
@@ -224,15 +267,27 @@ case class WithFeatureGeometry(json: Expression, geom: Expression)
   // null replacement (feature had no geometry) → pass through, as map_props
   override def eval(input: InternalRow): Any = {
     val j = json.eval(input)
-    if (j == null) return null
-    GeoJsonCodec.parse(j.asInstanceOf[UTF8String].toString).fold(_ => null, {
-      case GeoJson(GFeature(f), bbox) =>
-        val g = geom.eval(input)
-        val nf = if (g == null) f
-                 else f.copy(geometry = Some(GeoStruct.unpackGeometry(g.asInstanceOf[InternalRow])))
-        UTF8String.fromString(GeoJsonCodec.render(GeoJson(GFeature(nf), bbox)))
-      case other => UTF8String.fromString(GeoJsonCodec.render(other))
-    })
+    if (j == null) null
+    else GeoRuntime.withFeatureGeometry(j.asInstanceOf[UTF8String],
+      geom.eval(input).asInstanceOf[InternalRow])
+  }
+  // real codegen — see WithFeatureProps
+  override protected def doGenCode(ctx: codegen.CodegenContext,
+                                   ev: codegen.ExprCode): codegen.ExprCode = {
+    import org.apache.spark.sql.catalyst.expressions.codegen.Block._
+    val jc = json.genCode(ctx)
+    val gc = geom.genCode(ctx)
+    ev.copy(code = code"""
+      ${jc.code}
+      boolean ${ev.isNull} = true;
+      UTF8String ${ev.value} = null;
+      if (!${jc.isNull}) {
+        ${gc.code}
+        ${ev.value} = graft.geo.sql.GeoRuntime.withFeatureGeometry(
+          ${jc.value},
+          ${gc.isNull} ? null : (org.apache.spark.sql.catalyst.InternalRow) ${gc.value});
+        ${ev.isNull} = (${ev.value} == null);
+      }""")
   }
   override protected def withNewChildrenInternal(c: IndexedSeq[Expression]) = copy(c(0), c(1))
 }
@@ -286,14 +341,20 @@ case class JsonRemove(json: Expression, path: Expression) extends GeoExpression 
   * `to_geojson(from_geojson(x)) = x` byte-for-byte). Generate corpora with
   * `spark.range(n).select(random_geojson(col("id"), lit(seed)))`. */
 case class RandomGeoJson(id: Expression, seed: Expression)
-    extends GeoExpression with ImplicitCastInputTypes {
-  override def children: Seq[Expression] = Seq(id, seed)
+    extends BinaryExpression with ImplicitCastInputTypes {
+  override def left: Expression  = id
+  override def right: Expression = seed
   override def inputTypes = Seq(LongType, LongType)
   override def dataType: DataType = StringType
-  override protected def evalNotNull(v: Array[Any]): Any =
-    UTF8String.fromString(GeoJsonCodec.render(
-      graft.geo.gen.GeoGen.docFor(v(0).asInstanceOf[Long], v(1).asInstanceOf[Long])))
-  override protected def withNewChildrenInternal(c: IndexedSeq[Expression]) = copy(c(0), c(1))
+  override protected def nullSafeEval(i: Any, s: Any): Any =
+    GeoRuntime.randomGeoJson(i.asInstanceOf[Long], s.asInstanceOf[Long])
+  // real codegen: deterministic generators get inlined into EVERY use site by
+  // CollapseProject, so staying inside whole-stage codegen (where
+  // subexpression elimination shares the one call) matters — q34 uses the
+  // generated text three times
+  override protected def doGenCode(ctx: codegen.CodegenContext, ev: codegen.ExprCode) =
+    defineCodeGen(ctx, ev, (i, s) => s"graft.geo.sql.GeoRuntime.randomGeoJson($i, $s)")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression) = copy(l, r)
 }
 
 /** `to_geojson(top_struct)` — serialize back to minified GeoJSON text with

@@ -53,6 +53,44 @@ class PlanSpec extends AnyFunSuite {
       || plan.contains("GreaterThan(l_quantity"), s"filter not pushed:\n$plan")
   }
 
+  test("generator and rewrite kernels stay inside whole-stage codegen") {
+    // q34 shape: the deterministic generator's text is used three times;
+    // CollapseProject inlines random_geojson into every use, so ejecting the
+    // Project from whole-stage codegen (the old CodegenFallback) ran the
+    // generator 3x per row in an interpreted projection. With real doGenCode
+    // the Project keeps its *(n) whole-stage prefix and subexpression
+    // elimination shares ONE generator call.
+    val q34 = spark.range(10)
+      .withColumn("json", random_geojson($"id", lit(42L)))
+      .withColumn("back", to_geojson(from_geojson($"json")))
+      .select($"id", get_json_object($"json", "$.type").as("kind"),
+        ($"back" === $"json").as("ok"))
+    val genLine = planString(q34).linesIterator
+      .find(_.toLowerCase.contains("randomgeojson")).getOrElse("")
+    assert(genLine.contains("*("),
+      s"random_geojson Project fell out of whole-stage codegen: $genLine")
+
+    // map_props / map_geometry single-pass rewrites (q28 shape); the doc is
+    // derived from a non-foldable column — a literal input would be folded
+    // into a LocalRelation and erase the expression under test (CLAUDE.md)
+    val docDf = spark.range(3).select(concat(
+      lit("{\"type\":\"Feature\",\"properties\":{\"name\":\"x"),
+      ($"id" % 10).cast("string"),
+      lit("\"},\"geometry\":{\"type\":\"Point\",\"coordinates\":[1.0,2.0]}}")).as("json"))
+    val mp = graft.streaming.GeoStreams.mapProps(docDf, "json",
+      p => upper(p))
+    val mpLine = planString(mp).linesIterator
+      .find(_.toLowerCase.contains("withfeatureprops")).getOrElse("")
+    assert(mpLine.contains("*("),
+      s"with_feature_props Project fell out of whole-stage codegen: $mpLine")
+    val mg = graft.streaming.GeoStreams.mapGeometry(docDf, "json",
+      g => g)
+    val mgLine = planString(mg).linesIterator
+      .find(_.toLowerCase.contains("withfeaturegeometry")).getOrElse("")
+    assert(mgLine.contains("*("),
+      s"with_feature_geometry Project fell out of whole-stage codegen: $mgLine")
+  }
+
   test("map_geometry is a shuffle-free narrow plan") {
     val df = Seq("""{"type":"Feature","geometry":{"type":"Point","coordinates":[1.0,2.0]}}""")
       .toDF("json")
