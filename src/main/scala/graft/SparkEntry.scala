@@ -613,6 +613,23 @@ object SparkEntry {
         .select(col("doc_id").as("id_a"), (col("doc_id") + 1L).as("id_b"))
       Dedup.clusters(e1.unionByName(e2).unionByName(e3), "id", universe = Some(ids))
     }),
+    "q50_catalog_dedup" -> ((s, dir) => {
+      // incremental dedup vs a persisted signature catalog: the corpus is
+      // cataloged once, then a NEW shard (fresh ids) re-contains every
+      // d%3==0 document verbatim while the rest carry fresh text — exact
+      // (hash,len) matching is deterministic, so the survivor set is the
+      // closed-form d%3!=0 slice; the catalog side never shuffles (plan
+      // pinned in OpsSpec)
+      registerAll(s)
+      val docs = s.read.parquet(t(dir, "documents")).select("doc_id", "text")
+      val cat = java.nio.file.Files.createTempDirectory("graft_q50").toString + "/catalog"
+      Dedup.writeCatalog(docs, "doc_id", "text", cat)
+      val shard = docs.select((col("doc_id") + 40000L).as("doc_id"),
+        when(col("doc_id") % 3 === 0, col("text"))
+          .otherwise(concat(lit("fresh shard doc "), col("doc_id").cast("string"),
+            lit(" "), col("text"))).as("text"))
+      Dedup.dedupAgainst(shard, "doc_id", "text", cat, mode = "exact")
+    }),
     "q25_s2_cells" -> ((s, dir) => {
       registerAll(s)
       // cell ids + range-pruning roundtrip (no SQL equivalent → rows-only)
@@ -814,6 +831,10 @@ object SparkEntry {
         |  '","rank":' || CAST(n_nationkey * 2 AS BIGINT) ||
         |  '},"extra":{"v":1}}' AS doc
         |FROM nation""".stripMargin,
+    "q50_catalog_dedup" ->
+      """SELECT doc_id + 40000 AS doc_id,
+        |  'fresh shard doc ' || doc_id || ' ' || text AS text
+        |FROM documents WHERE doc_id % 3 <> 0""".stripMargin,
     "q38_dup_clusters" ->
       """WITH ids AS (
         |  SELECT doc_id AS id FROM documents

@@ -369,6 +369,125 @@ object Dedup {
       .select("corpus_id", "bench_id", "shared_fps")
   }
 
+  // ------------------------------------------------ incremental catalog
+
+  /** Narrow exact signature per doc: (id, xxhash64(text), length). */
+  private def exactSignatures(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(col(idCol).cast("long").as("id"),
+      xxhash64(col(textCol)).as("h"), length(col(textCol)).as("len"))
+
+  /** LSH band signatures per doc: (id, band, bh) — the same band-hash
+    * formula as [[minhashPairs]], so catalog and in-frame dedup agree. */
+  private def bandSignatures(df: DataFrame, idCol: String, textCol: String,
+                             numHashes: Int, bands: Int, shingle: Int): DataFrame = {
+    val r = numHashes / bands
+    df.select(col(idCol).cast("long").as("id"),
+        minhash_sig(col(textCol), lit(numHashes), lit(shingle)).as("__sig"))
+      .withColumn("band", explode(sequence(lit(0), lit(bands - 1))))
+      .withColumn("bh", xxhash64(col("band"), slice(col("__sig"), col("band") * r + 1, lit(r))))
+      .select("id", "band", "bh")
+  }
+
+  /** Write a persisted SIGNATURE CATALOG for incremental dedup — the
+    * production shape: a corpus is deduplicated ONCE, its narrow signatures
+    * (16-byte exact key + minhash band hashes; never the text) are written
+    * out, and every future shard dedups against the catalog via
+    * [[dedupAgainst]] without ever re-reading or re-shuffling the corpus
+    * text. Layout under `path`:
+    *   - `params`  one row (num_hashes, bands, shingle) — [[dedupAgainst]]
+    *               recomputes shard signatures with the SAME parameters
+    *   - `exact`   (id, h, len)
+    *   - `minhash` (id, band, bh)
+    * Grow it with [[appendToCatalog]] as shards are accepted. */
+  def writeCatalog(df: DataFrame, idCol: String, textCol: String, path: String,
+                   numHashes: Int = 128, bands: Int = 16, shingle: Int = 5): Unit = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    Seq((numHashes, bands, shingle)).toDF("num_hashes", "bands", "shingle")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/params")
+    exactSignatures(df, idCol, textCol).write.mode("overwrite").parquet(s"$path/exact")
+    bandSignatures(df, idCol, textCol, numHashes, bands, shingle)
+      .write.mode("overwrite").parquet(s"$path/minhash")
+  }
+
+  /** Append a (deduplicated) shard's signatures to an existing catalog,
+    * using the catalog's own stored parameters. */
+  def appendToCatalog(df: DataFrame, idCol: String, textCol: String, path: String): Unit = {
+    val (nh, nb, sh) = catalogParams(df.sparkSession, path)
+    exactSignatures(df, idCol, textCol).write.mode("append").parquet(s"$path/exact")
+    bandSignatures(df, idCol, textCol, nh, nb, sh).write.mode("append").parquet(s"$path/minhash")
+  }
+
+  private def catalogParams(spark: org.apache.spark.sql.SparkSession, path: String): (Int, Int, Int) = {
+    val p = spark.read.parquet(s"$path/params").head
+    (p.getAs[Int]("num_hashes"), p.getAs[Int]("bands"), p.getAs[Int]("shingle"))
+  }
+
+  /** Incremental dedup of a NEW shard against a persisted catalog: returns
+    * the shard rows whose text matches nothing in the catalog (all original
+    * columns). The plan never moves the catalog: the shard's signatures (the
+    * small side by construction — a daily shard vs the accumulated corpus)
+    * are BROADCAST, the catalog parquet scan streams through
+    * BroadcastHashJoins with zero exchange, and only the narrow matched-id
+    * set rides the final anti-join (plan-pinned in OpsSpec). For the rare
+    * shard comparable in size to the catalog, write both sides bucketed by
+    * the signature key instead (the BucketingSpec zero-exchange pattern).
+    *
+    * Decisions are SIGNATURE-level — the catalog stores no text, the
+    * production trade-off of signature stores (GB of signatures vs TB of
+    * corpus): `mode = "exact"` drops a shard doc on a (64-bit hash, length)
+    * match (false-match odds ~2^-64 per pair, the [[exactStreaming]]
+    * caveat); `mode = "near"` (default) additionally drops on ANY minhash
+    * band collision — recall follows the [[minhashPairs]] banding curve
+    * with no Jaccard verify, so near-threshold false drops are possible by
+    * design. Use "exact" when only byte-identical re-crawls must go. */
+  def dedupAgainst(shard: DataFrame, idCol: String, textCol: String,
+                   catalogPath: String, mode: String = "near"): DataFrame = {
+    val spark = shard.sparkSession
+    val exactMatched = spark.read.parquet(s"$catalogPath/exact")
+      .join(broadcast(exactSignatures(shard, idCol, textCol)
+        .withColumnRenamed("id", "__sid")), Seq("h", "len"))
+      .select("__sid")
+    val matched = (mode match {
+      case "exact" => exactMatched
+      case "near" =>
+        val (nh, nb, sh) = catalogParams(spark, catalogPath)
+        exactMatched.unionByName(
+          spark.read.parquet(s"$catalogPath/minhash")
+            .join(broadcast(bandSignatures(shard, idCol, textCol, nh, nb, sh)
+              .withColumnRenamed("id", "__sid")), Seq("band", "bh"))
+            .select("__sid"))
+      case other => throw new IllegalArgumentException(
+        s"dedupAgainst mode must be 'exact' or 'near', got '$other'")
+    }).distinct()
+    shard.join(broadcast(matched.withColumnRenamed("__sid", "__matched_id")),
+      col(idCol).cast("long") === col("__matched_id"), "left_anti")
+  }
+
+  /** Pair-level view of [[dedupAgainst]]: (shard_id, catalog_id) signature
+    * matches with provenance — `exact` (hash+length match) and `n_bands`
+    * (minhash bands collided; 0 for exact-only matches). Signature-level,
+    * like [[dedupAgainst]]. */
+  def catalogPairs(shard: DataFrame, idCol: String, textCol: String,
+                   catalogPath: String): DataFrame = {
+    val spark = shard.sparkSession
+    val (nh, nb, sh) = catalogParams(spark, catalogPath)
+    val e = spark.read.parquet(s"$catalogPath/exact")
+      .join(broadcast(exactSignatures(shard, idCol, textCol)
+        .withColumnRenamed("id", "__sid")), Seq("h", "len"))
+      .select(col("__sid").as("shard_id"), col("id").as("catalog_id"),
+        lit(true).as("exact"), lit(0L).as("n_bands"))
+    val n = spark.read.parquet(s"$catalogPath/minhash")
+      .join(broadcast(bandSignatures(shard, idCol, textCol, nh, nb, sh)
+        .withColumnRenamed("id", "__sid")), Seq("band", "bh"))
+      .groupBy(col("__sid").as("shard_id"), col("id").as("catalog_id"))
+      .agg(count(lit(1)).as("n_bands"))
+      .select(col("shard_id"), col("catalog_id"), lit(false).as("exact"), col("n_bands"))
+    e.unionByName(n)
+      .groupBy("shard_id", "catalog_id")
+      .agg(max(col("exact")).as("exact"), max(col("n_bands")).as("n_bands"))
+  }
+
   /** Dup-cluster canonicalization: connected components over a near-dup PAIR
     * set — the step between [[minhashPairs]]/[[simhashPairs]]/
     * [[embeddingPairs]] and an actually deduplicated corpus. Every id is

@@ -438,6 +438,57 @@ class OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("catalog dedup: shard anti-joined against persisted signatures; append grows it") {
+    def tok(doc: Long, j: Int): String = f"${TextKernels.mix64(doc * 1000 + j)}%016x"
+    def gibberish(doc: Long, n: Int): String = (0 until n).map(tok(doc, _)).mkString(" ")
+    val dir = java.nio.file.Files.createTempDirectory("graft_cat").toString + "/catalog"
+    val corpus = (0L until 100L).map(i => (i, gibberish(i, 12))).toDF("id", "text")
+    Dedup.writeCatalog(corpus, "id", "text", dir)
+    // shard: 10 exact re-crawls, 10 near-mutations (same doc + a short tail,
+    // jaccard ~0.93 -> banded collision), 10 genuinely fresh docs
+    val shard = ((0L until 10L).map(i => (1000L + i, gibberish(i, 12))) ++
+      (0L until 10L).map(i => (1100L + i, gibberish(10 + i, 12) + " tail" + i)) ++
+      (0L until 10L).map(i => (1200L + i, gibberish(5000L + i, 12)))).toDF("id", "text")
+    def ids(df: org.apache.spark.sql.DataFrame) =
+      df.select("id").as[Long].collect().toSet
+    // exact mode: only byte-identical re-crawls go
+    assert(ids(Dedup.dedupAgainst(shard, "id", "text", dir, mode = "exact")) ==
+      ((1100L until 1110L) ++ (1200L until 1210L)).toSet)
+    // near mode (default): mutations go too; fresh docs survive
+    val survivors = Dedup.dedupAgainst(shard, "id", "text", dir)
+    assert(ids(survivors) == (1200L until 1210L).toSet)
+    // pair provenance: exact matches flagged, mutations carry band counts
+    val pairs = Dedup.catalogPairs(shard, "id", "text", dir)
+      .select("shard_id", "catalog_id", "exact", "n_bands")
+      .as[(Long, Long, Boolean, Long)].collect()
+    assert(pairs.filter(_._3).map(p => (p._1, p._2)).toSet ==
+      (0L until 10L).map(i => (1000L + i, i)).toSet)
+    assert((1100L until 1110L).forall(s =>
+      pairs.exists(p => p._1 == s && p._2 == s - 1100L + 10L && p._4 >= 1)))
+    // incremental flow: accepted survivors are appended; a re-crawl of the
+    // same shard now matches everything
+    Dedup.appendToCatalog(survivors, "id", "text", dir)
+    assert(Dedup.dedupAgainst(shard, "id", "text", dir).isEmpty)
+  }
+
+  test("catalog dedup plan: catalog side streams, signatures never shuffle") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_catp").toString + "/catalog"
+    val corpus = spark.range(200).select($"id",
+      concat(lit("catalog doc body "), $"id").as("text"))
+    Dedup.writeCatalog(corpus, "id", "text", dir)
+    val shard = spark.range(20).select(($"id" + 5000L).as("id"),
+      concat(lit("shard doc body "), $"id").as("text"))
+    val plan = Dedup.dedupAgainst(shard, "id", "text", dir)
+      .queryExecution.executedPlan.toString
+    // the catalog's (h,len)/(band,bh) rows must never ride an exchange: the
+    // shard signatures broadcast, the catalog streams through BHJs
+    assert(!plan.contains("SortMergeJoin"), s"catalog side must not sort-merge:\n${plan.take(3000)}")
+    assert(!plan.contains("hashpartitioning(h#") && !plan.contains("hashpartitioning(len#") &&
+      !plan.contains("hashpartitioning(band#") && !plan.contains("hashpartitioning(bh#"),
+      s"signature keys must not shuffle:\n${plan.take(3000)}")
+    assert(plan.contains("BroadcastHashJoin"), "shard signatures must broadcast")
+  }
+
   test("deterministic sampling: monotone rates, partition-independent, ~uniform") {
     val ids = spark.range(20000).select($"id".as("doc_id"))
     def sample(pm: Int) =
