@@ -316,16 +316,19 @@ object SparkEntry {
           size(winnow_fp(col("text"), lit(8), lit(4))).as("n_fingerprints"))
     }),
     "q32_ann_ivf" -> ((s, dir) => {
-      // IVF with nprobe = nlist is exactly brute force (every list probed);
-      // oracled with the same SQL as q17 — this exercises the narrow-argmax
-      // assignment + probe machinery end-to-end under the driver gate
+      // the TRAINED IVF path: k-means centroids + inverted file persisted,
+      // then queried. nprobe = nlist is exactly brute force INDEPENDENT of
+      // training quality (every list probed), so the oracle is q17's SQL —
+      // this exercises train → persist → reuse end-to-end under the gate
       registerAll(s)
       val embs = s.read.parquet(t(dir, "embeddings"))
+      val idx = java.nio.file.Files.createTempDirectory("graft_q32").toString + "/ivf"
+      Similarity.trainIvf(embs.select(col("vec_id"), col("embedding")),
+        "vec_id", "embedding", idx, nlist = 8, maxIter = 3)
       val qs = embs.where(col("vec_id") < 20)
         .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
-      Similarity.ivfTopK(qs, "qid", "qvec",
-          embs.select(col("vec_id"), col("embedding")), "vec_id", "embedding",
-          k = 3, nlist = 8, nprobe = 8)
+      Similarity.ivfTopKWith(qs, "qid", "qvec", idx, "vec_id", "embedding",
+          k = 3, nprobe = 8)
         .select(col("qid"), col("vec_id"), col("rank"))
     }),
     "q34_random_roundtrip" -> ((s, dir) => {

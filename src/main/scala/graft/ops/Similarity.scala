@@ -50,60 +50,171 @@ object Similarity {
       .select(col(qid), col(cid), col("cosine"), col("rank"))
   }
 
+  // -------------------------------------------------------------------- IVF
+
+  /** The nlist corpus vectors with the smallest xxhash64(id) — the
+    * deterministic (partitioning-independent) centroid draw used both as
+    * the ad-hoc quantizer and as k-means initialization. */
+  private def hashDrawCentroids(corpus: DataFrame, cid: String, cvec: String,
+                                nlist: Int): Array[Array[Float]] = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    corpus.select(col(cid).cast("string").as("__k"), col(cvec).as("__v"))
+      .withColumn("__h", xxhash64(col("__k")))
+      .orderBy("__h").limit(nlist)
+      .select("__v").as[Array[Float]].collect()
+  }
+
+  /** Nearest-centroid argmax over a LITERAL centroid array — a narrow map,
+    * zero shuffle of the corpus (the centroid table rides into every task as
+    * the literal; no exchange, no join). Strict > keeps the smallest list
+    * index on cosine ties, matching the probe order below. */
+  private def bestList(centArr: Column, nl: Int, vec: Column): Column = aggregate(
+    sequence(lit(0), lit(nl - 1)),
+    struct(lit(-2.0).as("s"), lit(0).as("i")),
+    (acc, i) => {
+      val sim = vec_cosine(vec, element_at(centArr, i + 1))
+      when(sim > acc.getField("s"), struct(sim.as("s"), i.as("i"))).otherwise(acc)
+    }).getField("i")
+
+  /** Top-nprobe nearest lists of a query vector (desc sim, asc list) as an
+    * int array — also a narrow map. */
+  private def probeLists(centArr: Column, nl: Int, vec: Column, nprobe: Int): Column = {
+    val scored = transform(sequence(lit(0), lit(nl - 1)),
+      i => struct(vec_cosine(vec, element_at(centArr, i + 1)).as("s"), i.as("i")))
+    val ordered = array_sort(scored, (a, b) =>
+      when(a.getField("s") > b.getField("s"), -1)
+        .when(a.getField("s") < b.getField("s"), 1)
+        .otherwise(a.getField("i") - b.getField("i")))
+    transform(slice(ordered, 1, math.min(nprobe, nl)), _.getField("i"))
+  }
+
+  private def centroidLit(cents: Array[Array[Float]]): Column =
+    typedlit(cents.map(_.toSeq).toSeq)
+
   /** IVF (inverted-file) top-k — the other scale path: a deterministic
     * coarse quantizer (nlist centroids drawn from the corpus by id hash)
     * partitions the corpus into lists; each query probes its `nprobe`
-    * nearest lists only. The centroid table is tiny and BROADCAST; corpus
-    * assignment is one narrow map; candidate fan-in per query is
+    * nearest lists only. The centroid table is tiny and rides as a literal;
+    * corpus assignment is one narrow map; candidate fan-in per query is
     * ~ corpus x nprobe/nlist. With nprobe = nlist this is exactly brute
-    * force (tested).
+    * force (tested). Hash-drawn centroids give UNBALANCED lists on
+    * clustered data (the common embedding distribution) — [[trainIvf]] +
+    * [[ivfTopKWith]] is the production path.
     */
   def ivfTopK(
       queries: DataFrame, qid: String, qvec: String,
       corpus: DataFrame, cid: String, cvec: String,
       k: Int, nlist: Int = 16, nprobe: Int = 4): DataFrame = {
-    val spark = corpus.sparkSession
-    import spark.implicits._
-    // deterministic centroid draw: the nlist corpus vectors with the
-    // smallest xxhash64(id) — stable across runs and partitionings
-    val centroids = corpus
-      .select(col(cid).cast("string").as("__k"), col(cvec).as("__v"))
-      .withColumn("__h", xxhash64(col("__k")))
-      .orderBy("__h").limit(nlist)
-      .select("__v").as[Array[Float]].collect()
+    val centroids = hashDrawCentroids(corpus, cid, cvec, nlist)
     val nl      = centroids.length
-    // the centroid table rides into every task as a LITERAL array (it IS the
-    // broadcast — nlist rows of data, no exchange, no join)
-    val centArr = typedlit(centroids.map(_.toSeq).toSeq)
-
-    // corpus side: nearest-centroid assignment as a narrow argmax over the
-    // literal centroid array — zero shuffle of the corpus (the previous
-    // crossJoin + Window.partitionBy(cid) formulation exchanged
-    // corpus × nlist rows on the corpus id: a full-corpus shuffle, the
-    // scale-killer at 10^12 rows). Strict > keeps the smallest list index
-    // on cosine ties, matching the window's (desc sim, asc list) order.
-    def bestList(vec: Column): Column = aggregate(
-      sequence(lit(0), lit(nl - 1)),
-      struct(lit(-2.0).as("s"), lit(0).as("i")),
-      (acc, i) => {
-        val sim = vec_cosine(vec, element_at(centArr, i + 1))
-        when(sim > acc.getField("s"), struct(sim.as("s"), i.as("i"))).otherwise(acc)
-      }).getField("i")
-    val assigned = corpus.withColumn("__list", bestList(col(cvec)))
-
-    // query side: top-nprobe lists, also narrow — score every centroid,
-    // sort (desc sim, asc list), take nprobe, explode
-    val scored = transform(sequence(lit(0), lit(nl - 1)),
-      i => struct(vec_cosine(col(qvec), element_at(centArr, i + 1)).as("s"), i.as("i")))
-    val ordered = array_sort(scored, (a, b) =>
-      when(a.getField("s") > b.getField("s"), -1)
-        .when(a.getField("s") < b.getField("s"), 1)
-        .otherwise(a.getField("i") - b.getField("i")))
+    val centArr = centroidLit(centroids)
+    val assigned = corpus.withColumn("__list", bestList(centArr, nl, col(cvec)))
     val probes = queries.withColumn("__list",
-      explode(transform(slice(ordered, 1, math.min(nprobe, nl)), _.getField("i"))))
-
+      explode(probeLists(centArr, nl, col(qvec), nprobe)))
     val w = Window.partitionBy(col(qid)).orderBy(col("cosine").desc, col(cid))
     probes.join(assigned, Seq("__list"))
+      .withColumn("cosine", vec_cosine(col(qvec), col(cvec)))
+      .withColumn("rank", row_number().over(w)).where(col("rank") <= k)
+      .select(col(qid), col(cid), col("cosine"), col("rank"))
+  }
+
+  /** TRAIN an IVF index (Lloyd's k-means) and persist it for reuse across
+    * query batches — real IVF trains once, queries many times, instead of
+    * re-drawing centroids per call. Per round: nearest-centroid assignment
+    * is the same narrow literal-argmax as [[ivfTopK]] (zero corpus
+    * exchange); the per-dimension means shuffle only (list, dim) partial
+    * sums — nlist x dim cells of map-side-combined aggregate, independent
+    * of corpus size; the driver materializes nlist x dim doubles per round
+    * (the convergence check, inherently iterative). Stops early when no
+    * centroid moves more than `tol` (L2). Layout under `indexPath`:
+    *   - `centroids`  (list int, centroid array<float>)
+    *   - `lists`      the corpus with a `list` column, partitioned by list —
+    *                  the inverted file itself, so [[ivfTopKWith]] never
+    *                  touches the raw corpus again
+    * Train on a sample for very large corpora (assignments are still written
+    * for the full `corpus`). Returns the final list sizes (diagnostics). */
+  def trainIvf(
+      corpus: DataFrame, cid: String, cvec: String,
+      indexPath: String, nlist: Int = 16, maxIter: Int = 10,
+      tol: Double = 1e-4): Map[Int, Long] = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val src = corpus.select(col(cid), col(cvec)).localCheckpoint()
+    var cents = hashDrawCentroids(src, cid, cvec, nlist)
+    val nl = cents.length
+    var iter = 0
+    var moved = Double.MaxValue
+    while (iter < maxIter && moved > tol) {
+      val centArr = centroidLit(cents)
+      val assigned = src.withColumn("__list", bestList(centArr, nl, col(cvec)))
+      // per-dim means: (list, dim) keyed partial agg — nlist x dim cells
+      val means = assigned
+        .select(col("__list"), posexplode(col(cvec)))
+        .groupBy(col("__list"), col("pos"))
+        .agg(avg(col("col")).as("m"))
+        .collect()
+      val next = cents.map(_.clone())
+      val captured = Array.fill(nl)(false)
+      means.foreach { r =>
+        next(r.getAs[Int]("__list"))(r.getAs[Int]("pos")) = r.getAs[Double]("m").toFloat
+        captured(r.getAs[Int]("__list")) = true
+      }
+      // EMPTY-LIST RESEED (the faiss discipline): a list that captured no
+      // vectors stagnates forever under plain Lloyd (measured: two clusters
+      // merge into one 2x list while a centroid starves). Reseed each empty
+      // list with the corpus vector FARTHEST from its assigned centroid
+      // (lowest cosine; min-id tie-break ⇒ deterministic) — a member of an
+      // under-covered cluster — and keep iterating.
+      val emptyLists = (0 until nl).filterNot(captured)
+      if (emptyLists.nonEmpty && iter < maxIter - 1) {
+        val far = assigned
+          .withColumn("__sim", vec_cosine(col(cvec), element_at(centArr, col("__list") + 1)))
+          .orderBy(col("__sim").asc, col(cid))
+          .limit(emptyLists.size)
+          .select(col(cvec)).as[Array[Float]].collect()
+        emptyLists.zip(far).foreach { case (e, v) => next(e) = v.clone() }
+        moved = Double.MaxValue // reseeded: force another round
+      } else {
+        moved = cents.zip(next).map { case (a, b) =>
+          math.sqrt(a.zip(b).map { case (x, y) => (x - y).toDouble * (x - y) }.sum)
+        }.max
+      }
+      cents = next
+      iter += 1
+    }
+    val centArr = centroidLit(cents)
+    cents.zipWithIndex.map { case (c, i) => (i, c.toSeq) }.toSeq
+      .toDF("list", "centroid")
+      .select(col("list"), col("centroid").cast("array<float>"))
+      .coalesce(1).write.mode("overwrite").parquet(s"$indexPath/centroids")
+    val assigned = corpus.withColumn("list", bestList(centArr, nl, col(cvec)))
+    assigned.write.mode("overwrite").partitionBy("list").parquet(s"$indexPath/lists")
+    spark.read.parquet(s"$indexPath/lists").groupBy("list").count()
+      .as[(Int, Long)].collect().toMap
+  }
+
+  /** Query a trained, persisted IVF index: probes join the inverted-file
+    * parquet directly (partition-pruned by `list` when nprobe is small) —
+    * the corpus never re-shuffles and centroids are nlist stored rows.
+    * `cid`/`cvec` name the corpus columns as written by [[trainIvf]].
+    * nprobe = nlist ≡ brute force, independent of training quality. */
+  def ivfTopKWith(
+      queries: DataFrame, qid: String, qvec: String,
+      indexPath: String, cid: String, cvec: String,
+      k: Int, nprobe: Int = 4): DataFrame = {
+    val spark = queries.sparkSession
+    import spark.implicits._
+    val cents = spark.read.parquet(s"$indexPath/centroids")
+      .orderBy("list").select("centroid").as[Array[Float]].collect()
+    val nl      = cents.length
+    val centArr = centroidLit(cents)
+    val lists   = spark.read.parquet(s"$indexPath/lists")
+      .withColumnRenamed("list", "__list")
+    val probes = queries.withColumn("__list",
+      explode(probeLists(centArr, nl, col(qvec), nprobe)))
+    val w = Window.partitionBy(col(qid)).orderBy(col("cosine").desc, col(cid))
+    probes.join(lists, Seq("__list"))
       .withColumn("cosine", vec_cosine(col(qvec), col(cvec)))
       .withColumn("rank", row_number().over(w)).where(col("rank") <= k)
       .select(col(qid), col(cid), col("cosine"), col("rank"))

@@ -33,6 +33,43 @@ class SessionIvfSpec extends AnyFunSuite {
     assert(hits >= 90, s"IVF recall $hits/100 < 90 (twin lives in the probed list)")
   }
 
+  test("trained IVF: persisted index ≡ brute force at nprobe=nlist; k-means balances lists") {
+    // clustered synthetic corpus — the common embedding distribution where
+    // hash-drawn centroids skew: 8 tight clusters of very different sizes
+    // would still balance better under Lloyd rounds than under the raw draw
+    def mix(i: Long): Double = (graft.ops.TextKernels.mix64(i) & 0xffffL).toDouble / 0xffffL
+    val corpus = spark.range(800).select($"id".as("vec_id"),
+      transform(sequence(lit(0), lit(7)), d => {
+        // cluster center = one-hot-ish on (id % 8); small deterministic noise
+        val c = pmod($"id", lit(8))
+        (when(d === c, lit(4.0)).otherwise(lit(0.0)) +
+          pmod(xxhash64($"id", d), lit(1000)).cast("double") / 5000.0).cast("float")
+      }).as("embedding")).localCheckpoint()
+    val idx = java.nio.file.Files.createTempDirectory("graft_ivf").toString + "/ivf"
+    val sizes = Similarity.trainIvf(corpus, "vec_id", "embedding", idx,
+      nlist = 8, maxIter = 8)
+    // Lloyd rounds must spread the lists over the clusters: bounded skew
+    // (a raw hash draw on clustered data routinely doubles/zeroes lists)
+    val mx = sizes.values.max.toDouble
+    val mean = sizes.values.sum.toDouble / sizes.size
+    assert(sizes.size == 8 && mx / mean <= 2.0,
+      s"trained lists unbalanced: $sizes (max/mean ${mx / mean})")
+    // the trained, persisted index at nprobe = nlist is exactly brute force
+    val qs = corpus.limit(12).select($"vec_id".as("qid"), $"embedding".as("qvec"))
+    val trained = Similarity.ivfTopKWith(qs, "qid", "qvec", idx,
+      "vec_id", "embedding", k = 4, nprobe = 8).select("qid", "vec_id", "rank")
+    val brute = Similarity.bruteForceTopK(qs, "qid", "qvec",
+      corpus, "vec_id", "embedding", k = 4).select("qid", "vec_id", "rank")
+    assert(trained.exceptAll(brute).isEmpty && brute.exceptAll(trained).isEmpty)
+    // reuse: a second query batch hits the same persisted index, no retrain
+    val qs2 = corpus.where($"vec_id" % 97 === 0)
+      .select($"vec_id".as("qid"), $"embedding".as("qvec"))
+    val r2 = Similarity.ivfTopKWith(qs2, "qid", "qvec", idx,
+      "vec_id", "embedding", k = 1, nprobe = 2)
+    // tight clusters: nprobe 2 must find the query itself at rank 1
+    assert(r2.where($"rank" === 1 && $"qid" === $"vec_id").count() == qs2.count())
+  }
+
   test("streaming exact dedup: first occurrence per text survives, narrow state key") {
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
       .select($"doc_id", $"text")
