@@ -616,6 +616,15 @@ object SparkEntry {
         .select(col("doc_id").as("id_a"), (col("doc_id") + 1L).as("id_b"))
       Dedup.clusters(e1.unionByName(e2).unionByName(e3), "id", universe = Some(ids))
     }),
+    "q51_area_m2" -> ((s, dir) => {
+      // geodesic area: for axis-aligned boxes the linear-edge spherical
+      // integral reduces EXACTLY to the spherical zone R²·Δλ·(sinφn − sinφs),
+      // which the oracle computes in closed form; rounded at 2dp of km² so
+      // libm ulp differences between engines cannot flip the hash
+      registerAll(s)
+      regionPolys(s, dir).select(col("r_regionkey"),
+        round(st_area_m2(col("geom")) / 1e6, 2).as("area_km2"))
+    }),
     "q50_catalog_dedup" -> ((s, dir) => {
       // incremental dedup vs a persisted signature catalog: the corpus is
       // cataloged once, then a NEW shard (fresh ids) re-contains every
@@ -834,6 +843,12 @@ object SparkEntry {
         |  '","rank":' || CAST(n_nationkey * 2 AS BIGINT) ||
         |  '},"extra":{"v":1}}' AS doc
         |FROM nation""".stripMargin,
+    "q51_area_m2" ->
+      s"""WITH box AS ($regionBoxesSql)
+         |SELECT r_regionkey,
+         |  round(6371008.8 * 6371008.8 * (radians(e) - radians(w)) *
+         |        (sin(radians(n)) - sin(radians(s))) / 1e6, 2) AS area_km2
+         |FROM box""".stripMargin,
     "q50_catalog_dedup" ->
       """SELECT doc_id + 40000 AS doc_id,
         |  'fresh shard doc ' || doc_id || ' ' || text AS text

@@ -462,6 +462,76 @@ object GeoAlgo {
     case _ => (coords(posOff(0)), coords(posOff(0) + 1))
   }
 
+  /** Signed spherical line integral R² ∮ sin(φ) dλ of ring [start, end),
+    * with edges LINEAR IN (lng, lat) — the same edge model as
+    * [[pointInRings]]/[[contains]], so "the area of what st_contains
+    * considers inside". For an edge (λ1,φ1)→(λ2,φ2) the exact integral is
+    *   (λ2−λ1) · sin((φ1+φ2)/2) · sinc((φ2−φ1)/2)
+    * (from cos φ1 − cos φ2 = 2 sin((φ1+φ2)/2) sin((φ2−φ1)/2) — cancellation-
+    * free as φ2 → φ1, where it degenerates to the constant-latitude strip
+    * (λ2−λ1)·sin φ). Longitudes are unwrapped cumulatively (antimeridian).
+    * Exactly R²·Δλ·(sin φn − sin φs) for axis-aligned boxes (the spherical
+    * zone), and invariant under vertex densification — the discrete
+    * Chamberlain-Duquette trapezoid formula is neither. */
+  private def ringAreaM2(coords: Array[Double], posOff: Array[Int], start: Int, end: Int): Double = {
+    val n = end - start
+    if (n < 3) return 0.0
+    var sum  = 0.0
+    var lam1 = math.toRadians(coords(posOff(start)))
+    var phi1 = math.toRadians(coords(posOff(start) + 1))
+    val lam0 = lam1
+    val phi0 = phi1
+    var i = 1
+    while (i <= n) {
+      var lam2 = 0.0; var phi2 = 0.0
+      if (i < n) {
+        // unwrap: shift λ2 to within 180° of λ1
+        var raw = math.toRadians(coords(posOff(start + i)))
+        var d   = raw - lam1
+        while (d > math.Pi) { raw -= 2 * math.Pi; d = raw - lam1 }
+        while (d < -math.Pi) { raw += 2 * math.Pi; d = raw - lam1 }
+        lam2 = raw; phi2 = math.toRadians(coords(posOff(start + i) + 1))
+      } else {
+        // closing edge back to the (unwrap-adjusted) first vertex — a no-op
+        // for already-closed GeoJSON rings
+        var raw = lam0
+        var d   = raw - lam1
+        while (d > math.Pi) { raw -= 2 * math.Pi; d = raw - lam1 }
+        while (d < -math.Pi) { raw += 2 * math.Pi; d = raw - lam1 }
+        lam2 = raw; phi2 = phi0
+      }
+      val dphi = phi2 - phi1
+      val half = dphi / 2.0
+      val sinc = if (half == 0.0) 1.0 else math.sin(half) / half
+      sum += (lam2 - lam1) * math.sin((phi1 + phi2) / 2.0) * sinc
+      lam1 = lam2; phi1 = phi2
+      i += 1
+    }
+    EarthRadiusM * EarthRadiusM * sum
+  }
+
+  /** Geodesic (spherical) polygon area in m²: |shell| − Σ|holes| per part,
+    * matching [[area]]'s JTS hole convention; non-areal types → 0. Edges are
+    * linear in degree space (see [[ringAreaM2]]); the spherical-excess error
+    * of treating the reference ellipsoid as a sphere is ≤ ~0.5%. */
+  def areaM2(gtype: Int, coords: Array[Double], posOff: Array[Int],
+             ringOff: Array[Int], partOff: Array[Int]): Double = gtype match {
+    case 5 | 6 =>
+      var total = 0.0
+      var p = 0
+      while (p < partOff.length - 1) {
+        var r = partOff(p)
+        while (r < partOff(p + 1)) {
+          val a = math.abs(ringAreaM2(coords, posOff, ringOff(r), ringOff(r + 1)))
+          total += (if (r == partOff(p)) a else -a)
+          r += 1
+        }
+        p += 1
+      }
+      total
+    case _ => 0.0
+  }
+
   /** Great-circle path length in metres: sum of haversine segments of every
     * line/ring (for polygons this is the perimeter). Points → 0. */
   def lengthMeters(gtype: Int, coords: Array[Double], posOff: Array[Int],

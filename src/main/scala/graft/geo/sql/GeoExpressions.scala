@@ -531,6 +531,30 @@ case class StArea(child: Expression) extends GeoExpression {
   override protected def withNewChildrenInternal(c: IndexedSeq[Expression]) = copy(c(0))
 }
 
+/** `st_area_m2(geom)` → GEODESIC (spherical) area in square metres — the
+  * metric twin of the planar [[StArea]], next to [[StLengthM]]'s metric
+  * length. Exact line integral R²∮sin(φ)dλ with edges linear in degree
+  * space (the engine's st_contains edge model); |shell| − Σ|holes|;
+  * collections sum their areal children; non-areal → 0. */
+case class StAreaM2(child: Expression) extends GeoExpression {
+  override def children: Seq[Expression] = Seq(child)
+  override def dataType: DataType        = DoubleType
+  override protected def evalNotNull(v: Array[Any]): Any = {
+    val r = v(0).asInstanceOf[InternalRow]
+    if (GeomAccess.gtype(r) == GType.Collection)
+      GeomAccess.childStrings(r).map { s =>
+        val g = GeoJsonCodec.geometryOfJson(JValue.parseUnsafe(s))
+          .fold(e => throw new IllegalArgumentException(e), identity)
+        StAreaM2(Literal(GeoStruct.packGeometry(g), GeoStruct.geometryType))
+          .eval(null).asInstanceOf[Double]
+      }.sum
+    else
+      GeoAlgo.areaM2(GeomAccess.gtype(r), GeomAccess.coords(r), GeomAccess.posOff(r),
+        GeomAccess.ringOff(r), GeomAccess.partOff(r))
+  }
+  override protected def withNewChildrenInternal(c: IndexedSeq[Expression]) = copy(c(0))
+}
+
 /** `st_length_m(geom)` → great-circle metres of all segments (perimeter for
   * polygons). */
 case class StLengthM(child: Expression) extends GeoExpression {

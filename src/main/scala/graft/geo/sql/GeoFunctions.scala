@@ -32,6 +32,7 @@ object GeoFunctions {
     "st_bbox"           -> (es => StBBox(es.head)),
     "st_centroid"       -> (es => StCentroid(es.head)),
     "st_area"           -> (es => StArea(es.head)),
+    "st_area_m2"        -> (es => StAreaM2(es.head)),
     "st_length_m"       -> (es => StLengthM(es.head)),
     "st_geometry_type"  -> (es => StGeometryType(es.head)),
     "haversine"         -> (es => Haversine(es(0), es(1), es(2), es(3))),
@@ -87,6 +88,7 @@ object GeoFunctions {
   def st_bbox(geom: Column): Column          = call_function("st_bbox", geom)
   def st_centroid(geom: Column): Column      = call_function("st_centroid", geom)
   def st_area(geom: Column): Column          = call_function("st_area", geom)
+  def st_area_m2(geom: Column): Column       = call_function("st_area_m2", geom)
   def st_length_m(geom: Column): Column      = call_function("st_length_m", geom)
   def st_geometry_type(geom: Column): Column = call_function("st_geometry_type", geom)
   def haversine(lng1: Column, lat1: Column, lng2: Column, lat2: Column): Column =

@@ -138,6 +138,76 @@ class MeasuresSpec extends AnyFunSuite {
     assert(per > 4.4e5 && per < 4.5e5, s"unit-square perimeter ≈ 444.8 km, got $per")
   }
 
+  def areaM2(json: String): Double = {
+    val r = packed(json)
+    GeoAlgo.areaM2(GeomAccess.gtype(r), GeomAccess.coords(r),
+      GeomAccess.posOff(r), GeomAccess.ringOff(r), GeomAccess.partOff(r))
+  }
+
+  test("st_area_m2: boxes equal the closed-form spherical zone") {
+    val R = GeoAlgo.EarthRadiusM
+    for ((w, s, e, n) <- Seq((-170.0, -60.0, -130.0, -25.0), (0.0, 0.0, 1.0, 1.0),
+      (100.0, 70.0, 140.0, 89.0), (-10.0, -89.0, 10.0, -80.0))) {
+      val json = s"""{"type":"Polygon","coordinates":[[[$w,$s],[$e,$s],[$e,$n],[$w,$n],[$w,$s]]]}"""
+      val want = R * R * math.toRadians(e - w) *
+        (math.sin(math.toRadians(n)) - math.sin(math.toRadians(s)))
+      val got = areaM2(json)
+      assert(math.abs(got - want) <= 1e-9 * want, s"box ($w,$s,$e,$n): $got vs $want")
+    }
+  }
+
+  test("st_area_m2: invariant under vertex densification (exact linear-edge integral)") {
+    // the exact integral of sin(φ)dλ along a linear-in-(lng,lat) edge does
+    // not change when the edge is subdivided — the discrete trapezoid
+    // (Chamberlain-Duquette) formula fails this on sloped edges
+    def densify(ring: Seq[(Double, Double)], k: Int): Seq[(Double, Double)] =
+      ring.sliding(2).flatMap { case Seq((x1, y1), (x2, y2)) =>
+        (0 until k).map(j => (x1 + (x2 - x1) * j / k, y1 + (y2 - y1) * j / k))
+      }.toSeq :+ ring.last
+    for (_ <- 1 to 50) {
+      val ring = randomRing(rng.nextDouble() * 300 - 150, rng.nextDouble() * 120 - 60,
+        5 + rng.nextInt(8), 1 + rng.nextDouble() * 15)
+      val a1 = areaM2(s"""{"type":"Polygon","coordinates":[${ringJson(ring)}]}""")
+      val a2 = areaM2(s"""{"type":"Polygon","coordinates":[${ringJson(densify(ring, 7))}]}""")
+      assert(math.abs(a1 - a2) <= 1e-9 * math.max(1.0, a1), s"densify changed area: $a1 -> $a2")
+    }
+  }
+
+  test("st_area_m2: tiny polygons approach planar area x cos(lat), holes subtract, parts add") {
+    // local flatness: a small polygon's spherical area ≈ planar deg² area
+    // scaled by (πR/180)² cos(φ)
+    val scale = math.pow(math.Pi * GeoAlgo.EarthRadiusM / 180.0, 2)
+    for (_ <- 1 to 50) {
+      val cy = rng.nextDouble() * 120 - 60
+      val ring = randomRing(rng.nextDouble() * 300 - 150, cy, 6 + rng.nextInt(6), 0.01)
+      val json = s"""{"type":"Polygon","coordinates":[${ringJson(ring)}]}"""
+      val (_, _, planar) = measure(json)
+      val approx = planar * scale * math.cos(math.toRadians(cy))
+      val got = areaM2(json)
+      assert(math.abs(got - approx) <= 2e-3 * approx, s"tiny at lat $cy: $got vs $approx")
+    }
+    // holes subtract exactly
+    val shell = """[[0.0,0.0],[10.0,0.0],[10.0,10.0],[0.0,10.0],[0.0,0.0]]"""
+    val hole  = """[[4.0,4.0],[6.0,4.0],[6.0,6.0],[4.0,6.0],[4.0,4.0]]"""
+    val a  = areaM2(s"""{"type":"Polygon","coordinates":[$shell]}""")
+    val h  = areaM2(s"""{"type":"Polygon","coordinates":[$hole]}""")
+    val ah = areaM2(s"""{"type":"Polygon","coordinates":[$shell,$hole]}""")
+    assert(math.abs(ah - (a - h)) <= 1e-9 * a)
+    // MultiPolygon adds parts
+    val mp = areaM2(s"""{"type":"MultiPolygon","coordinates":[[$shell],[[[20.0,0.0],[30.0,0.0],[30.0,10.0],[20.0,10.0],[20.0,0.0]]]]}""")
+    assert(math.abs(mp - 2 * a) <= 1e-6 * a)
+    // non-areal -> 0
+    assert(areaM2("""{"type":"LineString","coordinates":[[0,0],[1,1]]}""") == 0.0)
+  }
+
+  test("st_area_m2: antimeridian-crossing ring gets the small (unwrapped) area") {
+    // a 20°-wide box straddling ±180 must measure like its shifted twin, not
+    // like the 340° complement
+    val seam = areaM2("""{"type":"Polygon","coordinates":[[[170.0,-10.0],[-170.0,-10.0],[-170.0,10.0],[170.0,10.0],[170.0,-10.0]]]}""")
+    val twin = areaM2("""{"type":"Polygon","coordinates":[[[-10.0,-10.0],[10.0,-10.0],[10.0,10.0],[-10.0,10.0],[-10.0,-10.0]]]}""")
+    assert(math.abs(seam - twin) <= 1e-9 * twin, s"seam $seam vs twin $twin")
+  }
+
   test("expressions registered and usable from SQL") {
     val spark = graft.SparkTestBase.spark
     val row = spark.sql(
