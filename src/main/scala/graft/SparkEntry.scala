@@ -616,6 +616,26 @@ object SparkEntry {
         .select(col("doc_id").as("id_a"), (col("doc_id") + 1L).as("id_b"))
       Dedup.clusters(e1.unionByName(e2).unionByName(e3), "id", universe = Some(ids))
     }),
+    "q52_line_intersects" -> ((s, dir) => {
+      // LINE-polygon intersects join: axis-aligned segments (horizontal for
+      // even keys, vertical for odd) vs the region boxes — both reduce to
+      // exact interval arithmetic in SQL. Fractional parts .997/.003 vs the
+      // boxes' .995/.005 guarantee strict crossing-or-disjoint (no touches).
+      registerAll(s)
+      val a = regionPolys(s, dir)
+      val l0 = s.read.parquet(t(dir, "nation"))
+        .withColumn("x1", (col("n_nationkey") * 41 % 320).cast("double") - 170.003)
+        .withColumn("y1", (col("n_nationkey") * 13 % 130).cast("double") - 65.003)
+        .withColumn("horiz", col("n_nationkey") % 2 === 0)
+        .withColumn("x2", when(col("horiz"), col("x1") + 30.0).otherwise(col("x1")))
+        .withColumn("y2", when(col("horiz"), col("y1")).otherwise(col("y1") + 25.0))
+      val ljson = concat(lit("""{"type":"LineString","coordinates":[["""),
+        col("x1").cast("string"), lit(","), col("y1").cast("string"), lit("],["),
+        col("x2").cast("string"), lit(","), col("y2").cast("string"), lit("]]}"))
+      val lines = l0.select(col("n_nationkey"), from_geojson_geom(ljson).as("geom"))
+      SpatialJoins.intersectsJoin(a, "r_regionkey", "geom",
+        lines, "n_nationkey", "geom", minLevel = 2, maxLevel = 8)
+    }),
     "q51_area_m2" -> ((s, dir) => {
       // geodesic area: for axis-aligned boxes the linear-edge spherical
       // integral reduces EXACTLY to the spherical zone R²·Δλ·(sinφn − sinφs),
@@ -843,6 +863,15 @@ object SparkEntry {
         |  '","rank":' || CAST(n_nationkey * 2 AS BIGINT) ||
         |  '},"extra":{"v":1}}' AS doc
         |FROM nation""".stripMargin,
+    "q52_line_intersects" ->
+      s"""WITH box AS ($regionBoxesSql),
+         |l AS (SELECT n_nationkey,
+         |  (n_nationkey * 41 % 320) - 170.003 AS x1,
+         |  (n_nationkey * 13 % 130) - 65.003 AS y1,
+         |  n_nationkey % 2 = 0 AS horiz FROM nation)
+         |SELECT b.r_regionkey, l.n_nationkey FROM box b, l
+         |WHERE (horiz AND y1 > b.s AND y1 < b.n AND x1 < b.e AND x1 + 30.0 > b.w)
+         |   OR ((NOT horiz) AND x1 > b.w AND x1 < b.e AND y1 < b.n AND y1 + 25.0 > b.s)""".stripMargin,
     "q51_area_m2" ->
       s"""WITH box AS ($regionBoxesSql)
          |SELECT r_regionkey,

@@ -181,15 +181,28 @@ object GeoAlgo {
       (d4 == 0 && onSeg(ax, ay, bx, by, dx, dy))
   }
 
-  /** Areal-areal intersects over two packed (Multi)Polygons. True iff a
-    * vertex of one lies inside the other (holes honored via even-odd
-    * [[contains]]) or any boundary segments meet — which together cover
-    * containment, partial overlap, and boundary touching. Non-areal gtypes
-    * → false. Boundary segments include the implicit closing edge of
-    * unclosed rings. O(edgesA × edgesB) — exact refinement for candidate
-    * pairs, not a scan primitive.
+  /** Dimension class of a gtype: 0 point sets, 1 lineal, 2 areal; -1 for
+    * collections (recursed before reaching the kernel). */
+  @inline private def dimOf(gt: Int): Int = gt match {
+    case 1 | 2 => 0
+    case 3 | 4 => 1
+    case 5 | 6 => 2
+    case _     => -1
+  }
+
+  /** General intersects over two packed geometries — every dimension pair:
+    * point/point (coordinate equality), point/line (on-segment), point/
+    * polygon (containment or boundary), line/line (any segment pair meets,
+    * incl. collinear overlap and endpoint touch), line/polygon (vertex
+    * inside or boundary crossing), polygon/polygon (vertex containment with
+    * holes honored via even-odd [[contains]], or any boundary segments
+    * meet). Paths contribute segments WITHOUT a closing edge; rings include
+    * the implicit closing edge; point sets contribute DEGENERATE (p, p)
+    * segments, for which the orientation tests reduce exactly to
+    * on-segment / equality. O(edgesA × edgesB) — exact refinement for
+    * candidate pairs, not a scan primitive.
     *
-    * Antimeridian: every ring is UNWRAPPED cumulatively (consecutive
+    * Antimeridian: every ring/path is UNWRAPPED cumulatively (consecutive
     * longitude deltas normalized to |Δ| <= 180, the same walk as
     * [[pointInRings]]' winding fallback; an identity for non-crossing
     * rings), holes are aligned to their shell's frame, and the planar test
@@ -197,10 +210,10 @@ object GeoAlgo {
     * cost nothing) — any true spherical contact, including touching at the
     * ±180 meridian between non-crossing halves, appears at some shift.
     */
-  def intersectsPolygonal(
+  def intersectsGeoms(
       gtA: Int, cA: Array[Double], pA: Array[Int], rA: Array[Int], fA: Array[Int],
       gtB: Int, cB: Array[Double], pB: Array[Int], rB: Array[Int], fB: Array[Int]): Boolean = {
-    if ((gtA != 5 && gtA != 6) || (gtB != 5 && gtB != 6)) return false
+    if (dimOf(gtA) < 0 || dimOf(gtB) < 0) return false
     val cA2 = unwrapParts(cA, pA, rA, fA)
     val cB2 = unwrapParts(cB, pB, rB, fB)
     // lon ranges for the shift guard
@@ -276,43 +289,75 @@ object GeoAlgo {
       gtA: Int, cA: Array[Double], pA: Array[Int], rA: Array[Int], fA: Array[Int],
       gtB: Int, cB: Array[Double], pB: Array[Int], rB: Array[Int], fB: Array[Int],
       shiftB: Double): Boolean = {
-    // vertex-in tests (first vertex of every ring is enough for containment
-    // without boundary crossing: if no edges meet, each ring lies wholly
-    // inside or outside)
-    var r = 0
-    while (r < rA.length - 1) {
-      val i = rA(r)
-      if (i < rA(r + 1) &&
-          contains(gtB, cB, pB, rB, fB, cA(pA(i)) - shiftB, cA(pA(i) + 1))) return true
-      r += 1
+    val dA = dimOf(gtA); val dB = dimOf(gtB)
+    // vertex-in-areal tests. For lines/polygons the FIRST vertex of every
+    // ring/path suffices for containment without boundary crossing (if no
+    // edges meet, each ring lies wholly inside or outside); point sets test
+    // EVERY position (each point is independent).
+    if (dB == 2) {
+      if (dA == 0) {
+        var i = 0
+        while (i < pA.length - 1) {
+          if (contains(gtB, cB, pB, rB, fB, cA(pA(i)) - shiftB, cA(pA(i) + 1))) return true
+          i += 1
+        }
+      } else {
+        var r = 0
+        while (r < rA.length - 1) {
+          val i = rA(r)
+          if (i < rA(r + 1) &&
+              contains(gtB, cB, pB, rB, fB, cA(pA(i)) - shiftB, cA(pA(i) + 1))) return true
+          r += 1
+        }
+      }
     }
-    r = 0
-    while (r < rB.length - 1) {
-      val i = rB(r)
-      if (i < rB(r + 1) &&
-          contains(gtA, cA, pA, rA, fA, cB(pB(i)) + shiftB, cB(pB(i) + 1))) return true
-      r += 1
+    if (dA == 2) {
+      if (dB == 0) {
+        var i = 0
+        while (i < pB.length - 1) {
+          if (contains(gtA, cA, pA, rA, fA, cB(pB(i)) + shiftB, cB(pB(i) + 1))) return true
+          i += 1
+        }
+      } else {
+        var r = 0
+        while (r < rB.length - 1) {
+          val i = rB(r)
+          if (i < rB(r + 1) &&
+              contains(gtA, cA, pA, rA, fA, cB(pB(i)) + shiftB, cB(pB(i) + 1))) return true
+          r += 1
+        }
+      }
     }
-    // any edge pair meets
+    // segment-segment over both sides' segment sets: paths have no closing
+    // edge, rings do, point sets degrade to (p, p) degenerate segments
     var ra = 0
     while (ra < rA.length - 1) {
       val sa = rA(ra); val ea = rA(ra + 1)
       var ia = sa
       while (ia < ea) {
-        val ja  = if (ia + 1 < ea) ia + 1 else sa // closing edge
-        val ax = cA(pA(ia)); val ay = cA(pA(ia) + 1)
-        val bx = cA(pA(ja)); val by = cA(pA(ja) + 1)
-        var rb = 0
-        while (rb < rB.length - 1) {
-          val sb = rB(rb); val eb = rB(rb + 1)
-          var ib = sb
-          while (ib < eb) {
-            val jb = if (ib + 1 < eb) ib + 1 else sb
-            if (segmentsIntersect(ax, ay, bx, by,
-                cB(pB(ib)) + shiftB, cB(pB(ib) + 1), cB(pB(jb)) + shiftB, cB(pB(jb) + 1))) return true
-            ib += 1
+        val ja = if (dA == 0) ia
+                 else if (ia + 1 < ea) ia + 1
+                 else if (dA == 2) sa
+                 else -1 // last vertex of a path: no closing edge
+        if (ja >= 0) {
+          val ax = cA(pA(ia)); val ay = cA(pA(ia) + 1)
+          val bx = cA(pA(ja)); val by = cA(pA(ja) + 1)
+          var rb = 0
+          while (rb < rB.length - 1) {
+            val sb = rB(rb); val eb = rB(rb + 1)
+            var ib = sb
+            while (ib < eb) {
+              val jb = if (dB == 0) ib
+                       else if (ib + 1 < eb) ib + 1
+                       else if (dB == 2) sb
+                       else -1
+              if (jb >= 0 && segmentsIntersect(ax, ay, bx, by,
+                  cB(pB(ib)) + shiftB, cB(pB(ib) + 1), cB(pB(jb)) + shiftB, cB(pB(jb) + 1)))
+                return true
+              ib += 1
+            }
+            rb += 1
           }
-          rb += 1
         }
         ia += 1
       }

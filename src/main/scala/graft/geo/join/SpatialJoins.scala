@@ -110,8 +110,11 @@ object SpatialJoins {
       .drop("__cell")
   }
 
-  /** Polygon-polygon intersects join (beyond the reference's surface): for
-    * every pair (a, b) whose geometries share any point.
+  /** Intersects join (beyond the reference's surface) for every pair (a, b)
+    * whose geometries share any point — any dimension pair: polygons,
+    * lines, points and their multis (the refinement kernel is the general
+    * [[graft.geo.algo.GeoAlgo.intersectsGeoms]]; covers come from per-ring
+    * wrapped boxes, which lines and point sets have too).
     *
     * Candidates: both sides take normalized multi-level covers. Quadtree
     * cell ranges are nested-or-disjoint, so two covers overlap iff some cell
@@ -120,7 +123,7 @@ object SpatialJoins {
     * `(A.cells ⋈ B.cells∪ancestors) ∪ (A.cells∪ancestors ⋈ B.cells)`,
     * two plain equi-joins, deduped on (aId, bId). Covers are O(perimeter) at
     * `maxLevel`; ancestor lifting adds × (levels). Refinement is the exact
-    * planar [[graft.geo.algo.GeoAlgo.intersectsPolygonal]] kernel
+    * planar [[graft.geo.algo.GeoAlgo.intersectsGeoms]] kernel
     * (`st_intersects`).
     *
     * @return one row per intersecting pair: aId, bId columns only.

@@ -59,7 +59,8 @@ object GeomAccess {
       }
     else GeoAlgo.ringWrappedBoxes(coords(r), posOff(r), ringOff(r))
 
-  /** Areal-areal intersects over packed rows (recursing into collections). */
+  /** General intersects over packed rows — any dimension pair (point/line/
+    * polygon); recurses into collections. */
   def intersects(a: InternalRow, b: InternalRow): Boolean = {
     if (gtype(a) == GType.Collection)
       return childStrings(a).exists { s =>
@@ -73,7 +74,7 @@ object GeomAccess {
           .fold(e => throw new IllegalArgumentException(e), identity)
         intersects(a, GeoStruct.packGeometry(g))
       }
-    GeoAlgo.intersectsPolygonal(
+    GeoAlgo.intersectsGeoms(
       gtype(a), coords(a), posOff(a), ringOff(a), partOff(a),
       gtype(b), coords(b), posOff(b), ringOff(b), partOff(b))
   }
@@ -423,9 +424,10 @@ case class StContains(geom: Expression, lng: Expression, lat: Expression)
     copy(f, s, t)
 }
 
-/** `st_intersects(geomA, geomB)` — planar areal-areal intersects (vertex
-  * containment or boundary contact; holes honored). Codegen-enabled: the
-  * intersects-join refinement hot path. */
+/** `st_intersects(geomA, geomB)` — planar intersects for EVERY dimension
+  * pair: point/line/polygon and their multis (vertex containment, boundary
+  * contact, segment crossing, collinear overlap; holes honored).
+  * Codegen-enabled: the intersects-join refinement hot path. */
 case class StIntersects(a: Expression, b: Expression) extends BinaryExpression {
   override def left: Expression  = a
   override def right: Expression = b

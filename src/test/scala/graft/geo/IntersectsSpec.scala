@@ -118,9 +118,11 @@ class IntersectsSpec extends AnyFunSuite {
     // multipolygon: one part hits
     val mp = g("""{"type":"MultiPolygon","coordinates":[[[[30,30],[31,30],[31,31],[30,31],[30,30]]],[[[1,1],[1.5,1],[1.5,1.5],[1,1.5],[1,1]]]]}""")
     assert(ix(outer, mp) && ix(mp, outer))
-    // non-areal args are false
+    // lineal args participate fully (the round-4 generalization replaced
+    // the old non-areal → false limitation): the diagonal crosses the solid
+    // part of the holed polygon
     val line = g("""{"type":"LineString","coordinates":[[0,0],[10,10]]}""")
-    assert(!ix(outer, line) && !ix(line, outer))
+    assert(ix(outer, line) && ix(line, outer))
   }
 
   test("st_intersects across the antimeridian (seam-crossing polygons)") {
@@ -178,6 +180,138 @@ class IntersectsSpec extends AnyFunSuite {
     val holed = g("""{"type":"Polygon","coordinates":[[[170,0],[-170,0],[-170,10],[170,10],[170,0]],[[175,3],[-178,3],[-178,7],[175,7],[175,3]]]}""")
     val inHole = g("""{"type":"Polygon","coordinates":[[[179,4],[-180,4],[-180,6],[179,6],[179,4]]]}""")
     assert(!ix(holed, inHole) && !ix(inHole, holed), "box inside the seam hole is disjoint")
+  }
+
+  test("st_intersects line cases match JTS on 400 random line/line + line/polygon pairs") {
+    val rng = new scala.util.Random(57)
+    def randomLine(cx: Double, cy: Double, n: Int, rad: Double): Vector[(Double, Double)] =
+      (0 until n).map { i =>
+        (cx + (rng.nextDouble() * 2 - 1) * rad + i * rad / 2,
+         cy + (rng.nextDouble() * 2 - 1) * rad)
+      }.toVector
+    def lineJson(pts: Vector[(Double, Double)]): String =
+      pts.map { case (x, y) => s"[$x,$y]" }.mkString("""{"type":"LineString","coordinates":[""", ",", "]}")
+    def jtsLine(pts: Vector[(Double, Double)]) =
+      gf.createLineString(pts.map { case (x, y) => new Coordinate(x, y) }.toArray)
+    var crossHits = 0; var polyHits = 0
+    (1 to 400).foreach { _ =>
+      val cx = rng.nextDouble() * 40 - 20
+      val cy = rng.nextDouble() * 30 - 15
+      val la = randomLine(cx, cy, 2 + rng.nextInt(5), 2.0)
+      // line-line: second line from overlapping to far
+      val far = if (rng.nextBoolean()) 1.0 else 8.0
+      val lb = randomLine(cx + rng.nextDouble() * far, cy + rng.nextDouble() * far,
+        2 + rng.nextInt(5), 2.0)
+      val oursLL = graft.geo.sql.GeomAccess.intersects(packed(lineJson(la)), packed(lineJson(lb)))
+      assert(oursLL == jtsLine(la).intersects(jtsLine(lb)),
+        s"line-line mismatch\nA=${lineJson(la)}\nB=${lineJson(lb)}")
+      if (oursLL) crossHits += 1
+      // line-polygon: crossing, wholly-inside and disjoint regimes
+      val poly = randomPoly(rng, cx + rng.nextDouble() * far, cy - rng.nextDouble() * far,
+        1.0, 4.0, 5 + rng.nextInt(7))
+      val oursLP = graft.geo.sql.GeomAccess.intersects(packed(lineJson(la)), packed(toJson(poly)))
+      val oursPL = graft.geo.sql.GeomAccess.intersects(packed(toJson(poly)), packed(lineJson(la)))
+      val jtsLP  = jtsLine(la).intersects(toJts(poly))
+      assert(oursLP == jtsLP && oursPL == jtsLP,
+        s"line-poly mismatch ours=($oursLP,$oursPL) jts=$jtsLP\nL=${lineJson(la)}\nP=${toJson(poly)}")
+      if (jtsLP) polyHits += 1
+    }
+    assert(crossHits > 40 && crossHits < 360, s"degenerate line-line sample: $crossHits")
+    assert(polyHits > 40 && polyHits < 360, s"degenerate line-poly sample: $polyHits")
+  }
+
+  test("st_intersects: line wholly inside polygon, on-boundary touch, points") {
+    val box = """{"type":"Polygon","coordinates":[[[0.0,0.0],[10.0,0.0],[10.0,10.0],[0.0,10.0],[0.0,0.0]]]}"""
+    def hit(a: String, b: String) =
+      graft.geo.sql.GeomAccess.intersects(packed(a), packed(b))
+    // wholly inside (no boundary contact): caught by vertex-in, not edges
+    assert(hit("""{"type":"LineString","coordinates":[[2.0,2.0],[3.0,7.0]]}""", box))
+    // crossing straight through (both endpoints outside)
+    assert(hit("""{"type":"LineString","coordinates":[[-5.0,5.0],[15.0,5.0]]}""", box))
+    // touching one boundary point only
+    assert(hit("""{"type":"LineString","coordinates":[[-5.0,5.0],[0.0,5.0]]}""", box))
+    // collinear overlap with an edge
+    assert(hit("""{"type":"LineString","coordinates":[[2.0,0.0],[8.0,0.0]]}""", box))
+    // inside the HOLE of a holed polygon: no intersection
+    val holed = """{"type":"Polygon","coordinates":[[[0.0,0.0],[10.0,0.0],[10.0,10.0],[0.0,10.0],[0.0,0.0]],[[3.0,3.0],[7.0,3.0],[7.0,7.0],[3.0,7.0],[3.0,3.0]]]}"""
+    assert(!hit("""{"type":"LineString","coordinates":[[4.0,4.0],[6.0,6.0]]}""", holed))
+    assert(hit("""{"type":"LineString","coordinates":[[4.0,4.0],[8.0,8.0]]}""", holed)) // exits the hole
+    // disjoint
+    assert(!hit("""{"type":"LineString","coordinates":[[20.0,20.0],[30.0,25.0]]}""", box))
+    // line-line: crossing, endpoint touch, collinear overlap, disjoint
+    val diag = """{"type":"LineString","coordinates":[[0.0,0.0],[10.0,10.0]]}"""
+    assert(hit(diag, """{"type":"LineString","coordinates":[[0.0,10.0],[10.0,0.0]]}"""))
+    assert(hit(diag, """{"type":"LineString","coordinates":[[10.0,10.0],[20.0,0.0]]}"""))
+    assert(hit(diag, """{"type":"LineString","coordinates":[[4.0,4.0],[6.0,6.0]]}"""))
+    assert(!hit(diag, """{"type":"LineString","coordinates":[[0.0,1.0],[9.0,10.0]]}"""))
+    // points: on-segment, in-polygon, equality, and misses
+    assert(hit("""{"type":"Point","coordinates":[5.0,5.0]}""", diag))
+    assert(hit("""{"type":"Point","coordinates":[5.0,5.0]}""", box))
+    assert(hit("""{"type":"Point","coordinates":[5.0,0.0]}""", box)) // on boundary
+    assert(!hit("""{"type":"Point","coordinates":[5.0,5.0]}""", holed)) // in the hole
+    assert(hit("""{"type":"MultiPoint","coordinates":[[50.0,50.0],[5.0,5.0]]}""", box))
+    assert(!hit("""{"type":"Point","coordinates":[11.0,5.0]}""", box))
+    assert(hit("""{"type":"Point","coordinates":[1.0,2.0]}""",
+      """{"type":"Point","coordinates":[1.0,2.0]}"""))
+    assert(!hit("""{"type":"Point","coordinates":[1.0,2.0]}""",
+      """{"type":"Point","coordinates":[1.0,2.1]}"""))
+    // MultiPoint positions are ISOLATED points, never a path: the "segment"
+    // between its members must not intersect anything
+    assert(!hit("""{"type":"MultiPoint","coordinates":[[-5.0,-5.0],[15.0,-5.0]]}""",
+      """{"type":"LineString","coordinates":[[5.0,-10.0],[5.0,0.0]]}"""))
+  }
+
+  test("st_intersects: the reference multilinestring fixture crosses the antimeridian") {
+    // the reference's own multilinestring.json carries a seam-crossing line
+    // ([[170,45],[180,45]],[[-180,45],[-170,45]] — RFC 7946 split halves);
+    // a single unsplit line through the seam must hit boxes on both sides
+    val seamLine = """{"type":"LineString","coordinates":[[175.0,45.0],[-175.0,45.0]]}"""
+    val eastBox = """{"type":"Polygon","coordinates":[[[176.0,40.0],[179.0,40.0],[179.0,50.0],[176.0,50.0],[176.0,40.0]]]}"""
+    val westBox = """{"type":"Polygon","coordinates":[[[-179.0,40.0],[-176.0,40.0],[-176.0,50.0],[-179.0,50.0],[-179.0,40.0]]]}"""
+    val farBox  = """{"type":"Polygon","coordinates":[[[0.0,40.0],[10.0,40.0],[10.0,50.0],[0.0,50.0],[0.0,40.0]]]}"""
+    def hit(a: String, b: String) =
+      graft.geo.sql.GeomAccess.intersects(packed(a), packed(b))
+    assert(hit(seamLine, eastBox) && hit(eastBox, seamLine))
+    assert(hit(seamLine, westBox) && hit(westBox, seamLine))
+    assert(!hit(seamLine, farBox))
+    // the fixture itself (MultiLineString with RFC-split halves) vs both boxes
+    val fixture = {
+      val in = getClass.getResourceAsStream("/fixtures/multilinestring.json")
+      try scala.io.Source.fromInputStream(in, "UTF-8").mkString finally in.close()
+    }
+    val mls = GeoJsonCodec.parse(fixture).toOption.get
+    val gj  = mls match {
+      case graft.geo.model.GeoModel.GeoJson(graft.geo.model.GeoModel.GGeometry(g), _) =>
+        GeoStruct.packGeometry(g)
+      case other => fail(s"unexpected fixture shape: $other")
+    }
+    assert(graft.geo.sql.GeomAccess.intersects(gj, packed(eastBox)))
+    assert(graft.geo.sql.GeomAccess.intersects(gj, packed(westBox)))
+  }
+
+  test("intersectsJoin with LINE sides equals brute force") {
+    // mixed join: 40 random polylines vs 15 random polygons
+    val rng = new scala.util.Random(91)
+    val lines = (0 until 40).map { i =>
+      val cx = rng.nextDouble() * 60 - 30; val cy = rng.nextDouble() * 40 - 20
+      val pts = (0 until 3).map(j => s"[${cx + j * 2 + rng.nextDouble()},${cy + rng.nextDouble() * 4 - 2}]")
+      (i.toLong, s"""{"type":"LineString","coordinates":[${pts.mkString(",")}]}""")
+    }
+    val polys = (0 until 15).map { i =>
+      val ring = randomPoly(rng, rng.nextDouble() * 60 - 30, rng.nextDouble() * 40 - 20, 1.5, 4.0, 6)
+      (i.toLong, toJson(ring))
+    }
+    val lDf = lines.toDF("lid", "json").select($"lid", from_geojson_geom($"json").as("geom"))
+    val pDf = polys.toDF("pid", "json").select($"pid", from_geojson_geom($"json").as("geom"))
+    val joined = graft.geo.join.SpatialJoins.intersectsJoin(
+        pDf, "pid", "geom", lDf, "lid", "geom", minLevel = 2, maxLevel = 8)
+      .select("pid", "lid").as[(Long, Long)].collect().toSet
+    val brute = pDf.select($"pid", $"geom".as("ga"))
+      .crossJoin(lDf.select($"lid", $"geom".as("gb")))
+      .where(st_intersects($"ga", $"gb"))
+      .select("pid", "lid").as[(Long, Long)].collect().toSet
+    assert(joined == brute, s"join=${joined.size} brute=${brute.size} diff=${(joined diff brute) ++ (brute diff joined)}")
+    assert(brute.nonEmpty, "degenerate sample: no intersecting pairs")
   }
 
   test("intersectsJoin equals brute-force st_intersects cross join") {
