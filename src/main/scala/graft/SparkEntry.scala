@@ -616,6 +616,20 @@ object SparkEntry {
         .select(col("doc_id").as("id_a"), (col("doc_id") + 1L).as("id_b"))
       Dedup.clusters(e1.unionByName(e2).unionByName(e3), "id", universe = Some(ids))
     }),
+    "q53_tile_mosaic" -> ((s, dir) => {
+      // pyramid rollup: z=8 tiles collapse into one 16x16 mosaic per z=7
+      // parent; dims are constant, member/quadrant counts are closed-form
+      // from the deterministic image positions (pixel content is pinned
+      // byte-exactly in OpsSpec — averages aren't ANSI-SQL-reproducible)
+      registerAll(s)
+      val imgs  = ImageGen.withLngLat(ImageGen.table(s, 2000))
+      val tiled = SpatialJoins.assignTiles(imgs, "lng", "lat", z = 8)
+      val m = Multimodal.mosaicTiles(tiled, "tile_key", "bytes")
+      m.select(tile_x(col("tile_key")).as("ptx"), tile_y(col("tile_key")).as("pty"),
+        Multimodal.image_meta(col("mosaic")).getField("w").as("w"),
+        Multimodal.image_meta(col("mosaic")).getField("h").as("h"),
+        col("n_images").as("n"), col("n_quadrants").as("nq"))
+    }),
     "q52_line_intersects" -> ((s, dir) => {
       // LINE-polygon intersects join: axis-aligned segments (horizontal for
       // even keys, vertical for odd) vs the region boxes — both reduce to
@@ -863,6 +877,15 @@ object SparkEntry {
         |  '","rank":' || CAST(n_nationkey * 2 AS BIGINT) ||
         |  '},"extra":{"v":1}}' AS doc
         |FROM nation""".stripMargin,
+    "q53_tile_mosaic" ->
+      s"""${imagesSqlCte(2000)}, t AS (
+         |  SELECT CAST(floor((lng + 180.0) / 360.0 * 256) AS BIGINT) AS tx,
+         |    CAST(floor((1.0 - ln(tan(radians(lat)) + 1.0/cos(radians(lat))) / pi()) / 2.0 * 256) AS BIGINT) AS ty
+         |  FROM pts)
+         |SELECT tx // 2 AS ptx, ty // 2 AS pty,
+         |  CAST(16 AS INT) AS w, CAST(16 AS INT) AS h,
+         |  count(*) AS n, count(DISTINCT (tx % 2) + 2 * (ty % 2)) AS nq
+         |FROM t GROUP BY 1, 2""".stripMargin,
     "q52_line_intersects" ->
       s"""WITH box AS ($regionBoxesSql),
          |l AS (SELECT n_nationkey,

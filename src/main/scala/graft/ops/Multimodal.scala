@@ -289,4 +289,103 @@ object Multimodal {
     * grouping key — the batch-shape pattern for video columns. */
   def sampleFrames(df: DataFrame, keyCol: String, frameCol: String, every: Int): DataFrame =
     df.where(org.apache.spark.sql.functions.pmod(col(frameCol), lit(every)) === 0)
+
+  // ---- tile mosaic / pyramid rollup ------------------------------------
+
+  /** Mosaic aggregation buffer: exact integer pixel sums (size²·3 cells) +
+    * per-quadrant contributor counts — associative and commutative, so the
+    * aggregation is partial-agg safe and the result is independent of row
+    * order and partitioning. */
+  case class MosaicBuf(sums: Array[Long], counts: Array[Int])
+
+  /** Typed aggregator combining a z-tile's member images into ONE
+    * downsampled GRB1 mosaic for the z-1 parent: each image is
+    * nearest-neighbor resampled to a (size/2)² quadrant thumbnail and
+    * pixel-averaged into its quadrant (integer sums / count — deterministic
+    * under any merge order); quadrants nobody populated stay black. The
+    * buffer is ~size²·3·8 bytes, so map-side partial aggregation ships one
+    * small canvas per (tile, map partition) through the exchange — never
+    * the member images. */
+  class TileMosaic(size: Int) extends org.apache.spark.sql.expressions.Aggregator[
+      (Int, Array[Byte]), MosaicBuf, Array[Byte]] {
+    private val half = size / 2
+    override def zero: MosaicBuf =
+      MosaicBuf(new Array[Long](size * size * 3), new Array[Int](4))
+    override def reduce(b: MosaicBuf, in: (Int, Array[Byte])): MosaicBuf = {
+      val (q, bytes) = in
+      val (w0, h0, _, rgb) = ImageGen.decode(bytes)
+      val qx = (q & 1) * half; val qy = (q >> 1) * half
+      var y = 0
+      while (y < half) {
+        var x = 0
+        while (x < half) {
+          val s = ((y * h0 / half) * w0 + (x * w0 / half)) * 3
+          val d = ((qy + y) * size + (qx + x)) * 3
+          b.sums(d) += (rgb(s) & 0xff)
+          b.sums(d + 1) += (rgb(s + 1) & 0xff)
+          b.sums(d + 2) += (rgb(s + 2) & 0xff)
+          x += 1
+        }
+        y += 1
+      }
+      b.counts(q) += 1
+      b
+    }
+    override def merge(a: MosaicBuf, c: MosaicBuf): MosaicBuf = {
+      var i = 0
+      while (i < a.sums.length) { a.sums(i) += c.sums(i); i += 1 }
+      i = 0
+      while (i < 4) { a.counts(i) += c.counts(i); i += 1 }
+      a
+    }
+    override def finish(b: MosaicBuf): Array[Byte] = {
+      val out = new Array[Byte](10 + size * size * 3)
+      out(0) = 'G'; out(1) = 'R'; out(2) = 'B'; out(3) = '1'
+      out(4) = ((size >> 8) & 0xff).toByte; out(5) = (size & 0xff).toByte
+      out(6) = ((size >> 8) & 0xff).toByte; out(7) = (size & 0xff).toByte
+      var y = 0
+      while (y < size) {
+        var x = 0
+        while (x < size) {
+          val q = (if (x >= half) 1 else 0) + (if (y >= half) 2 else 0)
+          val n = b.counts(q)
+          if (n > 0) {
+            val i = (y * size + x) * 3
+            out(10 + i) = (b.sums(i) / n).toByte
+            out(10 + i + 1) = (b.sums(i + 1) / n).toByte
+            out(10 + i + 2) = (b.sums(i + 2) / n).toByte
+          }
+          x += 1
+        }
+        y += 1
+      }
+      out
+    }
+    override def bufferEncoder = org.apache.spark.sql.Encoders.product[MosaicBuf]
+    override def outputEncoder = org.apache.spark.sql.Encoders.BINARY
+  }
+
+  /** z → z-1 pyramid reduction over the image+caption table: every tile's
+    * member images collapse into one `size`×`size` GRB1 mosaic on the
+    * PARENT tile, each image averaged into the quadrant its child tile
+    * occupies. One narrow projection (parent key + quadrant are bit math on
+    * the packed key) + one groupBy(parent) with the partial-agg-safe
+    * [[TileMosaic]] — apply repeatedly for the full pyramid. Output:
+    * `tile_key` (z-1), `mosaic` (GRB1), `n_images`, `n_quadrants`. */
+  def mosaicTiles(df: DataFrame, tileKeyCol: String, bytesCol: String,
+                  mosaicSize: Int = 16): DataFrame = {
+    import graft.geo.sql.GeoFunctions.{tile_z, tile_x, tile_y}
+    import org.apache.spark.sql.functions._
+    val k = col(tileKeyCol)
+    val parent = shiftleft((tile_z(k) - 1).cast("long"), 58)
+      .bitwiseOR(shiftleft(shiftrightunsigned(tile_x(k), 1), 29))
+      .bitwiseOR(shiftrightunsigned(tile_y(k), 1))
+    val quadrant = (tile_x(k) % 2 + tile_y(k) % 2 * 2).cast("int")
+    val mosaic = udaf(new TileMosaic(mosaicSize))
+    df.select(parent.as("tile_key"), quadrant.as("__q"), col(bytesCol).as("__b"))
+      .groupBy("tile_key")
+      .agg(mosaic(col("__q"), col("__b")).as("mosaic"),
+        count(lit(1)).as("n_images"),
+        countDistinct(col("__q")).as("n_quadrants"))
+  }
 }

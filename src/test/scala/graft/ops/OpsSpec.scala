@@ -438,6 +438,65 @@ class OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("tile mosaic: quadrant placement exact, averaging deterministic, pyramid meta") {
+    import graft.geo.algo.GeoAlgo.packTile
+    import graft.pipeline.ImageGen
+    // four child tiles of parent (z=7, 5, 10), one image each, plus a second
+    // image sharing quadrant 0 and an absent quadrant elsewhere
+    val rows = Seq(
+      (packTile(8, 10, 20), ImageGen.encode(1L)),  // quadrant 0
+      (packTile(8, 10, 20), ImageGen.encode(2L)),  // quadrant 0 (averaged)
+      (packTile(8, 11, 20), ImageGen.encode(4L)),  // quadrant 1
+      (packTile(8, 10, 21), ImageGen.encode(5L)),  // quadrant 2
+      // second parent with a single member -> 3 empty quadrants
+      (packTile(8, 30, 40), ImageGen.encode(7L)))
+    val df = rows.toDF("tile_key", "bytes")
+    def run(d: org.apache.spark.sql.DataFrame) =
+      Multimodal.mosaicTiles(d, "tile_key", "bytes")
+        .select("tile_key", "mosaic", "n_images", "n_quadrants")
+        .as[(Long, Array[Byte], Long, Long)].collect().sortBy(_._1)
+    val out = run(df)
+    assert(out.length == 2)
+    val (k1, m1, n1, q1) = out(0)
+    assert(k1 == packTile(7, 5, 10) && n1 == 4 && q1 == 3)
+    val (w1, h1, _, px1) = ImageGen.decode(m1)
+    assert(w1 == 16 && h1 == 16)
+    // single-image quadrant 1 == its 8x8 nearest-neighbor thumbnail exactly
+    val (w4, h4, _, rgb4) = ImageGen.decode(ImageGen.encode(4L))
+    for (y <- 0 until 8; x <- 0 until 8; c <- 0 until 3) {
+      val want = rgb4(((y * h4 / 8) * w4 + (x * w4 / 8)) * 3 + c) & 0xff
+      val got  = px1((y * 16 + (8 + x)) * 3 + c) & 0xff
+      assert(got == want, s"quadrant-1 pixel ($x,$y,$c): $got != $want")
+    }
+    // two-image quadrant 0 = exact integer mean of the two thumbnails
+    val (wa, ha, _, ra) = ImageGen.decode(ImageGen.encode(1L))
+    val (wb, hb, _, rb) = ImageGen.decode(ImageGen.encode(2L))
+    for (y <- 0 until 8; x <- 0 until 8; c <- 0 until 3) {
+      val va = ra(((y * ha / 8) * wa + (x * wa / 8)) * 3 + c) & 0xff
+      val vb = rb(((y * hb / 8) * wb + (x * wb / 8)) * 3 + c) & 0xff
+      val got = px1((y * 16 + x) * 3 + c) & 0xff
+      assert(got == (va + vb) / 2, s"avg pixel ($x,$y,$c)")
+    }
+    // empty quadrant 3 is black
+    for (y <- 8 until 16; x <- 8 until 16; c <- 0 until 3)
+      assert(px1((y * 16 + x) * 3 + c) == 0)
+    // second parent: 1 member, 1 quadrant
+    assert(out(1)._1 == packTile(7, 15, 20) && out(1)._3 == 1 && out(1)._4 == 1)
+    // averaging is associative/commutative: repartitioning changes nothing
+    val shuffled = run(df.repartition(7))
+    assert(shuffled.zip(out).forall { case (a, b) =>
+      a._1 == b._1 && java.util.Arrays.equals(a._2, b._2) })
+    // single-member mosaic quadrant vs resize expression: identical payload
+    // pixels (average of one is the identity) -> PSNR is infinite/99
+    val single = Multimodal.mosaicTiles(
+      Seq((packTile(8, 30, 40), ImageGen.encode(7L))).toDF("tile_key", "bytes"),
+      "tile_key", "bytes")
+    val ps = single.select(Multimodal.image_psnr(
+      Multimodal.image_resize(col("mosaic"), lit(16), lit(16)),
+      col("mosaic"))).as[Double].head()
+    assert(ps == 99.0, s"identity-resize PSNR $ps")
+  }
+
   test("catalog dedup: shard anti-joined against persisted signatures; append grows it") {
     def tok(doc: Long, j: Int): String = f"${TextKernels.mix64(doc * 1000 + j)}%016x"
     def gibberish(doc: Long, n: Int): String = (0 until n).map(tok(doc, _)).mkString(" ")
