@@ -369,6 +369,47 @@ object Dedup {
       .select("corpus_id", "bench_id", "shared_fps")
   }
 
+  /** STREAMING near-dup dedup — the streaming twin of [[minhashPairs]] (and
+    * of the catalog's "near" mode): band buckets are the state. Every doc
+    * claims its `bands` minhash band buckets; `dropDuplicates` keeps the
+    * FIRST claimant of each bucket, and a doc survives iff it owns ALL of
+    * its buckets — a later near-dup shares >= 1 bucket with an earlier doc
+    * (the banding recall curve) and fails the ownership count.
+    *
+    * Decisions are SIGNATURE-level (state holds no text, so no Jaccard
+    * verify — near-threshold false drops follow the banding curve, as
+    * [[dedupAgainst]]). Run [[exactStreaming]] upstream: two IDENTICAL docs
+    * in the SAME micro-batch can split their bucket wins and BOTH drop
+    * (across batches the earlier one wins everything; within a batch the
+    * winner is an engine pick, the [[exactStreaming]] caveat). With
+    * `eventTime` the bucket state is watermark-GC'd
+    * (`dropDuplicatesWithinWatermark`); without it state grows with
+    * distinct buckets. Emit the result in update mode (the final ownership
+    * count is a streaming aggregation). Works identically on batch frames
+    * that are exact-dup-free.
+    *
+    * Output: the surviving (idCol, textCol) rows. */
+  def nearDupStreaming(
+      df: DataFrame, idCol: String, textCol: String,
+      numHashes: Int = 128, bands: Int = 16, shingle: Int = 5,
+      eventTime: Option[(String, String)] = None): DataFrame = {
+    val r = numHashes / bands
+    val banded = df
+      .withColumn("__sig", minhash_sig(col(textCol), lit(numHashes), lit(shingle)))
+      .withColumn("__band", explode(sequence(lit(0), lit(bands - 1))))
+      .withColumn("__bh", xxhash64(col("__band"), slice(col("__sig"), col("__band") * r + 1, lit(r))))
+      .drop("__sig")
+    val winners = eventTime match {
+      case Some((c, delay)) =>
+        banded.withWatermark(c, delay).dropDuplicatesWithinWatermark("__band", "__bh")
+      case None => banded.dropDuplicates("__band", "__bh")
+    }
+    winners.groupBy(col(idCol), col(textCol))
+      .agg(count(lit(1)).as("__owned"))
+      .where(col("__owned") === bands)
+      .select(col(idCol), col(textCol))
+  }
+
   // ------------------------------------------------ incremental catalog
 
   /** Narrow exact signature per doc: (id, xxhash64(text), length). */

@@ -94,6 +94,36 @@ class SessionIvfSpec extends AnyFunSuite {
     assert(batchOut.count() == nDistinct)
   }
 
+  test("streaming near-dup: cross-batch first arrival wins, fresh docs survive") {
+    def tok(doc: Long, j: Int): String = f"${graft.ops.TextKernels.mix64(doc * 1000 + j)}%016x"
+    def gib(doc: Long, n: Int): String = (0 until n).map(tok(doc, _)).mkString(" ")
+    val b1 = (0L until 30L).map(i => (i, gib(i, 12))).toDF("doc_id", "text")
+    // batch 2: exact copies under new ids, near-mutations, and fresh docs
+    val b2 = ((0L until 10L).map(i => (1000L + i, gib(i, 12))) ++
+      (0L until 10L).map(i => (1100L + i, gib(10 + i, 12) + " tail" + i)) ++
+      (0L until 10L).map(i => (1200L + i, gib(7000L + i, 12)))).toDF("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("neardup_src").toString
+    b1.coalesce(1).write.mode("overwrite").parquet(dir + "/in")
+    val stream = spark.readStream.schema(b1.schema).parquet(dir + "/in")
+    val q = Dedup.nearDupStreaming(stream, "doc_id", "text")
+      .writeStream.format("memory").queryName("neardup_stream")
+      .outputMode("update").start()
+    q.processAllAvailable()
+    b2.coalesce(1).write.mode("append").parquet(dir + "/in")
+    q.processAllAvailable()
+    q.stop()
+    val survivors = spark.sql("select doc_id from neardup_stream")
+      .as[Long].collect().toSet
+    // batch-1 docs own every bucket; batch-2 exact copies own none, the
+    // mutations lose their shared bands, only the fresh docs survive
+    assert(survivors == ((0L until 30L) ++ (1200L until 1210L)).toSet,
+      s"unexpected survivors: ${survivors.toSeq.sorted}")
+    // batch-frame twin on an exact-dup-free frame: everything survives
+    val batchAll = Dedup.nearDupStreaming(b1, "doc_id", "text")
+      .select("doc_id").as[Long].collect().toSet
+    assert(batchAll == (0L until 30L).toSet)
+  }
+
   test("mapGroupsWithState user stats: stream equals the groupBy oracle") {
     val raw = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
       .select($"user_id", ($"ts".cast("timestamp").cast("double") * 1000).cast("long").as("ts_ms"),
