@@ -298,6 +298,13 @@ object Multimodal {
     * order and partitioning. */
   case class MosaicBuf(sums: Array[Long], counts: Array[Int])
 
+  /** Mosaic result: the GRB1 canvas plus the member/quadrant counts the
+    * buffer already knows — emitting them from `finish` keeps the whole
+    * rollup ONE aggregation on tile_key (a separate countDistinct(quadrant)
+    * would force an extra (tile, quadrant)-keyed exchange under the same
+    * shuffle). */
+  case class MosaicOut(mosaic: Array[Byte], n_images: Long, n_quadrants: Long)
+
   /** Typed aggregator combining a z-tile's member images into ONE
     * downsampled GRB1 mosaic for the z-1 parent: each image is
     * nearest-neighbor resampled to a (size/2)² quadrant thumbnail and
@@ -307,7 +314,7 @@ object Multimodal {
     * small canvas per (tile, map partition) through the exchange — never
     * the member images. */
   class TileMosaic(size: Int) extends org.apache.spark.sql.expressions.Aggregator[
-      (Int, Array[Byte]), MosaicBuf, Array[Byte]] {
+      (Int, Array[Byte]), MosaicBuf, MosaicOut] {
     private val half = size / 2
     override def zero: MosaicBuf =
       MosaicBuf(new Array[Long](size * size * 3), new Array[Int](4))
@@ -338,7 +345,7 @@ object Multimodal {
       while (i < 4) { a.counts(i) += c.counts(i); i += 1 }
       a
     }
-    override def finish(b: MosaicBuf): Array[Byte] = {
+    override def finish(b: MosaicBuf): MosaicOut = {
       val out = new Array[Byte](10 + size * size * 3)
       out(0) = 'G'; out(1) = 'R'; out(2) = 'B'; out(3) = '1'
       out(4) = ((size >> 8) & 0xff).toByte; out(5) = (size & 0xff).toByte
@@ -359,10 +366,10 @@ object Multimodal {
         }
         y += 1
       }
-      out
+      MosaicOut(out, b.counts.map(_.toLong).sum, b.counts.count(_ > 0).toLong)
     }
     override def bufferEncoder = org.apache.spark.sql.Encoders.product[MosaicBuf]
-    override def outputEncoder = org.apache.spark.sql.Encoders.BINARY
+    override def outputEncoder = org.apache.spark.sql.Encoders.product[MosaicOut]
   }
 
   /** z → z-1 pyramid reduction over the image+caption table: every tile's
@@ -384,8 +391,8 @@ object Multimodal {
     val mosaic = udaf(new TileMosaic(mosaicSize))
     df.select(parent.as("tile_key"), quadrant.as("__q"), col(bytesCol).as("__b"))
       .groupBy("tile_key")
-      .agg(mosaic(col("__q"), col("__b")).as("mosaic"),
-        count(lit(1)).as("n_images"),
-        countDistinct(col("__q")).as("n_quadrants"))
+      .agg(mosaic(col("__q"), col("__b")).as("__m"))
+      .select(col("tile_key"), col("__m.mosaic").as("mosaic"),
+        col("__m.n_images").as("n_images"), col("__m.n_quadrants").as("n_quadrants"))
   }
 }
