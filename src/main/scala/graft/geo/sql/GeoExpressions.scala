@@ -13,9 +13,14 @@ import graft.geo.json.{GeoJsonCodec, JValue}
 import graft.geo.model.GeoModel.GType
 
 /** Catalyst expressions for the engine's spatial surface (SURVEY.md §2.9,
-  * §7.3). All are interpreted (CodegenFallback) in round 1; the hot ones
-  * (hex_cell, s2_cell, st_contains, haversine) are small pure-math kernels
-  * that can be promoted to doGenCode if the bench demands.
+  * §7.3). Everything on a hot path generates REAL code (static kernel
+  * calls): the codec kernels (GeoKernelUnary), the join kernels (hex_cell,
+  * s2_cell, st_contains, st_intersects, st_distance_deg, haversine,
+  * tile_key) and the generator/rewrite trio (random_geojson,
+  * with_feature_props, with_feature_geometry) — one CodegenFallback in a
+  * projection ejects the whole Project from whole-stage codegen and kills
+  * subexpression elimination (CLAUDE.md). Cold-path expressions (covers,
+  * measures, error channel) stay interpreted GeoExpressions.
   */
 abstract class GeoExpression extends Expression with CodegenFallback {
   override def nullable: Boolean = true

@@ -20,6 +20,11 @@ import TextFunctions._
   *  - clusters         connected components over any pair set → canonical
   *                     ids; [[nearDedupCorpus]]/[[nearDedupEmbeddings]]
   *                     chain pairs → clusters → surviving rows
+  *  - catalog          [[writeCatalog]]/[[dedupAgainst]]/[[appendToCatalog]]:
+  *                     incremental dedup of NEW shards against the persisted
+  *                     signature store of the accumulated corpus
+  *  - streaming        [[exactStreaming]] (hash-distinct) and
+  *                     [[nearDupStreaming]] (band-bucket first arrival)
   */
 object Dedup {
 

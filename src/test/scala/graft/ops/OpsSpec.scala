@@ -497,6 +497,24 @@ class OpsSpec extends AnyFunSuite {
     assert(ps == 99.0, s"identity-resize PSNR $ps")
   }
 
+  test("tile mosaic composes into a pyramid: z=8 -> z=7 -> z=6") {
+    import graft.geo.sql.GeoFunctions.tile_z
+    val imgs = graft.pipeline.ImageGen.withLngLat(graft.pipeline.ImageGen.table(spark, 400))
+    val t8 = graft.geo.join.SpatialJoins.assignTiles(imgs, "lng", "lat", z = 8)
+    val m7 = Multimodal.mosaicTiles(t8, "tile_key", "bytes")
+    // a mosaic IS a GRB1 image, so the same operator rolls it up again
+    val m6 = Multimodal.mosaicTiles(m7, "tile_key", "mosaic")
+    assert(m7.select(tile_z($"tile_key")).distinct().as[Int].collect().toSeq == Seq(7))
+    assert(m6.select(tile_z($"tile_key")).distinct().as[Int].collect().toSeq == Seq(6))
+    // each level's member count is the previous level's tile count
+    assert(m7.agg(sum($"n_images")).as[Long].head() == 400L)
+    assert(m6.agg(sum($"n_images")).as[Long].head() == m7.count())
+    // payloads stay fixed-size 16x16 at every level
+    val meta = m6.select(Multimodal.image_meta($"mosaic").getField("w"),
+      Multimodal.image_meta($"mosaic").getField("h")).distinct().as[(Int, Int)].collect()
+    assert(meta.toSeq == Seq((16, 16)))
+  }
+
   test("catalog dedup: shard anti-joined against persisted signatures; append grows it") {
     def tok(doc: Long, j: Int): String = f"${TextKernels.mix64(doc * 1000 + j)}%016x"
     def gibberish(doc: Long, n: Int): String = (0 until n).map(tok(doc, _)).mkString(" ")
