@@ -616,6 +616,22 @@ object SparkEntry {
         .select(col("doc_id").as("id_a"), (col("doc_id") + 1L).as("id_b"))
       Dedup.clusters(e1.unionByName(e2).unionByName(e3), "id", universe = Some(ids))
     }),
+    "q54_distance_join" -> ((s, dir) => {
+      // within-distance join (the set-returning sibling of kNN): q35's query
+      // set (every 5th query polar) vs the customer points at 300 km — the
+      // oracle is the brute-force haversine filter
+      registerAll(s)
+      val qs = s.read.parquet(t(dir, "nation"))
+        .withColumn("qlng", (col("n_nationkey") * 104729L % 36000L) / 100.0 - 180.0)
+        .withColumn("qlat", when(col("n_nationkey") % 5 === 0,
+            lit(89.9) - (col("n_nationkey") % 7).cast("double"))
+          .otherwise((col("n_nationkey") * 7919L % 16000L) / 100.0 - 80.0))
+        .select("n_nationkey", "qlng", "qlat")
+      SpatialJoins.distanceJoin(qs, "qlng", "qlat",
+          customerPoints(s, dir).select("c_custkey", "lng", "lat"), "lng", "lat",
+          maxDistM = 300000.0, minLevel = 4, maxLevel = 9)
+        .select(col("n_nationkey"), col("c_custkey"))
+    }),
     "q53_tile_mosaic" -> ((s, dir) => {
       // pyramid rollup: z=8 tiles collapse into one 16x16 mosaic per z=7
       // parent; dims are constant, member/quadrant counts are closed-form
@@ -877,6 +893,15 @@ object SparkEntry {
         |  '","rank":' || CAST(n_nationkey * 2 AS BIGINT) ||
         |  '},"extra":{"v":1}}' AS doc
         |FROM nation""".stripMargin,
+    "q54_distance_join" ->
+      s"""WITH pts AS ($customerPointsSql),
+         |qs AS (SELECT n_nationkey,
+         |  (n_nationkey * 104729 % 36000)/100.0 - 180.0 AS qlng,
+         |  CASE WHEN n_nationkey % 5 = 0 THEN 89.9 - CAST(n_nationkey % 7 AS DOUBLE)
+         |       ELSE (n_nationkey * 7919 % 16000)/100.0 - 80.0 END AS qlat FROM nation)
+         |SELECT q.n_nationkey, p.c_custkey
+         |FROM qs q CROSS JOIN pts p
+         |WHERE $haversineSql <= 300000.0""".stripMargin,
     "q53_tile_mosaic" ->
       s"""${imagesSqlCte(2000)}, t AS (
          |  SELECT CAST(floor((lng + 180.0) / 360.0 * 256) AS BIGINT) AS tx,

@@ -291,6 +291,53 @@ object SpatialJoins {
     *
     * @return qid, point columns, `dist_m`, `rank` (1..k)
     */
+  /** WITHIN-DISTANCE join (distance join): every (query, point) pair within
+    * `maxDistM` metres — the set-returning sibling of [[knnJoinS2]], using
+    * the same metric-cap S2 box covers (pole-safe: caps peaking above
+    * |lat| 89.99° take the full-longitude band; seam-safe: w > e boxes wrap
+    * through ±180), but with NO radius loop or window — the radius is given,
+    * so the plan is one cover explode, one cell equi-join and an exact
+    * haversine refine. Covers are normalized DISJOINT and the point side
+    * explodes its ancestor chain, so every true pair matches on exactly one
+    * cell — no post-join dedup, no pair ever verified twice. Scale shape:
+    * both sides shuffle once on the int64 cell key (or the smaller side
+    * broadcasts under AQE); candidate fan-in per query is the cap's point
+    * count.
+    *
+    * @return all query columns + all point columns + `dist_m` (<= maxDistM)
+    */
+  def distanceJoin(
+      queries: DataFrame, qLng: String, qLat: String,
+      points: DataFrame, pLng: String, pLat: String,
+      maxDistM: Double,
+      minLevel: Int = 4,
+      maxLevel: Int = 10): DataFrame = {
+    require(maxDistM > 0, s"maxDistM must be positive, got $maxDistM")
+    val R = 6371008.8 // metres; matches GeoAlgo.haversine
+    val pts = points.withColumn("__pcell",
+      explode(s2_ancestors(col(pLng), col(pLat), lit(minLevel), lit(maxLevel))))
+    // box drawn a hair wide so haversine float error (~1e-15 relative) can
+    // never push a true boundary pair outside the cover — the knnJoinS2
+    // rBox discipline
+    val rBox   = maxDistM * (1.0 + 1e-9)
+    val dPhi   = lit(rBox / R * (180.0 / math.Pi))
+    val sBound = greatest(lit(-90.0), col(qLat) - dPhi)
+    val nBound = least(lit(90.0), col(qLat) + dPhi)
+    val phiMax = greatest(abs(sBound), abs(nBound))
+    val dLng   = degrees(lit(2.0) * asin(least(lit(1.0),
+      lit(rBox) / (lit(2.0 * R) * cos(radians(least(lit(89.99), phiMax)))))))
+    val polar  = (phiMax >= 89.99) || (dLng >= 180.0)
+    val w0 = when(polar, lit(-180.0)).otherwise(col(qLng) - dLng)
+    val e0 = when(polar, lit(180.0)).otherwise(col(qLng) + dLng)
+    queries
+      .withColumn("__cell", explode(s2_cover_box(w0, sBound, e0, nBound,
+        lit(minLevel), lit(maxLevel))))
+      .join(pts, col("__cell") === col("__pcell"))
+      .withColumn("dist_m", haversine(col(qLng), col(qLat), col(pLng), col(pLat)))
+      .where(col("dist_m") <= maxDistM)
+      .drop("__cell", "__pcell")
+  }
+
   def knnJoinS2(
       queries: DataFrame,
       qidCol: String, qLng: String, qLat: String,

@@ -117,6 +117,34 @@ class SpatialJoinSpec extends AnyFunSuite {
     assert(fast.exceptAll(brute).isEmpty && brute.exceptAll(fast).isEmpty)
   }
 
+  test("distanceJoin equals brute force: uniform, polar and seam queries; no dup pairs") {
+    val pts = spark.range(3000).select(
+      $"id".as("pid"),
+      (pmod($"id" * 7919, lit(36000)) / 100.0 - 180.0).as("lng"),
+      when($"id" % 5 === 0, pmod($"id" * 131, lit(300)) / 100.0 + 87.0)
+        .when($"id" % 5 === 1, lit(-87.0) - pmod($"id" * 131, lit(300)) / 100.0)
+        .otherwise(pmod($"id" * 104729, lit(16000)) / 100.0 - 80.0).as("lat"))
+      .cache()
+    val qs = (
+      Seq((1L, 10.0, 89.5), (2L, -120.0, 88.2), (3L, 45.0, 89.97), (4L, 0.0, -89.3),
+          (5L, 179.9, -88.0), (6L, -179.95, 44.5), (7L, 180.0, 0.0)) ++
+        (8L to 30L).map(i => (i, (i * 37 % 360) - 180.0, (i * 23 % 160) - 80.0))
+      ).toDF("qid", "qlng", "qlat").cache()
+    for (d <- Seq(120000.0, 900000.0)) {
+      val fast = SpatialJoins.distanceJoin(qs, "qlng", "qlat", pts, "lng", "lat", d,
+          minLevel = 4, maxLevel = 9)
+        .select("qid", "pid")
+      val brute = qs.crossJoin(pts)
+        .where(haversine($"qlng", $"qlat", $"lng", $"lat") <= d)
+        .select("qid", "pid")
+      // exceptAll both ways also proves multiplicity 1 per pair (disjoint
+      // normalized covers: no pair can match on two cells)
+      assert(fast.exceptAll(brute).isEmpty && brute.exceptAll(fast).isEmpty,
+        s"d=$d: fast=${fast.count()} brute=${brute.count()}")
+      assert(brute.count() > 30, s"degenerate sample at d=$d")
+    }
+  }
+
   test("streaming PIP join + tile rollup equals batch (flagship shape on a stream)") {
     // the north-rule plan (cover -> broadcast equi-join -> refine -> tile ->
     // rollup) is stateless up to the final agg, so it runs unchanged on a
