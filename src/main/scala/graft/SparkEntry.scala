@@ -616,6 +616,24 @@ object SparkEntry {
         .select(col("doc_id").as("id_a"), (col("doc_id") + 1L).as("id_b"))
       Dedup.clusters(e1.unionByName(e2).unionByName(e3), "id", universe = Some(ids))
     }),
+    "q55_asof_join" -> ((s, dir) => {
+      // backward as-of join: every event enriched with the latest per-user
+      // "config version" mark at or before it; marks are synthesized with
+      // UNIQUE (user, ts) and per-user jitter, and the oracle is DuckDB's
+      // NATIVE ASOF JOIN — a cross-engine semantic check of the operator
+      val ev = s.read.parquet(t(dir, "events"))
+        .select(col("event_id"), col("user_id"),
+          (unix_micros(col("ts").cast("timestamp")) / 1000L).cast("long").as("ts_ms"))
+      val marks = s.read.parquet(t(dir, "events")).select("user_id").distinct()
+        .withColumn("k", explode(sequence(lit(0), lit(9))))
+        .select(col("user_id"),
+          (lit(1704067200000L) + col("k") * 259200000L + (col("user_id") % 1000L) * 1000L)
+            .as("mark_ms"),
+          col("k").cast("long").as("version"))
+      graft.ops.TemporalJoins.asofJoin(ev, marks, "user_id", "ts_ms", "mark_ms",
+          Seq("version"))
+        .select(col("event_id"), col("user_id"), col("version"))
+    }),
     "q54_distance_join" -> ((s, dir) => {
       // within-distance join (the set-returning sibling of kNN): q35's query
       // set (every 5th query polar) vs the customer points at 300 km — the
@@ -893,6 +911,17 @@ object SparkEntry {
         |  '","rank":' || CAST(n_nationkey * 2 AS BIGINT) ||
         |  '},"extra":{"v":1}}' AS doc
         |FROM nation""".stripMargin,
+    "q55_asof_join" ->
+      """WITH ev AS (
+        |  SELECT event_id, user_id, epoch_us(ts) // 1000 AS ts_ms FROM events),
+        |marks AS (
+        |  SELECT u.user_id,
+        |    1704067200000 + t.k * 259200000 + (u.user_id % 1000) * 1000 AS mark_ms,
+        |    t.k AS version
+        |  FROM (SELECT DISTINCT user_id FROM events) u, range(10) t(k))
+        |SELECT e.event_id, e.user_id, m.version
+        |FROM ev e ASOF JOIN marks m
+        |  ON e.user_id = m.user_id AND e.ts_ms >= m.mark_ms""".stripMargin,
     "q54_distance_join" ->
       s"""WITH pts AS ($customerPointsSql),
          |qs AS (SELECT n_nationkey,

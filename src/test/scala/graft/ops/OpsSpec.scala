@@ -566,6 +566,51 @@ class OpsSpec extends AnyFunSuite {
     assert(plan.contains("BroadcastHashJoin"), "shard signatures must broadcast")
   }
 
+  test("asofJoin equals the per-row brute oracle: ties, strict, inner/left, one shuffle") {
+    // left events and right marks with planted EQUAL-ts ties
+    val left = Seq((1L, 100L, 10L), (2L, 100L, 25L), (3L, 100L, 30L), (4L, 100L, 5L),
+      (5L, 200L, 10L), (6L, 200L, 40L), (7L, 300L, 99L)).toDF("eid", "k", "ts")
+    val right = Seq((100L, 10L, "a"), (100L, 20L, "b"), (100L, 30L, "c"),
+      (200L, 15L, "x"), (200L, 40L, "y")).toDF("k", "ts", "v")
+    def brute(strict: Boolean) = {
+      val cond = if (strict) $"rts" < $"ts" else $"rts" <= $"ts"
+      left.join(right.select($"k", $"ts".as("rts"), $"v"), Seq("k"))
+        .where(cond)
+        .withColumn("__rn", row_number().over(
+          org.apache.spark.sql.expressions.Window.partitionBy($"eid").orderBy($"rts".desc)))
+        .where($"__rn" === 1).select($"eid", $"v", $"rts".as("asof_ts"))
+    }
+    for (strict <- Seq(false, true)) {
+      val got = graft.ops.TemporalJoins.asofJoin(left, right, "k", "ts", "ts",
+          Seq("v"), strict = strict)
+        .select($"eid", $"v", $"asof_ts")
+      val want = brute(strict)
+      assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty,
+        s"strict=$strict: got ${got.collect().toSeq} want ${want.collect().toSeq}")
+    }
+    // <= at the tie: eid 1 (ts 10) matches the ts-10 mark; strict steps back
+    val tieRow = graft.ops.TemporalJoins.asofJoin(left, right, "k", "ts", "ts", Seq("v"))
+      .where($"eid" === 1).select($"v").as[String].head()
+    assert(tieRow == "a")
+    val strictTie = graft.ops.TemporalJoins.asofJoin(left, right, "k", "ts", "ts",
+      Seq("v"), strict = true).where($"eid" === 1)
+    assert(strictTie.isEmpty, "strict must exclude the equal-ts mark (and eid 1 has none before)")
+    // inner drops unmatched (eids 4 and 5 precede their keys' first marks,
+    // eid 7's key has no marks); left keeps them with null values
+    val inner = graft.ops.TemporalJoins.asofJoin(left, right, "k", "ts", "ts", Seq("v"))
+    assert(inner.select("eid").as[Long].collect().toSet == Set(1L, 2L, 3L, 6L))
+    val outer = graft.ops.TemporalJoins.asofJoin(left, right, "k", "ts", "ts",
+      Seq("v"), joinType = "left")
+    assert(outer.count() == 7)
+    assert(outer.where($"v".isNull).select("eid").as[Long].collect().toSet == Set(4L, 5L, 7L))
+    // plan: one exchange (the window key), no cartesian/range explosion
+    val plan = inner.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      s"asof must not explode candidates:\n${plan.take(2000)}")
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).length
+    assert(exchanges <= 2, s"expected one window shuffle per side of the union, got $exchanges")
+  }
+
   test("deterministic sampling: monotone rates, partition-independent, ~uniform") {
     val ids = spark.range(20000).select($"id".as("doc_id"))
     def sample(pm: Int) =
