@@ -616,6 +616,21 @@ object SparkEntry {
         .select(col("doc_id").as("id_a"), (col("doc_id") + 1L).as("id_b"))
       Dedup.clusters(e1.unionByName(e2).unionByName(e3), "id", universe = Some(ids))
     }),
+    "q56_simplify" -> ((s, dir) => {
+      // Douglas-Peucker end-to-end (parse → simplify → serialize): a 6-point
+      // zigzag whose survivor set is closed-form at tol 0.8 — the three
+      // near-chord points (max deviation 3/√17 ≈ 0.73) drop, the unit peak
+      // (deviation 1) survives; integer coordinates render canonically
+      registerAll(s)
+      val x0 = (col("n_nationkey") * 7 % 50).cast("long")
+      def xs(k: Int) = (x0 + k).cast("string")
+      val json = concat(lit("""{"type":"LineString","coordinates":[["""),
+        xs(0), lit(",0],["), xs(1), lit(",0],["), xs(2), lit(",0],["),
+        xs(3), lit(",0],["), xs(4), lit(",1],["), xs(5), lit(",0]]}"))
+      s.read.parquet(t(dir, "nation")).select(col("n_nationkey"),
+        to_geojson_geom(call_function("st_simplify",
+          from_geojson_geom(json), lit(0.8))).as("simplified"))
+    }),
     "q55_asof_join" -> ((s, dir) => {
       // backward as-of join: every event enriched with the latest per-user
       // "config version" mark at or before it; marks are synthesized with
@@ -910,6 +925,12 @@ object SparkEntry {
         |  '{"type":"Feature","properties":{"name":"' || n_name ||
         |  '","rank":' || CAST(n_nationkey * 2 AS BIGINT) ||
         |  '},"extra":{"v":1}}' AS doc
+        |FROM nation""".stripMargin,
+    "q56_simplify" ->
+      """SELECT n_nationkey,
+        |  '{"type":"LineString","coordinates":[[' || (n_nationkey * 7 % 50) ||
+        |  ',0],[' || (n_nationkey * 7 % 50 + 4) || ',1],[' ||
+        |  (n_nationkey * 7 % 50 + 5) || ',0]]}' AS simplified
         |FROM nation""".stripMargin,
     "q55_asof_join" ->
       """WITH ev AS (

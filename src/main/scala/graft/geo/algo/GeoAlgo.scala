@@ -596,6 +596,103 @@ object GeoAlgo {
     total
   }
 
+  // -------------------------------------------------------------- simplify
+
+  /** Douglas-Peucker simplification of positions [start, end) (indices into
+    * posOff space) with `keep(i)` marking survivors: recursively keeps the
+    * point farthest from the chord while its distance exceeds `tol`
+    * (degrees). Endpoints always survive. Iterative stack — no recursion
+    * depth limit on adversarial inputs. */
+  private def dpMark(coords: Array[Double], posOff: Array[Int],
+                     start: Int, end: Int, tol: Double, keep: Array[Boolean]): Unit = {
+    keep(start) = true; keep(end - 1) = true
+    if (end - start <= 2) return
+    val stack = new java.util.ArrayDeque[(Int, Int)]()
+    stack.push((start, end - 1))
+    while (!stack.isEmpty) {
+      val (a, b) = stack.pop()
+      if (b - a >= 2) {
+        val ax = coords(posOff(a)); val ay = coords(posOff(a) + 1)
+        val bx = coords(posOff(b)); val by = coords(posOff(b) + 1)
+        var best = -1.0
+        var bestI = -1
+        var i = a + 1
+        while (i < b) {
+          val d = pointSegmentDistance(coords(posOff(i)), coords(posOff(i) + 1), ax, ay, bx, by)
+          if (d > best) { best = d; bestI = i }
+          i += 1
+        }
+        if (best > tol) {
+          keep(bestI) = true
+          stack.push((a, bestI))
+          stack.push((bestI, b))
+        }
+      }
+    }
+  }
+
+  /** Simplify a packed geometry with Douglas-Peucker at `tol` degrees,
+    * returning new (coords, posOff, ringOff, partOff). Lineal types simplify
+    * each path (endpoints pinned); polygon rings simplify the CLOSED ring
+    * with the first vertex pinned and fall back to the original ring when
+    * fewer than 4 positions would survive (a degenerate ring is worse than
+    * an unsimplified one — the JTS ensureValid discipline). Point types pass
+    * through. Guarantee (spec-pinned): every dropped vertex lies within
+    * `tol` of the simplified chain; survivors are a subset of the original
+    * vertices in order. */
+  def simplify(gtype: Int, coords: Array[Double], posOff: Array[Int],
+               ringOff: Array[Int], partOff: Array[Int],
+               tol: Double): (Array[Double], Array[Int], Array[Int], Array[Int]) = {
+    val nPos = posOff.length - 1
+    val keep = new Array[Boolean](nPos)
+    val areal  = gtype == 5 || gtype == 6
+    val lineal = gtype == 3 || gtype == 4
+    if (!areal && !lineal) {
+      java.util.Arrays.fill(keep, true)
+    } else {
+      var r = 0
+      while (r < ringOff.length - 1) {
+        val s = ringOff(r); val e = ringOff(r + 1)
+        dpMark(coords, posOff, s, e, tol, keep)
+        if (areal) {
+          // closed ring: if the explicit closing vertex survived trivially,
+          // fewer than 4 kept positions means a collapsed ring — keep it all
+          var kept = 0
+          var i = s
+          while (i < e) { if (keep(i)) kept += 1; i += 1 }
+          if (kept < 4) { i = s; while (i < e) { keep(i) = true; i += 1 } }
+        }
+        r += 1
+      }
+    }
+    // rebuild the packed arrays from the survivor mask; partOff is
+    // RING-indexed and the ring count is unchanged, so it passes through
+    val outCoords = Array.newBuilder[Double]
+    val outPos    = Array.newBuilder[Int]
+    val outRing   = Array.newBuilder[Int]
+    var ci = 0; var pi = 0
+    var r = 0
+    while (r < ringOff.length - 1) {
+      outRing += pi
+      var i = ringOff(r)
+      while (i < ringOff(r + 1)) {
+        if (keep(i)) {
+          outPos += ci
+          val cs = posOff(i); val ce = posOff(i + 1)
+          var c = cs
+          while (c < ce) { outCoords += coords(c); c += 1 }
+          ci += ce - cs
+          pi += 1
+        }
+        i += 1
+      }
+      r += 1
+    }
+    outPos += ci
+    outRing += pi
+    (outCoords.result(), outPos.result(), outRing.result(), partOff.clone())
+  }
+
   // ------------------------------------------------------------------ bbox
 
   /** (west, south, east, north) over all positions. Antimeridian-crossing

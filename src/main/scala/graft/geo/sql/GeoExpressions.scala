@@ -562,6 +562,55 @@ case class StAreaM2(child: Expression) extends GeoExpression {
   override protected def withNewChildrenInternal(c: IndexedSeq[Expression]) = copy(c(0))
 }
 
+/** `st_simplify(geom, tol)` → Douglas-Peucker simplification at `tol`
+  * degrees: lineal paths keep their endpoints, polygon rings keep the first
+  * vertex and fall back to the original ring when fewer than 4 positions
+  * would survive; point types pass through; collections recurse. Survivors
+  * are a subset of the original vertices (altitudes ride along untouched)
+  * and every dropped vertex lies within `tol` of the simplified chain —
+  * both spec-pinned. */
+case class StSimplify(geom: Expression, tol: Expression) extends GeoExpression {
+  override def children: Seq[Expression] = Seq(geom, tol)
+  override def dataType: DataType        = GeoStruct.geometryType
+  private def tolOf(v: Any): Double = v match {
+    case d: Double => d
+    case f: Float  => f.toDouble
+    case i: Int    => i.toDouble
+    case l: Long   => l.toDouble
+    case x: java.math.BigDecimal => x.doubleValue()
+    case x: org.apache.spark.sql.types.Decimal => x.toDouble
+  }
+  private def simplified(r: InternalRow, t: Double): InternalRow =
+    if (GeomAccess.gtype(r) == GType.Collection) {
+      val out = new GenericInternalRow(7)
+      out.update(0, r.getByte(0))
+      out.update(5, new GenericArrayData(GeomAccess.childStrings(r).map { s =>
+        val g = GeoJsonCodec.geometryOfJson(JValue.parseUnsafe(s))
+          .fold(e => throw new IllegalArgumentException(e), identity)
+        val child = simplified(GeoStruct.packGeometry(g), t)
+        UTF8String.fromString(
+          GeoJsonCodec.geometryToJson(GeoStruct.unpackGeometry(child)).render)
+      }.toArray[Any]))
+      out.update(6, r.get(6, GeoStruct.geometryType("fm").dataType))
+      out
+    } else {
+      val (c2, p2, r2, f2) = GeoAlgo.simplify(GeomAccess.gtype(r),
+        GeomAccess.coords(r), GeomAccess.posOff(r), GeomAccess.ringOff(r),
+        GeomAccess.partOff(r), t)
+      val out = new GenericInternalRow(7)
+      out.update(0, r.getByte(0))
+      out.update(1, new GenericArrayData(c2))
+      out.update(2, new GenericArrayData(p2))
+      out.update(3, new GenericArrayData(r2))
+      out.update(4, new GenericArrayData(f2))
+      out.update(6, r.get(6, GeoStruct.geometryType("fm").dataType))
+      out
+    }
+  override protected def evalNotNull(v: Array[Any]): Any =
+    simplified(v(0).asInstanceOf[InternalRow], tolOf(v(1)))
+  override protected def withNewChildrenInternal(c: IndexedSeq[Expression]) = copy(c(0), c(1))
+}
+
 /** `st_length_m(geom)` → great-circle metres of all segments (perimeter for
   * polygons). */
 case class StLengthM(child: Expression) extends GeoExpression {

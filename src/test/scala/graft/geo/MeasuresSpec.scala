@@ -208,6 +208,90 @@ class MeasuresSpec extends AnyFunSuite {
     assert(math.abs(seam - twin) <= 1e-9 * twin, s"seam $seam vs twin $twin")
   }
 
+  def simplifyArrays(json: String, tol: Double) = {
+    val r = packed(json)
+    GeoAlgo.simplify(GeomAccess.gtype(r), GeomAccess.coords(r), GeomAccess.posOff(r),
+      GeomAccess.ringOff(r), GeomAccess.partOff(r), tol)
+  }
+
+  test("st_simplify: LineString Douglas-Peucker matches JTS exactly on 200 random polylines") {
+    import org.locationtech.jts.geom.{Coordinate, GeometryFactory}
+    import org.locationtech.jts.simplify.DouglasPeuckerSimplifier
+    val gf = new GeometryFactory()
+    for (_ <- 1 to 200) {
+      val n = 5 + rng.nextInt(40)
+      val pts = (0 until n).map(i =>
+        (i * 1.0 + rng.nextDouble() * 0.3, rng.nextDouble() * 8 - 4))
+      val tol = 0.2 + rng.nextDouble() * 3
+      val json = s"""{"type":"LineString","coordinates":[${pts.map { case (x, y) => s"[$x,$y]" }.mkString(",")}]}"""
+      val (c2, p2, _, _) = simplifyArrays(json, tol)
+      val ours = (0 until p2.length - 1).map(i => (c2(p2(i)), c2(p2(i) + 1)))
+      val jts = DouglasPeuckerSimplifier.simplify(
+        gf.createLineString(pts.map { case (x, y) => new Coordinate(x, y) }.toArray), tol)
+      val want = jts.getCoordinates.toSeq.map(c => (c.getX, c.getY))
+      assert(ours == want, s"tol=$tol\n$json\nours=$ours\njts=$want")
+    }
+  }
+
+  test("st_simplify: dropped vertices stay within tol of the chain; subset; rings guarded") {
+    for (_ <- 1 to 100) {
+      val n = 6 + rng.nextInt(30)
+      val pts = (0 until n).map(i => (i * 1.0, rng.nextDouble() * 6 - 3))
+      val tol = 0.1 + rng.nextDouble() * 2
+      val json = s"""{"type":"LineString","coordinates":[${pts.map { case (x, y) => s"[$x,$y]" }.mkString(",")}]}"""
+      val (c2, p2, _, _) = simplifyArrays(json, tol)
+      val kept = (0 until p2.length - 1).map(i => (c2(p2(i)), c2(p2(i) + 1)))
+      // survivors are an ordered subset (x strictly increases in this corpus)
+      assert(kept.toSet.subsetOf(pts.toSet) && kept == kept.sortBy(_._1))
+      assert(kept.head == pts.head && kept.last == pts.last, "endpoints pinned")
+      // DP guarantee: every original vertex within tol of some kept segment
+      pts.foreach { case (px, py) =>
+        val d = kept.sliding(2).map { case Seq((ax, ay), (bx, by)) =>
+          GeoAlgo.pointSegmentDistance(px, py, ax, ay, bx, by) }.min
+        assert(d <= tol + 1e-12, s"vertex ($px,$py) deviates $d > $tol")
+      }
+    }
+    // a noisy square ring at coarse tolerance collapses to its 4 corners
+    val noisy = (0 until 40).map { i =>
+      val t = i / 10.0 % 1.0
+      val (bx, by, dx, dy) = (i / 10) match {
+        case 0 => (0.0, 0.0, 10.0, 0.0)
+        case 1 => (10.0, 0.0, 0.0, 10.0)
+        case 2 => (10.0, 10.0, -10.0, 0.0)
+        case _ => (0.0, 10.0, 0.0, -10.0)
+      }
+      (bx + dx * t + (i % 3) * 0.01, by + dy * t + (i % 2) * 0.01)
+    } :+ (0.0, 0.0)
+    val ringJson = s"""{"type":"Polygon","coordinates":[[${noisy.map { case (x, y) => s"[$x,$y]" }.mkString(",")}]]}"""
+    val (_, p2, r2, _) = simplifyArrays(ringJson, 0.5)
+    assert(r2.last <= 6, s"noisy ring should collapse to ~5 positions, kept ${r2.last}")
+    assert(r2.last >= 4, "ring must stay a ring")
+    // degenerate-collapse guard: a tiny triangle at huge tolerance keeps all
+    val tri = """{"type":"Polygon","coordinates":[[[0.0,0.0],[1.0,0.0],[0.5,1.0],[0.0,0.0]]]}"""
+    val (tc, tp, _, _) = simplifyArrays(tri, 100.0)
+    assert(tp.length - 1 == 4, "sub-4 survivor ring falls back to the original")
+    // altitude passthrough: 3-D vertices keep their altitude when kept
+    val line3d = """{"type":"LineString","coordinates":[[0.0,0.0,5.0],[1.0,4.0,6.0],[2.0,0.1,7.0]]}"""
+    val (c3, p3, _, _) = simplifyArrays(line3d, 0.5)
+    assert(p3.length - 1 == 3 && c3(p3(1) + 2) == 6.0)
+    val (c4, p4, _, _) = simplifyArrays(line3d, 10.0)
+    assert(p4.length - 1 == 2 && c4(p4(1) + 2) == 7.0)
+  }
+
+  test("st_simplify: SQL surface round-trips and recurses collections") {
+    val spark = graft.SparkTestBase.spark
+    val out = spark.sql(
+      """select to_geojson_geom(st_simplify(from_geojson_geom(
+        |  '{"type":"LineString","coordinates":[[0.0,0.0],[1.0,0.01],[2.0,0.0]]}'), 0.5)) s
+        |""".stripMargin).collect()(0).getString(0)
+    assert(out == """{"type":"LineString","coordinates":[[0,0],[2,0]]}""", out)
+    val coll = spark.sql(
+      """select to_geojson_geom(st_simplify(from_geojson_geom(
+        |  '{"type":"GeometryCollection","geometries":[{"type":"LineString","coordinates":[[0.0,0.0],[1.0,0.01],[2.0,0.0]]},{"type":"Point","coordinates":[7.0,8.0]}]}'), 0.5)) s
+        |""".stripMargin).collect()(0).getString(0)
+    assert(coll.contains("""[[0,0],[2,0]]""") && coll.contains("""[7,8]"""), coll)
+  }
+
   test("expressions registered and usable from SQL") {
     val spark = graft.SparkTestBase.spark
     val row = spark.sql(
