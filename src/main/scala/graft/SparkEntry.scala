@@ -616,6 +616,26 @@ object SparkEntry {
         .select(col("doc_id").as("id_a"), (col("doc_id") + 1L).as("id_b"))
       Dedup.clusters(e1.unionByName(e2).unionByName(e3), "id", universe = Some(ids))
     }),
+    "q57_convex_hull" -> ((s, dir) => {
+      // convex hull end-to-end: a scrambled 4x3 MultiPoint grid per nation —
+      // the minimal hull is the 4 grid corners in canonical CCW order from
+      // the smallest vertex, which is exactly the box-ring builder's order
+      registerAll(s)
+      val x0 = (col("n_nationkey") * 3 % 40).cast("long")
+      val y0 = (col("n_nationkey") * 2 % 30).cast("long")
+      // scramble insertion order with k*5 mod 12 (order must not matter)
+      val pts = (0 until 12).map(j => (j * 5) % 12).map { k =>
+        concat(lit("["), (x0 + (k % 4) * 2).cast("string"), lit(","),
+          (y0 + (k / 4) * 2).cast("string"), lit("]"))
+      }
+      val json = concat(
+        lit("""{"type":"MultiPoint","coordinates":[""") +:
+          pts.zipWithIndex.map { case (p, i) =>
+            if (i == 0) p else concat(lit(","), p) } :+ lit("]}"): _*)
+      s.read.parquet(t(dir, "nation")).select(col("n_nationkey"),
+        to_geojson_geom(call_function("st_convex_hull",
+          from_geojson_geom(json))).as("hull"))
+    }),
     "q56_simplify" -> ((s, dir) => {
       // Douglas-Peucker end-to-end (parse → simplify → serialize): a 6-point
       // zigzag whose survivor set is closed-form at tol 0.8 — the three
@@ -925,6 +945,15 @@ object SparkEntry {
         |  '{"type":"Feature","properties":{"name":"' || n_name ||
         |  '","rank":' || CAST(n_nationkey * 2 AS BIGINT) ||
         |  '},"extra":{"v":1}}' AS doc
+        |FROM nation""".stripMargin,
+    "q57_convex_hull" ->
+      """SELECT n_nationkey,
+        |  '{"type":"Polygon","coordinates":[[[' ||
+        |  (n_nationkey * 3 % 40) || ',' || (n_nationkey * 2 % 30) || '],[' ||
+        |  (n_nationkey * 3 % 40 + 6) || ',' || (n_nationkey * 2 % 30) || '],[' ||
+        |  (n_nationkey * 3 % 40 + 6) || ',' || (n_nationkey * 2 % 30 + 4) || '],[' ||
+        |  (n_nationkey * 3 % 40) || ',' || (n_nationkey * 2 % 30 + 4) || '],[' ||
+        |  (n_nationkey * 3 % 40) || ',' || (n_nationkey * 2 % 30) || ']]]}' AS hull
         |FROM nation""".stripMargin,
     "q56_simplify" ->
       """SELECT n_nationkey,

@@ -596,6 +596,39 @@ object GeoAlgo {
     total
   }
 
+  // ----------------------------------------------------------- convex hull
+
+  /** Convex hull of a point set (Andrew's monotone chain): returns the hull
+    * vertices in CCW order starting at the lexicographically smallest
+    * (x, y), UNCLOSED, with collinear boundary points dropped (the minimal
+    * hull, JTS's convention). Fewer than 3 non-collinear distinct points →
+    * empty array (no areal hull exists). O(n log n). */
+  def convexHull(pts: Array[(Double, Double)]): Array[(Double, Double)] = {
+    val sorted = pts.distinct.sortBy(identity)
+    val n = sorted.length
+    if (n < 3) return Array.empty
+    @inline def cross(o: (Double, Double), a: (Double, Double), b: (Double, Double)): Double =
+      (a._1 - o._1) * (b._2 - o._2) - (a._2 - o._2) * (b._1 - o._1)
+    val hull = new Array[(Double, Double)](2 * n)
+    var k = 0
+    var i = 0
+    while (i < n) { // lower hull
+      while (k >= 2 && cross(hull(k - 2), hull(k - 1), sorted(i)) <= 0) k -= 1
+      hull(k) = sorted(i); k += 1
+      i += 1
+    }
+    val lower = k + 1
+    i = n - 2
+    while (i >= 0) { // upper hull
+      while (k >= lower && cross(hull(k - 2), hull(k - 1), sorted(i)) <= 0) k -= 1
+      hull(k) = sorted(i); k += 1
+      i -= 1
+    }
+    // k-1 vertices (last == first); degenerate all-collinear input gives 2
+    if (k - 1 < 3) Array.empty
+    else java.util.Arrays.copyOfRange(hull, 0, k - 1)
+  }
+
   // -------------------------------------------------------------- simplify
 
   /** Douglas-Peucker simplification of positions [start, end) (indices into

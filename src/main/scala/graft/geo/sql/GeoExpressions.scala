@@ -562,6 +562,51 @@ case class StAreaM2(child: Expression) extends GeoExpression {
   override protected def withNewChildrenInternal(c: IndexedSeq[Expression]) = copy(c(0))
 }
 
+/** `st_convex_hull(geom)` → the minimal convex hull of ALL the geometry's
+  * positions as a Polygon (monotone chain; ring CCW from the
+  * lexicographically smallest vertex, closed, collinear boundary points
+  * dropped — JTS's minimal-hull convention). Collections pool their
+  * children's positions. Fewer than 3 non-collinear distinct points have no
+  * areal hull → null (Optional semantics; JTS degrades to Point/LineString
+  * instead — callers wanting that keep the original geometry). */
+case class StConvexHull(child: Expression) extends GeoExpression {
+  override def children: Seq[Expression] = Seq(child)
+  override def dataType: DataType        = GeoStruct.geometryType
+  private def positions(r: InternalRow): Array[(Double, Double)] =
+    if (GeomAccess.gtype(r) == GType.Collection)
+      GeomAccess.childStrings(r).toArray.flatMap { s =>
+        val g = GeoJsonCodec.geometryOfJson(JValue.parseUnsafe(s))
+          .fold(e => throw new IllegalArgumentException(e), identity)
+        positions(GeoStruct.packGeometry(g))
+      }
+    else {
+      val c = GeomAccess.coords(r); val p = GeomAccess.posOff(r)
+      Array.tabulate(p.length - 1)(i => (c(p(i)), c(p(i) + 1)))
+    }
+  override protected def evalNotNull(v: Array[Any]): Any = {
+    val hull = GeoAlgo.convexHull(positions(v(0).asInstanceOf[InternalRow]))
+    if (hull.isEmpty) null
+    else {
+      val nPos = hull.length + 1 // closed ring
+      val coords = new Array[Double](nPos * 2)
+      val posOff = Array.tabulate(nPos + 1)(_ * 2)
+      var i = 0
+      while (i < hull.length) {
+        coords(i * 2) = hull(i)._1; coords(i * 2 + 1) = hull(i)._2; i += 1
+      }
+      coords(hull.length * 2) = hull(0)._1; coords(hull.length * 2 + 1) = hull(0)._2
+      val out = new GenericInternalRow(7)
+      out.update(0, GType.Polygon.toByte)
+      out.update(1, new GenericArrayData(coords))
+      out.update(2, new GenericArrayData(posOff))
+      out.update(3, new GenericArrayData(Array(0, nPos)))
+      out.update(4, new GenericArrayData(Array(0, 1)))
+      out
+    }
+  }
+  override protected def withNewChildrenInternal(c: IndexedSeq[Expression]) = copy(c(0))
+}
+
 /** `st_simplify(geom, tol)` → Douglas-Peucker simplification at `tol`
   * degrees: lineal paths keep their endpoints, polygon rings keep the first
   * vertex and fall back to the original ring when fewer than 4 positions

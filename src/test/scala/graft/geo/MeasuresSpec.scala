@@ -278,6 +278,45 @@ class MeasuresSpec extends AnyFunSuite {
     assert(p4.length - 1 == 2 && c4(p4(1) + 2) == 7.0)
   }
 
+  test("st_convex_hull matches JTS on 200 random point clouds; degenerate -> empty") {
+    import org.locationtech.jts.geom.{Coordinate, GeometryFactory}
+    val gf = new GeometryFactory()
+    for (_ <- 1 to 200) {
+      val n = 3 + rng.nextInt(60)
+      val pts = Array.fill(n)((rng.nextDouble() * 300 - 150, rng.nextDouble() * 140 - 70))
+      val hull = GeoAlgo.convexHull(pts)
+      val jts = gf.createMultiPointFromCoords(
+        pts.map { case (x, y) => new Coordinate(x, y) }).convexHull()
+      if (hull.isEmpty) assert(jts.getArea == 0.0)
+      else {
+        // same vertex set (JTS closes the shell; drop the dup)
+        val want = jts.getCoordinates.toSeq.map(c => (c.getX, c.getY)).dropRight(1).toSet
+        assert(hull.toSet == want, s"hull vertices differ\nours=${hull.toSeq}\njts=$want")
+        // CCW from the lexicographically smallest vertex
+        assert(hull.head == hull.minBy(identity))
+        val area2 = (hull :+ hull.head).sliding(2).map {
+          case Array((x1, y1), (x2, y2)) => x1 * y2 - x2 * y1 }.sum
+        assert(area2 > 0, "hull must be CCW")
+        assert(math.abs(area2 / 2 - jts.getArea) <= 1e-9 * math.max(1, jts.getArea))
+      }
+    }
+    // all-collinear and tiny inputs have no areal hull
+    assert(GeoAlgo.convexHull(Array((0.0, 0.0), (1.0, 1.0), (2.0, 2.0))).isEmpty)
+    assert(GeoAlgo.convexHull(Array((0.0, 0.0), (1.0, 1.0))).isEmpty)
+    // SQL surface: grid cloud -> corner rectangle, canonical order
+    val spark = graft.SparkTestBase.spark
+    val out = spark.sql(
+      """select to_geojson_geom(st_convex_hull(from_geojson_geom(
+        |  '{"type":"MultiPoint","coordinates":[[1.0,1.0],[3.0,5.0],[1.0,5.0],[2.0,3.0],[3.0,1.0],[2.0,1.0]]}'))) h
+        |""".stripMargin).collect()(0).getString(0)
+    assert(out == """{"type":"Polygon","coordinates":[[[1,1],[3,1],[3,5],[1,5],[1,1]]]}""", out)
+    // degenerate via SQL -> null
+    val nul = spark.sql(
+      """select st_convex_hull(from_geojson_geom('{"type":"LineString","coordinates":[[0.0,0.0],[2.0,2.0]]}')) h
+        |""".stripMargin).collect()(0)
+    assert(nul.isNullAt(0))
+  }
+
   test("st_simplify: SQL surface round-trips and recurses collections") {
     val spark = graft.SparkTestBase.spark
     val out = spark.sql(
