@@ -194,6 +194,34 @@ object Similarity {
       .as[(Int, Long)].collect().toMap
   }
 
+  /** IVF TUNING report: measured top-k recall of [[ivfTopKWith]] against
+    * the exact [[bruteForceTopK]] for each candidate `nprobe`, on a bounded
+    * query sample — how nprobe is chosen for a corpus before a full run
+    * (the [[graft.ops.Dedup.minhashRecallReport]] discipline for the ANN
+    * side). The brute pass is O(sampleN × corpus) BY CONSTRUCTION — a
+    * parameter-sweep tool over a sample, never a corpus-scale operator.
+    * Output per level: nprobe, n_pairs (brute top-k pairs), n_found,
+    * recall; recall at nprobe = nlist is exactly 1.0 (IVF ≡ brute force).
+    */
+  def ivfRecallReport(
+      querySample: DataFrame, qid: String, qvec: String,
+      indexPath: String, cid: String, cvec: String,
+      k: Int, nprobes: Seq[Int]): DataFrame = {
+    val spark = querySample.sparkSession
+    val sample = querySample.localCheckpoint()
+    val corpus = spark.read.parquet(s"$indexPath/lists").drop("list")
+    val brute = bruteForceTopK(sample, qid, qvec, corpus, cid, cvec, k)
+      .select(col(qid), col(cid)).localCheckpoint()
+    nprobes.map { np =>
+      val found = ivfTopKWith(sample, qid, qvec, indexPath, cid, cvec, k, np)
+        .select(col(qid), col(cid), lit(1L).as("__f"))
+      brute.join(found, Seq(qid, cid), "left")
+        .agg(count(lit(1)).as("n_pairs"), sum(coalesce(col("__f"), lit(0L))).as("n_found"))
+        .select(lit(np).as("nprobe"), col("n_pairs"), col("n_found"),
+          (col("n_found").cast("double") / col("n_pairs")).as("recall"))
+    }.reduce(_ unionByName _).orderBy("nprobe")
+  }
+
   /** Query a trained, persisted IVF index: probes join the inverted-file
     * parquet directly (partition-pruned by `list` when nprobe is small) —
     * the corpus never re-shuffles and centroids are nlist stored rows.

@@ -94,6 +94,28 @@ class SessionIvfSpec extends AnyFunSuite {
     assert(batchOut.count() == nDistinct)
   }
 
+  test("ivfRecallReport: recall monotone in nprobe, exactly 1.0 at nprobe = nlist") {
+    val corpus = spark.range(600).select($"id".as("vec_id"),
+      transform(sequence(lit(0), lit(7)), d => {
+        val c = pmod($"id", lit(8))
+        (when(d === c, lit(4.0)).otherwise(lit(0.0)) +
+          pmod(xxhash64($"id", d), lit(1000)).cast("double") / 5000.0).cast("float")
+      }).as("embedding")).localCheckpoint()
+    val idx = java.nio.file.Files.createTempDirectory("graft_ivfrep").toString + "/ivf"
+    Similarity.trainIvf(corpus, "vec_id", "embedding", idx, nlist = 8, maxIter = 6)
+    val sample = corpus.where($"vec_id" % 31 === 0)
+      .select($"vec_id".as("qid"), $"embedding".as("qvec"))
+    val rep = Similarity.ivfRecallReport(sample, "qid", "qvec", idx,
+        "vec_id", "embedding", k = 3, nprobes = Seq(1, 2, 4, 8))
+      .select("nprobe", "n_pairs", "n_found", "recall")
+      .as[(Int, Long, Long, Double)].collect()
+    assert(rep.map(_._1).toSeq == Seq(1, 2, 4, 8))
+    rep.foreach { case (_, n, f, r) => assert(f <= n && r >= 0.0 && r <= 1.0) }
+    assert(rep.sliding(2).forall { case Array(a, b) => b._4 >= a._4 - 1e-12 },
+      s"recall not monotone: ${rep.toSeq}")
+    assert(rep.last._4 == 1.0, s"nprobe=nlist must be exact: ${rep.last}")
+  }
+
   test("streaming near-dup: cross-batch first arrival wins, fresh docs survive") {
     def tok(doc: Long, j: Int): String = f"${graft.ops.TextKernels.mix64(doc * 1000 + j)}%016x"
     def gib(doc: Long, n: Int): String = (0 until n).map(tok(doc, _)).mkString(" ")
