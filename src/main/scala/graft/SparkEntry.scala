@@ -616,6 +616,16 @@ object SparkEntry {
         .select(col("doc_id").as("id_a"), (col("doc_id") + 1L).as("id_b"))
       Dedup.clusters(e1.unionByName(e2).unionByName(e3), "id", universe = Some(ids))
     }),
+    "q58_pip_indexed" -> ((s, dir) => {
+      // the PERSISTED spatial index path: polygons cover-indexed once to
+      // parquet, the point batch joins the stored (cell, geometry) rows —
+      // identical result to q03's inline pipJoin, same oracle
+      registerAll(s)
+      val idx = java.nio.file.Files.createTempDirectory("graft_q58").toString + "/spidx"
+      SpatialJoins.writeCoverIndex(regionPolys(s, dir), "r_regionkey", "geom", idx, res = 2)
+      SpatialJoins.pipJoinWithIndex(customerPoints(s, dir), "lng", "lat", idx)
+        .select(col("c_custkey"), col("r_regionkey"))
+    }),
     "q57_convex_hull" -> ((s, dir) => {
       // convex hull end-to-end: a scrambled 4x3 MultiPoint grid per nation —
       // the minimal hull is the 4 grid corners in canonical CCW order from
@@ -946,6 +956,10 @@ object SparkEntry {
         |  '","rank":' || CAST(n_nationkey * 2 AS BIGINT) ||
         |  '},"extra":{"v":1}}' AS doc
         |FROM nation""".stripMargin,
+    "q58_pip_indexed" ->
+      s"""WITH pts AS ($customerPointsSql), box AS ($regionBoxesSql)
+         |SELECT p.c_custkey, b.r_regionkey FROM pts p, box b
+         |WHERE p.lng > b.w AND p.lng < b.e AND p.lat > b.s AND p.lat < b.n""".stripMargin,
     "q57_convex_hull" ->
       """SELECT n_nationkey,
         |  '{"type":"Polygon","coordinates":[[[' ||

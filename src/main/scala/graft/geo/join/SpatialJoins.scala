@@ -291,6 +291,41 @@ object SpatialJoins {
     *
     * @return qid, point columns, `dist_m`, `rank` (1..k)
     */
+  /** Persist a polygon set's JOIN INDEX — cover cells + packed geometries —
+    * so repeated point batches join against static boundaries (admin areas,
+    * tile schemes) without re-parsing or re-covering the polygons each run:
+    * the third persisted prepare-once artifact next to the dedup signature
+    * catalog and the IVF inverted file. Layout: `path/cells` = one row per
+    * (cover cell, polygon) with the packed geometry struct inline;
+    * `path/params` = the hex resolution. */
+  def writeCoverIndex(polys: DataFrame, idCol: String, geomCol: String,
+                      path: String, res: Int): Unit = {
+    val spark = polys.sparkSession
+    import spark.implicits._
+    Seq(res).toDF("res").coalesce(1).write.mode("overwrite").parquet(s"$path/params")
+    polys.select(col(idCol), col(geomCol).as("__geom"),
+        explode(hex_cover(col(geomCol), lit(res))).as("__cell"))
+      .write.mode("overwrite").parquet(s"$path/cells")
+  }
+
+  /** PIP join of a point batch against a persisted [[writeCoverIndex]]:
+    * identical output to [[pipJoin]] (each polygon's cover cells are
+    * distinct, so a point matches a polygon on at most one cell — no dup
+    * pairs), but the polygon side is a plain parquet scan of precomputed
+    * cells + geometries (broadcast by default): zero parse, zero cover
+    * computation per batch. */
+  def pipJoinWithIndex(points: DataFrame, lngCol: String, latCol: String,
+                       path: String, broadcastIndex: Boolean = true): DataFrame = {
+    val spark = points.sparkSession
+    val res = spark.read.parquet(s"$path/params").head.getAs[Int]("res")
+    val idx0 = spark.read.parquet(s"$path/cells")
+    val idx  = if (broadcastIndex) broadcast(idx0) else idx0
+    points.withColumn("__cell", hex_cell(col(lngCol), col(latCol), lit(res)))
+      .join(idx, Seq("__cell"))
+      .where(st_contains(col("__geom"), col(lngCol), col(latCol)))
+      .drop("__cell", "__geom")
+  }
+
   /** WITHIN-DISTANCE join (distance join): every (query, point) pair within
     * `maxDistM` metres — the set-returning sibling of [[knnJoinS2]], using
     * the same metric-cap S2 box covers (pole-safe: caps peaking above

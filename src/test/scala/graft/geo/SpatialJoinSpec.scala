@@ -117,6 +117,30 @@ class SpatialJoinSpec extends AnyFunSuite {
     assert(fast.exceptAll(brute).isEmpty && brute.exceptAll(fast).isEmpty)
   }
 
+  test("persisted cover index: pipJoinWithIndex ≡ pipJoin, zero per-batch cover work") {
+    val pts = spark.range(2000).select(
+      $"id".as("pid"),
+      (pmod($"id" * 7919, lit(36000)) / 100.0 - 180.0).as("lng"),
+      (pmod($"id" * 104729, lit(16000)) / 100.0 - 80.0).as("lat"))
+    val polys = (0 until 8).map { i =>
+      val w = i * 40.0 - 165.0; val s = (i % 4) * 30.0 - 55.0
+      (i.toLong, s"""{"type":"Polygon","coordinates":[[[$w,$s],[${w + 30},$s],[${w + 30},${s + 25}],[$w,${s + 25}],[$w,$s]]]}""")
+    }.toDF("poly_id", "json")
+      .select($"poly_id", from_geojson_geom($"json").as("geom"))
+    val idx = java.nio.file.Files.createTempDirectory("graft_spidx").toString + "/spidx"
+    graft.geo.join.SpatialJoins.writeCoverIndex(polys, "poly_id", "geom", idx, res = 3)
+    val indexed = graft.geo.join.SpatialJoins.pipJoinWithIndex(pts, "lng", "lat", idx)
+      .select("pid", "poly_id").as[(Long, Long)].collect().toSet
+    val inline = graft.geo.join.SpatialJoins.pipJoin(pts, "lng", "lat", polys, "geom", res = 3)
+      .select("pid", "poly_id").as[(Long, Long)].collect().toSet
+    assert(indexed == inline && inline.nonEmpty, s"indexed=${indexed.size} inline=${inline.size}")
+    // the batch plan computes NO covers (they're stored) and broadcasts the index
+    val plan = graft.geo.join.SpatialJoins.pipJoinWithIndex(pts, "lng", "lat", idx)
+      .queryExecution.executedPlan.toString
+    assert(!plan.toLowerCase.contains("hexcover"), s"covers must be precomputed:\n${plan.take(2000)}")
+    assert(plan.contains("BroadcastHashJoin"), "index side must broadcast")
+  }
+
   test("distanceJoin equals brute force: uniform, polar and seam queries; no dup pairs") {
     val pts = spark.range(3000).select(
       $"id".as("pid"),
