@@ -41,7 +41,10 @@ object TemporalJoins {
       joinType: String = "inner"): DataFrame = {
     require(joinType == "inner" || joinType == "left",
       s"joinType must be 'inner' or 'left', got '$joinType'")
-    val leftCols  = left.columns.toSeq
+    val leftCols = left.columns.toSeq
+    val clash    = valueCols.filter(leftCols.contains)
+    require(clash.isEmpty,
+      s"asofJoin value columns collide with left columns: ${clash.mkString(", ")} — alias them on the right side first")
     val rightSide = if (strict) 2 else 0 // left rows sort as 1
     val l = left.select(
       col(keyCol).as("__k"), col(leftTsCol).cast("long").as("__ts"),

@@ -183,6 +183,35 @@ class SessionIvfSpec extends AnyFunSuite {
     assert(streamed == batch)
   }
 
+  test("watermarked tumbling-window aggregation: stream equals batch grouping") {
+    // the remaining cell of the streaming matrix: event-time windows with a
+    // watermark in append mode (windows close and emit exactly once)
+    val raw = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+      .select($"user_id", $"ts".cast("timestamp").as("ts"), $"value")
+    val dir = java.nio.file.Files.createTempDirectory("winagg_src").toString
+    raw.write.mode("overwrite").parquet(dir + "/in")
+    val stream = spark.readStream.schema(raw.schema).parquet(dir + "/in")
+    val q = stream.withWatermark("ts", "1 hour")
+      .groupBy(window($"ts", "6 hours"), $"user_id")
+      .agg(count(lit(1)).as("n"), round(sum($"value"), 4).as("v"))
+      .writeStream.format("memory").queryName("winagg_stream")
+      .outputMode("append").start()
+    q.processAllAvailable()
+    // append mode emits a window only once its watermark passes: write a
+    // far-future row so every real window closes
+    raw.limit(1).select($"user_id", lit("2030-01-01 00:00:00").cast("timestamp").as("ts"), $"value")
+      .write.mode("append").parquet(dir + "/in")
+    q.processAllAvailable(); q.stop()
+    val streamed = spark.sql(
+      "select window.start as ws, user_id, n, v from winagg_stream")
+    val batch = raw.groupBy(window($"ts", "6 hours"), $"user_id")
+      .agg(count(lit(1)).as("n"), round(sum($"value"), 4).as("v"))
+      .select($"window.start".as("ws"), $"user_id", $"n", $"v")
+    assert(streamed.count() == batch.count(),
+      s"stream ${streamed.count()} vs batch ${batch.count()}")
+    assert(streamed.exceptAll(batch).isEmpty && batch.exceptAll(streamed).isEmpty)
+  }
+
   test("streaming sessionization (flatMapGroupsWithState) matches the batch oracle") {
     val raw = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
       .select($"user_id", ($"ts".cast("timestamp").cast("double") * 1000).cast("long").as("ts_ms"),
