@@ -616,6 +616,25 @@ object SparkEntry {
         .select(col("doc_id").as("id_a"), (col("doc_id") + 1L).as("id_b"))
       Dedup.clusters(e1.unionByName(e2).unionByName(e3), "id", universe = Some(ids))
     }),
+    "q59_catalog_near" -> ((s, dir) => {
+      // the catalog's NEAR (minhash-band) mode under the gate: corpus texts
+      // are md5-hex token runs — deterministic and mutually shingle-DISJOINT
+      // (random hex shares ~1e-4 jaccard between distinct seeds; a GeoJSON
+      // or prose corpus shares scaffolding shingles and would band-collide),
+      // so identical text ⇒ certain collision, fresh seed ⇒ none, and the
+      // survivor set is the closed-form id%3!=0 slice. (q50 covers exact
+      // mode on the documents table.)
+      registerAll(s)
+      def gib(seed: Column): Column = concat_ws(" ",
+        (0 to 5).map(k => md5(concat(lit(s"tok$k-"), seed.cast("string")))): _*)
+      val corpus = s.range(2000).select(col("id").as("doc_id"), gib(col("id")).as("text"))
+      val cat = java.nio.file.Files.createTempDirectory("graft_q59").toString + "/catalog"
+      Dedup.writeCatalog(corpus, "doc_id", "text", cat)
+      val shard = s.range(2000).select((col("id") + 40000L).as("doc_id"),
+        gib(when(col("id") % 3 === 0, col("id")).otherwise(col("id") + 90000L)).as("text"))
+      Dedup.dedupAgainst(shard, "doc_id", "text", cat, mode = "near")
+        .select(col("doc_id"))
+    }),
     "q58_pip_indexed" -> ((s, dir) => {
       // the PERSISTED spatial index path: polygons cover-indexed once to
       // parquet, the point batch joins the stored (cell, geometry) rows —
@@ -956,6 +975,8 @@ object SparkEntry {
         |  '","rank":' || CAST(n_nationkey * 2 AS BIGINT) ||
         |  '},"extra":{"v":1}}' AS doc
         |FROM nation""".stripMargin,
+    "q59_catalog_near" ->
+      "SELECT range + 40000 AS doc_id FROM range(2000) WHERE range % 3 <> 0",
     "q58_pip_indexed" ->
       s"""WITH pts AS ($customerPointsSql), box AS ($regionBoxesSql)
          |SELECT p.c_custkey, b.r_regionkey FROM pts p, box b
