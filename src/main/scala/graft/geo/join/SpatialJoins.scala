@@ -179,12 +179,14 @@ object SpatialJoins {
     * Queries still unsatisfied past `maxRadius` fall back to a brute-force
     * pass (correct, rare — empty regions only).
     *
-    * Polar caveat: the planar hex grid distorts toward the poles, so the
-    * ring bound rarely certifies for queries at |lat| ≳ 85° and those
-    * queries take the fallback (correct but unindexed). At planetary scale,
-    * route the polar caps (a fraction (1-sin φcap) of a uniform sphere —
-    * 0.4% above 85°) through a rotated-frame hex index or S2 cells, which
-    * cover the poles natively.
+    * Polar routing: the planar hex grid distorts toward the poles and its
+    * ring bound rarely certifies for queries at |lat| ≳ 85°, so queries
+    * beyond `polarCutoff` (a fraction (1 - sin φcap) of a uniform sphere —
+    * 0.4% above 85°) are routed through [[knnJoinS2]], whose cube-face
+    * cells cover the poles natively — no query ever takes an unindexed
+    * path for being polar. Set `polarCutoff >= 90` to disable routing
+    * (polar queries then fall to the brute tail, the pre-round-4
+    * behavior).
     *
     * @param queries DataFrame with (qidCol, qLng, qLat)
     * @param points  DataFrame with (idCol, pLng, pLat); extra cols carried
@@ -199,12 +201,14 @@ object SpatialJoins {
       res: Int,
       maxRadius: Int = 64,
       initialRadius: Int = 4,
-      growth: Int = 4): DataFrame = {
+      growth: Int = 4,
+      polarCutoff: Double = 85.0): DataFrame = {
     import org.apache.spark.sql.expressions.Window
 
     val pts = points.withColumn("__pcell", hex_cell(col(pLng), col(pLat), lit(res)))
 
-    var remaining = queries
+    val polarQs = queries.where(abs(col(qLat)) > polarCutoff)
+    var remaining = queries.where(abs(col(qLat)) <= polarCutoff)
     var resultOpt: Option[DataFrame] = None
     // ring schedule 4 -> 16 -> 64: each round costs ~3 fixed-overhead Spark
     // jobs regardless of data size, so FEWER, WIDER rounds beat the
@@ -268,7 +272,10 @@ object SpatialJoins {
       case (None, None)       => queries.limit(0).crossJoin(points.limit(0))
         .withColumn("dist_m", lit(0.0)).withColumn("rank", lit(1))
     }
-    res0
+    if (polarCutoff >= 90.0 || polarQs.isEmpty) res0
+    else res0.unionByName(
+      knnJoinS2(polarQs, qidCol, qLng, qLat, points, pLng, pLat, k),
+      allowMissingColumns = true)
   }
 
   /** kNN join on S2 cells — the pole-safe variant. The planar hex grid of

@@ -89,6 +89,31 @@ class SpatialJoinSpec extends AnyFunSuite {
     assert(fast.exceptAll(brute).isEmpty && brute.exceptAll(fast).isEmpty)
   }
 
+  test("hex kNN auto-routes polar queries through S2 and equals brute force") {
+    // pre-round-4 these queries fell to the brute-force tail (the planar
+    // ring bound never certifies near the poles); now they route through
+    // knnJoinS2 and the MIXED result must still equal brute force exactly
+    val pts = spark.range(2500).select(
+      $"id".as("pid"),
+      (pmod($"id" * 7919, lit(36000)) / 100.0 - 180.0).as("lng"),
+      when($"id" % 4 === 0, pmod($"id" * 131, lit(400)) / 100.0 + 86.0)
+        .otherwise(pmod($"id" * 104729, lit(16000)) / 100.0 - 80.0).as("lat"))
+      .cache()
+    val qs = (Seq((1L, 10.0, 89.5), (2L, -120.0, 87.2), (3L, 45.0, 89.97)) ++
+      (4L to 20L).map(i => (i, (i * 37 % 360) - 180.0, (i * 23 % 160) - 80.0)))
+      .toDF("qid", "qlng", "qlat").cache()
+    val k = 4
+    val fast = SpatialJoins.knnJoin(qs, "qid", "qlng", "qlat", pts, "lng", "lat", k, res = 5)
+      .select("qid", "pid", "rank")
+    val w = Window.partitionBy($"qid").orderBy($"dist_m", $"lng", $"lat")
+    val brute = qs.crossJoin(pts)
+      .withColumn("dist_m", haversine($"qlng", $"qlat", $"lng", $"lat"))
+      .withColumn("rank", row_number().over(w)).where($"rank" <= k)
+      .select("qid", "pid", "rank")
+    assert(fast.count() == 20L * k)
+    assert(fast.exceptAll(brute).isEmpty && brute.exceptAll(fast).isEmpty)
+  }
+
   test("S2 kNN join equals brute force: uniform, POLAR and seam-crossing queries") {
     // world-wide points incl. dense polar caps — the hex kNN's weak corner
     val pts = spark.range(3000).select(
