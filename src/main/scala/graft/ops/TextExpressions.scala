@@ -237,6 +237,59 @@ object TextKernels {
     if (na == 0 || nb == 0) 0.0 else dot / math.sqrt(na * nb)
   }
 
+  // ---- int8 embedding quantization (QV1 payloads) -----------------------
+  // layout: [4-byte IEEE-754 scale, big-endian | dim int8 components];
+  // component i reconstructs as int8 * scale, scale = maxAbs / 127.
+
+  def vecQuantize(v: org.apache.spark.sql.catalyst.util.ArrayData): Array[Byte] = {
+    val n  = v.numElements()
+    var mx = 0.0f
+    var i  = 0
+    while (i < n) { val a = math.abs(v.getFloat(i)); if (a > mx) mx = a; i += 1 }
+    val scale = if (mx == 0.0f) 0.0f else mx / 127.0f
+    val out = new Array[Byte](4 + n)
+    val bits = java.lang.Float.floatToIntBits(scale)
+    out(0) = (bits >> 24).toByte; out(1) = (bits >> 16).toByte
+    out(2) = (bits >> 8).toByte; out(3) = bits.toByte
+    if (scale > 0.0f) {
+      i = 0
+      while (i < n) {
+        val q = math.rint(v.getFloat(i) / scale)
+        out(4 + i) = math.max(-127.0, math.min(127.0, q)).toInt.toByte
+        i += 1
+      }
+    }
+    out
+  }
+
+  private def qScale(b: Array[Byte]): Float =
+    java.lang.Float.intBitsToFloat(
+      ((b(0) & 0xff) << 24) | ((b(1) & 0xff) << 16) | ((b(2) & 0xff) << 8) | (b(3) & 0xff))
+
+  def vecDequantize(b: Array[Byte]): org.apache.spark.sql.catalyst.util.ArrayData = {
+    val scale = qScale(b)
+    val out = new Array[Float](b.length - 4)
+    var i = 0
+    while (i < out.length) { out(i) = b(4 + i) * scale; i += 1 }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
+  /** Cosine DIRECTLY on quantized payloads: per-vector scales cancel in the
+    * cosine, so this is pure int64 arithmetic + one sqrt — exactly
+    * cosine(dequantize(a), dequantize(b)), without materializing floats. */
+  def vecCosineQ(a: Array[Byte], b: Array[Byte]): Double = {
+    val n = math.min(a.length, b.length) - 4
+    var dot = 0L; var na = 0L; var nb = 0L
+    var i = 4
+    val end = 4 + n
+    while (i < end) {
+      val x = a(i).toLong; val y = b(i).toLong
+      dot += x * y; na += x * x; nb += y * y
+      i += 1
+    }
+    if (na == 0L || nb == 0L) 0.0 else dot / math.sqrt(na.toDouble * nb.toDouble)
+  }
+
   /** Random-hyperplane (sign-random-projection) LSH signature: bit k set iff
     * dot(v, h_k) >= 0, with hyperplane components ±1 derived from mix64 —
     * the standard cosine-LSH family, fully deterministic from `seed`. */
@@ -342,6 +395,52 @@ case class VecCosine(a: Expression, b: Expression)
   override protected def withNewChildrenInternal(l: Expression, r: Expression) = copy(l, r)
 }
 
+/** `vec_quantize(vec)` → QV1 int8 payload (4-byte scale header + dim
+  * bytes): the 4x embedding-storage cut of production vector stores.
+  * Codegen-enabled — it runs as a narrow map over the whole corpus. */
+case class VecQuantize(child: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+  override def dataType: DataType = BinaryType
+  override protected def nullSafeEval(v: Any): Any =
+    TextKernels.vecQuantize(v.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData])
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode) =
+    defineCodeGen(ctx, ev, c => s"graft.ops.TextKernels.vecQuantize($c)")
+  override protected def withNewChildInternal(c: Expression) = copy(c)
+}
+
+/** `vec_dequantize(bytes)` → array<float> reconstruction. */
+case class VecDequantize(child: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+  override def dataType: DataType = ArrayType(FloatType, containsNull = false)
+  override protected def nullSafeEval(v: Any): Any =
+    TextKernels.vecDequantize(v.asInstanceOf[Array[Byte]])
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode) =
+    defineCodeGen(ctx, ev, c => s"graft.ops.TextKernels.vecDequantize($c)")
+  override protected def withNewChildInternal(c: Expression) = copy(c)
+}
+
+/** `vec_cosine_q(a, b)` → cosine directly on QV1 payloads (scales cancel:
+  * pure integer dot/norms, no float materialization — the EXACT cosine of
+  * the quantized values; a float32 dequantize-then-cosine agrees to ~1e-7,
+  * the reconstruction's own rounding). Codegen-enabled. */
+case class VecCosineQ(a: Expression, b: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+  override def left: Expression  = a
+  override def right: Expression = b
+  override def dataType: DataType = DoubleType
+  override protected def nullSafeEval(x: Any, y: Any): Any =
+    TextKernels.vecCosineQ(x.asInstanceOf[Array[Byte]], y.asInstanceOf[Array[Byte]])
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode) =
+    defineCodeGen(ctx, ev, (x, y) => s"graft.ops.TextKernels.vecCosineQ($x, $y)")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression) = copy(l, r)
+}
+
 case class HyperplaneSig(vec: Expression, bits: Expression, seed: Expression)
     extends GeoExpression {
   override def children: Seq[Expression] = Seq(vec, bits, seed)
@@ -367,6 +466,9 @@ object TextFunctions {
     "lang_id"       -> (es => LangIdExpr(es.head)),
     "token_count_bpe" -> (es => TokenCountBpe(es.head)),
     "vec_cosine"    -> (es => VecCosine(es(0), es(1))),
+    "vec_quantize"   -> (es => VecQuantize(es.head)),
+    "vec_dequantize" -> (es => VecDequantize(es.head)),
+    "vec_cosine_q"   -> (es => VecCosineQ(es(0), es(1))),
     "hyperplane_sig" -> (es => HyperplaneSig(es(0), es(1), es(2))))
 
   @volatile private var registered: Set[Int] = Set.empty
@@ -390,6 +492,9 @@ object TextFunctions {
   def lang_id(text: Column): Column = call_function("lang_id", text)
   def token_count_bpe(text: Column): Column = call_function("token_count_bpe", text)
   def vec_cosine(a: Column, b: Column): Column = call_function("vec_cosine", a, b)
+  def vec_quantize(v: Column): Column   = call_function("vec_quantize", v)
+  def vec_dequantize(b: Column): Column = call_function("vec_dequantize", b)
+  def vec_cosine_q(a: Column, b: Column): Column = call_function("vec_cosine_q", a, b)
   def hyperplane_sig(vec: Column, bits: Column, seed: Column): Column =
     call_function("hyperplane_sig", vec, bits, seed)
 }

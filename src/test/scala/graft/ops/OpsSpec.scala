@@ -566,6 +566,51 @@ class OpsSpec extends AnyFunSuite {
     assert(plan.contains("BroadcastHashJoin"), "shard signatures must broadcast")
   }
 
+  test("int8 embedding quantization: bounded reconstruction, scale-invariant cosine, ANN-grade fidelity") {
+    val vecs = embs.limit(200).select($"vec_id", $"embedding")
+    // reconstruction error per component <= scale/2 (round-to-nearest)
+    val errs = vecs.select($"embedding".as("v"),
+        vec_dequantize(vec_quantize($"embedding")).as("d"))
+      .select(expr("aggregate(zip_with(v, d, (x, y) -> abs(x - y)), CAST(0.0 AS DOUBLE), (a, e) -> greatest(a, CAST(e AS DOUBLE)))").as("maxerr"),
+        expr("aggregate(v, CAST(0.0 AS DOUBLE), (a, x) -> greatest(a, abs(CAST(x AS DOUBLE))))").as("maxabs"))
+      .as[(Double, Double)].collect()
+    errs.foreach { case (e, mx) =>
+      assert(e <= mx / 127.0 / 2.0 * (1 + 1e-5) + 1e-12, s"reconstruction err $e vs bound ${mx / 254}")
+    }
+    // byte layout: 4-byte scale header + one byte per dim
+    val dims = vecs.select(size($"embedding").as("n"), length(vec_quantize($"embedding")).as("b"))
+      .as[(Int, Int)].collect()
+    dims.foreach { case (n, b) => assert(b == n + 4) }
+    // quantized cosine == cosine of the dequantized floats (scales cancel),
+    // and stays within 0.01 of the full-precision cosine for real pairs
+    val pairs = vecs.limit(50).select($"vec_id".as("ia"), $"embedding".as("va"))
+      .crossJoin(vecs.limit(50).select($"vec_id".as("ib"), $"embedding".as("vb")))
+      .where($"ia" < $"ib")
+      .select(vec_cosine($"va", $"vb").as("full"),
+        vec_cosine_q(vec_quantize($"va"), vec_quantize($"vb")).as("q"),
+        vec_cosine(vec_dequantize(vec_quantize($"va")),
+          vec_dequantize(vec_quantize($"vb"))).as("deq"))
+      .as[(Double, Double, Double)].collect()
+    pairs.foreach { case (full, q, deq) =>
+      // cosineQ is exact integer arithmetic; the dequantized path rounds
+      // each component through float32 — agreement to the f32 epsilon scale
+      assert(math.abs(q - deq) <= 1e-6, s"cosineQ $q != dequantized cosine $deq")
+      assert(math.abs(q - full) <= 0.01, s"quantized cosine drifted: $q vs $full")
+    }
+    // scale invariance is EXACT: v and 2v quantize to identical int vectors
+    val inv = vecs.limit(20)
+      .select(vec_cosine_q(vec_quantize($"embedding"),
+        vec_quantize(transform($"embedding", x => x * 2.0f))).as("c"))
+      .as[Double].collect()
+    inv.foreach(c => assert(c == 1.0, s"scale invariance broken: $c"))
+    // zero vector round-trips to zeros with cosine 0
+    val z = Seq(Tuple1(Array.fill(8)(0.0f))).toDF("v")
+      .select(vec_cosine_q(vec_quantize($"v"), vec_quantize($"v")).as("c"),
+        vec_dequantize(vec_quantize($"v")).as("d"))
+      .as[(Double, Array[Float])].head()
+    assert(z._1 == 0.0 && z._2.forall(_ == 0.0f))
+  }
+
   test("asofJoin equals the per-row brute oracle: ties, strict, inner/left, one shuffle") {
     // left events and right marks with planted EQUAL-ts ties
     val left = Seq((1L, 100L, 10L), (2L, 100L, 25L), (3L, 100L, 30L), (4L, 100L, 5L),
