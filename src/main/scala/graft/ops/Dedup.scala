@@ -417,9 +417,10 @@ object Dedup {
 
   // ------------------------------------------------ incremental catalog
 
-  /** Narrow exact signature per doc: (id, xxhash64(text), length). */
+  /** Narrow exact signature per doc: (id, xxhash64(text), length). The id
+    * keeps its own type — string doc ids (URLs) catalog as-is. */
   private def exactSignatures(df: DataFrame, idCol: String, textCol: String): DataFrame =
-    df.select(col(idCol).cast("long").as("id"),
+    df.select(col(idCol).as("id"),
       xxhash64(col(textCol)).as("h"), length(col(textCol)).as("len"))
 
   /** LSH band signatures per doc: (id, band, bh) — the same band-hash
@@ -427,7 +428,7 @@ object Dedup {
   private def bandSignatures(df: DataFrame, idCol: String, textCol: String,
                              numHashes: Int, bands: Int, shingle: Int): DataFrame = {
     val r = numHashes / bands
-    df.select(col(idCol).cast("long").as("id"),
+    df.select(col(idCol).as("id"),
         minhash_sig(col(textCol), lit(numHashes), lit(shingle)).as("__sig"))
       .withColumn("band", explode(sequence(lit(0), lit(bands - 1))))
       .withColumn("bh", xxhash64(col("band"), slice(col("__sig"), col("band") * r + 1, lit(r))))
@@ -507,7 +508,7 @@ object Dedup {
         s"dedupAgainst mode must be 'exact' or 'near', got '$other'")
     }).distinct()
     shard.join(broadcast(matched.withColumnRenamed("__sid", "__matched_id")),
-      col(idCol).cast("long") === col("__matched_id"), "left_anti")
+      col(idCol) === col("__matched_id"), "left_anti")
   }
 
   /** Pair-level view of [[dedupAgainst]]: (shard_id, catalog_id) signature

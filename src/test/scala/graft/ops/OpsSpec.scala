@@ -548,6 +548,24 @@ class OpsSpec extends AnyFunSuite {
     assert(Dedup.dedupAgainst(shard, "id", "text", dir).isEmpty)
   }
 
+  test("catalog dedup: STRING doc ids (URLs) catalog as-is") {
+    // production doc ids are often strings; signatures must preserve the
+    // id type instead of silently nulling it through a long cast
+    val dir = java.nio.file.Files.createTempDirectory("graft_cats").toString + "/catalog"
+    val corpus = (0 until 50).map(i => (s"https://ex.com/p$i", s"catalog page body number $i"))
+      .toDF("url", "text")
+    Dedup.writeCatalog(corpus, "url", "text", dir)
+    val shard = ((0 until 10).map(i => (s"https://ex.com/re$i", s"catalog page body number $i")) ++
+      (0 until 10).map(i => (s"https://ex.com/new$i", s"genuinely fresh page $i")))
+      .toDF("url", "text")
+    val survivors = Dedup.dedupAgainst(shard, "url", "text", dir)
+      .select("url").as[String].collect().toSet
+    assert(survivors == (0 until 10).map(i => s"https://ex.com/new$i").toSet, survivors.toString)
+    val pairs = Dedup.catalogPairs(shard, "url", "text", dir)
+      .where($"exact").select("shard_id", "catalog_id").as[(String, String)].collect().toSet
+    assert(pairs == (0 until 10).map(i => (s"https://ex.com/re$i", s"https://ex.com/p$i")).toSet)
+  }
+
   test("catalog dedup plan: catalog side streams, signatures never shuffle") {
     val dir = java.nio.file.Files.createTempDirectory("graft_catp").toString + "/catalog"
     val corpus = spark.range(200).select($"id",
