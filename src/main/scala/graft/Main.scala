@@ -33,11 +33,12 @@ object Main {
     val r  = graft.pipeline.GeoImagePipeline.run(spark, n, workDir, z, res)
     val joined = r.joined.count()
     val tiled  = r.tiled.count()
+    val mosaics = r.mosaics.count()
     val sec    = (System.nanoTime() - t0) / 1e9
     r.infos.foreach { i =>
       println(f"[stage] ${i.name}%-8s resumed=${i.resumed} rows=${i.rows} wall_ms=${i.wallMs}")
     }
-    println(f"[flagship] images=$n joined=$joined tiled=$tiled wall=$sec%.1f s (${n / sec}%.0f rows/s)")
+    println(f"[flagship] images=$n joined=$joined tiled=$tiled mosaics=$mosaics wall=$sec%.1f s (${n / sec}%.0f rows/s)")
     spark.stop()
   }
 }

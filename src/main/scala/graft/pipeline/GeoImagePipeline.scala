@@ -16,6 +16,8 @@ import graft.geo.sql.GeoFunctions._
   *   2. joined   — PIP join of image positions vs fixture polygons
   *                 (hex cover → int64 equi-join → st_contains refine)
   *   3. tiled    — ZXY tile assignment of ALL images, bucketed write
+  *   4. mosaics  — z→z-1 pyramid rollup: one 16×16 mosaic per parent tile
+  *                 (partial-agg binary canvases, Multimodal.mosaicTiles)
   *
   * Every stage is a declarative DataFrame plan (no RDDs in the dataflow;
   * generation uses mapPartitions only to mint the synthetic payload bytes).
@@ -62,7 +64,7 @@ object GeoImagePipeline {
   }
 
   final case class Result(images: DataFrame, joined: DataFrame, tiled: DataFrame,
-                          infos: Seq[Stages.StageInfo])
+                          mosaics: DataFrame, infos: Seq[Stages.StageInfo])
 
   /** Run the pipeline (resuming completed stages found under workDir). */
   def run(spark: SparkSession, nImages: Long, workDir: String,
@@ -82,6 +84,11 @@ object GeoImagePipeline {
       SpatialJoins.assignTiles(ImageGen.withLngLat(images), "lng", "lat", z)
         .select("image_id", "tile_key", "tile_z", "tile_x", "tile_y", "phash", "caption")
     }
-    Result(images, joined, tiled, Seq(i1, i2, i3))
+    val (mosaics, i4) = Stages.runStage(spark, workDir, "mosaics") {
+      val withKeys = SpatialJoins.assignTiles(ImageGen.withLngLat(images), "lng", "lat", z)
+        .select("tile_key", "bytes")
+      graft.ops.Multimodal.mosaicTiles(withKeys, "tile_key", "bytes")
+    }
+    Result(images, joined, tiled, mosaics, Seq(i1, i2, i3, i4))
   }
 }

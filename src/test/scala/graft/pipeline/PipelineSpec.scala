@@ -89,7 +89,14 @@ class PipelineSpec extends AnyFunSuite {
     val joined = r.joined.count()
     assert(joined > 0, "flagship join matched nothing")
     assert(r.tiled.count() == 3000, "every image gets exactly one tile")
-    assert(r.infos.forall(!_.resumed))
+    assert(r.infos.length == 4 && r.infos.forall(!_.resumed))
+    // mosaic stage: member counts sum to the image count, payloads are 16x16
+    assert(r.mosaics.agg(sum($"n_images")).as[Long].head() == 3000L)
+    val m = r.mosaics.select(
+      graft.ops.Multimodal.image_meta($"mosaic").getField("w"),
+      graft.ops.Multimodal.image_meta($"mosaic").getField("h"))
+      .distinct().as[(Int, Int)].collect()
+    assert(m.toSeq == Seq((16, 16)))
 
     // join output equals brute force
     val polys = GeoImagePipeline.fixturePolygons(spark)
@@ -100,9 +107,10 @@ class PipelineSpec extends AnyFunSuite {
     assert(r.joined.select("image_id", "poly_id").exceptAll(brute).isEmpty)
     assert(brute.exceptAll(r.joined.select("image_id", "poly_id")).isEmpty)
 
-    // second run resumes all three stages
+    // second run resumes all four stages
     val r2 = GeoImagePipeline.run(spark, nImages = 3000, workDir = dir)
-    assert(r2.infos.forall(_.resumed))
+    assert(r2.infos.length == 4 && r2.infos.forall(_.resumed))
     assert(r2.joined.count() == joined)
+    assert(r2.mosaics.count() == r.mosaics.count())
   }
 }
