@@ -214,8 +214,12 @@ object GeoAlgo {
       gtA: Int, cA: Array[Double], pA: Array[Int], rA: Array[Int], fA: Array[Int],
       gtB: Int, cB: Array[Double], pB: Array[Int], rB: Array[Int], fB: Array[Int]): Boolean = {
     if (dimOf(gtA) < 0 || dimOf(gtB) < 0) return false
-    val cA2 = unwrapParts(cA, pA, rA, fA)
-    val cB2 = unwrapParts(cB, pB, rB, fB)
+    // point sets have INDEPENDENT members: chain-unwrapping them like a path
+    // could drift a point multiple 360° frames away (an antimeridian-hopping
+    // MultiPoint) and out of the ±360 shift guard — normalize each position
+    // into [-180, 180] individually instead
+    val cA2 = if (dimOf(gtA) == 0) normalizeLngs(cA, pA) else unwrapParts(cA, pA, rA, fA)
+    val cB2 = if (dimOf(gtB) == 0) normalizeLngs(cB, pB) else unwrapParts(cB, pB, rB, fB)
     // lon ranges for the shift guard
     var minA = Double.PositiveInfinity; var maxA = Double.NegativeInfinity
     var i = 0
@@ -239,6 +243,22 @@ object GeoAlgo {
   }
 
   private val IntersectShifts = Array(0.0, 360.0, -360.0)
+
+  /** Copy of coords with every position's longitude wrapped into
+    * [-180, 180] independently (point-set normalization — members are not a
+    * connected path). */
+  private def normalizeLngs(c: Array[Double], p: Array[Int]): Array[Double] = {
+    val out = java.util.Arrays.copyOf(c, c.length)
+    var i = 0
+    while (i < p.length - 1) {
+      var x = out(p(i))
+      while (x > 180.0) x -= 360.0
+      while (x < -180.0) x += 360.0
+      out(p(i)) = x
+      i += 1
+    }
+    out
+  }
 
   /** Copy of coords with every ring unwrapped to continuous longitudes
     * (cumulative delta walk — identity for rings that never jump by more
@@ -517,7 +537,9 @@ object GeoAlgo {
     * (λ2−λ1)·sin φ). Longitudes are unwrapped cumulatively (antimeridian).
     * Exactly R²·Δλ·(sin φn − sin φs) for axis-aligned boxes (the spherical
     * zone), and invariant under vertex densification — the discrete
-    * Chamberlain-Duquette trapezoid formula is neither. */
+    * Chamberlain-Duquette trapezoid formula is neither. Rings with NET
+    * longitude winding (pole-enclosing) → NaN: the linear-edge model has no
+    * inside convention for them (spec-pinned). */
   private def ringAreaM2(coords: Array[Double], posOff: Array[Int], start: Int, end: Int): Double = {
     val n = end - start
     if (n < 3) return 0.0
@@ -552,6 +574,13 @@ object GeoAlgo {
       lam1 = lam2; phi1 = phi2
       i += 1
     }
+    // POLE-ENCLOSING ring: the unwrapped walk ends a non-zero multiple of 2π
+    // away from where it started (net longitude winding). The line integral
+    // then measures against the equator, not the cap, and the planar edge
+    // model itself has no "which side is inside" convention for such rings
+    // (st_contains treats them as a degenerate band) — NaN, loudly, instead
+    // of a silently ~65x-wrong number.
+    if (math.abs(lam1 - lam0) > 1e-9) return Double.NaN
     EarthRadiusM * EarthRadiusM * sum
   }
 

@@ -207,8 +207,11 @@ object SpatialJoins {
 
     val pts = points.withColumn("__pcell", hex_cell(col(pLng), col(pLat), lit(res)))
 
+    // null-latitude rows stay on the planar branch (both filters would be
+    // null-false and silently DROP the row otherwise); they surface through
+    // the brute tail exactly as before round 4
     val polarQs = queries.where(abs(col(qLat)) > polarCutoff)
-    var remaining = queries.where(abs(col(qLat)) <= polarCutoff)
+    var remaining = queries.where(abs(col(qLat)) <= polarCutoff || col(qLat).isNull)
     var resultOpt: Option[DataFrame] = None
     // ring schedule 4 -> 16 -> 64: each round costs ~3 fixed-overhead Spark
     // jobs regardless of data size, so FEWER, WIDER rounds beat the
@@ -272,7 +275,10 @@ object SpatialJoins {
       case (None, None)       => queries.limit(0).crossJoin(points.limit(0))
         .withColumn("dist_m", lit(0.0)).withColumn("rank", lit(1))
     }
-    if (polarCutoff >= 90.0 || polarQs.isEmpty) res0
+    // no eager polarQs.isEmpty here: knnJoinS2's own loop exits on its first
+    // (single) emptiness check, so the zero-polar case costs one limit(1)
+    // scan either way and the code path stays uniform
+    if (polarCutoff >= 90.0) res0
     else res0.unionByName(
       knnJoinS2(polarQs, qidCol, qLng, qLat, points, pLng, pLat, k),
       allowMissingColumns = true)
@@ -333,6 +339,29 @@ object SpatialJoins {
       .drop("__cell", "__geom")
   }
 
+  /** Sound lat/lng box (w, s, e, n) covering the metric cap of radius
+    * `radiusM` metres around (qLng, qLat) — the shared soundness-critical
+    * geometry of [[knnJoinS2]] and [[distanceJoin]]: the box is drawn a hair
+    * wide (1e-9) so haversine float error can never exclude a true boundary
+    * point, Δλ comes from the haversine lower bound at the band's max
+    * latitude, and caps peaking above |lat| 89.99° (where the clamped cos is
+    * no longer a sound under-estimate) take the full-longitude band. */
+  private def capBox(qLng: Column, qLat: Column, radiusM: Double)
+      : (Column, Column, Column, Column) = {
+    val R      = 6371008.8 // metres; matches GeoAlgo.haversine
+    val rBox   = radiusM * (1.0 + 1e-9)
+    val dPhi   = lit(rBox / R * (180.0 / math.Pi))
+    val sBound = greatest(lit(-90.0), qLat - dPhi)
+    val nBound = least(lit(90.0), qLat + dPhi)
+    val phiMax = greatest(abs(sBound), abs(nBound))
+    val dLng   = degrees(lit(2.0) * asin(least(lit(1.0),
+      lit(rBox) / (lit(2.0 * R) * cos(radians(least(lit(89.99), phiMax)))))))
+    val polar  = (phiMax >= 89.99) || (dLng >= 180.0)
+    val w0 = when(polar, lit(-180.0)).otherwise(qLng - dLng)
+    val e0 = when(polar, lit(180.0)).otherwise(qLng + dLng)
+    (w0, sBound, e0, nBound)
+  }
+
   /** WITHIN-DISTANCE join (distance join): every (query, point) pair within
     * `maxDistM` metres — the set-returning sibling of [[knnJoinS2]], using
     * the same metric-cap S2 box covers (pole-safe: caps peaking above
@@ -355,22 +384,9 @@ object SpatialJoins {
       minLevel: Int = 4,
       maxLevel: Int = 10): DataFrame = {
     require(maxDistM > 0, s"maxDistM must be positive, got $maxDistM")
-    val R = 6371008.8 // metres; matches GeoAlgo.haversine
     val pts = points.withColumn("__pcell",
       explode(s2_ancestors(col(pLng), col(pLat), lit(minLevel), lit(maxLevel))))
-    // box drawn a hair wide so haversine float error (~1e-15 relative) can
-    // never push a true boundary pair outside the cover — the knnJoinS2
-    // rBox discipline
-    val rBox   = maxDistM * (1.0 + 1e-9)
-    val dPhi   = lit(rBox / R * (180.0 / math.Pi))
-    val sBound = greatest(lit(-90.0), col(qLat) - dPhi)
-    val nBound = least(lit(90.0), col(qLat) + dPhi)
-    val phiMax = greatest(abs(sBound), abs(nBound))
-    val dLng   = degrees(lit(2.0) * asin(least(lit(1.0),
-      lit(rBox) / (lit(2.0 * R) * cos(radians(least(lit(89.99), phiMax)))))))
-    val polar  = (phiMax >= 89.99) || (dLng >= 180.0)
-    val w0 = when(polar, lit(-180.0)).otherwise(col(qLng) - dLng)
-    val e0 = when(polar, lit(180.0)).otherwise(col(qLng) + dLng)
+    val (w0, sBound, e0, nBound) = capBox(col(qLng), col(qLat), maxDistM)
     queries
       .withColumn("__cell", explode(s2_cover_box(w0, sBound, e0, nBound,
         lit(minLevel), lit(maxLevel))))
@@ -391,7 +407,6 @@ object SpatialJoins {
       initialRadiusM: Double = -1.0,
       maxRounds: Int = 5): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val R = 6371008.8 // metres; matches GeoAlgo.haversine
 
     // auto initial radius (<= 0): size the first cap so most queries certify
     // in round 1 — r0 = 2 sqrt(k A / (pi N)) with N from the PLAN-TIME row
@@ -416,23 +431,11 @@ object SpatialJoins {
     var radiusM   = r0
     var round     = 0
     while (round < maxRounds && !remaining.isEmpty) {
-      // rBox > r > rDone: the box is drawn a hair wide and the done test a
-      // hair strict, so float rounding (haversine error ~1e-15 relative)
-      // can never exclude a true neighbor the done test would have trusted
-      val rBox   = radiusM * (1.0 + 1e-9)
-      val dPhi   = lit(rBox / R * (180.0 / math.Pi))
-      val sBound = greatest(lit(-90.0), col(qLat) - dPhi)
-      val nBound = least(lit(90.0), col(qLat) + dPhi)
-      val phiMax = greatest(abs(sBound), abs(nBound))
-      val dLng   = degrees(lit(2.0) * asin(least(lit(1.0),
-        lit(rBox) / (lit(2.0 * R) * cos(radians(least(lit(89.99), phiMax)))))))
-      // polar threshold 89.99 (not 90): if the band peaks above it, the
-      // clamped cos() in dLng is no longer a sound under-estimate of the
-      // true max latitude, so take the full-longitude box instead (the cap
-      // is within ~1.1 km of the pole — trivial extra cover)
-      val polar  = (phiMax >= 89.99) || (dLng >= 180.0)
-      val w0 = when(polar, lit(-180.0)).otherwise(col(qLng) - dLng) // may wrap (<-180): s2_cover_box norms
-      val e0 = when(polar, lit(180.0)).otherwise(col(qLng) + dLng)
+      // capBox > r > rDone: the box is a hair wide and the done test a hair
+      // strict, so float rounding can never exclude a true neighbor the
+      // done test would have trusted (box may wrap <-180: s2_cover_box
+      // normalizes)
+      val (w0, sBound, e0, nBound) = capBox(col(qLng), col(qLat), radiusM)
       val cand = remaining
         .withColumn("__cell", explode(s2_cover_box(w0, sBound, e0, nBound,
           lit(minLevel), lit(maxLevel))))

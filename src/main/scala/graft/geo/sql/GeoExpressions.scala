@@ -230,7 +230,14 @@ case class WithFeatureProps(json: Expression, newProps: Expression)
   // custom null semantics: a null REPLACEMENT (feature had no properties and
   // the rewrite produced null) passes the document through unchanged, like
   // the reference's streaming rewrite skipping an absent member — so the
-  // kernel receives a possibly-null second argument in BOTH modes below
+  // kernel receives a possibly-null second argument in BOTH modes below.
+  // NOTE (round-4 codegen promotion): the replacement argument is evaluated
+  // for every non-null-document row — plain Spark Column semantics — where
+  // the old interpreted path incidentally skipped it for unparseable and
+  // non-Feature docs. Derive replacements null-safely (from_geojson is
+  // PERMISSIVE, so doc-derived expressions yield null, not errors — the
+  // common path is spec-pinned); a raise_error-style replacement now fires
+  // on malformed rows too.
   override def eval(input: InternalRow): Any = {
     val j = json.eval(input)
     if (j == null) null

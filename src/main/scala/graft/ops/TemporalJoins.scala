@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -45,16 +45,26 @@ object TemporalJoins {
     val clash    = valueCols.filter(leftCols.contains)
     require(clash.isEmpty,
       s"asofJoin value columns collide with left columns: ${clash.mkString(", ")} — alias them on the right side first")
+    // TIMESTAMP ts columns compare at MICROSECOND precision (a cast to long
+    // truncates to whole seconds, which can order a sub-second-later right
+    // row BEFORE the left event and invert the backward semantics); numeric
+    // ts columns pass through as-is. asof_ts comes back in the same unit.
+    def tsLong(df: DataFrame, c: String): Column = df.schema(c).dataType match {
+      case org.apache.spark.sql.types.TimestampType |
+           org.apache.spark.sql.types.TimestampNTZType => unix_micros(col(c).cast("timestamp"))
+      case org.apache.spark.sql.types.DateType => unix_micros(col(c).cast("timestamp"))
+      case _ => col(c).cast("long")
+    }
     val rightSide = if (strict) 2 else 0 // left rows sort as 1
     val l = left.select(
-      col(keyCol).as("__k"), col(leftTsCol).cast("long").as("__ts"),
+      col(keyCol).as("__k"), tsLong(left, leftTsCol).as("__ts"),
       lit(1).as("__side"),
       struct(leftCols.map(col): _*).as("__l"))
     val lStructT = l.schema("__l").dataType
     val r = right.select(
-      col(keyCol).as("__k"), col(rightTsCol).cast("long").as("__ts"),
+      col(keyCol).as("__k"), tsLong(right, rightTsCol).as("__ts"),
       lit(rightSide).as("__side"),
-      struct((col(rightTsCol).cast("long").as("__rts") +:
+      struct((tsLong(right, rightTsCol).as("__rts") +:
         valueCols.map(col)): _*).as("__v"))
     val rStructT = r.schema("__v").dataType
     val unioned = l.withColumn("__v", lit(null).cast(rStructT))

@@ -289,6 +289,20 @@ class IntersectsSpec extends AnyFunSuite {
     assert(graft.geo.sql.GeomAccess.intersects(gj, packed(westBox)))
   }
 
+  test("st_intersects: antimeridian-hopping MultiPoint members stay in frame") {
+    // points are independent — chain-unwrapping them like a path would drift
+    // later members multiple 360° frames away and out of the ±360 shift
+    // guard; each member must normalize individually
+    val hops = (0 until 40).map(i => if (i % 2 == 0) "[179.0,10.0]" else "[-179.0,10.0]")
+    val mp = s"""{"type":"MultiPoint","coordinates":[${hops.mkString(",")},[5.0,5.0]]}"""
+    val box = """{"type":"Polygon","coordinates":[[[0.0,0.0],[10.0,0.0],[10.0,10.0],[0.0,10.0],[0.0,0.0]]]}"""
+    assert(graft.geo.sql.GeomAccess.intersects(packed(mp), packed(box)),
+      "the last member (5,5) is inside the box regardless of prior hops")
+    assert(graft.geo.sql.GeomAccess.intersects(packed(box), packed(mp)))
+    val farBox = """{"type":"Polygon","coordinates":[[[60.0,0.0],[70.0,0.0],[70.0,10.0],[60.0,10.0],[60.0,0.0]]]}"""
+    assert(!graft.geo.sql.GeomAccess.intersects(packed(mp), packed(farBox)))
+  }
+
   test("intersectsJoin with LINE sides equals brute force") {
     // mixed join: 40 random polylines vs 15 random polygons
     val rng = new scala.util.Random(91)

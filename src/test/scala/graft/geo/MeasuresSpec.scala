@@ -200,6 +200,17 @@ class MeasuresSpec extends AnyFunSuite {
     assert(areaM2("""{"type":"LineString","coordinates":[[0,0],[1,1]]}""") == 0.0)
   }
 
+  test("st_area_m2: pole-enclosing rings are NaN, never a silently wrong number") {
+    // a ring encircling the north pole has net longitude winding 2π: the
+    // line integral measures against the equator (~65x the cap area) and the
+    // planar edge model has no inside convention for it — loud NaN instead
+    val polar = areaM2("""{"type":"Polygon","coordinates":[[[0.0,80.0],[90.0,80.0],[180.0,80.0],[-90.0,80.0],[0.0,80.0]]]}""")
+    assert(polar.isNaN, s"pole-enclosing ring must be NaN, got $polar")
+    // a near-polar but NON-enclosing ring still measures normally
+    val cap = areaM2("""{"type":"Polygon","coordinates":[[[0.0,80.0],[90.0,80.0],[90.0,89.0],[0.0,89.0],[0.0,80.0]]]}""")
+    assert(!cap.isNaN && cap > 0)
+  }
+
   test("st_area_m2: antimeridian-crossing ring gets the small (unwrapped) area") {
     // a 20°-wide box straddling ±180 must measure like its shifted twin, not
     // like the 340° complement

@@ -29,6 +29,23 @@ class ReaderStreamsSpec extends AnyFunSuite {
     p.toString
   }
 
+  test("mapProps on a corpus with malformed docs: PERMISSIVE null rows, no replacement-side error") {
+    // the round-4 codegen promotion evaluates the replacement for every row
+    // (Spark Column semantics); doc-derived replacements stay null-safe
+    // because from_geojson is PERMISSIVE — malformed rows null out instead
+    // of erroring, well-formed rows rewrite
+    import org.apache.spark.sql.functions._
+    val docs = Seq(
+      """{"type":"Feature","properties":{"name":"ok"}}""",
+      """{"type":"Feature","properties":{"name":""",   // malformed
+      """not json at all""").toDF("json")
+    val out = graft.streaming.GeoStreams.mapProps(docs, "json",
+      p => concat(lit("""{"name":""""), upper(get_json_object(p, "$.name")), lit("\"}")))
+      .select("json").collect().map(r => Option(r.getString(0)))
+    assert(out(0).exists(_.contains(""""name":"OK"""")), out(0).toString)
+    assert(out(1).isEmpty && out(2).isEmpty, "malformed docs must be PERMISSIVE nulls")
+  }
+
   test("feature splitter: one row per feature, constant memory, texts parse") {
     val feats = GeoJsonReader.featureTexts(spark, fixturePath).collect()
     assert(feats.length == 1)

@@ -674,6 +674,20 @@ class OpsSpec extends AnyFunSuite {
     assert(exchanges <= 2, s"expected one window shuffle per side of the union, got $exchanges")
   }
 
+  test("asofJoin: TIMESTAMP columns compare at microsecond precision") {
+    // a mark 0.7s AFTER the event must not match (second-truncation would
+    // order it before the event and invert the backward semantics)
+    val left = Seq((1L, 7L, "2024-01-01 10:00:00.200"),
+      (2L, 7L, "2024-01-01 10:00:02.900")).toDF("eid", "k", "ts")
+      .withColumn("ts", $"ts".cast("timestamp"))
+    val right = Seq((7L, "2024-01-01 10:00:00.700", "late"),
+      (7L, "2024-01-01 10:00:00.100", "early")).toDF("k", "ts", "v")
+      .withColumn("ts", $"ts".cast("timestamp"))
+    val out = graft.ops.TemporalJoins.asofJoin(left, right, "k", "ts", "ts", Seq("v"))
+      .select("eid", "v").as[(Long, String)].collect().toMap
+    assert(out == Map(1L -> "early", 2L -> "late"), out.toString)
+  }
+
   test("deterministic sampling: monotone rates, partition-independent, ~uniform") {
     val ids = spark.range(20000).select($"id".as("doc_id"))
     def sample(pm: Int) =
