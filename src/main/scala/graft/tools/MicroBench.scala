@@ -34,6 +34,29 @@ object MicroBench {
       val g = graft.geo.json.GeoJsonCodec.parse(polyJson).toOption.get
       graft.geo.json.GeoJsonCodec.render(g).length.toLong + id
     }
+    // round-4 kernels: simplify / hull / quantized cosine
+    locally {
+      val rng = new scala.util.Random(7)
+      val ring = (0 until 200).map { i =>
+        val a = 2 * math.Pi * i / 200
+        (100 + 3 * math.cos(a) + rng.nextDouble() * 0.3, 3 * math.sin(a) + rng.nextDouble() * 0.3)
+      }
+      val coords = (ring :+ ring.head).flatMap { case (x, y) => Seq(x, y) }.toArray
+      val posOff = Array.tabulate(202)(_ * 2)
+      val ringOff = Array(0, 201)
+      val partOff = Array(0, 1)
+      time("simplify_poly200", 100000)(id =>
+        graft.geo.algo.GeoAlgo.simplify(5, coords, posOff, ringOff, partOff, 0.2)._2.length.toLong + id)
+      val pts = Array.tabulate(200)(i =>
+        (rng.nextDouble() * 100, rng.nextDouble() * 80))
+      time("convex_hull200", 100000)(id =>
+        graft.geo.algo.GeoAlgo.convexHull(pts).length.toLong + id)
+      val qa = new Array[Byte](4 + 768); val qb = new Array[Byte](4 + 768)
+      var i = 0
+      while (i < 768) { qa(4 + i) = ((i * 37) % 255 - 127).toByte; qb(4 + i) = ((i * 53) % 255 - 127).toByte; i += 1 }
+      time("cosine_q768", 2000000)(id =>
+        java.lang.Double.doubleToLongBits(graft.ops.TextKernels.vecCosineQ(qa, qb)) + id)
+    }
     // the reference's own bench input (bench/input.json == simple.geojson,
     // 18,699 B, 987-position polygon): full decode -> typed doc -> encode
     val simple = {
