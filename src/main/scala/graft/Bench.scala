@@ -105,6 +105,10 @@ object Bench {
     // two runs is cheap insurance against fabricated regressions
     val runs = math.max(1, sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "2").toInt)
     canarySec() // JIT-warm the canary kernel itself
+    // startup baseline: emitted as "canary_base" so short runs (whose median
+    // is dominated by their own legs and can never self-flag) still carry an
+    // absolute reference comparable across runs and rounds
+    val canaryBase = canarySec()
     val results = selected.sortBy(_._1).map { case (name, fn) =>
       val timed = (1 to runs).map { _ =>
         val c  = canarySec()
@@ -132,7 +136,7 @@ object Bench {
       .mkString("[", ",", "]")
     val total = results.map(_._2).sum + flagSec
     val json =
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir","flagship_rows":$nImg,"flagship_rows_per_sec":$rps%.0f,"cpus":"$cpus","runs":$runs,"canary":$cs,"canary_median":$canaryMedian%.4f,"throttled":$throttled}"""
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir","flagship_rows":$nImg,"flagship_rows_per_sec":$rps%.0f,"cpus":"$cpus","runs":$runs,"canary":$cs,"canary_median":$canaryMedian%.4f,"canary_base":$canaryBase%.4f,"throttled":$throttled}"""
     println(json)
     // machine-readable copy: sbt decorates stdout with [info] prefixes,
     // which broke the driver's JSON parse in round 1 (BENCH_r01 parsed:null)
