@@ -616,6 +616,21 @@ object SparkEntry {
         .select(col("doc_id").as("id_a"), (col("doc_id") + 1L).as("id_b"))
       Dedup.clusters(e1.unionByName(e2).unionByName(e3), "id", universe = Some(ids))
     }),
+    "q60_st_parts" -> ((s, dir) => {
+      // ST_Dump: per-nation MultiPoints of n%3+2 members explode into one
+      // Point row per part with its index — every coordinate closed-form
+      registerAll(s)
+      val npts = (col("n_nationkey") % 3 + 2).cast("int")
+      val members = array_join(transform(sequence(lit(0), npts - 1), k =>
+        concat(lit("["), (col("n_nationkey") * 5 % 30 + k).cast("string"), lit(","),
+          (col("n_nationkey") * 3 % 20 + k * 2).cast("string"), lit("]"))), ",")
+      val json = concat(lit("""{"type":"MultiPoint","coordinates":["""), members, lit("]}"))
+      s.read.parquet(t(dir, "nation"))
+        .select(col("n_nationkey"), posexplode(call_function("st_parts",
+          from_geojson_geom(json))).as(Seq("part_idx", "part_geom")))
+        .select(col("n_nationkey"), col("part_idx"),
+          to_geojson_geom(col("part_geom")).as("part"))
+    }),
     "q59_catalog_near" -> ((s, dir) => {
       // the catalog's NEAR (minhash-band) mode under the gate: corpus texts
       // are md5-hex token runs — deterministic and mutually shingle-DISJOINT
@@ -975,6 +990,11 @@ object SparkEntry {
         |  '","rank":' || CAST(n_nationkey * 2 AS BIGINT) ||
         |  '},"extra":{"v":1}}' AS doc
         |FROM nation""".stripMargin,
+    "q60_st_parts" ->
+      """SELECT n_nationkey, t.k AS part_idx,
+        |  '{"type":"Point","coordinates":[' || (n_nationkey * 5 % 30 + t.k) ||
+        |  ',' || (n_nationkey * 3 % 20 + t.k * 2) || ']}' AS part
+        |FROM nation, range(5) t(k) WHERE t.k < n_nationkey % 3 + 2""".stripMargin,
     "q59_catalog_near" ->
       "SELECT range + 40000 AS doc_id FROM range(2000) WHERE range % 3 <> 0",
     "q58_pip_indexed" ->

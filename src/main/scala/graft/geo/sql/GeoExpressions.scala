@@ -569,6 +569,63 @@ case class StAreaM2(child: Expression) extends GeoExpression {
   override protected def withNewChildrenInternal(c: IndexedSeq[Expression]) = copy(c(0))
 }
 
+/** `st_parts(geom)` → the geometry's parts as an array of geometry structs
+  * (the PostGIS ST_Dump analogue — `explode(st_parts(g))` turns Multi*
+  * rows into one row per member): MultiPoint → Points, MultiLineString →
+  * LineStrings, MultiPolygon → Polygons (holes travel with their shell),
+  * GeometryCollection → its children, single geometries → [self]. Parts
+  * keep part order; container foreign members stay on the container (a
+  * part's fm is its own only for collection children). */
+case class StParts(child: Expression) extends GeoExpression {
+  override def children: Seq[Expression] = Seq(child)
+  override def dataType: DataType = ArrayType(GeoStruct.geometryType, containsNull = false)
+  private def mk(gt: Int, coords: Array[Double], posOff: Array[Int],
+                 ringOff: Array[Int]): InternalRow = {
+    val out = new GenericInternalRow(7)
+    out.update(0, gt.toByte)
+    out.update(1, new GenericArrayData(coords))
+    out.update(2, new GenericArrayData(posOff))
+    out.update(3, new GenericArrayData(ringOff))
+    out.update(4, new GenericArrayData(Array(0, ringOff.length - 1)))
+    out
+  }
+  override protected def evalNotNull(v: Array[Any]): Any = {
+    val r  = v(0).asInstanceOf[InternalRow]
+    val gt = GeomAccess.gtype(r)
+    val parts: Array[Any] = gt match {
+      case GType.Collection =>
+        GeomAccess.childStrings(r).map { s =>
+          val g = GeoJsonCodec.geometryOfJson(JValue.parseUnsafe(s))
+            .fold(e => throw new IllegalArgumentException(e), identity)
+          GeoStruct.packGeometry(g): Any
+        }.toArray
+      case GType.MultiPoint =>
+        val c = GeomAccess.coords(r); val p = GeomAccess.posOff(r)
+        Array.tabulate[Any](p.length - 1) { i =>
+          val dims = p(i + 1) - p(i)
+          mk(GType.Point, java.util.Arrays.copyOfRange(c, p(i), p(i + 1)),
+            Array(0, dims), Array(0, 1))
+        }
+      case GType.MultiLineString | GType.MultiPolygon =>
+        val c = GeomAccess.coords(r); val p = GeomAccess.posOff(r)
+        val ro = GeomAccess.ringOff(r); val fo = GeomAccess.partOff(r)
+        val single = if (gt == GType.MultiLineString) GType.LineString else GType.Polygon
+        Array.tabulate[Any](fo.length - 1) { part =>
+          val r0 = fo(part); val r1 = fo(part + 1)
+          val posBase = ro(r0); val posEnd = ro(r1)
+          val coordBase = p(posBase); val coordEnd = p(posEnd)
+          mk(single,
+            java.util.Arrays.copyOfRange(c, coordBase, coordEnd),
+            Array.tabulate(posEnd - posBase + 1)(i => p(posBase + i) - coordBase),
+            Array.tabulate(r1 - r0 + 1)(i => ro(r0 + i) - posBase))
+        }
+      case _ => Array[Any](r)
+    }
+    new GenericArrayData(parts)
+  }
+  override protected def withNewChildrenInternal(c: IndexedSeq[Expression]) = copy(c(0))
+}
+
 /** `st_convex_hull(geom)` → the minimal convex hull of ALL the geometry's
   * positions as a Polygon (monotone chain; ring CCW from the
   * lexicographically smallest vertex, closed, collinear boundary points

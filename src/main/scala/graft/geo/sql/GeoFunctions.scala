@@ -35,6 +35,7 @@ object GeoFunctions {
     "st_area_m2"        -> (es => StAreaM2(es.head)),
     "st_simplify"       -> (es => StSimplify(es(0), es(1))),
     "st_convex_hull"    -> (es => StConvexHull(es.head)),
+    "st_parts"          -> (es => StParts(es.head)),
     "st_length_m"       -> (es => StLengthM(es.head)),
     "st_geometry_type"  -> (es => StGeometryType(es.head)),
     "haversine"         -> (es => Haversine(es(0), es(1), es(2), es(3))),
@@ -94,6 +95,7 @@ object GeoFunctions {
   def st_simplify(geom: Column, tol: Column): Column =
     call_function("st_simplify", geom, tol)
   def st_convex_hull(geom: Column): Column   = call_function("st_convex_hull", geom)
+  def st_parts(geom: Column): Column         = call_function("st_parts", geom)
   def st_length_m(geom: Column): Column      = call_function("st_length_m", geom)
   def st_geometry_type(geom: Column): Column = call_function("st_geometry_type", geom)
   def haversine(lng1: Column, lat1: Column, lng2: Column, lat2: Column): Column =

@@ -115,6 +115,35 @@ class AccessorsSpec extends AnyFunSuite {
     assert(r.getSeq[Any](2).length == 1)
   }
 
+  test("st_parts (ST_Dump): Multi* decompose into members that re-render exactly") {
+    import graft.geo.sql.GeoFunctions.{st_parts, to_geojson_geom}
+    def partsOf(name: String): Seq[String] =
+      Seq(fixture(name)).toDF("raw")
+        .select(posexplode(st_parts(from_geojson_geom($"raw"))))
+        .select(to_geojson_geom($"col"))
+        .as[String].collect().toSeq
+    // MultiPolygon fixture: two polygons, the second keeps its hole
+    val mp = partsOf("multi_polygon.json")
+    assert(mp.length == 2)
+    assert(mp.forall(_.startsWith("""{"type":"Polygon"""")))
+    assert(mp(1).count(_ == '[') > mp(0).count(_ == '['), "part 1 carries the hole rings")
+    // MultiLineString -> LineStrings; MultiPoint -> Points
+    val mls = partsOf("multilinestring.json")
+    assert(mls.nonEmpty && mls.forall(_.startsWith("""{"type":"LineString"""")))
+    val mpt = partsOf("multipoint.json")
+    assert(mpt.nonEmpty && mpt.forall(_.startsWith("""{"type":"Point"""")))
+    // single geometry -> [self], byte-identical through the round trip
+    val single = partsOf("point.json")
+    val self = Seq(fixture("point.json")).toDF("raw")
+      .select(to_geojson_geom(from_geojson_geom($"raw"))).as[String].head()
+    assert(single == Seq(self))
+    // parts concatenated re-assemble the original member count
+    val counts = Seq(fixture("multi_polygon.json")).toDF("raw")
+      .select(size(st_parts(from_geojson_geom($"raw"))), numParts(from_geojson_geom($"raw")))
+      .as[(Int, Int)].head()
+    assert(counts._1 == counts._2)
+  }
+
   test("deep setters: set-get identity over 100 generated random geometries") {
     // the generator rotates Point/LineString/Polygon/MultiPoint/MultiPolygon
     // (ids with kind % 7 in 0..4 are bare geometries)
