@@ -207,11 +207,13 @@ object SpatialJoins {
 
     val pts = points.withColumn("__pcell", hex_cell(col(pLng), col(pLat), lit(res)))
 
-    // null-latitude rows stay on the planar branch (both filters would be
-    // null-false and silently DROP the row otherwise); they surface through
-    // the brute tail exactly as before round 4
+    // null- and NaN-latitude rows stay on the planar branch (for null both
+    // filters are null-false; for NaN both comparisons are plain-false — the
+    // row would silently DROP from BOTH branches otherwise); they surface
+    // through the brute tail exactly as before round 4
     val polarQs = queries.where(abs(col(qLat)) > polarCutoff)
-    var remaining = queries.where(abs(col(qLat)) <= polarCutoff || col(qLat).isNull)
+    var remaining = queries.where(abs(col(qLat)) <= polarCutoff ||
+      col(qLat).isNull || isnan(col(qLat).cast("double")))
     var resultOpt: Option[DataFrame] = None
     // ring schedule 4 -> 16 -> 64: each round costs ~3 fixed-overhead Spark
     // jobs regardless of data size, so FEWER, WIDER rounds beat the

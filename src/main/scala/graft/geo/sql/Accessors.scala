@@ -93,8 +93,12 @@ object Accessors {
     val end   = element_at(ro, r + 2)
     // end > start guard: Spark's sequence(start, stop) DESCENDS when
     // start > stop, so a degenerate empty ring (equal consecutive offsets)
-    // would yield a bogus 2-element reversed range — empty array instead
-    when(end > start, transform(sequence(start, end - 1), i => posView(g, i)))
+    // would yield a bogus 2-element reversed range — empty array instead.
+    // Null offsets (null geometry / out-of-range ring index) keep the lens
+    // null-in-null-out: without the explicit branch the `when` condition is
+    // null and `.otherwise` would turn null into a bogus empty array.
+    when(start.isNull || end.isNull, lit(null).cast("array<array<double>>"))
+      .when(end > start, transform(sequence(start, end - 1), i => posView(g, i)))
       .otherwise(array().cast("array<array<double>>"))
   }
 

@@ -383,15 +383,22 @@ object Dedup {
     *
     * Decisions are SIGNATURE-level (state holds no text, so no Jaccard
     * verify — near-threshold false drops follow the banding curve, as
-    * [[dedupAgainst]]). Run [[exactStreaming]] upstream: two IDENTICAL docs
-    * in the SAME micro-batch can split their bucket wins and BOTH drop
-    * (across batches the earlier one wins everything; within a batch the
-    * winner is an engine pick, the [[exactStreaming]] caveat). With
-    * `eventTime` the bucket state is watermark-GC'd
-    * (`dropDuplicatesWithinWatermark`); without it state grows with
-    * distinct buckets. Emit the result in update mode (the final ownership
-    * count is a streaming aggregation). Works identically on batch frames
-    * that are exact-dup-free.
+    * [[dedupAgainst]]). CO-ARRIVAL caveat — broader than the exact-dup
+    * case: any two docs sharing >= 1 band bucket in the SAME micro-batch
+    * (byte-identical docs share all of them, but two merely NEAR-dup docs
+    * share some) can split their bucket wins under `dropDuplicates`'
+    * arbitrary winner and BOTH drop. Across batches the earlier doc wins
+    * everything and survives; within a batch the split is an engine pick.
+    * Run [[exactStreaming]] upstream to remove the identical-doc case; the
+    * near-dup co-arrival case is inherent to signature-level banding (both
+    * drops are of genuine near-dups, so the result over-deletes by at most
+    * one member of a co-arriving dup pair). With `eventTime` the bucket
+    * state is watermark-GC'd (`dropDuplicatesWithinWatermark`); without it
+    * state grows with distinct buckets. Emit the result in update mode (the
+    * final ownership count is a streaming aggregation). The same holds on
+    * batch frames: identical results to streaming when the frame has no
+    * co-arriving band-sharing pair (e.g. exact-dup-free AND near-dup-free
+    * within the single batch).
     *
     * Output: the surviving (idCol, textCol) rows. */
   def nearDupStreaming(

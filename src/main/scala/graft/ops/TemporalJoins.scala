@@ -25,7 +25,10 @@ object TemporalJoins {
     * naive range join cannot reach without exploding candidates.
     *
     * Right rows must be UNIQUE on (key, ts): at a duplicate, which row wins
-    * is an engine pick — dedup upstream when it matters.
+    * is an engine pick — dedup upstream when it matters. Null keys follow
+    * SQL join equality (null never matches null): null-key left rows are
+    * unmatched (dropped under "inner", null-valued under "left") and
+    * null-key right rows match nothing.
     *
     * @param valueCols right columns to carry onto matched left rows
     * @param joinType  "inner" (default, drop left rows with no prior right
@@ -61,7 +64,12 @@ object TemporalJoins {
       lit(1).as("__side"),
       struct(leftCols.map(col): _*).as("__l"))
     val lStructT = l.schema("__l").dataType
-    val r = right.select(
+    // SQL join semantics on null keys: an equality predicate never matches
+    // null = null, so null-key right rows are dropped here and null-key left
+    // rows fall through UNMATCHED (inner drops them, left keeps them with
+    // null values) — without the filter Window.partitionBy would group the
+    // nulls together and "match" them, diverging from DuckDB's ASOF JOIN.
+    val r = right.where(col(keyCol).isNotNull).select(
       col(keyCol).as("__k"), tsLong(right, rightTsCol).as("__ts"),
       lit(rightSide).as("__side"),
       struct((tsLong(right, rightTsCol).as("__rts") +:

@@ -278,7 +278,12 @@ object TextKernels {
     * cosine, so this is pure int64 arithmetic + one sqrt — exactly
     * cosine(dequantize(a), dequantize(b)), without materializing floats. */
   def vecCosineQ(a: Array[Byte], b: Array[Byte]): Double = {
-    val n = math.min(a.length, b.length) - 4
+    // dimensions must agree — silently truncating to the shorter payload
+    // returns a plausible-but-wrong cosine on a schema mix-up; fail loudly
+    if (a.length != b.length)
+      throw new IllegalArgumentException(
+        s"vec_cosine_q: QV1 payload dimension mismatch (${a.length - 4} vs ${b.length - 4})")
+    val n = a.length - 4
     var dot = 0L; var na = 0L; var nb = 0L
     var i = 4
     val end = 4 + n

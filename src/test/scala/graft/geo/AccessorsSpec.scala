@@ -20,6 +20,17 @@ class AccessorsSpec extends AnyFunSuite {
     try scala.io.Source.fromInputStream(in, "UTF-8").mkString finally in.close()
   }
 
+  test("ring lens is null-in-null-out: a null geometry yields null, not an empty array") {
+    // the descending-sequence guard must not turn a null offset into a
+    // bogus EMPTY array — a null geometry keeps lens semantics: null in,
+    // null out
+    val df = Seq(Some(fixture("polygon.json")), None).toDF("raw")
+      .select(from_geojson_geom($"raw").as("g"))
+    val rows = df.select(ringAt($"g", 0).as("r0")).collect()
+    assert(rows(0).getSeq[Any](0).nonEmpty)   // real ring on the real geometry
+    assert(rows(1).isNullAt(0), "null geometry must propagate null")
+  }
+
   test("union prisms: feature/geometry/featureCollection match or null") {
     val df = Seq(fixture("point.json"), fixture("feature.json"), fixture("featurecollection.json"))
       .toDF("raw").select(from_geojson($"raw").as("t"))

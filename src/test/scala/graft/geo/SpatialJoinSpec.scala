@@ -89,16 +89,20 @@ class SpatialJoinSpec extends AnyFunSuite {
     assert(fast.exceptAll(brute).isEmpty && brute.exceptAll(fast).isEmpty)
   }
 
-  test("hex kNN: a null-latitude query row is not silently dropped by polar routing") {
+  test("hex kNN: null- and NaN-latitude query rows are not silently dropped by polar routing") {
     val pts = spark.range(100).select($"id".as("pid"),
       (pmod($"id" * 7, lit(100)) / 10.0).as("lng"), (pmod($"id" * 13, lit(80)) / 10.0).as("lat"))
-    val qs = Seq((1L, Some(5.0), Some(4.0)), (2L, Some(6.0), None))
+    // NaN is the nastier sibling of null: abs(NaN) > cutoff AND
+    // abs(NaN) <= cutoff are both plain-false, so without the explicit
+    // isnan branch the row vanishes from BOTH routing branches
+    val qs = Seq((1L, Some(5.0), Some(4.0)), (2L, Some(6.0), None),
+        (3L, Some(7.0), Some(Double.NaN)))
       .toDF("qid", "qlng", "qlat")
       .select($"qid", $"qlng".cast("double").as("qlng"), $"qlat".cast("double").as("qlat"))
     val out = SpatialJoins.knnJoin(qs, "qid", "qlng", "qlat", pts, "lng", "lat", k = 2, res = 4)
-    // the null-lat query surfaces (through the brute tail) instead of
-    // vanishing into neither routing branch
-    assert(out.select("qid").distinct().as[Long].collect().toSet == Set(1L, 2L))
+    // the null-lat and NaN-lat queries surface (through the brute tail)
+    // instead of vanishing into neither routing branch
+    assert(out.select("qid").distinct().as[Long].collect().toSet == Set(1L, 2L, 3L))
   }
 
   test("hex kNN auto-routes polar queries through S2 and equals brute force") {

@@ -688,6 +688,34 @@ class OpsSpec extends AnyFunSuite {
     assert(out == Map(1L -> "early", 2L -> "late"), out.toString)
   }
 
+  test("asofJoin: null keys never match (SQL join equality semantics)") {
+    // a null-key left row must NOT pair with a null-key right row (DuckDB's
+    // ASOF JOIN equality predicate drops null = null); it is unmatched —
+    // dropped under inner, null-valued under left
+    val left = Seq((1L, Some(100L), 20L), (2L, Option.empty[Long], 20L))
+      .toDF("eid", "k", "ts")
+    val right = Seq((Some(100L), 10L, "a"), (Option.empty[Long], 5L, "nullmark"))
+      .toDF("k", "ts", "v")
+    val inner = graft.ops.TemporalJoins.asofJoin(left, right, "k", "ts", "ts", Seq("v"))
+    assert(inner.select("eid").as[Long].collect().toSeq == Seq(1L))
+    val outer = graft.ops.TemporalJoins.asofJoin(left, right, "k", "ts", "ts",
+      Seq("v"), joinType = "left")
+    val byEid = outer.select("eid", "v").as[(Long, Option[String])].collect().toMap
+    assert(byEid == Map(1L -> Some("a"), 2L -> None), byEid.toString)
+  }
+
+  test("vec_cosine_q fails loudly on mismatched QV1 dimensions") {
+    // silently truncating to the shorter payload would return a plausible
+    // but wrong cosine on a schema mix-up
+    val a = TextKernels.vecQuantize(
+      new org.apache.spark.sql.catalyst.util.GenericArrayData(Array(1.0f, 2.0f, 3.0f)))
+    val b = TextKernels.vecQuantize(
+      new org.apache.spark.sql.catalyst.util.GenericArrayData(Array(1.0f, 2.0f)))
+    val e = intercept[IllegalArgumentException] { TextKernels.vecCosineQ(a, b) }
+    assert(e.getMessage.contains("dimension mismatch"))
+    assert(TextKernels.vecCosineQ(a, a) == 1.0)
+  }
+
   test("deterministic sampling: monotone rates, partition-independent, ~uniform") {
     val ids = spark.range(20000).select($"id".as("doc_id"))
     def sample(pm: Int) =
