@@ -1,12 +1,145 @@
 package graft.ops
 
-import org.apache.spark.sql.catalyst.expressions.{Expression, GenericInternalRow}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, GenericInternalRow, ImplicitCastInputTypes, TernaryExpression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions.{call_function, col, lit}
 
-import graft.geo.sql.GeoExpression
-import graft.pipeline.ImageGen
+import graft.pipeline.{AudioGen, ImageGen, VideoGen}
+
+/** Static kernel entry points for the multimodal expressions' generated
+  * code (the [[graft.geo.sql.GeoRuntime]] pattern: a Scala object's static
+  * forwarders are directly callable from Janino). All decode through the
+  * per-thread content-keyed [[graft.pipeline.DecodeCache]], so a projection
+  * computing several features over one payload column decodes each row ONCE
+  * — subexpression elimination only shares identical trees, not the decode
+  * inside different kernels.
+  */
+object MmRuntime {
+
+  def imageMeta(bytes: Array[Byte]): InternalRow = {
+    val (w, h, lossy, _) = ImageGen.decodeCached(bytes)
+    new GenericInternalRow(Array[Any](w, h, lossy))
+  }
+
+  def imagePsnr(a: Array[Byte], b: Array[Byte]): Double = {
+    val (_, _, _, pa) = ImageGen.decodeCached(a)
+    val (_, _, _, pb) = ImageGen.decodeCached(b)
+    if (pa.length != pb.length) 0.0
+    else math.min(99.0, ImageGen.psnr(pa, pb))
+  }
+
+  def imageGrayMean(bytes: Array[Byte]): Double = {
+    val (_, _, _, rgb) = ImageGen.decodeCached(bytes)
+    var sum = 0.0
+    var i = 0
+    while (i < rgb.length) {
+      sum += 0.299 * (rgb(i) & 0xff) + 0.587 * (rgb(i + 1) & 0xff) + 0.114 * (rgb(i + 2) & 0xff)
+      i += 3
+    }
+    sum / (rgb.length / 3)
+  }
+
+  def imageResize(bytes: Array[Byte], w1: Int, h1: Int): Array[Byte] = {
+    val (w0, h0, lossy, rgb) = ImageGen.decodeCached(bytes)
+    val out = new Array[Byte](10 + w1 * h1 * 3)
+    out(0) = 'G'; out(1) = 'R'; out(2) = 'B'; out(3) = '1'
+    out(4) = ((w1 >> 8) & 0xff).toByte; out(5) = (w1 & 0xff).toByte
+    out(6) = ((h1 >> 8) & 0xff).toByte; out(7) = (h1 & 0xff).toByte
+    out(8) = if (lossy) 1 else 0
+    var y = 0
+    while (y < h1) {
+      var x = 0
+      while (x < w1) {
+        val sx = x * w0 / w1; val sy = y * h0 / h1
+        val s = (sy * w0 + sx) * 3; val d = 10 + (y * w1 + x) * 3
+        out(d) = rgb(s); out(d + 1) = rgb(s + 1); out(d + 2) = rgb(s + 2)
+        x += 1
+      }
+      y += 1
+    }
+    out
+  }
+
+  def audioMeta(bytes: Array[Byte]): InternalRow = {
+    val (rate, samples) = AudioGen.decodeCached(bytes)
+    new GenericInternalRow(Array[Any](rate, samples.length))
+  }
+
+  def audioEnergy(bytes: Array[Byte]): Long = {
+    val (_, samples) = AudioGen.decodeCached(bytes)
+    var sum = 0L
+    var i = 0
+    while (i < samples.length) { val s = samples(i).toLong; sum += s * s; i += 1 }
+    sum
+  }
+
+  def audioRms(bytes: Array[Byte]): Double = {
+    val (_, samples) = AudioGen.decodeCached(bytes)
+    if (samples.isEmpty) 0.0
+    else {
+      var sum = 0.0
+      var i = 0
+      while (i < samples.length) { val s = samples(i).toDouble; sum += s * s; i += 1 }
+      math.sqrt(sum / samples.length)
+    }
+  }
+
+  def audioDownsample(bytes: Array[Byte], k0: Int): Array[Byte] = {
+    val (rate, samples) = AudioGen.decodeCached(bytes)
+    val k = math.max(1, k0)
+    val n = (samples.length + k - 1) / k
+    val out = new Array[Byte](12 + n)
+    out(0) = 'P'; out(1) = 'C'; out(2) = 'A'; out(3) = '1'
+    val r1 = rate / k
+    out(4) = (r1 >> 24).toByte; out(5) = (r1 >> 16).toByte
+    out(6) = (r1 >> 8).toByte; out(7) = r1.toByte
+    out(8) = (n >> 24).toByte; out(9) = (n >> 16).toByte
+    out(10) = (n >> 8).toByte; out(11) = n.toByte
+    var i = 0
+    while (i < n) { out(12 + i) = samples(i * k); i += 1 }
+    out
+  }
+
+  def videoMeta(bytes: Array[Byte]): InternalRow = {
+    val (w, h, nf, _) = VideoGen.decodeCached(bytes)
+    new GenericInternalRow(Array[Any](w, h, nf))
+  }
+
+  /** null when i is out of range (Optional semantics). */
+  def videoFrame(bytes: Array[Byte], i: Int): Array[Byte] = {
+    val (w, h, nf, frames) = VideoGen.decodeCached(bytes)
+    if (i < 0 || i >= nf) null
+    else VideoGen.frameAsImage(w, h, frames(i))
+  }
+
+  def videoFrames(bytes: Array[Byte], every: Int): ArrayData = {
+    val (w, h, nf, frames) = VideoGen.decodeCached(bytes)
+    val k = math.max(1, every)
+    new GenericArrayData(
+      (0 until nf by k).map(f => VideoGen.frameAsImage(w, h, frames(f))).toArray[Any])
+  }
+
+  def videoMotion(bytes: Array[Byte]): Double = {
+    val (_, _, nf, frames) = VideoGen.decodeCached(bytes)
+    if (nf < 2) 0.0
+    else {
+      var sum = 0.0; var cnt = 0L
+      var f = 1
+      while (f < nf) {
+        val a = frames(f - 1); val b = frames(f)
+        var i = 0
+        while (i < a.length) { sum += math.abs((a(i) & 0xff) - (b(i) & 0xff)); i += 1 }
+        cnt += a.length
+        f += 1
+      }
+      sum / cnt
+    }
+  }
+}
 
 /** Multimodal-column plumbing: image AND audio payloads are opaque `binary`
   * columns with typed metadata; decode / feature-extract / resize /
@@ -17,6 +150,13 @@ import graft.pipeline.ImageGen
   * [[graft.pipeline.AudioGen.decode]], the single marked seams. The
   * Spark-side plumbing — schema, partitioning, expression signatures, batch
   * shape — is real and tested either way.
+  *
+  * Every expression generates REAL code (a static [[MmRuntime]] call): one
+  * CodegenFallback in a projection ejects the whole Project from whole-stage
+  * codegen and kills subexpression elimination (CLAUDE.md — the measured
+  * re-parse pathology the codec kernels were promoted out of in r2); decode
+  * work dominates per-row here, so staying inside codegen AND sharing the
+  * decode through the per-thread cache matters doubly.
   */
 object Multimodal {
 
@@ -26,76 +166,61 @@ object Multimodal {
     StructField("lossy", BooleanType, nullable = false)))
 
   /** `image_meta(bytes)` → (w, h, lossy). */
-  case class ImageMeta(bytes: Expression) extends GeoExpression {
-    override def children: Seq[Expression] = Seq(bytes)
-    override def dataType: DataType        = metaType
-    override protected def evalNotNull(v: Array[Any]): Any = {
-      val (w, h, lossy, _) = ImageGen.decode(v(0).asInstanceOf[Array[Byte]])
-      new GenericInternalRow(Array[Any](w, h, lossy))
-    }
-    override protected def withNewChildrenInternal(c: IndexedSeq[Expression]) = copy(c(0))
+  case class ImageMeta(bytes: Expression) extends UnaryExpression with ImplicitCastInputTypes {
+    override def child: Expression = bytes
+    override def inputTypes        = Seq(BinaryType)
+    override def dataType: DataType = metaType
+    override protected def nullSafeEval(v: Any): Any =
+      MmRuntime.imageMeta(v.asInstanceOf[Array[Byte]])
+    override protected def doGenCode(ctx: codegen.CodegenContext, ev: codegen.ExprCode) =
+      defineCodeGen(ctx, ev, c => s"graft.ops.MmRuntime.imageMeta($c)")
+    override protected def withNewChildInternal(c: Expression) = copy(c)
   }
 
   /** `image_psnr(a, b)` → dB between two decoded payloads (the per-row
     * "decoded-pixel allclose / PSNR >= 40dB" invariant, BASELINE.json:15).
     * Infinity is clamped to 99 dB so the column stays orderable. */
-  case class ImagePsnr(a: Expression, b: Expression) extends GeoExpression {
-    override def children: Seq[Expression] = Seq(a, b)
-    override def dataType: DataType        = DoubleType
-    override protected def evalNotNull(v: Array[Any]): Any = {
-      val (_, _, _, pa) = ImageGen.decode(v(0).asInstanceOf[Array[Byte]])
-      val (_, _, _, pb) = ImageGen.decode(v(1).asInstanceOf[Array[Byte]])
-      if (pa.length != pb.length) 0.0
-      else math.min(99.0, ImageGen.psnr(pa, pb))
-    }
-    override protected def withNewChildrenInternal(c: IndexedSeq[Expression]) = copy(c(0), c(1))
+  case class ImagePsnr(a: Expression, b: Expression)
+      extends BinaryExpression with ImplicitCastInputTypes {
+    override def left: Expression  = a
+    override def right: Expression = b
+    override def inputTypes        = Seq(BinaryType, BinaryType)
+    override def dataType: DataType = DoubleType
+    override protected def nullSafeEval(x: Any, y: Any): Any =
+      MmRuntime.imagePsnr(x.asInstanceOf[Array[Byte]], y.asInstanceOf[Array[Byte]])
+    override protected def doGenCode(ctx: codegen.CodegenContext, ev: codegen.ExprCode) =
+      defineCodeGen(ctx, ev, (x, y) => s"graft.ops.MmRuntime.imagePsnr($x, $y)")
+    override protected def withNewChildrenInternal(l: Expression, r: Expression) = copy(l, r)
   }
 
   /** `image_gray_mean(bytes)` → mean luminance (a feature-extraction
     * stand-in with a closed-form expectation for tests). */
-  case class ImageGrayMean(bytes: Expression) extends GeoExpression {
-    override def children: Seq[Expression] = Seq(bytes)
-    override def dataType: DataType        = DoubleType
-    override protected def evalNotNull(v: Array[Any]): Any = {
-      val (_, _, _, rgb) = ImageGen.decode(v(0).asInstanceOf[Array[Byte]])
-      var sum = 0.0
-      var i = 0
-      while (i < rgb.length) {
-        sum += 0.299 * (rgb(i) & 0xff) + 0.587 * (rgb(i + 1) & 0xff) + 0.114 * (rgb(i + 2) & 0xff)
-        i += 3
-      }
-      sum / (rgb.length / 3)
-    }
-    override protected def withNewChildrenInternal(c: IndexedSeq[Expression]) = copy(c(0))
+  case class ImageGrayMean(bytes: Expression) extends UnaryExpression with ImplicitCastInputTypes {
+    override def child: Expression = bytes
+    override def inputTypes        = Seq(BinaryType)
+    override def dataType: DataType = DoubleType
+    override protected def nullSafeEval(v: Any): Any =
+      MmRuntime.imageGrayMean(v.asInstanceOf[Array[Byte]])
+    override protected def doGenCode(ctx: codegen.CodegenContext, ev: codegen.ExprCode) =
+      defineCodeGen(ctx, ev, c => s"graft.ops.MmRuntime.imageGrayMean($c)")
+    override protected def withNewChildInternal(c: Expression) = copy(c)
   }
 
   /** `image_resize(bytes, w, h)` → re-encoded GRB1 payload downsampled with
     * nearest-neighbor (deterministic). */
-  case class ImageResize(bytes: Expression, w: Expression, h: Expression) extends GeoExpression {
-    override def children: Seq[Expression] = Seq(bytes, w, h)
-    override def dataType: DataType        = BinaryType
-    override protected def evalNotNull(v: Array[Any]): Any = {
-      val (w0, h0, lossy, rgb) = ImageGen.decode(v(0).asInstanceOf[Array[Byte]])
-      val w1 = v(1).asInstanceOf[Int]; val h1 = v(2).asInstanceOf[Int]
-      val out = new Array[Byte](10 + w1 * h1 * 3)
-      out(0) = 'G'; out(1) = 'R'; out(2) = 'B'; out(3) = '1'
-      out(4) = ((w1 >> 8) & 0xff).toByte; out(5) = (w1 & 0xff).toByte
-      out(6) = ((h1 >> 8) & 0xff).toByte; out(7) = (h1 & 0xff).toByte
-      out(8) = if (lossy) 1 else 0
-      var y = 0
-      while (y < h1) {
-        var x = 0
-        while (x < w1) {
-          val sx = x * w0 / w1; val sy = y * h0 / h1
-          val s = (sy * w0 + sx) * 3; val d = 10 + (y * w1 + x) * 3
-          out(d) = rgb(s); out(d + 1) = rgb(s + 1); out(d + 2) = rgb(s + 2)
-          x += 1
-        }
-        y += 1
-      }
-      out
-    }
-    override protected def withNewChildrenInternal(c: IndexedSeq[Expression]) = copy(c(0), c(1), c(2))
+  case class ImageResize(bytes: Expression, w: Expression, h: Expression)
+      extends TernaryExpression with ImplicitCastInputTypes {
+    override def first: Expression  = bytes
+    override def second: Expression = w
+    override def third: Expression  = h
+    override def inputTypes         = Seq(BinaryType, IntegerType, IntegerType)
+    override def dataType: DataType = BinaryType
+    override protected def nullSafeEval(b: Any, x: Any, y: Any): Any =
+      MmRuntime.imageResize(b.asInstanceOf[Array[Byte]], x.asInstanceOf[Int], y.asInstanceOf[Int])
+    override protected def doGenCode(ctx: codegen.CodegenContext, ev: codegen.ExprCode) =
+      defineCodeGen(ctx, ev, (b, x, y) => s"graft.ops.MmRuntime.imageResize($b, $x, $y)")
+    override protected def withNewChildrenInternal(f: Expression, s: Expression, t: Expression) =
+      copy(f, s, t)
   }
 
   // ---- audio (PCA1 payloads, graft.pipeline.AudioGen) -------------------
@@ -105,69 +230,55 @@ object Multimodal {
     StructField("n_samples", IntegerType, nullable = false)))
 
   /** `audio_meta(bytes)` → (rate, n_samples). */
-  case class AudioMeta(bytes: Expression) extends GeoExpression {
-    override def children: Seq[Expression] = Seq(bytes)
-    override def dataType: DataType        = audioMetaType
-    override protected def evalNotNull(v: Array[Any]): Any = {
-      val (rate, samples) = graft.pipeline.AudioGen.decode(v(0).asInstanceOf[Array[Byte]])
-      new GenericInternalRow(Array[Any](rate, samples.length))
-    }
-    override protected def withNewChildrenInternal(c: IndexedSeq[Expression]) = copy(c(0))
+  case class AudioMeta(bytes: Expression) extends UnaryExpression with ImplicitCastInputTypes {
+    override def child: Expression = bytes
+    override def inputTypes        = Seq(BinaryType)
+    override def dataType: DataType = audioMetaType
+    override protected def nullSafeEval(v: Any): Any =
+      MmRuntime.audioMeta(v.asInstanceOf[Array[Byte]])
+    override protected def doGenCode(ctx: codegen.CodegenContext, ev: codegen.ExprCode) =
+      defineCodeGen(ctx, ev, c => s"graft.ops.MmRuntime.audioMeta($c)")
+    override protected def withNewChildInternal(c: Expression) = copy(c)
   }
 
   /** `audio_energy(bytes)` → Σ sample² as a LONG — exact integer, so the
     * driver oracle reproduces it with pure SQL arithmetic. */
-  case class AudioEnergy(bytes: Expression) extends GeoExpression {
-    override def children: Seq[Expression] = Seq(bytes)
-    override def dataType: DataType        = LongType
-    override protected def evalNotNull(v: Array[Any]): Any = {
-      val (_, samples) = graft.pipeline.AudioGen.decode(v(0).asInstanceOf[Array[Byte]])
-      var sum = 0L
-      var i = 0
-      while (i < samples.length) { val s = samples(i).toLong; sum += s * s; i += 1 }
-      sum
-    }
-    override protected def withNewChildrenInternal(c: IndexedSeq[Expression]) = copy(c(0))
+  case class AudioEnergy(bytes: Expression) extends UnaryExpression with ImplicitCastInputTypes {
+    override def child: Expression = bytes
+    override def inputTypes        = Seq(BinaryType)
+    override def dataType: DataType = LongType
+    override protected def nullSafeEval(v: Any): Any =
+      MmRuntime.audioEnergy(v.asInstanceOf[Array[Byte]])
+    override protected def doGenCode(ctx: codegen.CodegenContext, ev: codegen.ExprCode) =
+      defineCodeGen(ctx, ev, c => s"graft.ops.MmRuntime.audioEnergy($c)")
+    override protected def withNewChildInternal(c: Expression) = copy(c)
   }
 
   /** `audio_rms(bytes)` → sqrt(energy / n) (feature-extraction stand-in). */
-  case class AudioRms(bytes: Expression) extends GeoExpression {
-    override def children: Seq[Expression] = Seq(bytes)
-    override def dataType: DataType        = DoubleType
-    override protected def evalNotNull(v: Array[Any]): Any = {
-      val (_, samples) = graft.pipeline.AudioGen.decode(v(0).asInstanceOf[Array[Byte]])
-      if (samples.isEmpty) 0.0
-      else {
-        var sum = 0.0
-        var i = 0
-        while (i < samples.length) { val s = samples(i).toDouble; sum += s * s; i += 1 }
-        math.sqrt(sum / samples.length)
-      }
-    }
-    override protected def withNewChildrenInternal(c: IndexedSeq[Expression]) = copy(c(0))
+  case class AudioRms(bytes: Expression) extends UnaryExpression with ImplicitCastInputTypes {
+    override def child: Expression = bytes
+    override def inputTypes        = Seq(BinaryType)
+    override def dataType: DataType = DoubleType
+    override protected def nullSafeEval(v: Any): Any =
+      MmRuntime.audioRms(v.asInstanceOf[Array[Byte]])
+    override protected def doGenCode(ctx: codegen.CodegenContext, ev: codegen.ExprCode) =
+      defineCodeGen(ctx, ev, c => s"graft.ops.MmRuntime.audioRms($c)")
+    override protected def withNewChildInternal(c: Expression) = copy(c)
   }
 
   /** `audio_downsample(bytes, k)` → every k-th sample re-encoded at rate/k
     * (deterministic decimation without filtering). */
-  case class AudioDownsample(bytes: Expression, k: Expression) extends GeoExpression {
-    override def children: Seq[Expression] = Seq(bytes, k)
-    override def dataType: DataType        = BinaryType
-    override protected def evalNotNull(v: Array[Any]): Any = {
-      val (rate, samples) = graft.pipeline.AudioGen.decode(v(0).asInstanceOf[Array[Byte]])
-      val k = math.max(1, v(1).asInstanceOf[Int])
-      val n = (samples.length + k - 1) / k
-      val out = new Array[Byte](12 + n)
-      out(0) = 'P'; out(1) = 'C'; out(2) = 'A'; out(3) = '1'
-      val r1 = rate / k
-      out(4) = (r1 >> 24).toByte; out(5) = (r1 >> 16).toByte
-      out(6) = (r1 >> 8).toByte; out(7) = r1.toByte
-      out(8) = (n >> 24).toByte; out(9) = (n >> 16).toByte
-      out(10) = (n >> 8).toByte; out(11) = n.toByte
-      var i = 0
-      while (i < n) { out(12 + i) = samples(i * k); i += 1 }
-      out
-    }
-    override protected def withNewChildrenInternal(c: IndexedSeq[Expression]) = copy(c(0), c(1))
+  case class AudioDownsample(bytes: Expression, k: Expression)
+      extends BinaryExpression with ImplicitCastInputTypes {
+    override def left: Expression  = bytes
+    override def right: Expression = k
+    override def inputTypes        = Seq(BinaryType, IntegerType)
+    override def dataType: DataType = BinaryType
+    override protected def nullSafeEval(b: Any, kk: Any): Any =
+      MmRuntime.audioDownsample(b.asInstanceOf[Array[Byte]], kk.asInstanceOf[Int])
+    override protected def doGenCode(ctx: codegen.CodegenContext, ev: codegen.ExprCode) =
+      defineCodeGen(ctx, ev, (b, kk) => s"graft.ops.MmRuntime.audioDownsample($b, $kk)")
+    override protected def withNewChildrenInternal(l: Expression, r: Expression) = copy(l, r)
   }
 
   // ---- video (VID1 payloads, graft.pipeline.VideoGen) -------------------
@@ -178,70 +289,65 @@ object Multimodal {
     StructField("n_frames", IntegerType, nullable = false)))
 
   /** `video_meta(bytes)` → (w, h, n_frames). */
-  case class VideoMeta(bytes: Expression) extends GeoExpression {
-    override def children: Seq[Expression] = Seq(bytes)
-    override def dataType: DataType        = videoMetaType
-    override protected def evalNotNull(v: Array[Any]): Any = {
-      val (w, h, nf, _) = graft.pipeline.VideoGen.decode(v(0).asInstanceOf[Array[Byte]])
-      new GenericInternalRow(Array[Any](w, h, nf))
-    }
-    override protected def withNewChildrenInternal(c: IndexedSeq[Expression]) = copy(c(0))
+  case class VideoMeta(bytes: Expression) extends UnaryExpression with ImplicitCastInputTypes {
+    override def child: Expression = bytes
+    override def inputTypes        = Seq(BinaryType)
+    override def dataType: DataType = videoMetaType
+    override protected def nullSafeEval(v: Any): Any =
+      MmRuntime.videoMeta(v.asInstanceOf[Array[Byte]])
+    override protected def doGenCode(ctx: codegen.CodegenContext, ev: codegen.ExprCode) =
+      defineCodeGen(ctx, ev, c => s"graft.ops.MmRuntime.videoMeta($c)")
+    override protected def withNewChildInternal(c: Expression) = copy(c)
   }
 
   /** `video_frame(bytes, i)` → frame i as a lossless GRB1 IMAGE payload, so
     * the image expression surface composes (null when i out of range —
-    * Optional semantics). */
-  case class VideoFrame(bytes: Expression, i: Expression) extends GeoExpression {
-    override def children: Seq[Expression] = Seq(bytes, i)
-    override def dataType: DataType        = BinaryType
-    override protected def evalNotNull(v: Array[Any]): Any = {
-      val (w, h, nf, frames) = graft.pipeline.VideoGen.decode(v(0).asInstanceOf[Array[Byte]])
-      val i = v(1).asInstanceOf[Int]
-      if (i < 0 || i >= nf) null
-      else graft.pipeline.VideoGen.frameAsImage(w, h, frames(i))
-    }
-    override protected def withNewChildrenInternal(c: IndexedSeq[Expression]) = copy(c(0), c(1))
+    * Optional semantics; hence the null-checking custom codegen). */
+  case class VideoFrame(bytes: Expression, i: Expression)
+      extends BinaryExpression with ImplicitCastInputTypes {
+    override def left: Expression  = bytes
+    override def right: Expression = i
+    override def inputTypes        = Seq(BinaryType, IntegerType)
+    override def nullable: Boolean = true
+    override def dataType: DataType = BinaryType
+    override protected def nullSafeEval(b: Any, ii: Any): Any =
+      MmRuntime.videoFrame(b.asInstanceOf[Array[Byte]], ii.asInstanceOf[Int])
+    override protected def doGenCode(ctx: codegen.CodegenContext, ev: codegen.ExprCode) =
+      nullSafeCodeGen(ctx, ev, (b, ii) => s"""
+        ${ev.value} = graft.ops.MmRuntime.videoFrame($b, $ii);
+        ${ev.isNull} = ${ev.value} == null;
+      """)
+    override protected def withNewChildrenInternal(l: Expression, r: Expression) = copy(l, r)
   }
 
   /** `video_frames(bytes, every)` → every `every`-th frame as an ARRAY of
     * GRB1 image payloads — explode it for per-frame pipelines (the
     * frame-sampling batch shape). */
-  case class VideoFrames(bytes: Expression, every: Expression) extends GeoExpression {
-    override def children: Seq[Expression] = Seq(bytes, every)
-    override def dataType: DataType        = ArrayType(BinaryType, containsNull = false)
-    override protected def evalNotNull(v: Array[Any]): Any = {
-      val (w, h, nf, frames) = graft.pipeline.VideoGen.decode(v(0).asInstanceOf[Array[Byte]])
-      val k = math.max(1, v(1).asInstanceOf[Int])
-      new org.apache.spark.sql.catalyst.util.GenericArrayData(
-        (0 until nf by k).map(f =>
-          graft.pipeline.VideoGen.frameAsImage(w, h, frames(f))).toArray[Any])
-    }
-    override protected def withNewChildrenInternal(c: IndexedSeq[Expression]) = copy(c(0), c(1))
+  case class VideoFrames(bytes: Expression, every: Expression)
+      extends BinaryExpression with ImplicitCastInputTypes {
+    override def left: Expression  = bytes
+    override def right: Expression = every
+    override def inputTypes        = Seq(BinaryType, IntegerType)
+    override def dataType: DataType = ArrayType(BinaryType, containsNull = false)
+    override protected def nullSafeEval(b: Any, e: Any): Any =
+      MmRuntime.videoFrames(b.asInstanceOf[Array[Byte]], e.asInstanceOf[Int])
+    override protected def doGenCode(ctx: codegen.CodegenContext, ev: codegen.ExprCode) =
+      defineCodeGen(ctx, ev, (b, e) => s"graft.ops.MmRuntime.videoFrames($b, $e)")
+    override protected def withNewChildrenInternal(l: Expression, r: Expression) = copy(l, r)
   }
 
   /** `video_motion(bytes)` → mean absolute per-byte difference between
     * consecutive frames (a cheap motion-feature stand-in; 0.0 for
     * single-frame payloads). */
-  case class VideoMotion(bytes: Expression) extends GeoExpression {
-    override def children: Seq[Expression] = Seq(bytes)
-    override def dataType: DataType        = DoubleType
-    override protected def evalNotNull(v: Array[Any]): Any = {
-      val (_, _, nf, frames) = graft.pipeline.VideoGen.decode(v(0).asInstanceOf[Array[Byte]])
-      if (nf < 2) 0.0
-      else {
-        var sum = 0.0; var cnt = 0L
-        var f = 1
-        while (f < nf) {
-          val a = frames(f - 1); val b = frames(f)
-          var i = 0
-          while (i < a.length) { sum += math.abs((a(i) & 0xff) - (b(i) & 0xff)); i += 1 }
-          cnt += a.length
-          f += 1
-        }
-        sum / cnt
-      }
-    }
-    override protected def withNewChildrenInternal(c: IndexedSeq[Expression]) = copy(c(0))
+  case class VideoMotion(bytes: Expression) extends UnaryExpression with ImplicitCastInputTypes {
+    override def child: Expression = bytes
+    override def inputTypes        = Seq(BinaryType)
+    override def dataType: DataType = DoubleType
+    override protected def nullSafeEval(v: Any): Any =
+      MmRuntime.videoMotion(v.asInstanceOf[Array[Byte]])
+    override protected def doGenCode(ctx: codegen.CodegenContext, ev: codegen.ExprCode) =
+      defineCodeGen(ctx, ev, c => s"graft.ops.MmRuntime.videoMotion($c)")
+    override protected def withNewChildInternal(c: Expression) = copy(c)
   }
 
   val builders: Seq[(String, Seq[Expression] => Expression)] = Seq(

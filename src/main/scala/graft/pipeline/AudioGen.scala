@@ -47,6 +47,11 @@ object AudioGen {
     (rate, java.util.Arrays.copyOfRange(bytes, 12, 12 + n))
   }
 
+  /** [[decode]] behind the per-thread [[DecodeCache]] (the multimodal
+    * kernel entry point; callers must not mutate the returned samples). */
+  val decodeCache = new DecodeCache[(Int, Array[Byte])](decode)
+  def decodeCached(bytes: Array[Byte]): (Int, Array[Byte]) = decodeCache(bytes)
+
   /** n-row audio table: audio_id, bytes, rate, n_samples. Rate rotates over
     * {8000, 12000, 16000}; 800 samples per clip. */
   def table(spark: SparkSession, n: Long, nSamples: Int = 800): DataFrame = {

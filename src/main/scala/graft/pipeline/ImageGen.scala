@@ -92,6 +92,13 @@ object ImageGen {
     (w, h, bytes(8) == 1, java.util.Arrays.copyOfRange(bytes, 10, 10 + w * h * 3))
   }
 
+  /** [[decode]] behind the per-thread [[DecodeCache]]: the multimodal
+    * kernel entry point, so a projection computing several image features
+    * over one column decodes each row ONCE. Callers must not mutate the
+    * returned rgb array — it is shared across cache hits. */
+  val decodeCache = new DecodeCache[(Int, Int, Boolean, Array[Byte])](decode)
+  def decodeCached(bytes: Array[Byte]): (Int, Int, Boolean, Array[Byte]) = decodeCache(bytes)
+
   /** PSNR (dB) between two equal-length byte rasters. */
   def psnr(a: Array[Byte], b: Array[Byte]): Double = {
     require(a.length == b.length)

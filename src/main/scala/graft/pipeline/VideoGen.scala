@@ -51,6 +51,11 @@ object VideoGen {
     (w, h, nf, frames)
   }
 
+  /** [[decode]] behind the per-thread [[DecodeCache]] (the multimodal
+    * kernel entry point; callers must not mutate the returned rasters). */
+  val decodeCache = new DecodeCache[(Int, Int, Int, Array[Array[Byte]])](decode)
+  def decodeCached(bytes: Array[Byte]): (Int, Int, Int, Array[Array[Byte]]) = decodeCache(bytes)
+
   /** A frame raster re-wrapped as a lossless GRB1 image payload. */
   def frameAsImage(w: Int, h: Int, raster: Array[Byte]): Array[Byte] = {
     val out = new Array[Byte](10 + raster.length)

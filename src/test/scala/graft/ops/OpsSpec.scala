@@ -972,4 +972,60 @@ class OpsSpec extends AnyFunSuite {
       .select(image_psnr($"bytes", $"bytes").as("p")).as[Double].collect()
     assert(psnrs.forall(_ >= 40.0))
   }
+
+  test("multimodal kernels are real codegen: triple projection whole-stage, one decode per row") {
+    import Multimodal._
+    // the r2 from_geojson CSE test ported to the decode kernels: a
+    // projection computing meta + gray_mean + psnr over ONE payload column
+    // must (a) stay inside WholeStageCodegen — one CodegenFallback ejects
+    // the whole Project and kills sibling subexpression elimination — and
+    // (b) decode each row ONCE via the content-keyed per-thread cache, not
+    // once per kernel
+    val n = 200
+    val imgs = graft.pipeline.ImageGen.table(spark, n).localCheckpoint()
+    // resize to 4x4 so the psnr right side is genuinely DIFFERENT content
+    // (a same-dims resize reproduces the payload byte-for-byte and even its
+    // decode hits the content-keyed cache — measured while writing this)
+    val proj = imgs.select(
+      image_meta($"bytes").getField("w").as("mw"),
+      image_gray_mean($"bytes").as("gray"),
+      image_psnr($"bytes", image_resize($"bytes", lit(4), lit(4))).as("p"))
+    for (kernel <- Seq("imagemeta", "imagegraymean", "imagepsnr", "imageresize")) {
+      val line = proj.queryExecution.executedPlan.toString.linesIterator
+        .find(_.toLowerCase.contains(kernel)).getOrElse("")
+      assert(line.contains("*("),
+        s"$kernel Project fell out of whole-stage codegen: $line")
+    }
+    val before = graft.pipeline.ImageGen.decodeCache.misses.get()
+    proj.write.format("noop").mode("overwrite").save()
+    val decodes = graft.pipeline.ImageGen.decodeCache.misses.get() - before
+    // meta + gray + psnr-left all decode the SAME bytes (cache hits after
+    // the first); psnr-right decodes the per-row resized payload — so 2
+    // decodes per row, not 5. Small slack for task-thread cache cold starts.
+    assert(decodes <= 2L * n + 16,
+      s"expected ~${2 * n} decodes (2/row via the shared cache), got $decodes")
+    assert(decodes >= 2L * n, s"decode count $decodes below the 2/row floor")
+
+    // audio + video kernels: same whole-stage pin
+    val aud = graft.pipeline.AudioGen.table(spark, 8)
+      .select(audio_meta($"bytes").getField("rate").as("r"),
+        audio_energy($"bytes").as("e"), audio_rms($"bytes").as("rms"))
+    for (kernel <- Seq("audiometa", "audioenergy", "audiorms")) {
+      val line = aud.queryExecution.executedPlan.toString.linesIterator
+        .find(_.toLowerCase.contains(kernel)).getOrElse("")
+      assert(line.contains("*("), s"$kernel fell out of whole-stage codegen: $line")
+    }
+    val vid = graft.pipeline.VideoGen.table(spark, 8)
+      .select(video_meta($"bytes").getField("n_frames").as("nf"),
+        video_motion($"bytes").as("m"), video_frame($"bytes", lit(0)).as("f0"))
+    for (kernel <- Seq("videometa", "videomotion", "videoframe")) {
+      val line = vid.queryExecution.executedPlan.toString.linesIterator
+        .find(_.toLowerCase.contains(kernel)).getOrElse("")
+      assert(line.contains("*("), s"$kernel fell out of whole-stage codegen: $line")
+    }
+    // null semantics survive the promotion: out-of-range frame is null
+    val oob = graft.pipeline.VideoGen.table(spark, 4)
+      .select(video_frame($"bytes", lit(9999)).as("f"))
+    assert(oob.where($"f".isNotNull).count() == 0)
+  }
 }
