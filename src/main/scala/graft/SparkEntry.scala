@@ -709,8 +709,11 @@ object SparkEntry {
           (lit(1704067200000L) + col("k") * 259200000L + (col("user_id") % 1000L) * 1000L)
             .as("mark_ms"),
           col("k").cast("long").as("version"))
-      graft.ops.TemporalJoins.asofJoin(ev, marks, "user_id", "ts_ms", "mark_ms",
-          Seq("version"))
+      // the SHARDED (hot-key-safe) path under the cross-engine oracle: one
+      // week per time shard, output identical to the unsharded asofJoin
+      // (equality spec-pinned in OpsSpec on a planted one-hot-key corpus)
+      graft.ops.TemporalJoins.asofJoinSharded(ev, marks, "user_id", "ts_ms", "mark_ms",
+          Seq("version"), shardWidth = 7L * 86400000L)
         .select(col("event_id"), col("user_id"), col("version"))
     }),
     "q54_distance_join" -> ((s, dir) => {

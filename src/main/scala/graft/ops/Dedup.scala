@@ -472,6 +472,56 @@ object Dedup {
     bandSignatures(df, idCol, textCol, nh, nb, sh).write.mode("append").parquet(s"$path/minhash")
   }
 
+  /** Catalog MAINTENANCE: compaction + self-dedup. Repeated
+    * [[appendToCatalog]] calls accumulate small parquet files (one batch of
+    * files per append — the classic small-files creep) AND duplicate
+    * signature rows: a re-crawled doc appended twice matches itself forever,
+    * and every duplicate row inflates every future [[dedupAgainst]] probe.
+    * This rewrites both signature tables with exact-duplicate rows dropped
+    * (`distinct()` — identical (id, h, len) / (id, band, bh) rows collapse;
+    * a same-id doc whose TEXT changed keeps both signatures, which is
+    * correct: either matches a future re-crawl) and file counts bounded by
+    * a range-repartition on the probe keys (h; band, bh), which also gives
+    * parquet min/max stats a sorted layout to prune against.
+    *
+    * The rewrite is ATOMIC in the [[graft.pipeline.Stages]] `_SUCCESS`
+    * discipline: the compacted copy lands in a sibling tmp dir first and
+    * swaps in via two directory renames, so a concurrent reader sees either
+    * the old or the new catalog, never a half-written one (overwriting a
+    * parquet path being read is also an error in Spark — the tmp hop is
+    * required for self-reads anyway). Leftover tmp/backup dirs from a
+    * crashed prior compaction are cleaned on entry.
+    */
+  def compactCatalog(spark: org.apache.spark.sql.SparkSession, path: String,
+                     filesPerTable: Int = 4): Unit = {
+    import java.nio.file.{Files, Paths, StandardCopyOption}
+    require(filesPerTable > 0, s"filesPerTable must be positive, got $filesPerTable")
+    def rm(p: java.io.File): Unit = if (p.exists()) {
+      if (p.isDirectory) p.listFiles().foreach(rm)
+      p.delete()
+    }
+    def swap(sub: String)(write: String => Unit): Unit = {
+      val cur = Paths.get(s"$path/$sub")
+      val tmp = Paths.get(s"$path/.compact_$sub")
+      val bak = Paths.get(s"$path/.old_$sub")
+      rm(tmp.toFile); rm(bak.toFile)
+      write(tmp.toString)
+      Files.move(cur, bak, StandardCopyOption.ATOMIC_MOVE)
+      Files.move(tmp, cur, StandardCopyOption.ATOMIC_MOVE)
+      rm(bak.toFile)
+    }
+    swap("exact") { out =>
+      spark.read.parquet(s"$path/exact").distinct()
+        .repartitionByRange(filesPerTable, col("h"))
+        .write.parquet(out)
+    }
+    swap("minhash") { out =>
+      spark.read.parquet(s"$path/minhash").distinct()
+        .repartitionByRange(filesPerTable, col("band"), col("bh"))
+        .write.parquet(out)
+    }
+  }
+
   private def catalogParams(spark: org.apache.spark.sql.SparkSession, path: String): (Int, Int, Int) = {
     val p = spark.read.parquet(s"$path/params").head
     (p.getAs[Int]("num_hashes"), p.getAs[Int]("bands"), p.getAs[Int]("shingle"))

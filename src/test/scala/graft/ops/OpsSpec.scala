@@ -548,6 +548,37 @@ class OpsSpec extends AnyFunSuite {
     assert(Dedup.dedupAgainst(shard, "id", "text", dir).isEmpty)
   }
 
+  test("compactCatalog: self-dedup + bounded files, dedupAgainst results identical") {
+    def tok(doc: Long, j: Int): String = f"${TextKernels.mix64(doc * 500 + j)}%016x"
+    def gibberish(doc: Long, n: Int): String = (0 until n).map(tok(doc, _)).mkString(" ")
+    val dir = java.nio.file.Files.createTempDirectory("graft_compact").toString + "/catalog"
+    val corpus = (0L until 80L).map(i => (i, gibberish(i, 12))).toDF("id", "text")
+    Dedup.writeCatalog(corpus, "id", "text", dir)
+    // the re-crawl pathology: the SAME corpus appended twice more — every
+    // doc now matches itself in triplicate and the tables carry 3x rows
+    Dedup.appendToCatalog(corpus, "id", "text", dir)
+    Dedup.appendToCatalog(corpus, "id", "text", dir)
+    def parts(sub: String) = new java.io.File(s"$dir/$sub").listFiles()
+      .count(_.getName.startsWith("part-"))
+    def rows(sub: String) = spark.read.parquet(s"$dir/$sub").count()
+    val (exactBefore, mhBefore) = (rows("exact"), rows("minhash"))
+    assert(exactBefore == 240L, s"3 appends should triple the rows, got $exactBefore")
+    val shard = ((0L until 10L).map(i => (2000L + i, gibberish(i, 12))) ++
+      (0L until 10L).map(i => (2100L + i, gibberish(9000L + i, 12)))).toDF("id", "text")
+    def result() = Dedup.dedupAgainst(shard, "id", "text", dir)
+      .select("id").as[Long].collect().toSet
+    val before = result()
+    Dedup.compactCatalog(spark, dir, filesPerTable = 2)
+    // duplicate signature rows collapsed, file count bounded, answers identical
+    assert(rows("exact") == 80L && rows("minhash") == mhBefore / 3)
+    assert(parts("exact") <= 2 && parts("minhash") <= 2,
+      s"file counts after compaction: exact=${parts("exact")} minhash=${parts("minhash")}")
+    assert(result() == before && before == (2100L until 2110L).toSet)
+    // idempotent: compacting a compacted catalog is a no-op on rows
+    Dedup.compactCatalog(spark, dir, filesPerTable = 2)
+    assert(rows("exact") == 80L && result() == before)
+  }
+
   test("catalog dedup: STRING doc ids (URLs) catalog as-is") {
     // production doc ids are often strings; signatures must preserve the
     // id type instead of silently nulling it through a long cast
@@ -686,6 +717,39 @@ class OpsSpec extends AnyFunSuite {
     val out = graft.ops.TemporalJoins.asofJoin(left, right, "k", "ts", "ts", Seq("v"))
       .select("eid", "v").as[(Long, String)].collect().toMap
     assert(out == Map(1L -> "early", 2L -> "late"), out.toString)
+  }
+
+  test("asofJoinSharded equals asofJoin on a planted one-hot-key corpus; window keyed on (key, shard)") {
+    // 90% of rows on ONE key — the distribution where the unsharded window
+    // serializes that key into a single task; the sharded variant must be
+    // bit-identical while windowing on (key, time-shard)
+    val left = spark.range(2000).select($"id".as("eid"),
+      when($"id" % 10 =!= 0, lit(7L)).otherwise($"id" % 5).as("k"),
+      (xxhash64($"id") % 100000L + 100000L).as("ts"))
+    val right = spark.range(300).select(
+      when($"id" % 10 =!= 0, lit(7L)).otherwise($"id" % 5).as("k"),
+      (xxhash64($"id" + 777L) % 100000L + 100000L).as("ts"),
+      concat(lit("v"), $"id").as("v"))
+      .dropDuplicates("k", "ts") // contract: right unique on (key, ts)
+      .localCheckpoint()
+    for (strict <- Seq(false, true); jt <- Seq("inner", "left");
+         width <- Seq(1000L, 7L, 1000000L)) {
+      val plain = graft.ops.TemporalJoins.asofJoin(
+        left, right, "k", "ts", "ts", Seq("v"), strict, jt)
+      val sharded = graft.ops.TemporalJoins.asofJoinSharded(
+        left, right, "k", "ts", "ts", Seq("v"), width, strict, jt)
+      assert(sharded.exceptAll(plain).isEmpty && plain.exceptAll(sharded).isEmpty,
+        s"sharded != plain at strict=$strict joinType=$jt width=$width")
+    }
+    // plan pin: the corpus-scale running-last window partitions on
+    // (key, shard), not the bare key — the whole point of the variant
+    val plan = graft.ops.TemporalJoins.asofJoinSharded(
+      left, right, "k", "ts", "ts", Seq("v"), 1000L)
+      .queryExecution.executedPlan.toString
+    val windowLines = plan.linesIterator.filter(_.contains("Window")).toSeq
+    assert(windowLines.exists(l => l.contains("__k") && l.contains("__shard")),
+      s"expected a (__k, __shard)-keyed window:\n${windowLines.mkString("\n")}")
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"))
   }
 
   test("asofJoin: null keys never match (SQL join equality semantics)") {
