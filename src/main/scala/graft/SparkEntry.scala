@@ -616,6 +616,32 @@ object SparkEntry {
         .select(col("doc_id").as("id_a"), (col("doc_id") + 1L).as("id_b"))
       Dedup.clusters(e1.unionByName(e2).unionByName(e3), "id", universe = Some(ids))
     }),
+    "q62_clip_box" -> ((s, dir) => {
+      // geometry CONSTRUCTION under the gate: region boxes clipped to
+      // nation-keyed probe windows. Axis-aligned subjects clip to exact
+      // interval arithmetic (shPass pins synthesized crossings to the clip
+      // bounds VERBATIM), so the bbox is greatest/least of identically-
+      // computed doubles in both engines and the area is emitted as exact
+      // integer micro-square-degrees (the grid-exact-double round trap:
+      // these areas land exactly ON the 6-decimal grid, where round(x, 6)
+      // is engine-divergent but round(x * 1e6) to a BIGINT is not — the
+      // float error is ~1e-11, far below the 0.5 tie distance)
+      registerAll(s)
+      val probes = s.read.parquet(t(dir, "nation"))
+        .withColumn("pw", (col("n_nationkey") * 29 % 300 - 160).cast("double"))
+        .withColumn("ps", (col("n_nationkey") * 17 % 120 - 65).cast("double"))
+        .select(col("n_nationkey"), col("pw"), col("ps"),
+          (col("pw") + 33.0).as("pe"), (col("ps") + 27.0).as("pn"))
+      regionPolys(s, dir).crossJoin(probes) // 5 regions x ~25 nations: constant
+        .withColumn("clip", st_clip_box(col("geom"), col("pw"), col("ps"), col("pe"), col("pn")))
+        .where(col("clip").isNotNull)
+        .select(col("r_regionkey"), col("n_nationkey"),
+          element_at(st_bbox(col("clip")), 1).as("cw"),
+          element_at(st_bbox(col("clip")), 2).as("cs"),
+          element_at(st_bbox(col("clip")), 3).as("ce"),
+          element_at(st_bbox(col("clip")), 4).as("cn"),
+          round(st_area(col("clip")) * 1e6).cast("long").as("area_u6"))
+    }),
     "q60_st_parts" -> ((s, dir) => {
       // ST_Dump: per-nation MultiPoints of n%3+2 members explode into one
       // Point row per part with its index — every coordinate closed-form
@@ -993,6 +1019,29 @@ object SparkEntry {
         |  '","rank":' || CAST(n_nationkey * 2 AS BIGINT) ||
         |  '},"extra":{"v":1}}' AS doc
         |FROM nation""".stripMargin,
+    "q62_clip_box" ->
+      // box bounds re-derived in EXPLICIT double arithmetic: DuckDB's bare
+      // -170.005 + r*66.0 is exact DECIMAL math (1 ulp off Spark's IEEE
+      // double sum), which q03-style strict inequalities absorb but q62's
+      // raw bbox values would hash-mismatch on
+      s"""WITH box AS (SELECT r_regionkey,
+         |  CAST(-170.005 AS DOUBLE) + r_regionkey * CAST(66.0 AS DOUBLE) AS w,
+         |  CAST(-170.005 AS DOUBLE) + r_regionkey * CAST(66.0 AS DOUBLE) + CAST(40.0 AS DOUBLE) AS e,
+         |  CAST(-60.005 AS DOUBLE) + r_regionkey * CAST(25.0 AS DOUBLE) AS s,
+         |  CAST(-60.005 AS DOUBLE) + r_regionkey * CAST(25.0 AS DOUBLE) + CAST(35.0 AS DOUBLE) AS n
+         |  FROM region),
+         |p AS (SELECT n_nationkey,
+         |  CAST(n_nationkey * 29 % 300 - 160 AS DOUBLE) AS pw,
+         |  CAST(n_nationkey * 17 % 120 - 65 AS DOUBLE) AS ps FROM nation)
+         |SELECT b.r_regionkey, p.n_nationkey,
+         |  greatest(b.w, p.pw) AS cw, greatest(b.s, p.ps) AS cs,
+         |  least(b.e, p.pw + 33.0) AS ce, least(b.n, p.ps + 27.0) AS cn,
+         |  CAST(round((least(b.e, p.pw + 33.0) - greatest(b.w, p.pw)) *
+         |             (least(b.n, p.ps + 27.0) - greatest(b.s, p.ps)) * 1000000.0)
+         |       AS BIGINT) AS area_u6
+         |FROM box b, p
+         |WHERE least(b.e, p.pw + 33.0) > greatest(b.w, p.pw)
+         |  AND least(b.n, p.ps + 27.0) > greatest(b.s, p.ps)""".stripMargin,
     "q60_st_parts" ->
       """SELECT n_nationkey, t.k AS part_idx,
         |  '{"type":"Point","coordinates":[' || (n_nationkey * 5 % 30 + t.k) ||

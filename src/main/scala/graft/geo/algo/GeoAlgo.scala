@@ -755,6 +755,342 @@ object GeoAlgo {
     (outCoords.result(), outPos.result(), outRing.result(), partOff.clone())
   }
 
+  // -------------------------------------------------------------- box clip
+
+  /** A clipped geometry in packed array form (the GeoStruct layout);
+    * `gtype` can differ from the input's — a LineString split by the box
+    * exits as MultiLineString, a Polygon split across the antimeridian as
+    * MultiPolygon. */
+  final case class Clipped(gtype: Int, coords: Array[Double], posOff: Array[Int],
+                           ringOff: Array[Int], partOff: Array[Int])
+
+  /** One finished ring/path: flat coords + RELATIVE position offsets. */
+  private final class RingOut(val coords: Array[Double], val pos: Array[Int])
+
+  // growable parallel position arrays; z = NaN marks a 2D position (NaN
+  // interpolation naturally demotes a mixed-dims crossing to 2D)
+  private final class PtBuf {
+    var xs = new Array[Double](16); var ys = new Array[Double](16)
+    var zs = new Array[Double](16); var n = 0
+    def add(x: Double, y: Double, z: Double): Unit = {
+      if (n == xs.length) {
+        xs = java.util.Arrays.copyOf(xs, n * 2)
+        ys = java.util.Arrays.copyOf(ys, n * 2)
+        zs = java.util.Arrays.copyOf(zs, n * 2)
+      }
+      xs(n) = x; ys(n) = y; zs(n) = z; n += 1
+    }
+    /** drop exact consecutive (x, y) duplicates, including the wrap pair */
+    def dedupe(): PtBuf = {
+      val out = new PtBuf
+      var i = 0
+      while (i < n) {
+        if (out.n == 0 || out.xs(out.n - 1) != xs(i) || out.ys(out.n - 1) != ys(i))
+          out.add(xs(i), ys(i), zs(i))
+        i += 1
+      }
+      while (out.n > 1 && out.xs(0) == out.xs(out.n - 1) && out.ys(0) == out.ys(out.n - 1))
+        out.n -= 1
+      out
+    }
+    def signedArea2(): Double = { // 2x shoelace over the OPEN ring
+      var a = 0.0
+      var i = 0
+      while (i < n) {
+        val j = (i + 1) % n
+        a += xs(i) * ys(j) - xs(j) * ys(i)
+        i += 1
+      }
+      a
+    }
+  }
+
+  /** One Sutherland–Hodgman half-plane pass over an OPEN ring. axis 0 = x,
+    * 1 = y; keepGE keeps coord >= bound, else coord <= bound (inclusive —
+    * boundary points survive). The CLIPPED coordinate of a synthesized
+    * crossing is set to `bound` EXACTLY (never re-derived through the
+    * parameter), so axis-aligned inputs clip to exact interval arithmetic —
+    * the q62 closed-form oracle depends on this. */
+  private def shPass(in: PtBuf, axis: Int, bound: Double, keepGE: Boolean): PtBuf = {
+    val out = new PtBuf
+    val n = in.n
+    if (n == 0) return out
+    @inline def coord(i: Int) = if (axis == 0) in.xs(i) else in.ys(i)
+    @inline def inside(i: Int) = if (keepGE) coord(i) >= bound else coord(i) <= bound
+    @inline def cross(i: Int, j: Int): Unit = {
+      val t = (bound - coord(i)) / (coord(j) - coord(i))
+      val x = if (axis == 0) bound else in.xs(i) + t * (in.xs(j) - in.xs(i))
+      val y = if (axis == 1) bound else in.ys(i) + t * (in.ys(j) - in.ys(i))
+      out.add(x, y, in.zs(i) + t * (in.zs(j) - in.zs(i)))
+    }
+    var i = 0
+    while (i < n) {
+      val j = (i + 1) % n
+      val ii = inside(i); val ij = inside(j)
+      if (ij) { if (!ii) cross(i, j); out.add(in.xs(j), in.ys(j), in.zs(j)) }
+      else if (ii) cross(i, j)
+      i += 1
+    }
+    out
+  }
+
+  /** Clip one CLOSED packed ring against the (possibly shifted) box with
+    * Sutherland–Hodgman; returns the closed output ring with `shift`
+    * removed from its longitudes, or null when the clip is empty or
+    * degenerate (fewer than 3 distinct positions, or exactly zero area —
+    * boundary-touch slivers). */
+  private def clipRingSH(ux: Array[Double], posOff: Array[Int], rs: Int, re: Int,
+                         w: Double, s: Double, e: Double, n: Double,
+                         shift: Double): RingOut = {
+    val in = new PtBuf
+    var i = rs
+    val open = re - 1 // drop the closing duplicate vertex
+    while (i < open) {
+      val c0 = posOff(i); val dims = posOff(i + 1) - c0
+      in.add(ux(c0), ux(c0 + 1), if (dims > 2) ux(c0 + 2) else Double.NaN)
+      i += 1
+    }
+    var cur = in
+    cur = shPass(cur, 0, w + shift, keepGE = true)
+    cur = shPass(cur, 0, e + shift, keepGE = false)
+    cur = shPass(cur, 1, s, keepGE = true)
+    cur = shPass(cur, 1, n, keepGE = false)
+    val d = cur.dedupe()
+    if (d.n < 3 || d.signedArea2() == 0.0) return null
+    val coords = Array.newBuilder[Double]
+    val pos    = new Array[Int](d.n + 2)
+    var ci = 0
+    var k = 0
+    while (k <= d.n) { // <= : re-close the ring
+      val p = k % d.n
+      pos(k) = ci
+      coords += d.xs(p) - shift; coords += d.ys(p); ci += 2
+      if (!d.zs(p).isNaN) { coords += d.zs(p); ci += 1 }
+      k += 1
+    }
+    pos(d.n + 1) = ci
+    new RingOut(coords.result(), pos)
+  }
+
+  /** Liang–Barsky clip of one packed PATH against the shifted box: clipped
+    * sub-segments stitch into maximal runs; returns the open output paths
+    * (each >= 2 positions) with `shift` removed from longitudes. */
+  private def clipPathLB(ux: Array[Double], posOff: Array[Int], rs: Int, re: Int,
+                         w: Double, s: Double, e: Double, n: Double,
+                         shift: Double): Seq[RingOut] = {
+    val paths = Seq.newBuilder[RingOut]
+    var path: PtBuf = null
+    def flush(): Unit = {
+      if (path != null && path.n >= 2) {
+        val coords = Array.newBuilder[Double]
+        val pos    = new Array[Int](path.n + 1)
+        var ci = 0
+        var k = 0
+        while (k < path.n) {
+          pos(k) = ci
+          coords += path.xs(k) - shift; coords += path.ys(k); ci += 2
+          if (!path.zs(k).isNaN) { coords += path.zs(k); ci += 1 }
+          k += 1
+        }
+        pos(path.n) = ci
+        paths += new RingOut(coords.result(), pos)
+      }
+      path = null
+    }
+    val wS = w + shift; val eS = e + shift
+    var i = rs
+    while (i < re - 1) {
+      val c0 = posOff(i); val d0 = posOff(i + 1) - c0
+      val c1 = posOff(i + 1); val d1 = posOff(i + 2) - c1
+      val px = ux(c0); val py = ux(c0 + 1)
+      val pz = if (d0 > 2) ux(c0 + 2) else Double.NaN
+      val qx = ux(c1); val qy = ux(c1 + 1)
+      val qz = if (d1 > 2) ux(c1 + 2) else Double.NaN
+      val dx = qx - px; val dy = qy - py
+      var t0 = 0.0; var t1 = 1.0
+      var ok = !(px == qx && py == qy) // skip zero-length input segments
+      @inline def edge(p: Double, q: Double): Unit = if (ok) {
+        if (p == 0.0) { if (q < 0.0) ok = false }
+        else {
+          val t = q / p
+          if (p < 0.0) { if (t > t0) t0 = t }
+          else { if (t < t1) t1 = t }
+          if (t0 > t1) ok = false
+        }
+      }
+      edge(-dx, px - wS); edge(dx, eS - px)
+      edge(-dy, py - s); edge(dy, n - py)
+      if (ok && t0 < t1) {
+        val ax = if (t0 == 0.0) px else px + t0 * dx
+        val ay = if (t0 == 0.0) py else py + t0 * dy
+        val az = if (t0 == 0.0) pz else pz + t0 * (qz - pz)
+        val bx = if (t1 == 1.0) qx else px + t1 * dx
+        val by = if (t1 == 1.0) qy else py + t1 * dy
+        val bz = if (t1 == 1.0) qz else pz + t1 * (qz - pz)
+        if (!(ax == bx && ay == by)) {
+          if (path == null || path.xs(path.n - 1) != ax || path.ys(path.n - 1) != ay) {
+            flush()
+            path = new PtBuf
+            path.add(ax, ay, az)
+          }
+          path.add(bx, by, bz)
+        }
+      } else if (path != null) flush()
+      i += 1
+    }
+    flush()
+    paths.result()
+  }
+
+  private val clipShifts = Array(0.0, 360.0, -360.0)
+
+  /** Clip a packed geometry to the axis-aligned box [w, e] x [s, n]
+    * (inclusive boundary), ANTIMERIDIAN-AWARE: each part is unwrapped to
+    * continuous longitudes ([[unwrapParts]]) and clipped against the box
+    * and its ±360° translates, so a part straddling ±180 contributes its
+    * pieces on both sides with longitudes re-normalized — ZXY-tile clipping
+    * carries exact per-tile geometry. Semantics per type:
+    *   - (Multi)Point: positions inside the box survive
+    *   - (Multi)LineString: Liang–Barsky per segment, contiguous runs
+    *     stitched; a split path exits as MultiLineString
+    *   - (Multi)Polygon: Sutherland–Hodgman per ring (holes clipped in
+    *     their shell's frame and kept as holes); zero-area results drop.
+    *     A CONCAVE polygon whose clip has several pieces comes back as ONE
+    *     ring with zero-width bridge edges (the classic SH artifact) —
+    *     its area is exact, the bridge edges cancel
+    * Returns null for an empty clip, a GeometryCollection input (handled by
+    * the expression layer), or an inverted box. The box must not cross the
+    * antimeridian — clip twice ([w, 180] and [-180, e]) for that.
+    */
+  def clipBox(gtype: Int, coords0: Array[Double], posOff: Array[Int],
+              ringOff: Array[Int], partOff: Array[Int],
+              w: Double, s: Double, e: Double, n: Double): Clipped = {
+    if (e < w || n < s) return null
+    if (gtype == 1 || gtype == 2) { // Point / MultiPoint
+      val kept = Seq.newBuilder[Int]
+      var i = 0
+      while (i < posOff.length - 1) {
+        val x = coords0(posOff(i)); val y = coords0(posOff(i) + 1)
+        if (y >= s && y <= n &&
+            ((x >= w && x <= e) || (x + 360 >= w && x + 360 <= e) ||
+             (x - 360 >= w && x - 360 <= e))) kept += i
+        i += 1
+      }
+      val ks = kept.result()
+      if (ks.isEmpty) return null
+      val coords = Array.newBuilder[Double]
+      val pos    = new Array[Int](ks.length + 1)
+      var ci = 0
+      ks.zipWithIndex.foreach { case (p, k) =>
+        pos(k) = ci
+        var c = posOff(p)
+        while (c < posOff(p + 1)) { coords += coords0(c); c += 1 }
+        ci += posOff(p + 1) - posOff(p)
+      }
+      pos(ks.length) = ci
+      return Clipped(gtype, coords.result(), pos, Array(0, ks.length), Array(0, 1))
+    }
+    if (gtype < 3 || gtype > 6) return null
+    val ux = unwrapParts(coords0, posOff, ringOff, partOff)
+    val lineal = gtype == 3 || gtype == 4
+    // packing convention (GeoStruct.packGeometry): lineal geometries are ONE
+    // part whose rings are the paths; MultiPolygon is N parts. Lineal clips
+    // therefore collect all paths into a single part; areal clips emit one
+    // part per (input part x box translate) piece.
+    val parts = Seq.newBuilder[Seq[RingOut]]
+    val linealPaths = Seq.newBuilder[RingOut]
+    var part = 0
+    while (part < partOff.length - 1) {
+      val r0 = partOff(part); val r1 = partOff(part + 1)
+      var ri = r0
+      var si = 0
+      while (si < clipShifts.length) {
+        val shift = clipShifts(si)
+        if (lineal) {
+          // each path gates its own translate set on its unwrapped range
+          ri = r0
+          while (ri < r1) {
+            var minX = Double.PositiveInfinity; var maxX = Double.NegativeInfinity
+            var i = ringOff(ri)
+            while (i < ringOff(ri + 1)) {
+              val x = ux(posOff(i))
+              if (x < minX) minX = x
+              if (x > maxX) maxX = x
+              i += 1
+            }
+            if (maxX >= w + shift && minX <= e + shift)
+              linealPaths ++= clipPathLB(ux, posOff, ringOff(ri), ringOff(ri + 1), w, s, e, n, shift)
+            ri += 1
+          }
+        } else {
+          // part's unwrapped longitude range gates which translates can hit
+          var minX = Double.PositiveInfinity; var maxX = Double.NegativeInfinity
+          ri = r0
+          while (ri < r1) {
+            var i = ringOff(ri)
+            while (i < ringOff(ri + 1)) {
+              val x = ux(posOff(i))
+              if (x < minX) minX = x
+              if (x > maxX) maxX = x
+              i += 1
+            }
+            ri += 1
+          }
+          if (maxX >= w + shift && minX <= e + shift) {
+            val shell = clipRingSH(ux, posOff, ringOff(r0), ringOff(r0 + 1), w, s, e, n, shift)
+            if (shell != null) {
+              val rings = Seq.newBuilder[RingOut]
+              rings += shell
+              ri = r0 + 1
+              while (ri < r1) {
+                val hole = clipRingSH(ux, posOff, ringOff(ri), ringOff(ri + 1), w, s, e, n, shift)
+                if (hole != null) rings += hole
+                ri += 1
+              }
+              parts += rings.result()
+            }
+          }
+        }
+        si += 1
+      }
+      part += 1
+    }
+    if (lineal) {
+      val paths = linealPaths.result()
+      if (paths.nonEmpty) parts += paths
+    }
+    val ps = parts.result()
+    if (ps.isEmpty) return null
+    val outType =
+      if (lineal) { if (gtype == 3 && ps.head.length == 1) 3 else 4 }
+      else { if (gtype == 5 && ps.length == 1) 5 else 6 }
+    // assemble packed arrays
+    val nRings = ps.map(_.length).sum
+    val nPos   = ps.iterator.flatten.map(_.pos.length - 1).sum
+    val coords = Array.newBuilder[Double]
+    val pos    = new Array[Int](nPos + 1)
+    val ring   = new Array[Int](nRings + 1)
+    val partO  = new Array[Int](ps.length + 1)
+    var pi = 0; var ri2 = 0; var ci = 0
+    ps.zipWithIndex.foreach { case (rings, pIdx) =>
+      partO(pIdx) = ri2
+      rings.foreach { r =>
+        ring(ri2) = pi; ri2 += 1
+        var k = 0
+        while (k < r.pos.length - 1) {
+          pos(pi) = ci + r.pos(k); pi += 1
+          k += 1
+        }
+        coords ++= r.coords
+        ci += r.coords.length
+      }
+    }
+    partO(ps.length) = ri2
+    ring(nRings) = pi
+    pos(nPos) = ci
+    Clipped(outType, coords.result(), pos, ring, partO)
+  }
+
   // ------------------------------------------------------------------ bbox
 
   /** (west, south, east, north) over all positions. Antimeridian-crossing
@@ -847,4 +1183,42 @@ object GeoAlgo {
   def tileZ(key: Long): Int  = (key >>> 58).toInt
   def tileX(key: Long): Long = (key >>> 29) & ((1L << 29) - 1)
   def tileY(key: Long): Long = key & ((1L << 29) - 1)
+
+  /** Lng/lat bounds (w, s, e, n) of a ZXY tile — the inverse of [[tileXY]].
+    * Adjacent tiles share the identical boundary DOUBLE ((x+1)/2^z evaluates
+    * once per edge), so [[clipBox]] pieces of a tiled polygon partition it
+    * exactly along tile seams. */
+  def tileBounds(key: Long): Array[Double] = {
+    val z = tileZ(key); val x = tileX(key); val y = tileY(key)
+    val nTiles = (1L << z).toDouble
+    @inline def lat(yy: Long): Double = {
+      val t = math.Pi * (1.0 - 2.0 * yy / nTiles)
+      math.toDegrees(math.atan(math.sinh(t)))
+    }
+    Array(x / nTiles * 360.0 - 180.0, lat(y + 1),
+      (x + 1) / nTiles * 360.0 - 180.0, lat(y))
+  }
+
+  /** All ZXY tile keys at zoom z whose tiles intersect the lng/lat box
+    * [w, e] x [s, n] (a sound cover: boundary-touching tiles included).
+    * Throws when the cover would exceed `maxTiles` — pick a sane z for the
+    * box instead of materializing a world-sized tile list. */
+  def tileCoverBox(w: Double, s: Double, e: Double, n: Double, z: Int,
+                   maxTiles: Int = 1 << 20): Array[Long] = {
+    require(e >= w && n >= s, s"inverted box [$w,$s,$e,$n]")
+    val (x0, y1) = tileXY(w, s, z) // south row has the LARGER y
+    val (x1, y0) = tileXY(e, n, z)
+    val count = (x1 - x0 + 1) * (y1 - y0 + 1)
+    require(count <= maxTiles,
+      s"tile cover of [$w,$s,$e,$n] at z=$z is $count tiles (> $maxTiles) — lower z")
+    val out = new Array[Long](count.toInt)
+    var i = 0
+    var x = x0
+    while (x <= x1) {
+      var y = y0
+      while (y <= y1) { out(i) = packTile(z, x, y); i += 1; y += 1 }
+      x += 1
+    }
+    out
+  }
 }

@@ -514,4 +514,29 @@ object SpatialJoins {
     df.repartition(buckets, col("tile_key"))
       .sortWithinPartitions("tile_key")
       .write.mode("overwrite").parquet(path)
+
+  /** Tile a GEOMETRY layer at zoom z with EXACT per-tile geometry — the
+    * construction twin of [[assignTiles]] (which buckets points): each row
+    * explodes to the z-tiles its bbox covers and carries `tile_geom`, the
+    * geometry CLIPPED to that tile's bounds (`st_clip_box`), so a
+    * [[writeTiled]] sink ships exact per-tile pieces the way every real
+    * tile pipeline does. Bbox covers are sound supersets; tiles whose clip
+    * is empty drop on the `isNotNull` filter. Adjacent tiles share
+    * bit-identical boundary doubles ([[graft.geo.algo.GeoAlgo.tileBounds]]),
+    * so the pieces partition the geometry exactly along tile seams
+    * (ClipSpec pins the area sum). Entirely narrow — no shuffle until the
+    * caller's write. An antimeridian-crossing geometry covers via its naive
+    * full-span bbox (sound, not minimal) and its pieces land on both sides
+    * with normalized longitudes. */
+  def tilePolygons(df: DataFrame, geomCol: String, z: Int): DataFrame = {
+    val bb = st_bbox(col(geomCol))
+    df.withColumn("tile_key", explode(tile_cover_box(
+        element_at(bb, 1), element_at(bb, 2), element_at(bb, 3), element_at(bb, 4), lit(z))))
+      .withColumn("__tb", tile_bounds(col("tile_key")))
+      .withColumn("tile_geom", st_clip_box(col(geomCol),
+        element_at(col("__tb"), 1), element_at(col("__tb"), 2),
+        element_at(col("__tb"), 3), element_at(col("__tb"), 4)))
+      .where(col("tile_geom").isNotNull)
+      .drop("__tb")
+  }
 }

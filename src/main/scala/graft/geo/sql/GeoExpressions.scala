@@ -720,6 +720,69 @@ case class StSimplify(geom: Expression, tol: Expression) extends GeoExpression {
   override protected def withNewChildrenInternal(c: IndexedSeq[Expression]) = copy(c(0), c(1))
 }
 
+/** `st_clip_box(geom, w, s, e, n)` — clip a geometry to an axis-aligned
+  * box (inclusive boundary): the CONSTRUCTION half of the tiling story —
+  * clip polygons to their ZXY tile so tiled writes carry exact per-tile
+  * geometry. Sutherland–Hodgman per ring (holes clipped in their shell's
+  * frame), Liang–Barsky per lineal segment with run stitching, point
+  * filtering; antimeridian-aware via the per-part unwrap + ±360° box
+  * translates ([[GeoAlgo.clipBox]]). Returns NULL for an empty clip
+  * (Optional semantics — filter `.isNotNull`). The output type can
+  * promote: a split LineString → MultiLineString, a Polygon split across
+  * the antimeridian → MultiPolygon. Collections clip each child and drop
+  * the empties (null when all children vanish). The box must not cross
+  * the antimeridian (w <= e; clip twice for a crossing box). */
+case class StClipBox(geom: Expression, w: Expression, s: Expression,
+                     e: Expression, n: Expression) extends GeoExpression {
+  override def children: Seq[Expression] = Seq(geom, w, s, e, n)
+  override def dataType: DataType        = GeoStruct.geometryType
+  private def num(v: Any): Double = v match {
+    case d: Double => d
+    case f: Float  => f.toDouble
+    case i: Int    => i.toDouble
+    case l: Long   => l.toDouble
+    case x: java.math.BigDecimal => x.doubleValue()
+    case x: org.apache.spark.sql.types.Decimal => x.toDouble
+  }
+  private def clipped(r: InternalRow, w: Double, s: Double, e: Double, n: Double): InternalRow =
+    if (GeomAccess.gtype(r) == GType.Collection) {
+      val kids = GeomAccess.childStrings(r).flatMap { str =>
+        val g = GeoJsonCodec.geometryOfJson(JValue.parseUnsafe(str))
+          .fold(err => throw new IllegalArgumentException(err), identity)
+        Option(clipped(GeoStruct.packGeometry(g), w, s, e, n)).map(child =>
+          UTF8String.fromString(
+            GeoJsonCodec.geometryToJson(GeoStruct.unpackGeometry(child)).render))
+      }
+      if (kids.isEmpty) null
+      else {
+        val out = new GenericInternalRow(7)
+        out.update(0, r.getByte(0))
+        out.update(5, new GenericArrayData(kids.toArray[Any]))
+        out.update(6, r.get(6, GeoStruct.geometryType("fm").dataType))
+        out
+      }
+    } else {
+      val c = GeoAlgo.clipBox(GeomAccess.gtype(r), GeomAccess.coords(r),
+        GeomAccess.posOff(r), GeomAccess.ringOff(r), GeomAccess.partOff(r),
+        w, s, e, n)
+      if (c == null) null
+      else {
+        val out = new GenericInternalRow(7)
+        out.update(0, c.gtype.toByte)
+        out.update(1, new GenericArrayData(c.coords))
+        out.update(2, new GenericArrayData(c.posOff))
+        out.update(3, new GenericArrayData(c.ringOff))
+        out.update(4, new GenericArrayData(c.partOff))
+        out.update(6, r.get(6, GeoStruct.geometryType("fm").dataType))
+        out
+      }
+    }
+  override protected def evalNotNull(v: Array[Any]): Any =
+    clipped(v(0).asInstanceOf[InternalRow], num(v(1)), num(v(2)), num(v(3)), num(v(4)))
+  override protected def withNewChildrenInternal(c: IndexedSeq[Expression]) =
+    copy(c(0), c(1), c(2), c(3), c(4))
+}
+
 /** `st_length_m(geom)` → great-circle metres of all segments (perimeter for
   * polygons). */
 case class StLengthM(child: Expression) extends GeoExpression {
@@ -920,6 +983,41 @@ case class S2AncestorsExpr(lng: Expression, lat: Expression, minLevel: Expressio
 /** `tile_key(lng, lat, z)` — packed Web-Mercator ZXY tile key
   * ([z:6][x:29][y:29]); the raster→vector tile-assignment kernel.
   * Codegen-enabled. */
+/** `tile_bounds(key)` → [w, s, e, n] lng/lat bounds of a packed ZXY tile
+  * key (the inverse of `tile_key`). Codegen: it sits on the per-(row, tile)
+  * hot path of exact-geometry tiled writes. */
+case class TileBoundsExpr(key: Expression)
+    extends UnaryExpression with ImplicitCastInputTypes {
+  override def child: Expression = key
+  override def inputTypes        = Seq(LongType)
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+  override protected def nullSafeEval(k: Any): Any =
+    new GenericArrayData(GeoAlgo.tileBounds(k.asInstanceOf[Long]))
+  override protected def doGenCode(ctx: codegen.CodegenContext, ev: codegen.ExprCode) =
+    defineCodeGen(ctx, ev, k =>
+      s"new org.apache.spark.sql.catalyst.util.GenericArrayData(graft.geo.algo.GeoAlgo.tileBounds($k))")
+  override protected def withNewChildInternal(c: Expression) = copy(c)
+}
+
+/** `tile_cover_box(w, s, e, n, z)` → packed keys of every z-tile
+  * intersecting the box (sound cover; throws past 2^20 tiles — lower z).
+  * Interpreted, like the hex/s2 covers: runs once per geometry, not per
+  * (row, tile). */
+case class TileCoverBoxExpr(w: Expression, s: Expression, e: Expression,
+                            n: Expression, z: Expression)
+    extends GeoExpression with ImplicitCastInputTypes {
+  override def children: Seq[Expression] = Seq(w, s, e, n, z)
+  override def inputTypes =
+    Seq(DoubleType, DoubleType, DoubleType, DoubleType, IntegerType)
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override protected def evalNotNull(v: Array[Any]): Any =
+    new GenericArrayData(GeoAlgo.tileCoverBox(
+      v(0).asInstanceOf[Double], v(1).asInstanceOf[Double],
+      v(2).asInstanceOf[Double], v(3).asInstanceOf[Double], v(4).asInstanceOf[Int]))
+  override protected def withNewChildrenInternal(c: IndexedSeq[Expression]) =
+    copy(c(0), c(1), c(2), c(3), c(4))
+}
+
 case class TileKeyExpr(lng: Expression, lat: Expression, z: Expression)
     extends TernaryExpression with ImplicitCastInputTypes {
   override def first: Expression  = lng

@@ -34,6 +34,7 @@ object GeoFunctions {
     "st_area"           -> (es => StArea(es.head)),
     "st_area_m2"        -> (es => StAreaM2(es.head)),
     "st_simplify"       -> (es => StSimplify(es(0), es(1))),
+    "st_clip_box"       -> (es => StClipBox(es(0), es(1), es(2), es(3), es(4))),
     "st_convex_hull"    -> (es => StConvexHull(es.head)),
     "st_parts"          -> (es => StParts(es.head)),
     "st_length_m"       -> (es => StLengthM(es.head)),
@@ -48,7 +49,9 @@ object GeoFunctions {
     "s2_ancestors"      -> (es => S2AncestorsExpr(es(0), es(1), es(2), es(3))),
     "s2_cover_box"      -> (es => S2CoverBoxExpr(es(0), es(1), es(2), es(3), es(4), es(5))),
     "s2_cell_ancestors" -> (es => S2CellAncestorsExpr(es(0), es(1))),
-    "tile_key"          -> (es => TileKeyExpr(es(0), es(1), es(2))))
+    "tile_key"          -> (es => TileKeyExpr(es(0), es(1), es(2))),
+    "tile_bounds"       -> (es => TileBoundsExpr(es.head)),
+    "tile_cover_box"    -> (es => TileCoverBoxExpr(es(0), es(1), es(2), es(3), es(4))))
 
   @volatile private var registered: Set[Int] = Set.empty
 
@@ -94,6 +97,8 @@ object GeoFunctions {
   def st_area_m2(geom: Column): Column       = call_function("st_area_m2", geom)
   def st_simplify(geom: Column, tol: Column): Column =
     call_function("st_simplify", geom, tol)
+  def st_clip_box(geom: Column, w: Column, s: Column, e: Column, n: Column): Column =
+    call_function("st_clip_box", geom, w, s, e, n)
   def st_convex_hull(geom: Column): Column   = call_function("st_convex_hull", geom)
   def st_parts(geom: Column): Column         = call_function("st_parts", geom)
   def st_length_m(geom: Column): Column      = call_function("st_length_m", geom)
@@ -116,6 +121,9 @@ object GeoFunctions {
     call_function("s2_ancestors", lng, lat, minLevel, maxLevel)
   def tile_key(lng: Column, lat: Column, z: Column): Column =
     call_function("tile_key", lng, lat, z)
+  def tile_bounds(key: Column): Column = call_function("tile_bounds", key)
+  def tile_cover_box(w: Column, s: Column, e: Column, n: Column, z: Column): Column =
+    call_function("tile_cover_box", w, s, e, n, z)
 
   // S2 range-pruning helpers — plain Column bit math, no custom expression
   // (SURVEY.md §4: "store cell id as a partition/sort column").
