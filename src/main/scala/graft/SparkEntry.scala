@@ -616,6 +616,27 @@ object SparkEntry {
         .select(col("doc_id").as("id_a"), (col("doc_id") + 1L).as("id_b"))
       Dedup.clusters(e1.unionByName(e2).unionByName(e3), "id", universe = Some(ids))
     }),
+    "q61_pq_ann" -> ((s, dir) => {
+      // IVF-PQ under the gate: m = dim (1-D subspaces) over per-dim integer
+      // alphabets of <= 12 values -> the small-alphabet codebooks ARE the
+      // distinct value sets, reconstruction is exact, and ADC ranking ==
+      // exact cosine ranking; at nprobe = nlist probing is exhaustive, so
+      // DuckDB's brute-force cosine top-k is a closed-form oracle (rank
+      // output only — cosine doubles differ by engine rounding). Vectors
+      // are pure arithmetic ((id*(d+2)+d*d) % (5+d) + 1), reproducible in
+      // both engines; duplicate vectors tie-break on vec_id in both.
+      registerAll(s)
+      val corpus = s.range(500).select(col("id").as("vec_id"),
+        transform(sequence(lit(0), lit(7)), d =>
+          ((col("id") * (d + 2) + d * d) % (d + 5) + 1).cast("float")).as("embedding"))
+      val idxDir = java.nio.file.Files.createTempDirectory("graft_q61").toString + "/pq"
+      Similarity.trainIvfPq(corpus, "vec_id", "embedding", idxDir,
+        nlist = 8, m = 8, maxIter = 6)
+      val qs = corpus.where(col("vec_id") % 25 === 0)
+        .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+      Similarity.pqTopKWith(qs, "qid", "qvec", idxDir, "vec_id", k = 5, nprobe = 8)
+        .select(col("qid"), col("vec_id"), col("rank"))
+    }),
     "q62_clip_box" -> ((s, dir) => {
       // geometry CONSTRUCTION under the gate: region boxes clipped to
       // nation-keyed probe windows. Axis-aligned subjects clip to exact
@@ -1019,6 +1040,18 @@ object SparkEntry {
         |  '","rank":' || CAST(n_nationkey * 2 AS BIGINT) ||
         |  '},"extra":{"v":1}}' AS doc
         |FROM nation""".stripMargin,
+    "q61_pq_ann" ->
+      """WITH c AS (SELECT id AS vec_id,
+        |    list_transform([0,1,2,3,4,5,6,7],
+        |      d -> CAST((id * (d + 2) + d * d) % (d + 5) + 1 AS DOUBLE)) AS v
+        |  FROM (SELECT range AS id FROM range(500))),
+        |q AS (SELECT vec_id AS qid, v AS qv FROM c WHERE vec_id % 25 = 0),
+        |d AS (SELECT q.qid, c.vec_id, list_cosine_similarity(q.qv, c.v) AS cos
+        |      FROM q CROSS JOIN c)
+        |SELECT qid, vec_id, rank FROM (
+        |  SELECT qid, vec_id,
+        |    row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id) AS rank
+        |  FROM d) WHERE rank <= 5""".stripMargin,
     "q62_clip_box" ->
       // box bounds re-derived in EXPLICIT double arithmetic: DuckDB's bare
       // -170.005 + r*66.0 is exact DECIMAL math (1 ulp off Spark's IEEE

@@ -141,6 +141,28 @@ object Similarity {
     val spark = corpus.sparkSession
     import spark.implicits._
     val src = corpus.select(col(cid), col(cvec)).localCheckpoint()
+    val cents   = lloydCentroids(src, cid, cvec, nlist, maxIter, tol)
+    val nl      = cents.length
+    val centArr = centroidLit(cents)
+    cents.zipWithIndex.map { case (c, i) => (i, c.toSeq) }.toSeq
+      .toDF("list", "centroid")
+      .select(col("list"), col("centroid").cast("array<float>"))
+      .coalesce(1).write.mode("overwrite").parquet(s"$indexPath/centroids")
+    val assigned = corpus.withColumn("list", bestList(centArr, nl, col(cvec)))
+    assigned.write.mode("overwrite").partitionBy("list").parquet(s"$indexPath/lists")
+    spark.read.parquet(s"$indexPath/lists").groupBy("list").count()
+      .as[(Int, Long)].collect().toMap
+  }
+
+  /** The Lloyd's-k-means loop shared by [[trainIvf]] and [[trainIvfPq]]'s
+    * coarse stage: hash-draw init, narrow literal-argmax assignment (zero
+    * corpus exchange), (list, dim)-keyed partial-sum means, empty-list
+    * reseed with the farthest vector, early stop at `tol` L2 movement. */
+  private def lloydCentroids(
+      src: DataFrame, cid: String, cvec: String,
+      nlist: Int, maxIter: Int, tol: Double): Array[Array[Float]] = {
+    val spark = src.sparkSession
+    import spark.implicits._
     var cents = hashDrawCentroids(src, cid, cvec, nlist)
     val nl = cents.length
     var iter = 0
@@ -183,15 +205,7 @@ object Similarity {
       cents = next
       iter += 1
     }
-    val centArr = centroidLit(cents)
-    cents.zipWithIndex.map { case (c, i) => (i, c.toSeq) }.toSeq
-      .toDF("list", "centroid")
-      .select(col("list"), col("centroid").cast("array<float>"))
-      .coalesce(1).write.mode("overwrite").parquet(s"$indexPath/centroids")
-    val assigned = corpus.withColumn("list", bestList(centArr, nl, col(cvec)))
-    assigned.write.mode("overwrite").partitionBy("list").parquet(s"$indexPath/lists")
-    spark.read.parquet(s"$indexPath/lists").groupBy("list").count()
-      .as[(Int, Long)].collect().toMap
+    cents
   }
 
   /** IVF TUNING report: measured top-k recall of [[ivfTopKWith]] against
@@ -220,6 +234,156 @@ object Similarity {
         .select(lit(np).as("nprobe"), col("n_pairs"), col("n_found"),
           (col("n_found").cast("double") / col("n_pairs")).as("recall"))
     }.reduce(_ unionByName _).orderBy("nprobe")
+  }
+
+  // ------------------------------------------------------------- IVF-PQ
+
+  /** Pad a subspace codebook to the fixed 256 stride by repeating entry 0
+    * (a padded duplicate can never win the strict argmin — inert). */
+  private def pad256(bk: Array[Array[Float]], dsub: Int): Array[Array[Float]] =
+    Array.tabulate(256)(c => if (c < bk.length) bk(c) else bk(0))
+
+  private def flatten(books: Array[Array[Array[Float]]], dsub: Int): Array[Float] = {
+    val out = new Array[Float](books.length * 256 * dsub)
+    var j = 0
+    while (j < books.length) {
+      val padded = pad256(books(j), dsub)
+      var c = 0
+      while (c < 256) {
+        System.arraycopy(padded(c), 0, out, (j * 256 + c) * dsub, dsub)
+        c += 1
+      }
+      j += 1
+    }
+    out
+  }
+
+  /** TRAIN an IVF-PQ index: [[trainIvf]]'s coarse quantizer plus
+    * per-subspace PRODUCT-QUANTIZATION codebooks (m subspaces x <=256
+    * centroids); the inverted file stores m-byte codes + one reconstruction
+    * norm — NEVER the raw vectors, cutting the persisted index from
+    * dim x 4 bytes to m + 4 per vector (the 100 TB memory wall of
+    * [[trainIvf]]'s raw float lists). Codebook training per subspace:
+    *   - SMALL-ALPHABET fast path: when a subspace has <= 256 distinct
+    *     subvectors, the codebook IS the sorted distinct set — encoding is
+    *     zero-error reconstruction (the q61 closed-form-oracle case; the
+    *     faiss int8-data shortcut)
+    *   - otherwise L2 Lloyd's: hash-draw 256 subvectors, assign through the
+    *     [[PqKernels.encode]] argmin itself (narrow map), re-center with a
+    *     (code, dim)-keyed partial-sum aggregate — 256 x dsub cells per
+    *     round, corpus never shuffles
+    * Layout under `indexPath`: `centroids` (coarse), `pq_books`
+    * (j, c, centroid), `pq_meta` (m, dsub, dim), `lists` (corpus columns
+    * minus the vector + code + rnorm, partitioned by list). */
+  def trainIvfPq(
+      corpus: DataFrame, cid: String, cvec: String,
+      indexPath: String, nlist: Int = 16, m: Int = 8,
+      maxIter: Int = 10, pqIter: Int = 8, tol: Double = 1e-4): Map[Int, Long] = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    TextFunctions.register(spark)
+    val src = corpus.select(col(cid), col(cvec)).localCheckpoint()
+    val dim = src.select(size(col(cvec))).as[Int].head()
+    require(dim % m == 0, s"dim $dim must be divisible by m = $m")
+    val dsub = dim / m
+    val cents   = lloydCentroids(src, cid, cvec, nlist, maxIter, tol)
+    val nl      = cents.length
+    val centArr = centroidLit(cents)
+    val books: Array[Array[Array[Float]]] = (0 until m).map { j =>
+      val sub = src.select(col(cid), slice(col(cvec), j * dsub + 1, dsub).as("__sv"))
+        .localCheckpoint()
+      val nDistinct = sub.select(col("__sv")).distinct().limit(257).count()
+      if (nDistinct <= 256) {
+        sub.select(col("__sv")).distinct().orderBy(col("__sv"))
+          .as[Array[Float]].collect()
+      } else {
+        var bk = hashDrawCentroids(sub, cid, "__sv", 256)
+        var it = 0
+        while (it < pqIter) {
+          val bkLit = typedlit(flatten(Array(bk), dsub).toSeq)
+          val means = sub
+            .withColumn("__c", pq_code_at(
+              pq_encode(col("__sv"), bkLit, lit(1), lit(dsub)).getField("code"), lit(0)))
+            .select(col("__c"), posexplode(col("__sv")))
+            .groupBy(col("__c"), col("pos"))
+            .agg(avg(col("col")).as("mn"))
+            .collect()
+          val next = bk.map(_.clone())
+          means.foreach { r =>
+            next(r.getAs[Int]("__c"))(r.getAs[Int]("pos")) = r.getAs[Double]("mn").toFloat
+          }
+          bk = next // codes nobody used keep their draw (inert under argmin)
+          it += 1
+        }
+        bk
+      }
+    }.toArray
+    // persist
+    Seq((m, dsub, dim, nl)).toDF("m", "dsub", "dim", "nlist")
+      .coalesce(1).write.mode("overwrite").parquet(s"$indexPath/pq_meta")
+    books.zipWithIndex.flatMap { case (bk, j) =>
+      bk.zipWithIndex.map { case (c, ci) => (j, ci, c.toSeq) }
+    }.toSeq.toDF("j", "c", "centroid")
+      .select(col("j"), col("c"), col("centroid").cast("array<float>"))
+      .coalesce(1).write.mode("overwrite").parquet(s"$indexPath/pq_books")
+    cents.zipWithIndex.map { case (c, i) => (i, c.toSeq) }.toSeq
+      .toDF("list", "centroid")
+      .select(col("list"), col("centroid").cast("array<float>"))
+      .coalesce(1).write.mode("overwrite").parquet(s"$indexPath/centroids")
+    val booksLit = typedlit(flatten(books, dsub).toSeq)
+    corpus.withColumn("list", bestList(centArr, nl, col(cvec)))
+      .withColumn("__e", pq_encode(col(cvec), booksLit, lit(m), lit(dsub)))
+      .withColumn("code", col("__e").getField("code"))
+      .withColumn("rnorm", col("__e").getField("rnorm"))
+      .drop("__e", cvec) // the vector never reaches the inverted file
+      .write.mode("overwrite").partitionBy("list").parquet(s"$indexPath/lists")
+    spark.read.parquet(s"$indexPath/lists").groupBy("list").count()
+      .as[(Int, Long)].collect().toMap
+  }
+
+  /** Query a trained IVF-PQ index by ASYMMETRIC DISTANCE: one m x 256
+    * dot-product LUT per query ([[PqKernels.lut]]), then every candidate in
+    * the probed lists scores as m table lookups over its stored code
+    * (codegen [[PqAdc]]) — cosine = adc / (|q| * rnorm). The candidate side
+    * carries only (id, code, rnorm): no vector ever re-attaches before the
+    * top-k window (plan-pinned in SessionIvfSpec). With the small-alphabet
+    * codebooks reconstruction is exact, so nprobe = nlist reproduces brute
+    * force EXACTLY (q61's oracle); with trained codebooks recall follows
+    * the PQ error (spec-measured). */
+  def pqTopKWith(
+      queries: DataFrame, qid: String, qvec: String,
+      indexPath: String, cid: String,
+      k: Int, nprobe: Int = 4): DataFrame = {
+    val spark = queries.sparkSession
+    import spark.implicits._
+    TextFunctions.register(spark)
+    val meta = spark.read.parquet(s"$indexPath/pq_meta").head()
+    val m    = meta.getAs[Int]("m")
+    val dsub = meta.getAs[Int]("dsub")
+    val bookRows = spark.read.parquet(s"$indexPath/pq_books")
+      .orderBy("j", "c").select("j", "c", "centroid")
+      .as[(Int, Int, Array[Float])].collect()
+    val books = Array.tabulate(m)(j => bookRows.filter(_._1 == j).sortBy(_._2).map(_._3))
+    val cents = spark.read.parquet(s"$indexPath/centroids")
+      .orderBy("list").select("centroid").as[Array[Float]].collect()
+    val nl       = cents.length
+    val centArr  = centroidLit(cents)
+    val booksLit = typedlit(flatten(books, dsub).toSeq)
+    val lists = spark.read.parquet(s"$indexPath/lists")
+      .withColumnRenamed("list", "__list")
+    val qn = sqrt(aggregate(transform(col(qvec), x => x.cast("double") * x),
+      lit(0.0), (a, x) => a + x))
+    val probes = queries
+      .withColumn("__list", explode(probeLists(centArr, nl, col(qvec), nprobe)))
+      .withColumn("__lut", pq_lut(col(qvec), booksLit, lit(m), lit(dsub)))
+      .withColumn("__qn", qn)
+    val w = Window.partitionBy(col(qid)).orderBy(col("cosine").desc, col(cid))
+    probes.join(lists, Seq("__list"))
+      .withColumn("cosine",
+        when(col("rnorm") === 0.0 || col("__qn") === 0.0, lit(0.0))
+          .otherwise(pq_adc(col("__lut"), col("code")) / (col("__qn") * col("rnorm"))))
+      .withColumn("rank", row_number().over(w)).where(col("rank") <= k)
+      .select(col(qid), col(cid), col("cosine"), col("rank"))
   }
 
   /** Query a trained, persisted IVF index: probes join the inverted-file

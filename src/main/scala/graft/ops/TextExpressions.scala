@@ -474,7 +474,11 @@ object TextFunctions {
     "vec_quantize"   -> (es => VecQuantize(es.head)),
     "vec_dequantize" -> (es => VecDequantize(es.head)),
     "vec_cosine_q"   -> (es => VecCosineQ(es(0), es(1))),
-    "hyperplane_sig" -> (es => HyperplaneSig(es(0), es(1), es(2))))
+    "hyperplane_sig" -> (es => HyperplaneSig(es(0), es(1), es(2))),
+    "pq_encode"      -> (es => PqEncode(es(0), es(1), es(2), es(3))),
+    "pq_lut"         -> (es => PqLut(es(0), es(1), es(2), es(3))),
+    "pq_adc"         -> (es => PqAdc(es(0), es(1))),
+    "pq_code_at"     -> (es => PqCodeAt(es(0), es(1))))
 
   @volatile private var registered: Set[Int] = Set.empty
   def register(spark: SparkSession): Unit = {
@@ -502,4 +506,10 @@ object TextFunctions {
   def vec_cosine_q(a: Column, b: Column): Column = call_function("vec_cosine_q", a, b)
   def hyperplane_sig(vec: Column, bits: Column, seed: Column): Column =
     call_function("hyperplane_sig", vec, bits, seed)
+  def pq_encode(vec: Column, books: Column, m: Column, dsub: Column): Column =
+    call_function("pq_encode", vec, books, m, dsub)
+  def pq_lut(vec: Column, books: Column, m: Column, dsub: Column): Column =
+    call_function("pq_lut", vec, books, m, dsub)
+  def pq_adc(lut: Column, code: Column): Column = call_function("pq_adc", lut, code)
+  def pq_code_at(code: Column, j: Column): Column = call_function("pq_code_at", code, j)
 }
