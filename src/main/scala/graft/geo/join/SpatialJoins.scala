@@ -27,7 +27,10 @@ object SpatialJoins {
     * @param points      DataFrame with double columns `lngCol`, `latCol`
     * @param polys       DataFrame with a packed geometry column `geomCol`
     * @param res         hex resolution of the cell grid (pick ~polygon size;
-    *                    see [[resForBoxDeg]])
+    *                    see [[resForBoxDeg]]). NEGATIVE = choose
+    *                    automatically from the polygon side itself
+    *                    ([[resForPolys]] — the default; callers stop
+    *                    hand-tuning the grid to their polygon size)
     * @param broadcastPolys hint when the polygon side is small (the common
     *                    case: dimension-table-like polygon sets)
     * @param saltBuckets > 1 enables hot-cell salting: points in cells whose
@@ -41,13 +44,14 @@ object SpatialJoins {
       latCol: String,
       polys: DataFrame,
       geomCol: String,
-      res: Int,
+      res: Int = -1,
       broadcastPolys: Boolean = true,
       saltBuckets: Int = 1,
       hotCellThreshold: Long = 2000000L): DataFrame = {
 
-    val polyCells0 = polys.withColumn("__cell", explode(hex_cover(col(geomCol), lit(res))))
-    val ptCells0   = points.withColumn("__cell", hex_cell(col(lngCol), col(latCol), lit(res)))
+    val res0 = if (res >= 0) res else resForPolys(polys, geomCol)
+    val polyCells0 = polys.withColumn("__cell", explode(hex_cover(col(geomCol), lit(res0))))
+    val ptCells0   = points.withColumn("__cell", hex_cell(col(lngCol), col(latCol), lit(res0)))
 
     val (ptCells, polyCells) =
       if (saltBuckets <= 1) (ptCells0.withColumn("__salt", lit(0)),
@@ -167,6 +171,25 @@ object SpatialJoins {
     var r = 0
     while (r < HexCell.MaxRes && HexCell.sizeDeg(r) > spanDeg / 2.0) r += 1
     r
+  }
+
+  /** [[pipJoin]]'s automatic `res`: [[resForBoxDeg]] of the MEDIAN bbox span
+    * over a bounded polygon sample. The sample is `limit(sampleN)` on the
+    * polygon side — ONE tiny dim-side job whose cost is independent of
+    * scale (polygons are the dimension-table side of a PIP join by
+    * construction; the POINT side never runs a job here). The median keeps
+    * one continent in a set of city districts from coarsening every cover;
+    * an antimeridian-crossing polygon's naive full-span bbox only coarsens
+    * its own vote. */
+  def resForPolys(polys: DataFrame, geomCol: String, sampleN: Int = 256): Int = {
+    val bb = st_bbox(col(geomCol))
+    val spans = polys.select(greatest(
+        element_at(bb, 3) - element_at(bb, 1),
+        element_at(bb, 4) - element_at(bb, 2)).as("__span"))
+      .where(col("__span").isNotNull)
+      .limit(sampleN).collect().map(_.getDouble(0)).sorted
+    if (spans.isEmpty) 4 // nothing to measure: a mid-scale grid
+    else resForBoxDeg(math.max(1e-9, spans(spans.length / 2)))
   }
 
   /** kNN join: for each query row the k nearest point rows by haversine.

@@ -44,6 +44,27 @@ class SpatialJoinSpec extends AnyFunSuite {
       s"fast=${fast.count()} brute=${brute.count()}")
   }
 
+  test("PIP auto-resolution: resForPolys pins to the median span; default res ≡ explicit") {
+    def boxes(span: Double, n: Int) = (0 until n).map { i =>
+      val w = -150.0 + i * (span + 3); val s = -40.0 + i * 2.0
+      (s"b$i", s"""{"type":"Polygon","coordinates":[[[$w,$s],[${w + span},$s],[${w + span},${s + span}],[$w,${s + span}],[$w,$s]]]}""")
+    }.toDF("poly_id", "geojson").select($"poly_id", from_geojson_geom($"geojson").as("geom"))
+    // homogeneous sets: chosen res == resForBoxDeg(span)
+    assert(SpatialJoins.resForPolys(boxes(8.0, 6), "geom") == SpatialJoins.resForBoxDeg(8.0))
+    assert(SpatialJoins.resForPolys(boxes(0.4, 6), "geom") == SpatialJoins.resForBoxDeg(0.4))
+    // mixed set: one continent-sized outlier must not coarsen the grid for
+    // a set of small polygons — the MEDIAN wins
+    val mixed = boxes(0.4, 9).unionByName(boxes(60.0, 2))
+    assert(SpatialJoins.resForPolys(mixed, "geom") == SpatialJoins.resForBoxDeg(0.4))
+    // default (auto) res produces the same joined rows as a hand-tuned one
+    val pts = points(2000)
+    val auto = SpatialJoins.pipJoin(pts, "lng", "lat", polys, "geom")
+      .select("id", "poly_id")
+    val tuned = SpatialJoins.pipJoin(pts, "lng", "lat", polys, "geom", res = 5)
+      .select("id", "poly_id")
+    assert(auto.exceptAll(tuned).isEmpty && tuned.exceptAll(auto).isEmpty)
+  }
+
   test("PIP join with salting produces identical rows") {
     val pts = points(3000)
     val salted = SpatialJoins.pipJoin(pts, "lng", "lat", polys, "geom", res = 5,
