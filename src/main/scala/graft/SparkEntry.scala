@@ -616,6 +616,30 @@ object SparkEntry {
         .select(col("doc_id").as("id_a"), (col("doc_id") + 1L).as("id_b"))
       Dedup.clusters(e1.unionByName(e2).unionByName(e3), "id", universe = Some(ids))
     }),
+    "q63_tile_clip" -> ((s, dir) => {
+      // exact-geometry polygon tiling (tilePolygons = tile_cover_box ->
+      // tile_bounds -> st_clip_box): nation-keyed axis-aligned boxes tiled
+      // at z=3. Tile lng bounds are exact multiples of 45; lat bounds are
+      // transcendental (atan∘sinh), which DuckDB rebuilds from exp (no
+      // sinh) — libm ulp drift is absorbed by emitting areas as MILLI-unit
+      // integers (error ~1e-6 milli-units vs the 0.5 tie distance).
+      registerAll(s)
+      val b = s.read.parquet(t(dir, "nation"))
+        .withColumn("bw", (col("n_nationkey") * 31 % 280 - 150).cast("double") + 0.003)
+        .withColumn("bs", (col("n_nationkey") * 23 % 100 - 55).cast("double") + 0.003)
+        .withColumn("be", col("bw") + 37.0).withColumn("bn", col("bs") + 23.0)
+      val json = concat(lit("""{"type":"Polygon","coordinates":[[["""),
+        col("bw").cast("string"), lit(","), col("bs").cast("string"), lit("],["),
+        col("be").cast("string"), lit(","), col("bs").cast("string"), lit("],["),
+        col("be").cast("string"), lit(","), col("bn").cast("string"), lit("],["),
+        col("bw").cast("string"), lit(","), col("bn").cast("string"), lit("],["),
+        col("bw").cast("string"), lit(","), col("bs").cast("string"), lit("]]]}"))
+      val polys = b.select(col("n_nationkey"), from_geojson_geom(json).as("geom"))
+      SpatialJoins.tilePolygons(polys, "geom", z = 3)
+        .select(col("n_nationkey"),
+          tile_x(col("tile_key")).as("tx"), tile_y(col("tile_key")).as("ty"),
+          round(st_area(col("tile_geom")) * 1000.0).cast("long").as("area_u3"))
+    }),
     "q61_pq_ann" -> ((s, dir) => {
       // IVF-PQ under the gate: m = dim (1-D subspaces) over per-dim integer
       // alphabets of <= 12 values -> the small-alphabet codebooks ARE the
@@ -1040,6 +1064,25 @@ object SparkEntry {
         |  '","rank":' || CAST(n_nationkey * 2 AS BIGINT) ||
         |  '},"extra":{"v":1}}' AS doc
         |FROM nation""".stripMargin,
+    "q63_tile_clip" ->
+      """WITH b AS (SELECT n_nationkey,
+        |    CAST(n_nationkey * 31 % 280 - 150 AS DOUBLE) + CAST(0.003 AS DOUBLE) AS bw,
+        |    CAST(n_nationkey * 23 % 100 - 55 AS DOUBLE) + CAST(0.003 AS DOUBLE) AS bs
+        |  FROM nation),
+        |t AS (SELECT x.range AS tx, y.range AS ty,
+        |    x.range * 45.0 - 180.0 AS tw, x.range * 45.0 - 135.0 AS te,
+        |    degrees(atan((exp(pi() * (1 - 2*(y.range+1)/8.0))
+        |                - exp(-pi() * (1 - 2*(y.range+1)/8.0))) / 2)) AS tb,
+        |    degrees(atan((exp(pi() * (1 - 2*y.range/8.0))
+        |                - exp(-pi() * (1 - 2*y.range/8.0))) / 2)) AS tt
+        |  FROM range(8) x, range(8) y)
+        |SELECT b.n_nationkey, t.tx, t.ty,
+        |  CAST(round((least(b.bw + 37.0, t.te) - greatest(b.bw, t.tw)) *
+        |             (least(b.bs + 23.0, t.tt) - greatest(b.bs, t.tb)) * 1000.0)
+        |       AS BIGINT) AS area_u3
+        |FROM b, t
+        |WHERE least(b.bw + 37.0, t.te) > greatest(b.bw, t.tw)
+        |  AND least(b.bs + 23.0, t.tt) > greatest(b.bs, t.tb)""".stripMargin,
     "q61_pq_ann" ->
       """WITH c AS (SELECT id AS vec_id,
         |    list_transform([0,1,2,3,4,5,6,7],
