@@ -552,14 +552,14 @@ object SpatialJoins {
     * full-span bbox (sound, not minimal) and its pieces land on both sides
     * with normalized longitudes. */
   def tilePolygons(df: DataFrame, geomCol: String, z: Int): DataFrame = {
-    val bb = st_bbox(col(geomCol))
-    df.withColumn("tile_key", explode(tile_cover_box(
-        element_at(bb, 1), element_at(bb, 2), element_at(bb, 3), element_at(bb, 4), lit(z))))
-      .withColumn("__tb", tile_bounds(col("tile_key")))
-      .withColumn("tile_geom", st_clip_box(col(geomCol),
-        element_at(col("__tb"), 1), element_at(col("__tb"), 2),
-        element_at(col("__tb"), 3), element_at(col("__tb"), 4)))
-      .where(col("tile_geom").isNotNull)
-      .drop("__tb")
+    val tb = tile_bounds(col("tile_key"))
+    val clip = st_clip_box(col(geomCol),
+      element_at(tb, 1), element_at(tb, 2), element_at(tb, 3), element_at(tb, 4))
+    // null-clip rows drop INSIDE the generator (explode of a filtered
+    // 0/1-element array): a plain `.where(isNotNull)` gets pushed below the
+    // projection by Catalyst and re-evaluates the clip twice per row
+    df.withColumn("tile_key", explode(tile_cover(col(geomCol), lit(z))))
+      .withColumn("tile_geom",
+        explode(filter(array(clip), g => g.isNotNull)))
   }
 }

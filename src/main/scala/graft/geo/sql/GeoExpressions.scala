@@ -999,6 +999,37 @@ case class TileBoundsExpr(key: Expression)
   override protected def withNewChildInternal(c: Expression) = copy(c)
 }
 
+/** `tile_cover(geom, z)` → packed keys of every z-tile intersecting the
+  * geometry's bbox (sound cover). One expression, one bbox scan — four
+  * separate `element_at(st_bbox(g), i)` arguments inside a Generate are
+  * interpreted WITHOUT subexpression elimination and re-scan the coords
+  * four times. */
+case class TileCoverExpr(geom: Expression, z: Expression)
+    extends GeoExpression with ImplicitCastInputTypes {
+  override def children: Seq[Expression] = Seq(geom, z)
+  override def inputTypes = Seq(GeoStruct.geometryType, IntegerType)
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override protected def evalNotNull(v: Array[Any]): Any = {
+    val r = v(0).asInstanceOf[InternalRow]
+    // per-ring WRAPPED boxes (1-2 in-range intervals per ring): an
+    // antimeridian-crossing ring covers its two seam-side slivers instead
+    // of the whole zoom row a naive min/max box would span
+    val boxes =
+      if (GeomAccess.gtype(r) == GType.Collection) GeomAccess.wrappedBoxes(r)
+      else GeoAlgo.ringWrappedBoxes(GeomAccess.coords(r), GeomAccess.posOff(r),
+        GeomAccess.ringOff(r))
+    if (boxes.isEmpty) return null
+    val z = v(1).asInstanceOf[Int]
+    val out = scala.collection.mutable.LinkedHashSet[Long]()
+    boxes.foreach { b =>
+      out ++= GeoAlgo.tileCoverBox(math.max(-180.0, b(0)), b(1),
+        math.min(180.0, b(2)), b(3), z)
+    }
+    new GenericArrayData(out.toArray)
+  }
+  override protected def withNewChildrenInternal(c: IndexedSeq[Expression]) = copy(c(0), c(1))
+}
+
 /** `tile_cover_box(w, s, e, n, z)` → packed keys of every z-tile
   * intersecting the box (sound cover; throws past 2^20 tiles — lower z).
   * Interpreted, like the hex/s2 covers: runs once per geometry, not per

@@ -51,6 +51,7 @@ object GeoFunctions {
     "s2_cell_ancestors" -> (es => S2CellAncestorsExpr(es(0), es(1))),
     "tile_key"          -> (es => TileKeyExpr(es(0), es(1), es(2))),
     "tile_bounds"       -> (es => TileBoundsExpr(es.head)),
+    "tile_cover"        -> (es => TileCoverExpr(es(0), es(1))),
     "tile_cover_box"    -> (es => TileCoverBoxExpr(es(0), es(1), es(2), es(3), es(4))))
 
   @volatile private var registered: Set[Int] = Set.empty
@@ -122,6 +123,7 @@ object GeoFunctions {
   def tile_key(lng: Column, lat: Column, z: Column): Column =
     call_function("tile_key", lng, lat, z)
   def tile_bounds(key: Column): Column = call_function("tile_bounds", key)
+  def tile_cover(geom: Column, z: Column): Column = call_function("tile_cover", geom, z)
   def tile_cover_box(w: Column, s: Column, e: Column, n: Column, z: Column): Column =
     call_function("tile_cover_box", w, s, e, n, z)
 

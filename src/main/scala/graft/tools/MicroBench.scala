@@ -56,6 +56,26 @@ object MicroBench {
       while (i < 768) { qa(4 + i) = ((i * 37) % 255 - 127).toByte; qb(4 + i) = ((i * 53) % 255 - 127).toByte; i += 1 }
       time("cosine_q768", 2000000)(id =>
         java.lang.Double.doubleToLongBits(graft.ops.TextKernels.vecCosineQ(qa, qb)) + id)
+      // round-5 kernels: box clip / PQ encode / ADC scoring
+      time("clip_poly200", 100000)(id =>
+        graft.geo.algo.GeoAlgo.clipBox(5, coords, posOff, ringOff, partOff,
+          99.0, -2.0, 102.0, 2.5) match {
+          case null => id
+          case c    => c.coords.length.toLong + id
+        })
+    }
+    locally {
+      val dim = 64; val m = 8; val dsub = 8
+      val books = Array.tabulate(m * 256 * dsub)(i => ((i * 131) % 255 - 127) / 64.0f)
+      val vec = new org.apache.spark.sql.catalyst.util.GenericArrayData(
+        Array.tabulate(dim)(i => ((i * 37) % 17 - 8).toFloat))
+      time("pq_encode64", 20000)(id =>
+        java.lang.Double.doubleToLongBits(
+          graft.ops.PqKernels.encode(vec, books, m, dsub).getDouble(1)) + id)
+      val lut  = graft.ops.PqKernels.lut(vec, books, m, dsub)
+      val code = graft.ops.PqKernels.encode(vec, books, m, dsub).getBinary(0)
+      time("pq_adc64", 5000000)(id =>
+        java.lang.Double.doubleToLongBits(graft.ops.PqKernels.adc(lut, code)) + id)
     }
     // the reference's own bench input (bench/input.json == simple.geojson,
     // 18,699 B, 987-position polygon): full decode -> typed doc -> encode
