@@ -650,12 +650,18 @@ object SparkEntry {
       // are pure arithmetic ((id*(d+2)+d*d) % (5+d) + 1), reproducible in
       // both engines; duplicate vectors tie-break on vec_id in both.
       registerAll(s)
-      val corpus = s.range(500).select(col("id").as("vec_id"),
+      // 4 slices, NOT default parallelism: the train pipeline is ~18 tiny
+      // jobs and a 500-row corpus over 32 partitions pays 32-task
+      // scheduling per job (measured 3x the whole leg)
+      val corpus = s.range(0, 500, 1, 4).select(col("id").as("vec_id"),
         transform(sequence(lit(0), lit(7)), d =>
           ((col("id") * (d + 2) + d * d) % (d + 5) + 1).cast("float")).as("embedding"))
       val idxDir = java.nio.file.Files.createTempDirectory("graft_q61").toString + "/pq"
+      // maxIter 3: at nprobe = nlist the result is training-quality-
+      // independent (every list probed); the leg measures the train+persist+
+      // query PIPELINE, whose cost is fixed job count, not data size
       Similarity.trainIvfPq(corpus, "vec_id", "embedding", idxDir,
-        nlist = 8, m = 8, maxIter = 6)
+        nlist = 8, m = 8, maxIter = 3)
       val qs = corpus.where(col("vec_id") % 25 === 0)
         .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
       Similarity.pqTopKWith(qs, "qid", "qvec", idxDir, "vec_id", k = 5, nprobe = 8)

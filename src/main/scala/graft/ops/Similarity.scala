@@ -273,8 +273,9 @@ object Similarity {
     *     (code, dim)-keyed partial-sum aggregate — 256 x dsub cells per
     *     round, corpus never shuffles
     * Layout under `indexPath`: `centroids` (coarse), `pq_books`
-    * (j, c, centroid), `pq_meta` (m, dsub, dim), `lists` (corpus columns
-    * minus the vector + code + rnorm, partitioned by list). */
+    * (j, c, centroid — m and dsub are inferred from it at load), `lists`
+    * (corpus columns minus the vector + code + rnorm, partitioned by
+    * list). */
   def trainIvfPq(
       corpus: DataFrame, cid: String, cvec: String,
       indexPath: String, nlist: Int = 16, m: Int = 8,
@@ -289,14 +290,26 @@ object Similarity {
     val cents   = lloydCentroids(src, cid, cvec, nlist, maxIter, tol)
     val nl      = cents.length
     val centArr = centroidLit(cents)
+    // ALL subspaces' distinct subvectors in ONE job (explode -> distinct ->
+    // per-j row_number capped at 257): a per-subspace loop of distinct jobs
+    // costs m x fixed job overhead — measured 16 s for m = 8 at bench scale
+    val w257 = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("j")).orderBy(col("sv"))
+    val drawn = src.select(explode(transform(sequence(lit(0), lit(m - 1)),
+        j => struct(j.cast("int").as("j"),
+          slice(col(cvec), j * dsub + 1, lit(dsub)).as("sv")))).as("x"))
+      .select(col("x.j").as("j"), col("x.sv").as("sv")).distinct()
+      .withColumn("rn", row_number().over(w257)).where(col("rn") <= 257)
+      .select(col("j"), col("sv"), col("rn")).as[(Int, Array[Float], Int)].collect()
+      .groupBy(_._1).view.mapValues(_.sortBy(_._3).map(_._2)).toMap // rn = Spark's array asc order
     val books: Array[Array[Array[Float]]] = (0 until m).map { j =>
-      val sub = src.select(col(cid), slice(col(cvec), j * dsub + 1, dsub).as("__sv"))
-        .localCheckpoint()
-      val nDistinct = sub.select(col("__sv")).distinct().limit(257).count()
-      if (nDistinct <= 256) {
-        sub.select(col("__sv")).distinct().orderBy(col("__sv"))
-          .as[Array[Float]].collect()
-      } else {
+      val distinctCapped = drawn(j)
+      if (distinctCapped.length <= 256) distinctCapped // the alphabet IS the codebook
+      else {
+        // continuous subspace: L2 Lloyd's, assignment through the encode
+        // kernel itself (narrow map + (code, dim)-keyed partial sums)
+        val sub = src.select(col(cid), slice(col(cvec), j * dsub + 1, dsub).as("__sv"))
+          .localCheckpoint()
         var bk = hashDrawCentroids(sub, cid, "__sv", 256)
         var it = 0
         while (it < pqIter) {
@@ -318,9 +331,10 @@ object Similarity {
         bk
       }
     }.toArray
-    // persist
-    Seq((m, dsub, dim, nl)).toDF("m", "dsub", "dim", "nlist")
-      .coalesce(1).write.mode("overwrite").parquet(s"$indexPath/pq_meta")
+    // persist — m and dsub are INFERRED from pq_books at load (max j + 1,
+    // centroid length), so the index is two small tables + the lists, not
+    // three: every extra parquet dir costs a write + a read per pipeline
+    // run through the shell-forking RawLocalFileSystem
     books.zipWithIndex.flatMap { case (bk, j) =>
       bk.zipWithIndex.map { case (c, ci) => (j, ci, c.toSeq) }
     }.toSeq.toDF("j", "c", "centroid")
@@ -357,12 +371,11 @@ object Similarity {
     val spark = queries.sparkSession
     import spark.implicits._
     TextFunctions.register(spark)
-    val meta = spark.read.parquet(s"$indexPath/pq_meta").head()
-    val m    = meta.getAs[Int]("m")
-    val dsub = meta.getAs[Int]("dsub")
     val bookRows = spark.read.parquet(s"$indexPath/pq_books")
       .orderBy("j", "c").select("j", "c", "centroid")
       .as[(Int, Int, Array[Float])].collect()
+    val m    = bookRows.map(_._1).max + 1
+    val dsub = bookRows.head._3.length
     val books = Array.tabulate(m)(j => bookRows.filter(_._1 == j).sortBy(_._2).map(_._3))
     val cents = spark.read.parquet(s"$indexPath/centroids")
       .orderBy("list").select("centroid").as[Array[Float]].collect()
