@@ -660,8 +660,10 @@ object SparkEntry {
       // maxIter 3: at nprobe = nlist the result is training-quality-
       // independent (every list probed); the leg measures the train+persist+
       // query PIPELINE, whose cost is fixed job count, not data size
+      // residual = false: the closed-form oracle needs exact reconstruction
+      // of v ITSELF (fl(v - c) is ~1e-7 off on exact cosine ties)
       Similarity.trainIvfPq(corpus, "vec_id", "embedding", idxDir,
-        nlist = 8, m = 8, maxIter = 3)
+        nlist = 8, m = 8, maxIter = 3, residual = false)
       val qs = corpus.where(col("vec_id") % 25 === 0)
         .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
       Similarity.pqTopKWith(qs, "qid", "qvec", idxDir, "vec_id", k = 5, nprobe = 8)

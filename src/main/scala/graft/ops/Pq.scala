@@ -24,8 +24,12 @@ import graft.geo.sql.GeoExpression
 object PqKernels {
 
   /** Encode one vector: per-subspace argmin-L2 code + the reconstruction
-    * norm ||recon|| in one pass → (code: Array[Byte], rnorm: Double). */
-  def encode(vec: ArrayData, books: Array[Float], m: Int, dsub: Int): InternalRow = {
+    * norm in one pass → (code: Array[Byte], rnorm: Double). With a non-null
+    * `base` (RESIDUAL encoding — `vec` is v − c_list), the norm is
+    * ||base + recon(code)|| — the norm of the full reconstructed vector the
+    * ADC scorer divides by. */
+  def encode(vec: ArrayData, books: Array[Float], m: Int, dsub: Int,
+             base: ArrayData): InternalRow = {
     val code = new Array[Byte](m)
     var rn = 0.0
     var j = 0
@@ -34,11 +38,11 @@ object PqKernels {
       var bi   = 0
       var c = 0
       while (c < 256) {
-        val base = (j * 256 + c) * dsub
+        val off = (j * 256 + c) * dsub
         var acc = 0.0
         var d = 0
         while (d < dsub) {
-          val diff = vec.getFloat(j * dsub + d).toDouble - books(base + d)
+          val diff = vec.getFloat(j * dsub + d).toDouble - books(off + d)
           acc += diff * diff
           d += 1
         }
@@ -46,9 +50,14 @@ object PqKernels {
         c += 1
       }
       code(j) = bi.toByte
-      val base = (j * 256 + bi) * dsub
+      val off = (j * 256 + bi) * dsub
       var d = 0
-      while (d < dsub) { val b = books(base + d).toDouble; rn += b * b; d += 1 }
+      while (d < dsub) {
+        val r = books(off + d).toDouble +
+          (if (base == null) 0.0 else base.getFloat(j * dsub + d).toDouble)
+        rn += r * r
+        d += 1
+      }
       j += 1
     }
     new GenericInternalRow(Array[Any](code, math.sqrt(rn)))
@@ -93,19 +102,23 @@ trait PqBooksArg { self: Expression =>
   }
 }
 
-/** `pq_encode(vec, books, m, dsub)` → struct<code: binary, rnorm: double>.
-  * Build-time (one pass over the corpus at train); interpreted. */
-case class PqEncode(vec: Expression, books: Expression, m: Expression, dsub: Expression)
-    extends GeoExpression with PqBooksArg {
-  override def children: Seq[Expression] = Seq(vec, books, m, dsub)
+/** `pq_encode(vec, books, m, dsub[, base])` → struct<code: binary,
+  * rnorm: double>. With the optional 5th argument `vec` is a RESIDUAL and
+  * `base` the coarse centroid it was taken against (rnorm = ||base +
+  * recon||). Build-time (one pass over the corpus at train); interpreted. */
+case class PqEncode(children: Seq[Expression]) extends GeoExpression with PqBooksArg {
+  require(children.length == 4 || children.length == 5,
+    s"pq_encode takes (vec, books, m, dsub[, base]), got ${children.length} args")
+  override def books: Expression = children(1)
   override def dataType: DataType = StructType(Seq(
     StructField("code", BinaryType, nullable = false),
     StructField("rnorm", DoubleType, nullable = false)))
   override protected def evalNotNull(v: Array[Any]): Any =
     PqKernels.encode(v(0).asInstanceOf[ArrayData], booksArr,
-      v(2).asInstanceOf[Int], v(3).asInstanceOf[Int])
+      v(2).asInstanceOf[Int], v(3).asInstanceOf[Int],
+      if (v.length > 4) v(4).asInstanceOf[ArrayData] else null)
   override protected def withNewChildrenInternal(c: IndexedSeq[Expression]) =
-    copy(c(0), c(1), c(2), c(3))
+    copy(c)
 }
 
 /** `pq_lut(qvec, books, m, dsub)` → array<double> of m*256 — once per

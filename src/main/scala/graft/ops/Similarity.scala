@@ -258,12 +258,41 @@ object Similarity {
     out
   }
 
+  /** Element-wise `vec − cents[list]` as float — the RESIDUAL a list member
+    * quantizes under residual encoding. Narrow (centroids ride as the
+    * literal `centArr`). */
+  private def residualCol(centArr: Column, vec: Column, list: Column): Column =
+    zip_with(vec, element_at(centArr, list + 1), (a, b) => (a - b).cast("float"))
+
+  /** dot(q, cents[list]) in double — the coarse term an ADC score adds back
+    * under residual encoding. Narrow; computed on the (small) probe side. */
+  private def coarseDot(centArr: Column, qvec: Column, list: Column): Column =
+    aggregate(
+      zip_with(qvec, element_at(centArr, list + 1),
+        (a, b) => a.cast("double") * b.cast("double")),
+      lit(0.0), (s, x) => s + x)
+
   /** TRAIN an IVF-PQ index: [[trainIvf]]'s coarse quantizer plus
     * per-subspace PRODUCT-QUANTIZATION codebooks (m subspaces x <=256
     * centroids); the inverted file stores m-byte codes + one reconstruction
     * norm — NEVER the raw vectors, cutting the persisted index from
     * dim x 4 bytes to m + 4 per vector (the 100 TB memory wall of
-    * [[trainIvf]]'s raw float lists). Codebook training per subspace:
+    * [[trainIvf]]'s raw float lists).
+    *
+    * With `residual = true` (the default, faiss's IndexIVFPQ layout) each
+    * vector quantizes its RESIDUAL v − c_list rather than v itself:
+    * residual spread per list is far tighter than corpus spread, so the
+    * same m-byte budget buys less reconstruction error and higher recall.
+    * Queries then score as dot(q, c_list) + ADC(residual code) — the coarse
+    * term is per (query, probed list), never per candidate. Set
+    * `residual = false` for the q61-style closed-form-oracle construction:
+    * exact small-alphabet reconstruction of v itself reproduces brute-force
+    * cosine BIT-exactly, while the residual float rounding (fl(v−c)) is
+    * ~1e-7 off on exact cosine ties (e.g. scalar-multiple vectors).
+    * The flag persists in `pq_books.res`; [[pqTopKWith]] reads it back —
+    * queries never pass it.
+    *
+    * Codebook training per subspace:
     *   - SMALL-ALPHABET fast path: when a subspace has <= 256 distinct
     *     subvectors, the codebook IS the sorted distinct set — encoding is
     *     zero-error reconstruction (the q61 closed-form-oracle case; the
@@ -279,17 +308,27 @@ object Similarity {
   def trainIvfPq(
       corpus: DataFrame, cid: String, cvec: String,
       indexPath: String, nlist: Int = 16, m: Int = 8,
-      maxIter: Int = 10, pqIter: Int = 8, tol: Double = 1e-4): Map[Int, Long] = {
+      maxIter: Int = 10, pqIter: Int = 8, tol: Double = 1e-4,
+      residual: Boolean = true): Map[Int, Long] = {
     val spark = corpus.sparkSession
     import spark.implicits._
     TextFunctions.register(spark)
-    val src = corpus.select(col(cid), col(cvec)).localCheckpoint()
-    val dim = src.select(size(col(cvec))).as[Int].head()
+    val raw = corpus.select(col(cid), col(cvec)).localCheckpoint()
+    val dim = raw.select(size(col(cvec))).as[Int].head()
     require(dim % m == 0, s"dim $dim must be divisible by m = $m")
     val dsub = dim / m
-    val cents   = lloydCentroids(src, cid, cvec, nlist, maxIter, tol)
+    val cents   = lloydCentroids(raw, cid, cvec, nlist, maxIter, tol)
     val nl      = cents.length
     val centArr = centroidLit(cents)
+    // codebooks train on the ENCODE INPUT: the raw vector, or (residual
+    // mode) v − c_list — list assignment and subtraction are both narrow
+    // maps over the checkpointed source, no extra materialization
+    val src =
+      if (!residual) raw
+      else raw
+        .withColumn("__l", bestList(centArr, nl, col(cvec)))
+        .withColumn(cvec, residualCol(centArr, col(cvec), col("__l")))
+        .drop("__l")
     // ALL subspaces' distinct subvectors in ONE job (explode -> distinct ->
     // per-j row_number capped at 257): a per-subspace loop of distinct jobs
     // costs m x fixed job overhead — measured 16 s for m = 8 at bench scale
@@ -338,7 +377,8 @@ object Similarity {
     books.zipWithIndex.flatMap { case (bk, j) =>
       bk.zipWithIndex.map { case (c, ci) => (j, ci, c.toSeq) }
     }.toSeq.toDF("j", "c", "centroid")
-      .select(col("j"), col("c"), col("centroid").cast("array<float>"))
+      .select(col("j"), col("c"), col("centroid").cast("array<float>"),
+        lit(residual).as("res"))
       .coalesce(1).write.mode("overwrite").parquet(s"$indexPath/pq_books")
     cents.zipWithIndex.map { case (c, i) => (i, c.toSeq) }.toSeq
       .toDF("list", "centroid")
@@ -346,7 +386,11 @@ object Similarity {
       .coalesce(1).write.mode("overwrite").parquet(s"$indexPath/centroids")
     val booksLit = typedlit(flatten(books, dsub).toSeq)
     corpus.withColumn("list", bestList(centArr, nl, col(cvec)))
-      .withColumn("__e", pq_encode(col(cvec), booksLit, lit(m), lit(dsub)))
+      .withColumn("__e",
+        if (residual)
+          pq_encode(residualCol(centArr, col(cvec), col("list")), booksLit,
+            lit(m), lit(dsub), element_at(centArr, col("list") + 1))
+        else pq_encode(col(cvec), booksLit, lit(m), lit(dsub)))
       .withColumn("code", col("__e").getField("code"))
       .withColumn("rnorm", col("__e").getField("rnorm"))
       .drop("__e", cvec) // the vector never reaches the inverted file
@@ -363,7 +407,10 @@ object Similarity {
     * top-k window (plan-pinned in SessionIvfSpec). With the small-alphabet
     * codebooks reconstruction is exact, so nprobe = nlist reproduces brute
     * force EXACTLY (q61's oracle); with trained codebooks recall follows
-    * the PQ error (spec-measured). */
+    * the PQ error (spec-measured). A residual-encoded index (the
+    * `pq_books.res` flag, see [[trainIvfPq]]) scores as
+    * (dot(q, c_list) + ADC) / (|q| * rnorm) — the coarse term rides on the
+    * probe rows. */
   def pqTopKWith(
       queries: DataFrame, qid: String, qvec: String,
       indexPath: String, cid: String,
@@ -371,7 +418,12 @@ object Similarity {
     val spark = queries.sparkSession
     import spark.implicits._
     TextFunctions.register(spark)
-    val bookRows = spark.read.parquet(s"$indexPath/pq_books")
+    val bookDf = spark.read.parquet(s"$indexPath/pq_books")
+    // indexes written before the residual option carry no `res` column —
+    // they encoded raw vectors
+    val resFlag = bookDf.schema.fieldNames.contains("res") &&
+      bookDf.select("res").head.getBoolean(0)
+    val bookRows = bookDf
       .orderBy("j", "c").select("j", "c", "centroid")
       .as[(Int, Int, Array[Float])].collect()
     val m    = bookRows.map(_._1).max + 1
@@ -390,11 +442,17 @@ object Similarity {
       .withColumn("__list", explode(probeLists(centArr, nl, col(qvec), nprobe)))
       .withColumn("__lut", pq_lut(col(qvec), booksLit, lit(m), lit(dsub)))
       .withColumn("__qn", qn)
+      // residual index: the coarse term dot(q, c_list) is per (query,
+      // probed list) — computed here on the small probe side, NEVER per
+      // candidate; each candidate adds it to its residual ADC
+      .withColumn("__qc",
+        if (resFlag) coarseDot(centArr, col(qvec), col("__list")) else lit(0.0))
     val w = Window.partitionBy(col(qid)).orderBy(col("cosine").desc, col(cid))
     probes.join(lists, Seq("__list"))
       .withColumn("cosine",
         when(col("rnorm") === 0.0 || col("__qn") === 0.0, lit(0.0))
-          .otherwise(pq_adc(col("__lut"), col("code")) / (col("__qn") * col("rnorm"))))
+          .otherwise((pq_adc(col("__lut"), col("code")) + col("__qc")) /
+            (col("__qn") * col("rnorm"))))
       .withColumn("rank", row_number().over(w)).where(col("rank") <= k)
       .select(col(qid), col(cid), col("cosine"), col("rank"))
   }

@@ -475,7 +475,7 @@ object TextFunctions {
     "vec_dequantize" -> (es => VecDequantize(es.head)),
     "vec_cosine_q"   -> (es => VecCosineQ(es(0), es(1))),
     "hyperplane_sig" -> (es => HyperplaneSig(es(0), es(1), es(2))),
-    "pq_encode"      -> (es => PqEncode(es(0), es(1), es(2), es(3))),
+    "pq_encode"      -> (es => PqEncode(es)),
     "pq_lut"         -> (es => PqLut(es(0), es(1), es(2), es(3))),
     "pq_adc"         -> (es => PqAdc(es(0), es(1))),
     "pq_code_at"     -> (es => PqCodeAt(es(0), es(1))))
@@ -506,8 +506,8 @@ object TextFunctions {
   def vec_cosine_q(a: Column, b: Column): Column = call_function("vec_cosine_q", a, b)
   def hyperplane_sig(vec: Column, bits: Column, seed: Column): Column =
     call_function("hyperplane_sig", vec, bits, seed)
-  def pq_encode(vec: Column, books: Column, m: Column, dsub: Column): Column =
-    call_function("pq_encode", vec, books, m, dsub)
+  def pq_encode(vec: Column, books: Column, m: Column, dsub: Column, rest: Column*): Column =
+    call_function("pq_encode", (Seq(vec, books, m, dsub) ++ rest): _*)
   def pq_lut(vec: Column, books: Column, m: Column, dsub: Column): Column =
     call_function("pq_lut", vec, books, m, dsub)
   def pq_adc(lut: Column, code: Column): Column = call_function("pq_adc", lut, code)

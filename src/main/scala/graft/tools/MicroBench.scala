@@ -71,9 +71,9 @@ object MicroBench {
         Array.tabulate(dim)(i => ((i * 37) % 17 - 8).toFloat))
       time("pq_encode64", 20000)(id =>
         java.lang.Double.doubleToLongBits(
-          graft.ops.PqKernels.encode(vec, books, m, dsub).getDouble(1)) + id)
+          graft.ops.PqKernels.encode(vec, books, m, dsub, null).getDouble(1)) + id)
       val lut  = graft.ops.PqKernels.lut(vec, books, m, dsub)
-      val code = graft.ops.PqKernels.encode(vec, books, m, dsub).getBinary(0)
+      val code = graft.ops.PqKernels.encode(vec, books, m, dsub, null).getBinary(0)
       time("pq_adc64", 5000000)(id =>
         java.lang.Double.doubleToLongBits(graft.ops.PqKernels.adc(lut, code)) + id)
     }

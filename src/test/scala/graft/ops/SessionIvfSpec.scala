@@ -80,8 +80,11 @@ class SessionIvfSpec extends AnyFunSuite {
           .otherwise(pmod(xxhash64($"id", d), lit(7)) + 1)).cast("float")).as("embedding"))
       .localCheckpoint()
     val idx = java.nio.file.Files.createTempDirectory("graft_pq").toString + "/pq"
+    // residual = false: bit-exact equality with brute force needs the codes
+    // to reconstruct v ITSELF (fl(v - c) residual rounding is ~1e-7 off on
+    // exact cosine ties, e.g. duplicate/scalar-multiple vectors)
     val sizes = Similarity.trainIvfPq(corpus, "vec_id", "embedding", idx,
-      nlist = 8, m = 8, maxIter = 6)
+      nlist = 8, m = 8, maxIter = 6, residual = false)
     assert(sizes.values.sum == 400L)
     // the inverted file stores codes + rnorm, NEVER the vector — the 100 TB
     // memory story in schema form: m + 8 bytes per row vs dim x 4
@@ -115,7 +118,7 @@ class SessionIvfSpec extends AnyFunSuite {
       }).as("embedding")).localCheckpoint()
     val idx = java.nio.file.Files.createTempDirectory("graft_pqk").toString + "/pq"
     Similarity.trainIvfPq(corpus, "vec_id", "embedding", idx,
-      nlist = 8, m = 4, maxIter = 6, pqIter = 5)
+      nlist = 8, m = 4, maxIter = 6, pqIter = 5) // residual (the default)
     val qs = corpus.where($"vec_id" % 83 === 0)
       .select($"vec_id".as("qid"), $"embedding".as("qvec"))
     val brute = Similarity.bruteForceTopK(qs, "qid", "qvec",
@@ -125,6 +128,17 @@ class SessionIvfSpec extends AnyFunSuite {
       .select($"qid", $"vec_id").as[(Long, Long)].collect().toSet
     val recall = (pq intersect brute).size.toDouble / brute.size
     assert(recall >= 0.7, f"PQ recall@10 $recall%.3f < 0.7 at full probe")
+    // residual encoding must not LOSE recall vs quantizing raw vectors with
+    // the same m-byte budget (faiss's IndexIVFPQ rationale: per-list
+    // residual spread << corpus spread)
+    val idxRaw = java.nio.file.Files.createTempDirectory("graft_pqr").toString + "/pq"
+    Similarity.trainIvfPq(corpus, "vec_id", "embedding", idxRaw,
+      nlist = 8, m = 4, maxIter = 6, pqIter = 5, residual = false)
+    val pqRaw = Similarity.pqTopKWith(qs, "qid", "qvec", idxRaw, "vec_id", k = 10, nprobe = 8)
+      .select($"qid", $"vec_id").as[(Long, Long)].collect().toSet
+    val recallRaw = (pqRaw intersect brute).size.toDouble / brute.size
+    assert(recall >= recallRaw - 0.02,
+      f"residual recall $recall%.3f fell below raw-vector recall $recallRaw%.3f")
     // a probed query still finds ITSELF at rank 1 (its own code scores top
     // by reconstruction proximity in a well-separated cluster)
     val self = Similarity.pqTopKWith(qs, "qid", "qvec", idx, "vec_id", k = 1, nprobe = 2)
