@@ -710,6 +710,23 @@ object SparkEntry {
         .select(col("n_nationkey"), col("part_idx"),
           to_geojson_geom(col("part_geom")).as("part"))
     }),
+    "q64_repetition" -> ((s, dir) => {
+      // intra-document repetition signals (the Gopher-style quality
+      // filters). Documents are single-line word streams, so derive
+      // multi-line text by turning the word " the " into a newline (both
+      // engines' replace is the same left-to-right non-overlapping scan):
+      // line stats get real duplicate mass, and the word n-grams keep
+      // crossing the seams (\s+ spans \n). All outputs are integer counts
+      // / multiplicities — a float-free oracle by construction.
+      registerAll(s)
+      val docs = s.read.parquet(t(dir, "documents"))
+        .withColumn("t2", replace(col("text"), lit(" the "), lit("\n")))
+      TextOps.withRepetition(docs, "t2")
+        .select(col("doc_id"), col("rep_lines"), col("rep_dup_lines"),
+          col("rep_dup_line_chars"), col("rep_words"), col("rep_dup_words"),
+          col("rep_top_word"), col("rep_dup_2grams"), col("rep_top_2gram"),
+          col("rep_dup_3grams"), col("rep_top_3gram"))
+    }),
     "q59_catalog_near" -> ((s, dir) => {
       // the catalog's NEAR (minhash-band) mode under the gate: corpus texts
       // are md5-hex token runs — deterministic and mutually shingle-DISJOINT
@@ -1103,6 +1120,40 @@ object SparkEntry {
         |  SELECT qid, vec_id,
         |    row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id) AS rank
         |  FROM d) WHERE rank <= 5""".stripMargin,
+    "q64_repetition" ->
+      // tokens = whitespace runs (empties filtered: regexp split emits a
+      // leading "" when the text starts with non-space whitespace); all
+      // outputs integer — no float crosses the engine boundary
+      """WITH src AS (
+        |  SELECT doc_id, replace(text, ' the ', chr(10)) AS t FROM documents),
+        |base AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split(t, chr(10)), x -> trim(x) <> '') AS lines,
+        |    list_filter(regexp_split_to_array(trim(t), '\s+'), x -> x <> '') AS ws
+        |  FROM src),
+        |g AS (
+        |  SELECT doc_id, lines, ws,
+        |    list_transform(range(1, len(ws)), i -> ws[i] || ' ' || ws[i+1]) AS g2,
+        |    list_transform(range(1, len(ws) - 1),
+        |      i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]) AS g3
+        |  FROM base)
+        |SELECT doc_id,
+        |  CAST(len(lines) AS INT) AS rep_lines,
+        |  CAST(len(lines) - len(list_distinct(lines)) AS INT) AS rep_dup_lines,
+        |  CAST(coalesce(list_sum(list_transform(lines, x -> length(x))), 0)
+        |     - coalesce(list_sum(list_transform(list_distinct(lines), x -> length(x))), 0)
+        |    AS INT) AS rep_dup_line_chars,
+        |  CAST(len(ws) AS INT) AS rep_words,
+        |  CAST(len(ws) - len(list_distinct(ws)) AS INT) AS rep_dup_words,
+        |  CAST(coalesce(list_max(list_transform(list_distinct(ws),
+        |    d -> len(list_filter(ws, x -> x = d)))), 0) AS INT) AS rep_top_word,
+        |  CAST(len(g2) - len(list_distinct(g2)) AS INT) AS rep_dup_2grams,
+        |  CAST(coalesce(list_max(list_transform(list_distinct(g2),
+        |    d -> len(list_filter(g2, x -> x = d)))), 0) AS INT) AS rep_top_2gram,
+        |  CAST(len(g3) - len(list_distinct(g3)) AS INT) AS rep_dup_3grams,
+        |  CAST(coalesce(list_max(list_transform(list_distinct(g3),
+        |    d -> len(list_filter(g3, x -> x = d)))), 0) AS INT) AS rep_top_3gram
+        |FROM g""".stripMargin,
     "q62_clip_box" ->
       // box bounds re-derived in EXPLICIT double arithmetic: DuckDB's bare
       // -170.005 + r*66.0 is exact DECIMAL math (1 ulp off Spark's IEEE

@@ -221,6 +221,82 @@ object TextKernels {
     count
   }
 
+  /** Java-regex `\s` (the `split(text, "\\s+")` tokenizer's class): ASCII
+    * whitespace incl. vertical tab. RE2's `\s` (the DuckDB oracle) omits
+    * \x0B — identical on any corpus without vertical tabs. */
+  @inline private def isWs(c: Char): Boolean =
+    c == ' ' || c == '\t' || c == '\n' || c == '\u000B' || c == '\f' || c == '\r'
+
+  /** Word n-gram multiplicity stats over whitespace tokenization — the
+    * intra-document repetition signals of Gopher-style quality filtering
+    * (duplicate / most-frequent n-gram measures; we report MULTIPLICITIES,
+    * not Gopher's character-coverage fractions — deterministic integers the
+    * cross-engine oracle can reproduce exactly). One hashmap pass: O(tokens)
+    * per row, vs the O(tokens x distinct) a pure-SQL mode computation costs.
+    * Returns (n_grams, n_distinct, top_count); n_grams = max(tokens-n+1, 0).
+    */
+  def dupNgramStats(text: String, n: Int): InternalRow = {
+    val toks = new java.util.ArrayList[String]()
+    var i = 0
+    val len = text.length
+    while (i < len) {
+      while (i < len && isWs(text.charAt(i))) i += 1
+      val start = i
+      while (i < len && !isWs(text.charAt(i))) i += 1
+      if (i > start) toks.add(text.substring(start, i))
+    }
+    val nGrams = math.max(toks.size - n + 1, 0)
+    val counts = new java.util.HashMap[String, Integer]()
+    var top = 0
+    var g = 0
+    while (g < nGrams) {
+      val key =
+        if (n == 1) toks.get(g)
+        else {
+          val sb = new java.lang.StringBuilder(toks.get(g))
+          var j = 1
+          while (j < n) { sb.append(' ').append(toks.get(g + j)); j += 1 }
+          sb.toString
+        }
+      val c = counts.merge(key, 1, (a, b) => a + b)
+      if (c > top) top = c
+      g += 1
+    }
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](nGrams, counts.size, top))
+  }
+
+  /** Line repetition stats: split on '\n', keep segments that are non-blank
+    * after space-trim (RAW segments compare/measure — parity with the
+    * declarative `filter(split(t,"\n"), trim(l) > 0)` shape), then
+    * (n_lines, n_dup_lines, dup_line_chars) where dup chars are the
+    * characters carried by occurrences AFTER the first of each distinct
+    * line. One hashmap pass; lives in a kernel (not array lambdas) because
+    * higher-order functions are CodegenFallback and would eject the whole
+    * repetition projection from whole-stage codegen. */
+  def dupLineStats(text: String): InternalRow = {
+    val seen = new java.util.HashSet[String]()
+    var nLines = 0; var nDup = 0; var dupChars = 0
+    var i = 0
+    val len = text.length
+    while (i <= len) {
+      var end = text.indexOf('\n', i)
+      if (end < 0) end = len
+      // blank check: space-trim only (Spark/DuckDB trim semantics)
+      var a = i; var b = end
+      while (a < b && text.charAt(a) == ' ') a += 1
+      while (b > a && text.charAt(b - 1) == ' ') b -= 1
+      if (b > a) {
+        val line = text.substring(i, end) // RAW segment
+        nLines += 1
+        if (!seen.add(line)) { nDup += 1; dupChars += line.length }
+      }
+      i = end + 1
+    }
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](nLines, nDup, dupChars))
+  }
+
   // ---------------------------------------------------------- vectors
 
   /** ArrayData-typed kernel so codegen can call it without conversion
@@ -383,6 +459,53 @@ case class TokenCountBpe(text: Expression) extends GeoExpression {
   override protected def withNewChildrenInternal(c: IndexedSeq[Expression]) = copy(c(0))
 }
 
+/** `dup_ngram_stats(text, n)` → struct<n_grams int, n_distinct int,
+  * top_count int> over whitespace word n-grams — the intra-document
+  * repetition signals of Gopher-style quality filters. Codegen-enabled: it
+  * runs as a narrow map over the whole corpus ([[TextOps.withRepetition]]).
+  */
+case class DupNgramStats(text: Expression, n: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression
+    with org.apache.spark.sql.catalyst.expressions.ImplicitCastInputTypes {
+  override def left: Expression  = text
+  override def right: Expression = n
+  override def inputTypes        = Seq(StringType, IntegerType)
+  override def dataType: DataType = StructType(Seq(
+    StructField("n_grams", IntegerType, nullable = false),
+    StructField("n_distinct", IntegerType, nullable = false),
+    StructField("top_count", IntegerType, nullable = false)))
+  override protected def nullSafeEval(t: Any, nn: Any): Any =
+    TextKernels.dupNgramStats(t.asInstanceOf[UTF8String].toString, nn.asInstanceOf[Int])
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode) =
+    defineCodeGen(ctx, ev,
+      (t, nn) => s"graft.ops.TextKernels.dupNgramStats($t.toString(), $nn)")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression) = copy(l, r)
+}
+
+/** `dup_line_stats(text)` → struct<n_lines int, n_dup_lines int,
+  * dup_line_chars int> — the line half of the repetition signals; codegen
+  * for the same whole-stage reason as [[DupNgramStats]]. */
+case class DupLineStats(text: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression
+    with org.apache.spark.sql.catalyst.expressions.ImplicitCastInputTypes {
+  override def child: Expression = text
+  override def inputTypes        = Seq(StringType)
+  override def dataType: DataType = StructType(Seq(
+    StructField("n_lines", IntegerType, nullable = false),
+    StructField("n_dup_lines", IntegerType, nullable = false),
+    StructField("dup_line_chars", IntegerType, nullable = false)))
+  override protected def nullSafeEval(t: Any): Any =
+    TextKernels.dupLineStats(t.asInstanceOf[UTF8String].toString)
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode) =
+    defineCodeGen(ctx, ev,
+      t => s"graft.ops.TextKernels.dupLineStats($t.toString())")
+  override protected def withNewChildInternal(c: Expression) = copy(c)
+}
+
 /** Cosine over array<float> columns (embeddings). Codegen-enabled. */
 case class VecCosine(a: Expression, b: Expression)
     extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
@@ -470,6 +593,8 @@ object TextFunctions {
     "common_substring" -> (es => CommonSubstring(es(0), es(1), es(2))),
     "lang_id"       -> (es => LangIdExpr(es.head)),
     "token_count_bpe" -> (es => TokenCountBpe(es.head)),
+    "dup_ngram_stats" -> (es => DupNgramStats(es(0), es(1))),
+    "dup_line_stats"  -> (es => DupLineStats(es.head)),
     "vec_cosine"    -> (es => VecCosine(es(0), es(1))),
     "vec_quantize"   -> (es => VecQuantize(es.head)),
     "vec_dequantize" -> (es => VecDequantize(es.head)),
@@ -500,6 +625,9 @@ object TextFunctions {
     call_function("common_substring", a, b, len)
   def lang_id(text: Column): Column = call_function("lang_id", text)
   def token_count_bpe(text: Column): Column = call_function("token_count_bpe", text)
+  def dup_ngram_stats(text: Column, n: Column): Column =
+    call_function("dup_ngram_stats", text, n)
+  def dup_line_stats(text: Column): Column = call_function("dup_line_stats", text)
   def vec_cosine(a: Column, b: Column): Column = call_function("vec_cosine", a, b)
   def vec_quantize(v: Column): Column   = call_function("vec_quantize", v)
   def vec_dequantize(b: Column): Column = call_function("vec_dequantize", b)

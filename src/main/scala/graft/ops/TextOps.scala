@@ -67,6 +67,68 @@ object TextOps {
     withTokenCountWs(df, textCol)
       .withColumn("n_tokens_bpe", token_count_bpe(col(textCol)))
 
+  /** Intra-document REPETITION signals — the Gopher-style quality filters
+    * (duplicate-line and duplicate/most-frequent word-n-gram measures) a
+    * web-corpus pipeline applies before any cross-document dedup. All
+    * outputs are INTEGER numerators/denominators (callers derive fractions;
+    * the cross-engine oracle stays float-free):
+    *   - `rep_lines` / `rep_dup_lines` / `rep_dup_line_chars`: non-blank
+    *     lines, lines minus distinct lines, and the characters those
+    *     repeat occurrences carry ([[TextFunctions.dup_line_stats]] — a
+    *     kernel rather than array lambdas because higher-order functions
+    *     are CodegenFallback and one of them ejects the WHOLE projection
+    *     from whole-stage codegen, disabling sibling subexpression
+    *     elimination)
+    *   - `rep_words`, `rep_dup_{words,2grams,3grams}`,
+    *     `rep_top_{word,2gram,3gram}`: whitespace word n-gram counts,
+    *     duplicate multiplicity mass, and the most-frequent gram's
+    *     multiplicity via the codegen [[TextFunctions.dup_ngram_stats]]
+    *     kernel — one O(tokens) hashmap pass per (row, n), not the
+    *     O(tokens x distinct) of a pure-SQL mode computation
+    * Everything is a narrow map; identical n-gram calls are shared by
+    * whole-stage-codegen subexpression elimination (plan-pinned). We report
+    * multiplicities, not Gopher's character-coverage fractions — the same
+    * signal, deterministic and integer-exact across engines. */
+  def withRepetition(df: DataFrame, textCol: String): DataFrame = {
+    val sl = dup_line_stats(col(textCol))
+    val s1 = dup_ngram_stats(col(textCol), lit(1))
+    val s2 = dup_ngram_stats(col(textCol), lit(2))
+    val s3 = dup_ngram_stats(col(textCol), lit(3))
+    df.withColumn("rep_lines", sl.getField("n_lines"))
+      .withColumn("rep_dup_lines", sl.getField("n_dup_lines"))
+      .withColumn("rep_dup_line_chars", sl.getField("dup_line_chars"))
+      .withColumn("rep_words", s1.getField("n_grams"))
+      .withColumn("rep_dup_words", s1.getField("n_grams") - s1.getField("n_distinct"))
+      .withColumn("rep_top_word", s1.getField("top_count"))
+      .withColumn("rep_dup_2grams", s2.getField("n_grams") - s2.getField("n_distinct"))
+      .withColumn("rep_top_2gram", s2.getField("top_count"))
+      .withColumn("rep_dup_3grams", s3.getField("n_grams") - s3.getField("n_distinct"))
+      .withColumn("rep_top_3gram", s3.getField("top_count"))
+  }
+
+  /** Drop documents whose repetition fractions exceed the (Gopher-shaped)
+    * thresholds: duplicate-line fraction, duplicate-2/3-gram fraction, and
+    * top-2-gram multiplicity fraction. Pure narrow filter over
+    * [[withRepetition]]'s integer columns — fractions materialize only in
+    * the predicate. */
+  def filterRepetitive(df: DataFrame, textCol: String,
+      maxDupLineFrac: Double = 0.30,
+      maxDup2gramFrac: Double = 0.40,
+      maxDup3gramFrac: Double = 0.30,
+      maxTop2gramFrac: Double = 0.20): DataFrame = {
+    val r = withRepetition(df, textCol)
+    def frac(num: Column, den: Column): Column =
+      when(den > 0, num.cast("double") / den.cast("double")).otherwise(0.0)
+    r.where(
+        frac(col("rep_dup_lines"), col("rep_lines")) <= maxDupLineFrac &&
+        frac(col("rep_dup_2grams"), greatest(col("rep_words") - 1, lit(0))) <= maxDup2gramFrac &&
+        frac(col("rep_dup_3grams"), greatest(col("rep_words") - 2, lit(0))) <= maxDup3gramFrac &&
+        frac(col("rep_top_2gram"), greatest(col("rep_words") - 1, lit(0))) <= maxTop2gramFrac)
+      .drop("rep_lines", "rep_dup_lines", "rep_dup_line_chars", "rep_words",
+        "rep_dup_words", "rep_top_word", "rep_dup_2grams", "rep_top_2gram",
+        "rep_dup_3grams", "rep_top_3gram")
+  }
+
   /** Winnowing fingerprints (rolling-hash document fingerprinting). */
   def withFingerprint(df: DataFrame, textCol: String, k: Int = 8, w: Int = 4): DataFrame =
     df.withColumn("fingerprint", winnow_fp(col(textCol), lit(k), lit(w)))

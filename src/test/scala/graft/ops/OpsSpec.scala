@@ -1092,4 +1092,89 @@ class OpsSpec extends AnyFunSuite {
       .select(video_frame($"bytes", lit(9999)).as("f"))
     assert(oob.where($"f".isNotNull).count() == 0)
   }
+
+  test("dup_ngram_stats: kernel equals the declarative mode computation; edges; codegen pin") {
+    TextFunctions.register(spark)
+    // kernel (hashmap pass) vs a declarative Spark computation of the same
+    // stats (split -> grams -> distinct / per-distinct multiplicity count):
+    // identical on normal text, whitespace runs, tabs/newlines, and the
+    // empty/short edges
+    val texts = Seq(
+      "a b a b a",                 // top 2-gram "a b" x2, dup words
+      "x",                         // 1 word: no 2-grams
+      "",                          // empty: all zeros
+      "   ",                       // whitespace-only: all zeros
+      "a\t b\n\nc  a",             // mixed whitespace runs collapse
+      "w w w w w w",               // degenerate: one word repeated
+      "p q r s t u v")             // all distinct
+    val df = texts.zipWithIndex.map { case (t, i) => (i, t) }.toDF("id", "t")
+      .localCheckpoint()
+    for (n <- Seq(1, 2, 3)) {
+      val ws = filter(split(trim($"t"), "\\s+"), x => length(x) > 0)
+      val grams =
+        if (n == 1) ws
+        // guard: Spark's sequence(1, 0) counts DOWN — short docs need an
+        // explicit empty branch
+        else when(size(ws) >= n,
+          transform(sequence(lit(1), size(ws) - (n - 1)),
+            i => concat_ws(" ", (0 until n).map(j => element_at(ws, i + j)): _*)))
+          .otherwise(array().cast("array<string>"))
+      val decl = df.select($"id",
+        size(grams).as("n_grams"),
+        size(array_distinct(grams)).as("n_distinct"),
+        coalesce(array_max(transform(array_distinct(grams),
+          d => size(filter(grams, x => x === d)))), lit(0)).as("top_count"))
+      val kern = df.select($"id",
+        dup_ngram_stats($"t", lit(n)).as("s"))
+        .select($"id", $"s.n_grams", $"s.n_distinct", $"s.top_count")
+      assert(kern.exceptAll(decl).isEmpty && decl.exceptAll(kern).isEmpty,
+        s"n=$n kernel != declarative: kernel=${kern.collect().toSeq} decl=${decl.collect().toSeq}")
+    }
+    // line-stats kernel vs the declarative array-lambda computation (the
+    // lambdas live ONLY here in the test — in the operator they'd eject the
+    // projection from codegen)
+    val lines  = filter(split($"t", "\n"), l => length(trim(l)) > 0)
+    val dlines = array_distinct(lines)
+    def chars(a: org.apache.spark.sql.Column) =
+      aggregate(a, lit(0), (acc, x) => acc + length(x))
+    val ldecl = df.select($"id", size(lines).as("n_lines"),
+      (size(lines) - size(dlines)).as("n_dup_lines"),
+      (chars(lines) - chars(dlines)).as("dup_line_chars"))
+    val lkern = df.select($"id", dup_line_stats($"t").as("s"))
+      .select($"id", $"s.n_lines", $"s.n_dup_lines", $"s.dup_line_chars")
+    assert(lkern.exceptAll(ldecl).isEmpty && ldecl.exceptAll(lkern).isEmpty,
+      s"line kernel != declarative: ${lkern.collect().toSeq} vs ${ldecl.collect().toSeq}")
+    // codegen pin: the withRepetition projection (4 kernel calls, shared
+    // subtrees) stays inside whole-stage codegen
+    val proj = TextOps.withRepetition(df, "t")
+    for (kernel <- Seq("dupngramstats", "duplinestats")) {
+      val line = proj.queryExecution.executedPlan.toString.linesIterator
+        .find(_.toLowerCase.contains(kernel)).getOrElse("")
+      assert(line.contains("*("),
+        s"$kernel Project fell out of whole-stage codegen: $line")
+    }
+  }
+
+  test("filterRepetitive: boilerplate-heavy docs drop, diverse docs survive, lines count") {
+    val diverse = (0 until 40).map(i =>
+      (i.toLong, (0 until 30).map(j => f"tok${graft.ops.TextKernels.mix64(i * 100 + j)}%016x").mkString(" ")))
+    val repetitive = (100 until 110).map(i =>
+      (i.toLong, Seq.fill(15)("buy now click here").mkString(" ")))
+    val df = (diverse ++ repetitive).toDF("doc_id", "text")
+    val kept = TextOps.filterRepetitive(df, "text")
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept == diverse.map(_._1).toSet,
+      s"expected only the 40 diverse docs to survive, got ${kept.size}")
+    // repetition columns are droppable extras: the filter output schema is
+    // the input schema
+    assert(TextOps.filterRepetitive(df, "text").schema.fieldNames.toSeq ==
+      df.schema.fieldNames.toSeq)
+    // line stats: duplicate lines count occurrences after the first, and
+    // blank lines never count
+    val ml = Seq((1L, "aa bb\ncc\n\naa bb\n  \naa bb")).toDF("doc_id", "text")
+    val r = TextOps.withRepetition(ml, "text")
+      .select("rep_lines", "rep_dup_lines", "rep_dup_line_chars")
+      .as[(Int, Int, Int)].head()
+    assert(r == ((4, 2, 10)), s"line stats $r") // 3x"aa bb" + "cc"; 2 dups x 5 chars
+  }
 }
