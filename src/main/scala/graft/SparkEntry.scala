@@ -695,6 +695,36 @@ object SparkEntry {
           element_at(st_bbox(col("clip")), 4).as("cn"),
           round(st_area(col("clip")) * 1e6).cast("long").as("area_u6"))
     }),
+    "q65_clip_convex" -> ((s, dir) => {
+      // the GENERAL convex clip window under the gate: q62's interval-
+      // arithmetic closed form, but the window arrives as a CW-wound
+      // rectangle POLYGON through st_clip_convex — exercises convexShell's
+      // reorientation plus the generic half-plane passes (axis-aligned
+      // edges pin crossings verbatim, so the bbox doubles are engine-
+      // reproducible; the shoelace runs from a rotated start corner, a
+      // ~1-ulp effect the scaled-integer area absorbs)
+      registerAll(s)
+      val pw = col("n_nationkey") * 31 % 280 - 150
+      val ps = col("n_nationkey") * 13 % 110 - 60
+      val pe = pw + 38
+      val pn = ps + 24
+      def pt(x: Column, y: Column) =
+        concat(lit("["), x.cast("string"), lit(","), y.cast("string"), lit("]"))
+      val clipJson = concat(lit("""{"type":"Polygon","coordinates":[["""),
+        pt(pe, pn), lit(","), pt(pe, ps), lit(","), pt(pw, ps), lit(","),
+        pt(pw, pn), lit(","), pt(pe, pn), lit("]]}"))
+      val probes = s.read.parquet(t(dir, "nation"))
+        .select(col("n_nationkey"), from_geojson_geom(clipJson).as("clip"))
+      regionPolys(s, dir).crossJoin(probes) // 5 regions x ~25 nations: constant
+        .withColumn("cg", st_clip_convex(col("geom"), col("clip")))
+        .where(col("cg").isNotNull)
+        .select(col("r_regionkey"), col("n_nationkey"),
+          element_at(st_bbox(col("cg")), 1).as("cw"),
+          element_at(st_bbox(col("cg")), 2).as("cs"),
+          element_at(st_bbox(col("cg")), 3).as("ce"),
+          element_at(st_bbox(col("cg")), 4).as("cn"),
+          round(st_area(col("cg")) * 1e6).cast("long").as("area_u6"))
+    }),
     "q60_st_parts" -> ((s, dir) => {
       // ST_Dump: per-nation MultiPoints of n%3+2 members explode into one
       // Point row per part with its index — every coordinate closed-form
@@ -1154,6 +1184,28 @@ object SparkEntry {
         |  CAST(coalesce(list_max(list_transform(list_distinct(g3),
         |    d -> len(list_filter(g3, x -> x = d)))), 0) AS INT) AS rep_top_3gram
         |FROM g""".stripMargin,
+    "q65_clip_convex" ->
+      // the convex-clip twin of q62: the window is an integer-cornered
+      // rectangle, so crossings pin to exactly-representable bounds and the
+      // clipped bbox/area reduce to the same interval arithmetic
+      s"""WITH box AS (SELECT r_regionkey,
+         |  CAST(-170.005 AS DOUBLE) + r_regionkey * CAST(66.0 AS DOUBLE) AS w,
+         |  CAST(-170.005 AS DOUBLE) + r_regionkey * CAST(66.0 AS DOUBLE) + CAST(40.0 AS DOUBLE) AS e,
+         |  CAST(-60.005 AS DOUBLE) + r_regionkey * CAST(25.0 AS DOUBLE) AS s,
+         |  CAST(-60.005 AS DOUBLE) + r_regionkey * CAST(25.0 AS DOUBLE) + CAST(35.0 AS DOUBLE) AS n
+         |  FROM region),
+         |p AS (SELECT n_nationkey,
+         |  CAST(n_nationkey * 31 % 280 - 150 AS DOUBLE) AS pw,
+         |  CAST(n_nationkey * 13 % 110 - 60 AS DOUBLE) AS ps FROM nation)
+         |SELECT b.r_regionkey, p.n_nationkey,
+         |  greatest(b.w, p.pw) AS cw, greatest(b.s, p.ps) AS cs,
+         |  least(b.e, p.pw + 38.0) AS ce, least(b.n, p.ps + 24.0) AS cn,
+         |  CAST(round((least(b.e, p.pw + 38.0) - greatest(b.w, p.pw)) *
+         |             (least(b.n, p.ps + 24.0) - greatest(b.s, p.ps)) * 1000000.0)
+         |       AS BIGINT) AS area_u6
+         |FROM box b, p
+         |WHERE least(b.e, p.pw + 38.0) > greatest(b.w, p.pw)
+         |  AND least(b.n, p.ps + 24.0) > greatest(b.s, p.ps)""".stripMargin,
     "q62_clip_box" ->
       // box bounds re-derived in EXPLICIT double arithmetic: DuckDB's bare
       // -170.005 + r*66.0 is exact DECIMAL math (1 ulp off Spark's IEEE

@@ -15,7 +15,12 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
-    SparkEntry.queries.foreach { case (name, fn) =>
+    // local-iteration filter (driver never sets it): run only queries whose
+    // name starts with the given prefix, e.g. SPARK_GRAFT_VERIFY_ONLY=q65
+    val only = sys.env.get("SPARK_GRAFT_VERIFY_ONLY")
+    SparkEntry.queries
+      .filter { case (name, _) => only.forall(name.startsWith) }
+      .foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>

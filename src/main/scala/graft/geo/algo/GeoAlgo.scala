@@ -855,8 +855,53 @@ object GeoAlgo {
     cur = shPass(cur, 0, e + shift, keepGE = false)
     cur = shPass(cur, 1, s, keepGE = true)
     cur = shPass(cur, 1, n, keepGE = false)
-    val d = cur.dedupe()
+    val d = stripSpurs(cur.dedupe())
     if (d.n < 3 || d.signedArea2() == 0.0) return null
+    closeRing(d, shift)
+  }
+
+  /** Remove REVERSAL vertices — B exactly collinear with its ring neighbors
+    * A, C with the path direction reversing at B (edges AB and BC overlap).
+    * These are the zero-width spurs Sutherland–Hodgman leaves along clip
+    * boundaries when a concave subject dips out of the window and back
+    * (crossings are PINNED to the boundary, so the collinearity is exact):
+    * the covered region and area are unchanged, but the output bbox
+    * tightens to the true geometry. Runs to a fixpoint (a removed spike can
+    * expose another). Bridge edges CONNECTING two real pieces survive — no
+    * single vertex of a bridge is a reversal — and stay documented SH
+    * behavior. */
+  private def stripSpurs(in: PtBuf): PtBuf = {
+    var cur = in
+    var again = true
+    while (again && cur.n >= 3) {
+      again = false
+      var drop = -1
+      var i = 0
+      while (i < cur.n && drop < 0) {
+        val p = (i + cur.n - 1) % cur.n
+        val q = (i + 1) % cur.n
+        val abx = cur.xs(i) - cur.xs(p); val aby = cur.ys(i) - cur.ys(p)
+        val bcx = cur.xs(q) - cur.xs(i); val bcy = cur.ys(q) - cur.ys(i)
+        if (abx * bcy - aby * bcx == 0.0 && abx * bcx + aby * bcy < 0.0) drop = i
+        i += 1
+      }
+      if (drop >= 0) {
+        val out = new PtBuf
+        var k = 0
+        while (k < cur.n) {
+          if (k != drop) out.add(cur.xs(k), cur.ys(k), cur.zs(k))
+          k += 1
+        }
+        cur = out.dedupe() // an A,B,A spike leaves a consecutive duplicate
+        again = true
+      }
+    }
+    cur
+  }
+
+  /** Close and pack one clipped ring buffer, removing `shift` from
+    * longitudes. */
+  private def closeRing(d: PtBuf, shift: Double): RingOut = {
     val coords = Array.newBuilder[Double]
     val pos    = new Array[Int](d.n + 2)
     var ci = 0
@@ -872,6 +917,23 @@ object GeoAlgo {
     new RingOut(coords.result(), pos)
   }
 
+  /** Pack one open clipped path buffer (>= 2 positions), removing `shift`
+    * from longitudes. */
+  private def openPath(path: PtBuf, shift: Double): RingOut = {
+    val coords = Array.newBuilder[Double]
+    val pos    = new Array[Int](path.n + 1)
+    var ci = 0
+    var k = 0
+    while (k < path.n) {
+      pos(k) = ci
+      coords += path.xs(k) - shift; coords += path.ys(k); ci += 2
+      if (!path.zs(k).isNaN) { coords += path.zs(k); ci += 1 }
+      k += 1
+    }
+    pos(path.n) = ci
+    new RingOut(coords.result(), pos)
+  }
+
   /** Liang–Barsky clip of one packed PATH against the shifted box: clipped
     * sub-segments stitch into maximal runs; returns the open output paths
     * (each >= 2 positions) with `shift` removed from longitudes. */
@@ -881,20 +943,7 @@ object GeoAlgo {
     val paths = Seq.newBuilder[RingOut]
     var path: PtBuf = null
     def flush(): Unit = {
-      if (path != null && path.n >= 2) {
-        val coords = Array.newBuilder[Double]
-        val pos    = new Array[Int](path.n + 1)
-        var ci = 0
-        var k = 0
-        while (k < path.n) {
-          pos(k) = ci
-          coords += path.xs(k) - shift; coords += path.ys(k); ci += 2
-          if (!path.zs(k).isNaN) { coords += path.zs(k); ci += 1 }
-          k += 1
-        }
-        pos(path.n) = ci
-        paths += new RingOut(coords.result(), pos)
-      }
+      if (path != null && path.n >= 2) paths += openPath(path, shift)
       path = null
     }
     val wS = w + shift; val eS = e + shift
@@ -976,19 +1025,7 @@ object GeoAlgo {
              (x - 360 >= w && x - 360 <= e))) kept += i
         i += 1
       }
-      val ks = kept.result()
-      if (ks.isEmpty) return null
-      val coords = Array.newBuilder[Double]
-      val pos    = new Array[Int](ks.length + 1)
-      var ci = 0
-      ks.zipWithIndex.foreach { case (p, k) =>
-        pos(k) = ci
-        var c = posOff(p)
-        while (c < posOff(p + 1)) { coords += coords0(c); c += 1 }
-        ci += posOff(p + 1) - posOff(p)
-      }
-      pos(ks.length) = ci
-      return Clipped(gtype, coords.result(), pos, Array(0, ks.length), Array(0, 1))
+      return keptPoints(gtype, coords0, posOff, kept.result())
     }
     if (gtype < 3 || gtype > 6) return null
     val ux = unwrapParts(coords0, posOff, ringOff, partOff)
@@ -1059,7 +1096,29 @@ object GeoAlgo {
       val paths = linealPaths.result()
       if (paths.nonEmpty) parts += paths
     }
-    val ps = parts.result()
+    assembleClipped(gtype, lineal, parts.result())
+  }
+
+  /** Pack kept point indices into a [[Clipped]] (Point/MultiPoint clips). */
+  private def keptPoints(gtype: Int, coords0: Array[Double], posOff: Array[Int],
+                         ks: Seq[Int]): Clipped = {
+    if (ks.isEmpty) return null
+    val coords = Array.newBuilder[Double]
+    val pos    = new Array[Int](ks.length + 1)
+    var ci = 0
+    ks.zipWithIndex.foreach { case (p, k) =>
+      pos(k) = ci
+      var c = posOff(p)
+      while (c < posOff(p + 1)) { coords += coords0(c); c += 1 }
+      ci += posOff(p + 1) - posOff(p)
+    }
+    pos(ks.length) = ci
+    Clipped(gtype, coords.result(), pos, Array(0, ks.length), Array(0, 1))
+  }
+
+  /** Pack clipped parts into one [[Clipped]] with type promotion (a split
+    * LineString exits as MultiLineString, a split Polygon as MultiPolygon). */
+  private def assembleClipped(gtype: Int, lineal: Boolean, ps: Seq[Seq[RingOut]]): Clipped = {
     if (ps.isEmpty) return null
     val outType =
       if (lineal) { if (gtype == 3 && ps.head.length == 1) 3 else 4 }
@@ -1089,6 +1148,294 @@ object GeoAlgo {
     ring(nRings) = pi
     pos(nPos) = ci
     Clipped(outType, coords.result(), pos, ring, partO)
+  }
+
+  // ------------------------------------------------ convex-polygon clipping
+
+  /** Extract the clip shell of `st_clip_convex`'s clip argument from a
+    * packed geometry: the OPEN, CCW-oriented, consecutive-duplicate-free
+    * vertex cycle `(xs, ys)`. Throws (a loud ANSI-style failure, never a
+    * silently-wrong clip) when the geometry is not a hole-free Polygon, is
+    * degenerate (zero area), or is not convex — Sutherland–Hodgman computes
+    * the true intersection only for convex clips. Collinear vertices are
+    * tolerated; either input winding is accepted. */
+  def convexShell(gtype: Int, coords: Array[Double], posOff: Array[Int],
+                  ringOff: Array[Int], partOff: Array[Int]): (Array[Double], Array[Double]) = {
+    require(gtype == 5, s"st_clip_convex: clip geometry must be a Polygon (got gtype $gtype)")
+    require(ringOff.length == 2, "st_clip_convex: clip polygon must not have holes")
+    val buf = new PtBuf
+    var i = ringOff(0)
+    while (i < ringOff(1) - 1) { // drop the closing duplicate vertex
+      val c0 = posOff(i)
+      buf.add(coords(c0), coords(c0 + 1), Double.NaN)
+      i += 1
+    }
+    val d = buf.dedupe()
+    require(d.n >= 3 && d.signedArea2() != 0.0, "st_clip_convex: clip polygon is degenerate")
+    val m   = d.n
+    val ccw = d.signedArea2() > 0.0
+    val xs = new Array[Double](m); val ys = new Array[Double](m)
+    var k = 0
+    while (k < m) {
+      val src = if (ccw) k else m - 1 - k
+      xs(k) = d.xs(src); ys(k) = d.ys(src)
+      k += 1
+    }
+    k = 0
+    while (k < m) {
+      val x0 = xs(k); val y0 = ys(k)
+      val x1 = xs((k + 1) % m); val y1 = ys((k + 1) % m)
+      val x2 = xs((k + 2) % m); val y2 = ys((k + 2) % m)
+      require((x1 - x0) * (y2 - y1) - (y1 - y0) * (x2 - x1) >= 0.0,
+        "st_clip_convex: clip polygon is not convex")
+      k += 1
+    }
+    (xs, ys)
+  }
+
+  /** One Sutherland–Hodgman pass against the DIRECTED clip edge
+    * (ax,ay)→(bx,by) of a CCW clip ring: keeps the closed half-plane to the
+    * edge's LEFT (cross(b−a, p−a) >= 0 — boundary points survive, matching
+    * [[shPass]]'s inclusive bounds). Crossings on an AXIS-ALIGNED edge
+    * compute t from the raw coordinates and pin the constrained coordinate
+    * to the edge EXACTLY, so a rectangle expressed as a convex clip ring
+    * reproduces [[shPass]]'s interval arithmetic (identical t expression;
+    * the inside test's cross product is the coordinate difference times a
+    * nonzero constant — sign-exact in IEEE). */
+  private def shPassEdge(in: PtBuf, ax: Double, ay: Double, bx: Double, by: Double): PtBuf = {
+    val out = new PtBuf
+    val n = in.n
+    if (n == 0) return out
+    val ex = bx - ax; val ey = by - ay
+    @inline def side(i: Int): Double = ex * (in.ys(i) - ay) - ey * (in.xs(i) - ax)
+    @inline def cross(i: Int, j: Int): Unit = {
+      var t = 0.0; var x = 0.0; var y = 0.0
+      if (ex == 0.0) {        // vertical edge: pin x = ax
+        t = (ax - in.xs(i)) / (in.xs(j) - in.xs(i))
+        x = ax; y = in.ys(i) + t * (in.ys(j) - in.ys(i))
+      } else if (ey == 0.0) { // horizontal edge: pin y = ay
+        t = (ay - in.ys(i)) / (in.ys(j) - in.ys(i))
+        y = ay; x = in.xs(i) + t * (in.xs(j) - in.xs(i))
+      } else {
+        val di = side(i); val dj = side(j)
+        t = di / (di - dj)
+        x = in.xs(i) + t * (in.xs(j) - in.xs(i))
+        y = in.ys(i) + t * (in.ys(j) - in.ys(i))
+      }
+      out.add(x, y, in.zs(i) + t * (in.zs(j) - in.zs(i)))
+    }
+    var i = 0
+    while (i < n) {
+      val j = (i + 1) % n
+      val ii = side(i) >= 0.0; val ij = side(j) >= 0.0
+      if (ij) { if (!ii) cross(i, j); out.add(in.xs(j), in.ys(j), in.zs(j)) }
+      else if (ii) cross(i, j)
+      i += 1
+    }
+    out
+  }
+
+  /** Clip one CLOSED packed ring against the convex clip shell shifted by
+    * `shift` degrees of longitude; null when the clip is empty or
+    * degenerate (same contract as [[clipRingSH]]). */
+  private def clipRingConvex(ux: Array[Double], posOff: Array[Int], rs: Int, re: Int,
+                             cxs: Array[Double], cys: Array[Double],
+                             shift: Double): RingOut = {
+    val in = new PtBuf
+    var i = rs
+    val open = re - 1 // drop the closing duplicate vertex
+    while (i < open) {
+      val c0 = posOff(i); val dims = posOff(i + 1) - c0
+      in.add(ux(c0), ux(c0 + 1), if (dims > 2) ux(c0 + 2) else Double.NaN)
+      i += 1
+    }
+    var cur = in
+    val m = cxs.length
+    var k = 0
+    while (k < m && cur.n > 0) {
+      cur = shPassEdge(cur, cxs(k) + shift, cys(k),
+        cxs((k + 1) % m) + shift, cys((k + 1) % m))
+      k += 1
+    }
+    val d = stripSpurs(cur.dedupe())
+    if (d.n < 3 || d.signedArea2() == 0.0) null else closeRing(d, shift)
+  }
+
+  /** Cyrus–Beck clip of one packed PATH against the shifted convex shell —
+    * the [[clipPathLB]] shape with per-edge parametric half-plane tests;
+    * clipped sub-segments stitch into maximal runs. */
+  private def clipPathCB(ux: Array[Double], posOff: Array[Int], rs: Int, re: Int,
+                         cxs: Array[Double], cys: Array[Double],
+                         shift: Double): Seq[RingOut] = {
+    val paths = Seq.newBuilder[RingOut]
+    var path: PtBuf = null
+    def flush(): Unit = {
+      if (path != null && path.n >= 2) paths += openPath(path, shift)
+      path = null
+    }
+    val m = cxs.length
+    var i = rs
+    while (i < re - 1) {
+      val c0 = posOff(i); val d0 = posOff(i + 1) - c0
+      val c1 = posOff(i + 1); val d1 = posOff(i + 2) - c1
+      val px = ux(c0); val py = ux(c0 + 1)
+      val pz = if (d0 > 2) ux(c0 + 2) else Double.NaN
+      val qx = ux(c1); val qy = ux(c1 + 1)
+      val qz = if (d1 > 2) ux(c1 + 2) else Double.NaN
+      var t0 = 0.0; var t1 = 1.0
+      var ok = !(px == qx && py == qy) // skip zero-length input segments
+      var k = 0
+      while (k < m && ok) {
+        val ax = cxs(k) + shift;           val ay = cys(k)
+        val bx = cxs((k + 1) % m) + shift; val by = cys((k + 1) % m)
+        val ex = bx - ax; val ey = by - ay
+        val fp = ex * (py - ay) - ey * (px - ax) // signed side, >= 0 inside
+        val fq = ex * (qy - ay) - ey * (qx - ax)
+        if (fq == fp) { if (fp < 0.0) ok = false }
+        else {
+          val t = fp / (fp - fq) // f(t) = 0 along the segment
+          if (fq < fp) { if (t < t1) t1 = t } // f decreasing: need t <= root
+          else { if (t > t0) t0 = t }         // f increasing: need t >= root
+          if (t0 > t1) ok = false
+        }
+        k += 1
+      }
+      if (ok && t0 < t1) {
+        val dx = qx - px; val dy = qy - py
+        val ax = if (t0 == 0.0) px else px + t0 * dx
+        val ay = if (t0 == 0.0) py else py + t0 * dy
+        val az = if (t0 == 0.0) pz else pz + t0 * (qz - pz)
+        val bx = if (t1 == 1.0) qx else px + t1 * dx
+        val by = if (t1 == 1.0) qy else py + t1 * dy
+        val bz = if (t1 == 1.0) qz else pz + t1 * (qz - pz)
+        if (!(ax == bx && ay == by)) {
+          if (path == null || path.xs(path.n - 1) != ax || path.ys(path.n - 1) != ay) {
+            flush()
+            path = new PtBuf
+            path.add(ax, ay, az)
+          }
+          path.add(bx, by, bz)
+        }
+      } else if (path != null) flush()
+      i += 1
+    }
+    flush()
+    paths.result()
+  }
+
+  /** Clip a packed geometry against an arbitrary CONVEX clip polygon
+    * (`cxs`/`cys`: the open CCW shell from [[convexShell]]) — the general-
+    * polygon sibling of [[clipBox]]: Sutherland–Hodgman per areal ring
+    * (holes clipped in their shell's frame), Cyrus–Beck per lineal segment
+    * with run stitching, half-plane point filtering. ANTIMERIDIAN-AWARE on
+    * the subject side via the per-part unwrap + the clip ring's ±360°
+    * translates; the clip polygon itself must not cross the antimeridian
+    * (same contract as clipBox's box — clip twice for a crossing window).
+    * A rectangle clip ring reproduces [[clipBox]] exactly up to ring
+    * rotation (axis-aligned crossings pin coordinates verbatim). Returns
+    * null for an empty clip or a GeometryCollection input (the expression
+    * layer recurses). */
+  def clipConvex(gtype: Int, coords0: Array[Double], posOff: Array[Int],
+                 ringOff: Array[Int], partOff: Array[Int],
+                 cxs: Array[Double], cys: Array[Double]): Clipped = {
+    val m = cxs.length
+    // clip bbox: gates which ±360° translates can intersect a subject part
+    var cw = cxs(0); var ce = cxs(0); var cbS = cys(0); var cbN = cys(0)
+    var q = 1
+    while (q < m) {
+      if (cxs(q) < cw) cw = cxs(q); if (cxs(q) > ce) ce = cxs(q)
+      if (cys(q) < cbS) cbS = cys(q); if (cys(q) > cbN) cbN = cys(q)
+      q += 1
+    }
+    @inline def insideAt(x: Double, y: Double): Boolean = {
+      var k = 0
+      while (k < m) {
+        val ax = cxs(k); val ay = cys(k)
+        val bx = cxs((k + 1) % m); val by = cys((k + 1) % m)
+        if ((bx - ax) * (y - ay) - (by - ay) * (x - ax) < 0.0) return false
+        k += 1
+      }
+      true
+    }
+    if (gtype == 1 || gtype == 2) { // Point / MultiPoint: half-plane tests
+      val kept = Seq.newBuilder[Int]
+      var i = 0
+      while (i < posOff.length - 1) {
+        val x = coords0(posOff(i)); val y = coords0(posOff(i) + 1)
+        if (y >= cbS && y <= cbN &&
+            (insideAt(x, y) || insideAt(x + 360, y) || insideAt(x - 360, y))) kept += i
+        i += 1
+      }
+      return keptPoints(gtype, coords0, posOff, kept.result())
+    }
+    if (gtype < 3 || gtype > 6) return null
+    val ux = unwrapParts(coords0, posOff, ringOff, partOff)
+    val lineal = gtype == 3 || gtype == 4
+    // lineal geometries are ONE part whose rings are the paths; MultiPolygon
+    // is N parts (GeoStruct.packGeometry) — same shape as clipBox
+    val parts = Seq.newBuilder[Seq[RingOut]]
+    val linealPaths = Seq.newBuilder[RingOut]
+    var part = 0
+    while (part < partOff.length - 1) {
+      val r0 = partOff(part); val r1 = partOff(part + 1)
+      var ri = r0
+      var si = 0
+      while (si < clipShifts.length) {
+        val shift = clipShifts(si)
+        if (lineal) {
+          // each path gates its own translate set on its unwrapped range
+          ri = r0
+          while (ri < r1) {
+            var minX = Double.PositiveInfinity; var maxX = Double.NegativeInfinity
+            var i = ringOff(ri)
+            while (i < ringOff(ri + 1)) {
+              val x = ux(posOff(i))
+              if (x < minX) minX = x
+              if (x > maxX) maxX = x
+              i += 1
+            }
+            if (maxX >= cw + shift && minX <= ce + shift)
+              linealPaths ++= clipPathCB(ux, posOff, ringOff(ri), ringOff(ri + 1), cxs, cys, shift)
+            ri += 1
+          }
+        } else {
+          // part's unwrapped longitude range gates which translates can hit
+          var minX = Double.PositiveInfinity; var maxX = Double.NegativeInfinity
+          ri = r0
+          while (ri < r1) {
+            var i = ringOff(ri)
+            while (i < ringOff(ri + 1)) {
+              val x = ux(posOff(i))
+              if (x < minX) minX = x
+              if (x > maxX) maxX = x
+              i += 1
+            }
+            ri += 1
+          }
+          if (maxX >= cw + shift && minX <= ce + shift) {
+            val shell = clipRingConvex(ux, posOff, ringOff(r0), ringOff(r0 + 1), cxs, cys, shift)
+            if (shell != null) {
+              val rings = Seq.newBuilder[RingOut]
+              rings += shell
+              ri = r0 + 1
+              while (ri < r1) {
+                val hole = clipRingConvex(ux, posOff, ringOff(ri), ringOff(ri + 1), cxs, cys, shift)
+                if (hole != null) rings += hole
+                ri += 1
+              }
+              parts += rings.result()
+            }
+          }
+        }
+        si += 1
+      }
+      part += 1
+    }
+    if (lineal) {
+      val paths = linealPaths.result()
+      if (paths.nonEmpty) parts += paths
+    }
+    assembleClipped(gtype, lineal, parts.result())
   }
 
   // ------------------------------------------------------------------ bbox

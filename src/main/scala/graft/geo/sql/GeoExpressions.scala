@@ -783,6 +783,72 @@ case class StClipBox(geom: Expression, w: Expression, s: Expression,
     copy(c(0), c(1), c(2), c(3), c(4))
 }
 
+/** `st_clip_convex(geom, clip)` — clip a geometry against an arbitrary
+  * CONVEX clip polygon (the general-window sibling of [[StClipBox]]):
+  * Sutherland–Hodgman per areal ring against the clip's edges, Cyrus–Beck
+  * per lineal segment with run stitching, half-plane point filtering;
+  * antimeridian-aware on the subject side via the per-part unwrap + ±360°
+  * clip translates ([[GeoAlgo.clipConvex]]). The clip must be a hole-free
+  * CONVEX Polygon (either winding; collinear vertices tolerated) that does
+  * not cross the antimeridian — a non-convex or non-Polygon clip THROWS
+  * (never a silently-wrong geometry). NULL for an empty clip (Optional
+  * semantics); output type can promote (split LineString →
+  * MultiLineString, antimeridian-split Polygon → MultiPolygon); subject
+  * collections clip each child and drop the empties. A rectangle clip ring
+  * reproduces st_clip_box exactly up to ring rotation. A literal clip
+  * polygon's shell is extracted ONCE per operator instance, not per row. */
+case class StClipConvex(geom: Expression, clip: Expression) extends GeoExpression {
+  override def children: Seq[Expression] = Seq(geom, clip)
+  override def dataType: DataType        = GeoStruct.geometryType
+  private def shellOf(c: InternalRow): (Array[Double], Array[Double]) =
+    GeoAlgo.convexShell(GeomAccess.gtype(c), GeomAccess.coords(c),
+      GeomAccess.posOff(c), GeomAccess.ringOff(c), GeomAccess.partOff(c))
+  // foldable clip (the common literal-window case): one shell extraction +
+  // convexity check per operator instance instead of per row
+  @transient private lazy val foldedShell: (Array[Double], Array[Double]) =
+    shellOf(clip.eval(null).asInstanceOf[InternalRow])
+  private def clipped(r: InternalRow, cxs: Array[Double], cys: Array[Double]): InternalRow =
+    if (GeomAccess.gtype(r) == GType.Collection) {
+      val kids = GeomAccess.childStrings(r).flatMap { str =>
+        val g = GeoJsonCodec.geometryOfJson(JValue.parseUnsafe(str))
+          .fold(err => throw new IllegalArgumentException(err), identity)
+        Option(clipped(GeoStruct.packGeometry(g), cxs, cys)).map(child =>
+          UTF8String.fromString(
+            GeoJsonCodec.geometryToJson(GeoStruct.unpackGeometry(child)).render))
+      }
+      if (kids.isEmpty) null
+      else {
+        val out = new GenericInternalRow(7)
+        out.update(0, r.getByte(0))
+        out.update(5, new GenericArrayData(kids.toArray[Any]))
+        out.update(6, r.get(6, GeoStruct.geometryType("fm").dataType))
+        out
+      }
+    } else {
+      val c = GeoAlgo.clipConvex(GeomAccess.gtype(r), GeomAccess.coords(r),
+        GeomAccess.posOff(r), GeomAccess.ringOff(r), GeomAccess.partOff(r),
+        cxs, cys)
+      if (c == null) null
+      else {
+        val out = new GenericInternalRow(7)
+        out.update(0, c.gtype.toByte)
+        out.update(1, new GenericArrayData(c.coords))
+        out.update(2, new GenericArrayData(c.posOff))
+        out.update(3, new GenericArrayData(c.ringOff))
+        out.update(4, new GenericArrayData(c.partOff))
+        out.update(6, r.get(6, GeoStruct.geometryType("fm").dataType))
+        out
+      }
+    }
+  override protected def evalNotNull(v: Array[Any]): Any = {
+    val shell =
+      if (clip.foldable) foldedShell else shellOf(v(1).asInstanceOf[InternalRow])
+    clipped(v(0).asInstanceOf[InternalRow], shell._1, shell._2)
+  }
+  override protected def withNewChildrenInternal(c: IndexedSeq[Expression]) =
+    copy(c(0), c(1))
+}
+
 /** `st_length_m(geom)` → great-circle metres of all segments (perimeter for
   * polygons). */
 case class StLengthM(child: Expression) extends GeoExpression {

@@ -242,6 +242,199 @@ class ClipSpec extends AnyFunSuite {
     assert(math.abs(cp.map(_._2).sum - 200.0) <= 1e-9)
   }
 
+  // ------------------------------------------------------- st_clip_convex
+
+  test("convex: a rectangle clip ring reproduces st_clip_box (any winding / start corner)") {
+    // parity with the box path across the JTS differential corpus (concave,
+    // holed stars), for a CW-wound ring started at a non-(w,s) corner
+    // (exercises convexShell's reorientation). Generic-segment crossings
+    // interpolate in RING-EDGE order (W,S,E,N here) vs clipBox's fixed
+    // W,E,S,N, so values agree to ~1 ulp, not bit-for-bit — the bit-exact
+    // claim is the axis-aligned-subject case below, where every crossing is
+    // PINNED to a bound and pass order cancels out (what q65's oracle uses)
+    val rnd = new scala.util.Random(555L)
+    def star(cx: Double, cy: Double, rMin: Double, rMax: Double, k: Int): Seq[(Double, Double)] =
+      (0 until k).map { i =>
+        val a = 2 * math.Pi * i / k
+        val r = rMin + rnd.nextDouble() * (rMax - rMin)
+        (cx + r * math.cos(a), cy + r * math.sin(a))
+      }
+    val cases = (0 until 120).map { i =>
+      val cx = rnd.nextDouble() * 100 - 50; val cy = rnd.nextDouble() * 60 - 30
+      val shell = star(cx, cy, 4.0, 12.0, 5 + rnd.nextInt(12))
+      val holes = if (i % 3 == 0) Seq(star(cx, cy, 0.5, 1.8, 4 + rnd.nextInt(5)).reverse) else Nil
+      val w = cx - 14 + rnd.nextDouble() * 20; val s = cy - 10 + rnd.nextDouble() * 14
+      (polyJson(shell, holes), w, s, w + 3 + rnd.nextDouble() * 16, s + 3 + rnd.nextDouble() * 12)
+    }
+    // CW winding, starting at the NE corner
+    def rectCw(w: Double, s: Double, e: Double, n: Double) =
+      polyJson(Seq((e, n), (e, s), (w, s), (w, n)))
+    val rows = cases.map { case (j, w, s, e, n) => (j, w, s, e, n, rectCw(w, s, e, n)) }
+      .toDF("json", "w", "s", "e", "n", "clipJson")
+      .select(
+        st_clip_box(from_geojson_geom($"json"), $"w", $"s", $"e", $"n").as("b"),
+        st_clip_convex(from_geojson_geom($"json"), from_geojson_geom($"clipJson")).as("c"))
+      .select($"b".isNull.as("bn"), $"c".isNull.as("cn"),
+        st_area($"b").as("ab"), st_area($"c").as("ac"),
+        st_bbox($"b").as("bb"), st_bbox($"c").as("bc"),
+        st_geometry_type($"b").as("tb"), st_geometry_type($"c").as("tc"))
+      .collect()
+    rows.zipWithIndex.foreach { case (r, i) =>
+      assert(r.getBoolean(0) == r.getBoolean(1), s"case $i: null-ness diverges")
+      if (!r.getBoolean(0)) {
+        assert(math.abs(r.getDouble(2) - r.getDouble(3)) <= 1e-12 * math.max(1.0, r.getDouble(2)),
+          s"case $i: area ${r.getDouble(2)} != ${r.getDouble(3)}")
+        // bbox parity is NOT asserted here: multi-piece concave clips keep
+        // their (pass-order-dependent) bridge edges along the window
+        // boundary; single-spur artifacts are stripped (stripSpurs), which
+        // the JTS differentials below validate by area
+        assert(r.getString(6) == r.getString(7), s"case $i: type diverges")
+      }
+    }
+    // AXIS-ALIGNED subjects: every crossing pins to a clip bound, so the
+    // VERTEX SET is pass-order independent — bboxes BIT-equal (min/max is
+    // order-free); the area's shoelace sum runs from a different start
+    // corner (ring rotation), so it agrees to ~1 ulp, which q65's
+    // round(x*1e6)-to-BIGINT oracle absorbs
+    val exact = (0 until 60).map { _ =>
+      val w0 = rnd.nextDouble() * 100 - 50; val s0 = rnd.nextDouble() * 60 - 30
+      val (e0, n0) = (w0 + 3 + rnd.nextDouble() * 20, s0 + 3 + rnd.nextDouble() * 15)
+      val cw = w0 - 5 + rnd.nextDouble() * 15; val cs = s0 - 5 + rnd.nextDouble() * 12
+      (polyJson(boxPts(w0, s0, e0, n0)), cw, cs, cw + 2 + rnd.nextDouble() * 18,
+        cs + 2 + rnd.nextDouble() * 14)
+    }
+    val er = exact.map { case (j, w, s, e, n) => (j, w, s, e, n, rectCw(w, s, e, n)) }
+      .toDF("json", "w", "s", "e", "n", "clipJson")
+      .select(
+        st_clip_box(from_geojson_geom($"json"), $"w", $"s", $"e", $"n").as("b"),
+        st_clip_convex(from_geojson_geom($"json"), from_geojson_geom($"clipJson")).as("c"))
+      .select($"b".isNull.as("bn"), $"c".isNull.as("cn"),
+        st_area($"b").as("ab"), st_area($"c").as("ac"),
+        st_bbox($"b").as("bb"), st_bbox($"c").as("bc"))
+      .collect()
+    er.zipWithIndex.foreach { case (r, i) =>
+      assert(r.getBoolean(0) == r.getBoolean(1), s"exact case $i: null-ness diverges")
+      if (!r.getBoolean(0)) {
+        assert(math.abs(r.getDouble(2) - r.getDouble(3)) <= 1e-12 * math.max(1.0, r.getDouble(2)),
+          s"exact case $i: area ${r.getDouble(2)} vs ${r.getDouble(3)}")
+        assert(r.getSeq[Double](4) == r.getSeq[Double](5), s"exact case $i: bbox not bit-equal")
+      }
+    }
+  }
+
+  test("convex: differential vs JTS intersection on random convex clips x star polygons") {
+    import org.locationtech.jts.geom.{Coordinate, GeometryFactory}
+    val gf  = new GeometryFactory()
+    val rnd = new scala.util.Random(99117L)
+    def star(cx: Double, cy: Double, rMin: Double, rMax: Double, k: Int): Seq[(Double, Double)] =
+      (0 until k).map { i =>
+        val a = 2 * math.Pi * i / k
+        val r = rMin + rnd.nextDouble() * (rMax - rMin)
+        (cx + r * math.cos(a), cy + r * math.sin(a))
+      }
+    def ring(gfp: GeometryFactory, pts: Seq[(Double, Double)]) =
+      gfp.createLinearRing((pts :+ pts.head).map { case (x, y) => new Coordinate(x, y) }.toArray)
+    val cases = (0 until 300).map { i =>
+      val cx = rnd.nextDouble() * 100 - 50; val cy = rnd.nextDouble() * 60 - 30
+      val shell = star(cx, cy, 4.0, 12.0, 5 + rnd.nextInt(12)) // concave subject
+      val holes = if (i % 4 == 0) Seq(star(cx, cy, 0.5, 1.8, 4 + rnd.nextInt(5)).reverse) else Nil
+      // convex clip: JTS hull of a random cloud near the subject
+      val cloud = (0 until 6 + rnd.nextInt(10)).map { _ =>
+        new Coordinate(cx - 12 + rnd.nextDouble() * 24, cy - 9 + rnd.nextDouble() * 18)
+      }
+      val hull = gf.createMultiPointFromCoords(cloud.toArray).convexHull()
+      val hullPts = hull.getCoordinates.toSeq.dropRight(1).map(c => (c.x, c.y))
+      (polyJson(shell, holes), shell, holes, polyJson(hullPts), hull)
+    }.filter(_._5.getGeometryType == "Polygon") // degenerate clouds (collinear) drop
+    assert(cases.size > 250)
+    val got = cases.map { case (j, _, _, cj, _) => (j, cj) }
+      .toDF("json", "clipJson")
+      .select(coalesce(st_area(
+        st_clip_convex(from_geojson_geom($"json"), from_geojson_geom($"clipJson"))),
+        lit(0.0)).as("area"))
+      .as[Double].collect()
+    cases.zip(got).zipWithIndex.foreach { case (((_, shell, holes, _, hull), area), i) =>
+      val subject = gf.createPolygon(ring(gf, shell), holes.map(h => ring(gf, h)).toArray)
+      val want = subject.intersection(hull).getArea
+      assert(math.abs(area - want) <= 1e-9 * math.max(1.0, want),
+        s"case $i: clip area $area vs JTS $want")
+    }
+  }
+
+  test("convex: non-convex, holed, or non-Polygon clip throws loudly") {
+    val subject = polyJson(boxPts(0, 0, 10, 10))
+    def clipWith(clipJson: String): Unit =
+      Seq((subject, clipJson)).toDF("j", "c")
+        .select(st_clip_convex(from_geojson_geom($"j"), from_geojson_geom($"c")))
+        .collect()
+    // concave chevron
+    val concave = polyJson(Seq((0.0, 0.0), (10.0, 0.0), (5.0, 3.0), (10.0, 10.0), (0.0, 10.0)))
+    val e1 = intercept[Exception](clipWith(concave))
+    assert(exMsg(e1).contains("not convex"), exMsg(e1))
+    val holed = polyJson(boxPts(0, 0, 10, 10), Seq(boxPts(2, 2, 4, 4).reverse))
+    val e2 = intercept[Exception](clipWith(holed))
+    assert(exMsg(e2).contains("must not have holes"), exMsg(e2))
+    val notPoly = """{"type":"LineString","coordinates":[[0.0,0.0],[5.0,5.0]]}"""
+    val e3 = intercept[Exception](clipWith(notPoly))
+    assert(exMsg(e3).contains("must be a Polygon"), exMsg(e3))
+    val degenerate = polyJson(Seq((0.0, 0.0), (5.0, 0.0), (10.0, 0.0))) // zero area
+    val e4 = intercept[Exception](clipWith(degenerate))
+    assert(exMsg(e4).contains("degenerate"), exMsg(e4))
+  }
+
+  private def exMsg(e: Throwable): String = {
+    var t: Throwable = e
+    val sb = new StringBuilder
+    while (t != null) { sb.append(t.getMessage).append(" | "); t = t.getCause }
+    sb.toString
+  }
+
+  test("convex: diagonal-edge closed forms (triangle clip of a line and a box)") {
+    // triangle (0,0)(10,0)(0,10): hypotenuse x + y = 10
+    val tri = polyJson(Seq((0.0, 0.0), (10.0, 0.0), (0.0, 10.0)))
+    // the diagonal y = x crosses the hypotenuse at exactly (5, 5): t = 0.5
+    val line = """{"type":"LineString","coordinates":[[0.0,0.0],[10.0,10.0]]}"""
+    val got = Seq((line, tri)).toDF("j", "c")
+      .select(to_geojson_geom(st_clip_convex(from_geojson_geom($"j"), from_geojson_geom($"c"))))
+      .as[String].head()
+    assert(got == """{"type":"LineString","coordinates":[[0,0],[5,5]]}""", got)
+    // box [4,0]x[8,8] clip: quad (4,0)(8,0)(8,2)(4,6) — area by shoelace = 16
+    val box = polyJson(boxPts(4, 0, 8, 8))
+    val area = Seq((box, tri)).toDF("j", "c")
+      .select(st_area(st_clip_convex(from_geojson_geom($"j"), from_geojson_geom($"c"))))
+      .as[Double].head()
+    assert(area == 16.0, area.toString)
+    // point filtering under a diamond clip |x|+|y| <= 4 centred at origin
+    val diamond = polyJson(Seq((4.0, 0.0), (0.0, 4.0), (-4.0, 0.0), (0.0, -4.0)))
+    val mp = """{"type":"MultiPoint","coordinates":[[0.0,0.0],[3.0,3.0],[2.0,1.0],[4.0,0.0]]}"""
+    val keptPts = Seq((mp, diamond)).toDF("j", "c")
+      .select(to_geojson_geom(st_clip_convex(from_geojson_geom($"j"), from_geojson_geom($"c"))))
+      .as[String].head()
+    // (3,3) is outside (sum 6 > 4); boundary vertex (4,0) survives (inclusive)
+    assert(keptPts == """{"type":"MultiPoint","coordinates":[[0,0],[2,1],[4,0]]}""", keptPts)
+  }
+
+  test("convex: antimeridian translates land subject pieces on the clip's side") {
+    // subject ring crosses 180: lngs 170 -> -170 (= 190 unwrapped), lats 0..10
+    val j = """{"type":"Polygon","coordinates":[[[170.0,0.0],[-170.0,0.0],[-170.0,10.0],[170.0,10.0],[170.0,0.0]]]}"""
+    // clip triangle ON the west side of the antimeridian
+    val west = polyJson(Seq((-180.0, 0.0), (-172.0, 0.0), (-180.0, 8.0)))
+    val r = Seq((j, west)).toDF("j", "c")
+      .select(st_clip_convex(from_geojson_geom($"j"), from_geojson_geom($"c")).as("g"))
+      .select(st_area($"g").as("a"), st_bbox($"g").as("bb"),
+        st_geometry_type($"g").as("t")).head()
+    // triangle legs 8 x 8 fully inside the subject's lat band up to y=8: area 32
+    assert(r.getDouble(0) == 32.0, r.toString)
+    val bb = r.getSeq[Double](1)
+    assert(bb(0) == -180.0 && bb(2) == -172.0 && r.getString(2) == "Polygon")
+    // and a clip on the east side catches the east sliver
+    val east = polyJson(boxPts(175, 2, 179, 6))
+    val a2 = Seq((j, east)).toDF("j", "c")
+      .select(st_area(st_clip_convex(from_geojson_geom($"j"), from_geojson_geom($"c"))))
+      .as[Double].head()
+    assert(a2 == 16.0, a2.toString)
+  }
+
   test("clip round-trips through the codec and composes with st_parts") {
     val j = """{"type":"Polygon","coordinates":[[[170.0,0.0],[-170.0,0.0],[-170.0,10.0],[170.0,10.0],[170.0,0.0]]]}"""
     val split = Seq((j, -180.0, -90.0, 180.0, 90.0)).toDF("json", "w", "s", "e", "n")
