@@ -306,14 +306,29 @@ object SparkEntry {
           length(col("text")).as("n_chars_out"))
     }),
     "q33_text_fingerprints" -> ((s, dir) => {
-      // custom text kernels (lang-ID vote, BPE-ish tokenizer, winnowing) —
-      // not ANSI-SQL-expressible → rows-only driver check; semantics are
-      // spec-proven in OpsSpec (planted passages, script detection)
+      // the IRREDUCIBLE custom text kernels (lang-ID vote, BPE-ish
+      // tokenizer) — dictionary/merge-table logic with no ANSI-SQL
+      // expression → rows-only driver check; semantics are spec-proven in
+      // OpsSpec (planted passages, script detection). The winnowing slice
+      // that used to ride here is now FULLY oracled as q66.
       registerAll(s)
       val docs = s.read.parquet(t(dir, "documents"))
       TextOps.withTokenCounts(TextOps.withLangId(docs, "text"), "text")
-        .select(col("doc_id"), col("lang_pred"), col("n_tokens_bpe"),
-          size(winnow_fp(col("text"), lit(8), lit(4))).as("n_fingerprints"))
+        .select(col("doc_id"), col("lang_pred"), col("n_tokens_bpe"))
+    }),
+    "q66_winnow_fp" -> ((s, dir) => {
+      // winnowing document fingerprints under the FULL gate: the corpus is
+      // ASCII (checked at every SF), so DuckDB can replay shingleHash +
+      // mix64 exactly — wrapping 64-bit arithmetic via HUGEINT mod 2^64,
+      // logical shifts/xor on UBIGINT, constant multiplies split into
+      // 32-bit halves so no product overflows int128. Emitting the whole
+      // sorted signed fingerprint set as CSV pins VALUES, not just counts.
+      registerAll(s)
+      s.read.parquet(t(dir, "documents"))
+        .withColumn("fp", winnow_fp(col("text"), lit(8), lit(4)))
+        .select(col("doc_id"),
+          size(col("fp")).as("n_fingerprints"),
+          concat_ws(",", col("fp").cast("array<string>")).as("fps"))
     }),
     "q32_ann_ivf" -> ((s, dir) => {
       // the TRAINED IVF path: k-means centroids + inverted file persisted,
@@ -1184,6 +1199,51 @@ object SparkEntry {
         |  CAST(coalesce(list_max(list_transform(list_distinct(g3),
         |    d -> len(list_filter(g3, x -> x = d)))), 0) AS INT) AS rep_top_3gram
         |FROM g""".stripMargin,
+    "q66_winnow_fp" ->
+      // exact DuckDB replay of the winnowing kernel (Schleimer et al.):
+      // polynomial k-gram hash (base 31, seed 1125899906842597) folded into
+      // one H0 + Σ c·31^j form, then the mix64 finalizer with wrapping
+      // 64-bit arithmetic emulated as HUGEINT mod 2^64; multiplies by the
+      // two 64-bit mix constants are split into 32-bit halves so no
+      // intermediate exceeds int128. ASCII corpus ⇒ DuckDB codepoints ≡
+      // Java UTF-16 units. Window mins (w=4) over SIGNED hashes, distinct,
+      // sorted — byte-identical CSV to the Spark kernel's array.
+      s"""WITH cps AS (
+         |  SELECT doc_id,
+         |    list_transform(range(1, length(text)+1),
+         |      i -> CAST(unicode(substr(text, CAST(i AS INT), 1)) AS HUGEINT)) AS cs,
+         |    greatest(length(text) - 7, CAST(0 AS BIGINT)) AS m
+         |  FROM documents),
+         |raw AS (
+         |  SELECT doc_id, m,
+         |    list_transform(range(1, m + 1), i -> CAST((
+         |      CAST('13547930550979283685' AS HUGEINT)
+         |      + cs[i]*27512614111 + cs[i+1]*887503681 + cs[i+2]*28629151
+         |      + cs[i+3]*923521 + cs[i+4]*29791 + cs[i+5]*961 + cs[i+6]*31 + cs[i+7]
+         |    ) % CAST('18446744073709551616' AS HUGEINT) AS UBIGINT)) AS h
+         |  FROM cps),
+         |s1 AS (SELECT doc_id, m, list_transform(h, x -> CAST((CAST(x AS HUGEINT) + CAST('11400714819323198485' AS HUGEINT)) % CAST('18446744073709551616' AS HUGEINT) AS UBIGINT)) AS h FROM raw),
+         |s2 AS (SELECT doc_id, m, list_transform(h, x -> xor(x, x >> 30)) AS h FROM s1),
+         |s3 AS (SELECT doc_id, m, list_transform(h, x -> CAST((
+         |    (CAST('13787848793156543929' AS HUGEINT) * (x % 4294967296)) % CAST('18446744073709551616' AS HUGEINT)
+         |    + ((CAST('13787848793156543929' AS HUGEINT) % 4294967296) * (x >> 32)) % 4294967296 * 4294967296
+         |  ) % CAST('18446744073709551616' AS HUGEINT) AS UBIGINT)) AS h FROM s2),
+         |s4 AS (SELECT doc_id, m, list_transform(h, x -> xor(x, x >> 27)) AS h FROM s3),
+         |s5 AS (SELECT doc_id, m, list_transform(h, x -> CAST((
+         |    (CAST('10723151780598845931' AS HUGEINT) * (x % 4294967296)) % CAST('18446744073709551616' AS HUGEINT)
+         |    + ((CAST('10723151780598845931' AS HUGEINT) % 4294967296) * (x >> 32)) % 4294967296 * 4294967296
+         |  ) % CAST('18446744073709551616' AS HUGEINT) AS UBIGINT)) AS h FROM s4),
+         |s6 AS (SELECT doc_id, m, list_transform(h, x -> xor(x, x >> 31)) AS h FROM s5),
+         |sg AS (SELECT doc_id, m, list_transform(h, x -> CAST(CAST(x AS HUGEINT) - (CASE WHEN x >= CAST('9223372036854775808' AS UBIGINT) THEN CAST('18446744073709551616' AS HUGEINT) ELSE 0 END) AS BIGINT)) AS hs FROM s6),
+         |win AS (SELECT doc_id,
+         |    CASE WHEN m = 0 THEN CAST([] AS BIGINT[])
+         |         WHEN m <= 4 THEN [list_min(hs)]
+         |         ELSE list_sort(list_distinct(list_transform(range(1, m - 2), s -> list_min(hs[s:s+3]))))
+         |    END AS picked
+         |  FROM sg)
+         |SELECT doc_id, CAST(len(picked) AS INT) AS n_fingerprints,
+         |       array_to_string(picked, ',') AS fps
+         |FROM win""".stripMargin,
     "q65_clip_convex" ->
       // the convex-clip twin of q62: the window is an integer-cornered
       // rectangle, so crossings pin to exactly-representable bounds and the
