@@ -306,15 +306,25 @@ object SparkEntry {
           length(col("text")).as("n_chars_out"))
     }),
     "q33_text_fingerprints" -> ((s, dir) => {
-      // the IRREDUCIBLE custom text kernels (lang-ID vote, BPE-ish
-      // tokenizer) — dictionary/merge-table logic with no ANSI-SQL
-      // expression → rows-only driver check; semantics are spec-proven in
-      // OpsSpec (planted passages, script detection). The winnowing slice
-      // that used to ride here is now FULLY oracled as q66.
+      // the one IRREDUCIBLE custom text kernel: the lang-ID stopword vote
+      // breaks score ties by Scala collection iteration order — dictionary
+      // logic with no engine-reproducible ANSI-SQL twin → rows-only driver
+      // check; semantics are spec-proven in OpsSpec (script detection,
+      // planted stopword corpora). Winnowing is fully oracled as q66 and
+      // the BPE-ish token count as q67.
       registerAll(s)
-      val docs = s.read.parquet(t(dir, "documents"))
-      TextOps.withTokenCounts(TextOps.withLangId(docs, "text"), "text")
-        .select(col("doc_id"), col("lang_pred"), col("n_tokens_bpe"))
+      TextOps.withLangId(s.read.parquet(t(dir, "documents")), "text")
+        .select(col("doc_id"), col("lang_pred"))
+    }),
+    "q67_bpe_tokens" -> ((s, dir) => {
+      // the BPE-ish tokenizer under the FULL gate: the token regex's three
+      // alternatives match DISJOINT character classes, so Java's leftmost-
+      // first and any other engine's tokenization coincide, and the
+      // ceil(len/4) long-word charge is integer arithmetic — RE2 replays it
+      // exactly (the corpus has no \x0B, the one Java-\s/RE2-\s divergence)
+      registerAll(s)
+      TextOps.withTokenCounts(s.read.parquet(t(dir, "documents")), "text")
+        .select(col("doc_id"), col("n_tokens_bpe"))
     }),
     "q66_winnow_fp" -> ((s, dir) => {
       // winnowing document fingerprints under the FULL gate: the corpus is
@@ -1199,6 +1209,14 @@ object SparkEntry {
         |  CAST(coalesce(list_max(list_transform(list_distinct(g3),
         |    d -> len(list_filter(g3, x -> x = d)))), 0) AS INT) AS rep_top_3gram
         |FROM g""".stripMargin,
+    "q67_bpe_tokens" ->
+      // disjoint alternative classes ⇒ tokenization is engine-independent;
+      // RE2 \s lacks \x0B vs Java, absent from the corpus (checked all SFs)
+      """SELECT doc_id, CAST(coalesce(list_sum(list_transform(
+        |  regexp_extract_all(text, '\p{L}+|\p{N}+|[^\p{L}\p{N}\s]'),
+        |  t -> CASE WHEN length(t) <= 4 THEN 1 ELSE (length(t)+3)//4 END)), 0) AS INT)
+        |  AS n_tokens_bpe
+        |FROM documents""".stripMargin,
     "q66_winnow_fp" ->
       // exact DuckDB replay of the winnowing kernel (Schleimer et al.):
       // polynomial k-gram hash (base 31, seed 1125899906842597) folded into
