@@ -7,7 +7,7 @@ import org.apache.spark.sql.expressions.Window
 import graft.geo.join.SpatialJoins
 import graft.geo.sql.GeoFunctions
 import graft.geo.sql.GeoFunctions._
-import graft.ops.{Dedup, Multimodal, Similarity, TextFunctions, TextOps}
+import graft.ops.{CorpusStats, Dedup, Multimodal, Similarity, TextFunctions, TextOps}
 import graft.ops.TextFunctions._
 import graft.pipeline.{GeoImagePipeline, ImageGen}
 
@@ -315,6 +315,17 @@ object SparkEntry {
       registerAll(s)
       TextOps.withLangId(s.read.parquet(t(dir, "documents")), "text")
         .select(col("doc_id"), col("lang_pred"))
+    }),
+    "q68_top_ngrams" -> ((s, dir) => {
+      // corpus-level vocabulary statistics: top-100 bigrams by total count
+      // with document frequency — two-phase aggregation (per-(doc,gram)
+      // partial combine first, so a hot gram reaches the per-gram exchange
+      // as ≤ one row per document), TakeOrdered top-k, deterministic
+      // (total DESC, gram ASC) tie-breaks so both engines pick the same
+      // boundary set
+      registerAll(s)
+      CorpusStats.topNgrams(s.read.parquet(t(dir, "documents")),
+        "doc_id", "text", n = 2, k = 100)
     }),
     "q67_bpe_tokens" -> ((s, dir) => {
       // the BPE-ish tokenizer under the FULL gate: the token regex's three
@@ -1209,6 +1220,20 @@ object SparkEntry {
         |  CAST(coalesce(list_max(list_transform(list_distinct(g3),
         |    d -> len(list_filter(g3, x -> x = d)))), 0) AS INT) AS rep_top_3gram
         |FROM g""".stripMargin,
+    "q68_top_ngrams" ->
+      // same two-phase shape; ORDER BY total DESC, gram gives a TOTAL order
+      // (gram is unique per row), so the k-boundary set is engine-exact
+      """WITH toks AS (SELECT doc_id,
+        |    list_filter(regexp_split_to_array(lower(text), '\s+'), x -> x <> '') AS tk
+        |  FROM documents),
+        |g AS (SELECT doc_id,
+        |    unnest(list_transform(range(1, greatest(len(tk) - 1, 0) + 1),
+        |                          i -> tk[i] || ' ' || tk[i+1])) AS gram
+        |  FROM toks),
+        |a AS (SELECT gram, count(*) AS total, count(DISTINCT doc_id) AS doc_freq
+        |  FROM g GROUP BY gram)
+        |SELECT gram, total, doc_freq FROM a
+        |ORDER BY total DESC, gram LIMIT 100""".stripMargin,
     "q67_bpe_tokens" ->
       // disjoint alternative classes ⇒ tokenization is engine-independent;
       // RE2 \s lacks \x0B vs Java, absent from the corpus (checked all SFs)

@@ -1,0 +1,67 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Corpus-LEVEL statistics — the vocabulary / heavy-hitter pass a
+  * tokenizer-training or corpus-audit pipeline runs before anything else:
+  * which n-grams dominate, how widely they spread (document frequency),
+  * and what the frequency head looks like.
+  *
+  * Everything here is built for the 100 TB shape: tokenization and n-gram
+  * assembly are narrow maps, aggregation is two-phase so hot grams never
+  * arrive anywhere as one-row-per-occurrence, and top-k is a TakeOrdered
+  * (per-partition heaps merged on the driver), never a global sort.
+  */
+object CorpusStats {
+
+  /** Lower-cased whitespace word n-grams of one document, as an array
+    * column. Tokenization is deliberately engine-reproducible (split on
+    * `\s+`, empties dropped, ASCII-stable lower) so corpus statistics can
+    * be cross-checked against any ANSI engine. */
+  def wordNgrams(text: Column, n: Int): Column = {
+    require(n >= 1, s"n-gram order must be >= 1, got $n")
+    val toks = filter(split(lower(text), "\\s+"), t => length(t) > 0)
+    if (n == 1) toks
+    else {
+      val m = size(toks) - (n - 1)
+      // CaseWhen evaluates lazily, so sequence(1, m) only runs when m >= 1
+      // (Spark's sequence DESCENDS for start > stop instead of returning [])
+      when(m >= 1,
+        transform(sequence(lit(1), m),
+          i => concat_ws(" ", (0 until n).map(j => element_at(toks, i + j)): _*)))
+        .otherwise(array().cast("array<string>"))
+    }
+  }
+
+  /** Corpus-wide n-gram frequency table: one row per distinct gram with its
+    * total occurrence count and document frequency.
+    *
+    * TWO-PHASE aggregation, deliberately not one `groupBy(gram)`:
+    * phase 1 reduces to per-(doc, gram) counts — map-side partial combine
+    * bounds the first exchange by each document's DISTINCT grams — and
+    * phase 2 aggregates those pre-reduced rows per gram, where partial
+    * aggregation again collapses a hot gram ("of the" at web scale) to one
+    * row per task before the final exchange. Document frequency falls out
+    * free as `count(*)` of phase-1 rows, with no `countDistinct` (which
+    * would force an extra exchange keyed on the doc column). */
+  def ngramStats(df: DataFrame, docCol: String, textCol: String,
+                 n: Int): DataFrame =
+    df.select(col(docCol).as("__doc"),
+        explode(wordNgrams(col(textCol), n)).as("gram"))
+      .groupBy("__doc", "gram").agg(count(lit(1)).as("__c"))
+      .groupBy("gram")
+      .agg(sum("__c").as("total"), count(lit(1)).as("doc_freq"))
+
+  /** Top-k corpus n-grams by total count, DETERMINISTICALLY ordered
+    * (total DESC, then gram ASC — a total order, so the selected k-set is
+    * engine-independent even with count ties at the boundary). `minCount`
+    * prunes the long tail before the limit; the plan stays a TakeOrdered,
+    * never a full sort. */
+  def topNgrams(df: DataFrame, docCol: String, textCol: String, n: Int,
+                k: Int, minCount: Long = 1L): DataFrame =
+    ngramStats(df, docCol, textCol, n)
+      .where(col("total") >= minCount)
+      .orderBy(col("total").desc, col("gram"))
+      .limit(k)
+}

@@ -1,0 +1,62 @@
+package graft.ops
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+
+import graft.SparkTestBase
+
+class CorpusStatsSpec extends AnyFunSuite {
+  lazy val spark = SparkTestBase.spark
+  import spark.implicits._
+
+  lazy val docs = Seq(
+    (1L, "the cat sat on the mat"),
+    (2L, "The cat  sat"),          // case + run of spaces normalize away
+    (3L, "on the mat on the mat"), // repeated bigrams inside one doc
+    (4L, ""),                      // empty doc: zero grams
+    (5L, "word")                   // single token: zero bigrams
+  ).toDF("doc_id", "text")
+
+  test("wordNgrams: tokenization, case, short and empty docs") {
+    val uni = docs.select($"doc_id", CorpusStats.wordNgrams($"text", 1).as("g"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+    assert(uni(1L) == Seq("the", "cat", "sat", "on", "the", "mat"))
+    assert(uni(2L) == Seq("the", "cat", "sat"))
+    assert(uni(4L) == Seq.empty)
+    val bi = docs.select($"doc_id", CorpusStats.wordNgrams($"text", 2).as("g"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+    assert(bi(1L) == Seq("the cat", "cat sat", "sat on", "on the", "the mat"))
+    assert(bi(3L) == Seq("on the", "the mat", "mat on", "on the", "the mat"))
+    assert(bi(4L) == Seq.empty && bi(5L) == Seq.empty)
+  }
+
+  test("ngramStats: totals and document frequency") {
+    val st = CorpusStats.ngramStats(docs, "doc_id", "text", 2)
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(st("on the") == ((3L, 2L)))  // doc1 x1, doc3 x2 -> total 3, df 2
+    assert(st("the mat") == ((3L, 2L)))
+    assert(st("the cat") == ((2L, 2L)))
+    assert(st("cat sat") == ((2L, 2L)))
+    assert(st("sat on") == ((1L, 1L)))
+    assert(st("mat on") == ((1L, 1L)))
+    assert(st.size == 6)
+  }
+
+  test("topNgrams: deterministic order, tie-break by gram, minCount prune") {
+    val top = CorpusStats.topNgrams(docs, "doc_id", "text", 2, k = 3)
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    // totals 3,3,2,2,1,1 -> ties break ascending by gram text
+    assert(top.toSeq == Seq(("on the", 3L), ("the mat", 3L), ("cat sat", 2L)))
+    val pruned = CorpusStats.topNgrams(docs, "doc_id", "text", 2, k = 10, minCount = 2L)
+    assert(pruned.count() == 4)
+  }
+
+  test("topNgrams plan: TakeOrdered, no global sort, two exchanges") {
+    val plan = CorpusStats.topNgrams(docs, "doc_id", "text", 2, k = 5)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"), plan)
+    assert(!plan.contains("\nSort "), plan) // no standalone global sort
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).length
+    assert(exchanges == 2, s"expected 2 shuffles, plan:\n$plan")
+  }
+}
