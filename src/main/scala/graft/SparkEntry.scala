@@ -316,6 +316,21 @@ object SparkEntry {
       TextOps.withLangId(s.read.parquet(t(dir, "documents")), "text")
         .select(col("doc_id"), col("lang_pred"))
     }),
+    "q69_gray_pixels" -> ((s, dir) => {
+      // a PIXEL-LEVEL image kernel under the full gate: the oracle replays
+      // the GRB1 xorshift64 pixel stream in DuckDB (recursive CTE over PRNG
+      // steps; wrapping shifts as HUGEINT multiplies mod 2^64), applies the
+      // lossy 6-bit quantization, and sums 299r+587g+114b per pixel — an
+      // EXACT integer. The kernel's float gray mean times npix*1000 lands
+      // within ~1e-8 of it, so the rounded long is collision-free (emitting
+      // round(mean*K) directly would tie on the rational grid ~1/1000 per
+      // image — the q62 grid trap).
+      registerAll(s)
+      ImageGen.table(s, 2000)
+        .select(col("image_id"),
+          round(graft.ops.Multimodal.image_gray_mean(col("bytes")) *
+            col("w") * col("h") * 1000.0).cast("long").as("gray_milli_sum"))
+    }),
     "q68_top_ngrams" -> ((s, dir) => {
       // corpus-level vocabulary statistics: top-100 bigrams by total count
       // with document frequency — two-phase aggregation (per-(doc,gram)
@@ -1220,6 +1235,54 @@ object SparkEntry {
         |  CAST(coalesce(list_max(list_transform(list_distinct(g3),
         |    d -> len(list_filter(g3, x -> x = d)))), 0) AS INT) AS rep_top_3gram
         |FROM g""".stripMargin,
+    "q69_gray_pixels" ->
+      // GRB1 pixel-stream replay: one recursive-CTE row per (image, PRNG
+      // step); xorshift64's wrapping left shifts become HUGEINT multiplies
+      // mod 2^64 (8192 = 2^13, 131072 = 2^17), logical right shift + xor on
+      // UBIGINT. Chunk steps emit 8 little-endian state bytes, remainder
+      // steps one low byte (exactly the generator's loop split at nb-7).
+      // The seed id*2654435761 + 1442695040888963407 stays below 2^64 for
+      // id < 2000, so no wrap is needed there.
+      """WITH RECURSIVE img AS (
+        |  SELECT range AS id, CAST(8 + range % 9 AS BIGINT) AS w,
+        |         CAST(8 + range % 7 AS BIGINT) AS h, (range % 3 = 0) AS lossy,
+        |         CAST(8 + range % 9 AS BIGINT) * (8 + range % 7) * 3 AS nb
+        |  FROM range(2000)),
+        |cfg AS (SELECT id, lossy, nb, (nb - 8) // 8 + 1 AS nchunks,
+        |         nb - ((nb - 8) // 8 + 1) * 8 AS nrem FROM img),
+        |steps AS (
+        |  SELECT id, CAST(0 AS BIGINT) AS k,
+        |         CAST(id * 2654435761 + 1442695040888963407 AS UBIGINT) AS x,
+        |         nchunks, nrem
+        |  FROM cfg
+        |  UNION ALL
+        |  SELECT id, k + 1,
+        |         CAST(xor(CAST(b AS HUGEINT), (CAST(b AS HUGEINT) * 131072) % CAST('18446744073709551616' AS HUGEINT)) % CAST('18446744073709551616' AS HUGEINT) AS UBIGINT) AS x,
+        |         nchunks, nrem
+        |  FROM (
+        |    SELECT id, k, xor(a, a >> 7) AS b, nchunks, nrem
+        |    FROM (
+        |      SELECT id, k, CAST(xor(CAST(x AS HUGEINT), (CAST(x AS HUGEINT) * 8192) % CAST('18446744073709551616' AS HUGEINT)) % CAST('18446744073709551616' AS HUGEINT) AS UBIGINT) AS a,
+        |             nchunks, nrem
+        |      FROM steps WHERE k < nchunks + nrem))),
+        |bytes_ AS (
+        |  SELECT s.id, (s.k - 1) * 8 + b.j AS pos,
+        |         CAST((s.x >> CAST(b.j * 8 AS INT)) % 256 AS BIGINT) AS v
+        |  FROM steps s, (SELECT range AS j FROM range(8)) b
+        |  WHERE s.k >= 1 AND s.k <= s.nchunks
+        |  UNION ALL
+        |  SELECT s.id, s.nchunks * 8 + (s.k - s.nchunks - 1) AS pos,
+        |         CAST(s.x % 256 AS BIGINT) AS v
+        |  FROM steps s WHERE s.k > s.nchunks),
+        |q AS (
+        |  SELECT b.id, b.pos,
+        |         CASE WHEN c.lossy THEN least(252, (b.v + 2) // 4 * 4) ELSE b.v END AS v
+        |  FROM bytes_ b JOIN cfg c USING (id)
+        |  WHERE b.pos < c.nb)
+        |SELECT 'img_' || id AS image_id,
+        |       CAST(sum(CASE pos % 3 WHEN 0 THEN 299 * v WHEN 1 THEN 587 * v
+        |                ELSE 114 * v END) AS BIGINT) AS gray_milli_sum
+        |FROM q GROUP BY id""".stripMargin,
     "q68_top_ngrams" ->
       // same two-phase shape; ORDER BY total DESC, gram gives a TOTAL order
       // (gram is unique per row), so the k-boundary set is engine-exact
