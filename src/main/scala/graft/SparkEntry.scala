@@ -316,6 +316,16 @@ object SparkEntry {
       TextOps.withLangId(s.read.parquet(t(dir, "documents")), "text")
         .select(col("doc_id"), col("lang_pred"))
     }),
+    "q70_bow_features" -> ((s, dir) => {
+      // sparse doc-term matrix against the top-100 bigram vocabulary: the
+      // vocabulary (tiny, deterministic order → dense vocab_id) broadcasts
+      // into the exploded gram stream BEFORE aggregation, so the only
+      // corpus-sized exchange is the (doc, vocab_id) count over hits
+      registerAll(s)
+      val docs = s.read.parquet(t(dir, "documents"))
+      val vocab = CorpusStats.vocabulary(docs, "doc_id", "text", n = 2, k = 100)
+      CorpusStats.bowRows(docs, "doc_id", "text", vocab, n = 2)
+    }),
     "q69_gray_pixels" -> ((s, dir) => {
       // a PIXEL-LEVEL image kernel under the full gate: the oracle replays
       // the GRB1 xorshift64 pixel stream in DuckDB (recursive CTE over PRNG
@@ -1235,6 +1245,22 @@ object SparkEntry {
         |  CAST(coalesce(list_max(list_transform(list_distinct(g3),
         |    d -> len(list_filter(g3, x -> x = d)))), 0) AS INT) AS rep_top_3gram
         |FROM g""".stripMargin,
+    "q70_bow_features" ->
+      // row_number over the same total order ⇒ identical dense vocab ids
+      """WITH toks AS (SELECT doc_id,
+        |    list_filter(regexp_split_to_array(lower(text), '\s+'), x -> x <> '') AS tk
+        |  FROM documents),
+        |g AS (SELECT doc_id,
+        |    unnest(list_transform(range(1, greatest(len(tk) - 1, 0) + 1),
+        |                          i -> tk[i] || ' ' || tk[i+1])) AS gram
+        |  FROM toks),
+        |a AS (SELECT gram, count(*) AS total FROM g GROUP BY gram),
+        |v AS (SELECT gram,
+        |    CAST(row_number() OVER (ORDER BY total DESC, gram) AS INT) AS vocab_id
+        |  FROM a ORDER BY total DESC, gram LIMIT 100)
+        |SELECT g.doc_id, v.vocab_id, count(*) AS tf
+        |FROM g JOIN v USING (gram)
+        |GROUP BY g.doc_id, v.vocab_id""".stripMargin,
     "q69_gray_pixels" ->
       // GRB1 pixel-stream replay: one recursive-CTE row per (image, PRNG
       // step); xorshift64's wrapping left shifts become HUGEINT multiplies

@@ -64,4 +64,31 @@ object CorpusStats {
       .where(col("total") >= minCount)
       .orderBy(col("total").desc, col("gram"))
       .limit(k)
+
+  /** [[topNgrams]] with a dense 1-based `vocab_id` in the same total order.
+    * The single-partition window is fine HERE and only here: its input is
+    * the already-limited k-row vocabulary, not the corpus. */
+  def vocabulary(df: DataFrame, docCol: String, textCol: String, n: Int,
+                 k: Int, minCount: Long = 1L): DataFrame =
+    topNgrams(df, docCol, textCol, n, k, minCount)
+      .withColumn("vocab_id", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .orderBy(col("total").desc, col("gram"))))
+
+  /** Bag-of-words featurization: one (doc, vocab_id, tf) row per document
+    * × vocabulary gram it contains — the sparse doc-term matrix in
+    * relational form.
+    *
+    * The vocabulary is BROADCAST and joined BEFORE any aggregation, so the
+    * exploded gram stream is filtered down to vocabulary hits while still
+    * narrow — the only exchange is the final (doc, vocab_id) count, over
+    * hits only. Joining after a per-doc pre-aggregation would instead
+    * shuffle every distinct gram of every document. */
+  def bowRows(df: DataFrame, docCol: String, textCol: String,
+              vocab: DataFrame, n: Int): DataFrame =
+    df.select(col(docCol).as("__doc"),
+        explode(wordNgrams(col(textCol), n)).as("gram"))
+      .join(broadcast(vocab.select("gram", "vocab_id")), "gram")
+      .groupBy("__doc", "vocab_id").agg(count(lit(1)).as("tf"))
+      .select(col("__doc").as(docCol), col("vocab_id"), col("tf"))
 }

@@ -51,6 +51,24 @@ class CorpusStatsSpec extends AnyFunSuite {
     assert(pruned.count() == 4)
   }
 
+  test("bowRows: tf against the vocabulary, broadcast join before the agg") {
+    val vocab = CorpusStats.vocabulary(docs, "doc_id", "text", 2, k = 3)
+    val ids = vocab.collect().map(r => r.getString(0) -> r.getInt(3)).toMap
+    assert(ids == Map("on the" -> 1, "the mat" -> 2, "cat sat" -> 3))
+    val bow = CorpusStats.bowRows(docs, "doc_id", "text", vocab, 2)
+    val rows = bow.collect().map(r => (r.getLong(0), r.getInt(1)) -> r.getLong(2)).toMap
+    // doc1: on the x1, the mat x1, cat sat x1; doc2: cat sat x1; doc3: on the x2, the mat x2
+    assert(rows == Map((1L,1)->1L, (1L,2)->1L, (1L,3)->1L, (2L,3)->1L, (3L,1)->2L, (3L,2)->2L))
+    // plan pin against a PERSISTED-style vocab (the 100 TB pattern: vocab
+    // computed once and reread), so the pin sees only bowRows' own shuffle
+    val litVocab = Seq(("on the", 1), ("the mat", 2), ("cat sat", 3)).toDF("gram", "vocab_id")
+    val plan = CorpusStats.bowRows(docs, "doc_id", "text", litVocab, 2)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).length
+    assert(exchanges == 1, s"expected 1 shuffle (post-join count only), plan:\n$plan")
+  }
+
   test("topNgrams plan: TakeOrdered, no global sort, two exchanges") {
     val plan = CorpusStats.topNgrams(docs, "doc_id", "text", 2, k = 5)
       .queryExecution.executedPlan.toString
