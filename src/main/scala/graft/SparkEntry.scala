@@ -316,6 +316,15 @@ object SparkEntry {
       TextOps.withLangId(s.read.parquet(t(dir, "documents")), "text")
         .select(col("doc_id"), col("lang_pred"))
     }),
+    "q71_corpus_profile" -> ((s, dir) => {
+      // one-row corpus audit: totals + DISCRETE token-count percentiles
+      // computed from a bounded value-histogram (never a buffer-everything
+      // percentile aggregate — that single group would hold one entry per
+      // document at corpus scale); percentile_disc equivalence spec-pinned
+      registerAll(s)
+      CorpusStats.corpusProfile(s.read.parquet(t(dir, "documents")),
+        "doc_id", "text")
+    }),
     "q70_bow_features" -> ((s, dir) => {
       // sparse doc-term matrix against the top-100 bigram vocabulary: the
       // vocabulary (tiny, deterministic order → dense vocab_id) broadcasts
@@ -1245,6 +1254,24 @@ object SparkEntry {
         |  CAST(coalesce(list_max(list_transform(list_distinct(g3),
         |    d -> len(list_filter(g3, x -> x = d)))), 0) AS INT) AS rep_top_3gram
         |FROM g""".stripMargin,
+    "q71_corpus_profile" ->
+      // quantile_disc ≡ Spark percentile_disc ≡ the histogram scan
+      // (boundary semantics probed on n=4/5/500 and spec-pinned)
+      """WITH v AS (SELECT text,
+        |    CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+        |         ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS BIGINT) AS nt
+        |  FROM documents)
+        |SELECT count(*) AS n_docs,
+        |  CAST(sum(length(text)) AS BIGINT) AS n_chars,
+        |  CAST(sum(nt) AS BIGINT) AS n_tokens,
+        |  min(nt) AS tok_min, max(nt) AS tok_max,
+        |  CAST(count(CASE WHEN nt = 0 THEN 1 END) AS BIGINT) AS n_empty,
+        |  CAST(count(DISTINCT text) AS BIGINT) AS n_distinct_texts,
+        |  quantile_disc(nt, 0.1) AS tok_p10,
+        |  quantile_disc(nt, 0.5) AS tok_p50,
+        |  quantile_disc(nt, 0.9) AS tok_p90,
+        |  quantile_disc(nt, 0.99) AS tok_p99
+        |FROM v""".stripMargin,
     "q70_bow_features" ->
       // row_number over the same total order ⇒ identical dense vocab ids
       """WITH toks AS (SELECT doc_id,

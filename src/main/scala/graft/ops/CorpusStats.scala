@@ -91,4 +91,44 @@ object CorpusStats {
       .join(broadcast(vocab.select("gram", "vocab_id")), "gram")
       .groupBy("__doc", "vocab_id").agg(count(lit(1)).as("tf"))
       .select(col("__doc").as(docCol), col("vocab_id"), col("tf"))
+
+  /** One-row corpus audit profile: document/char/token totals, empty-doc
+    * and distinct-text counts, and DISCRETE token-count percentiles
+    * (`percentile_disc` semantics: smallest value whose cumulative
+    * distribution reaches p — an actual data value, integer-exact across
+    * engines).
+    *
+    * The percentiles deliberately do NOT use Spark's `percentile_disc`
+    * aggregate, which buffers every input value in one reducer — at corpus
+    * scale that single group holds one entry per document. Instead the
+    * token counts first collapse to a VALUE HISTOGRAM (bounded by the max
+    * token count, not the corpus size; two-phase partial aggregation), and
+    * the percentile scan runs over that small table — the only
+    * single-partition work is a window over distinct token-count values.
+    * Equivalence to `percentile_disc` is differentially spec-pinned. */
+  def corpusProfile(df: DataFrame, docCol: String, textCol: String,
+                    ps: Seq[Double] = Seq(0.1, 0.5, 0.9, 0.99)): DataFrame = {
+    val nt = TextOps.tokenCountWs(col(textCol)).cast("long")
+    val base = df.select(col(docCol).as("__doc"), col(textCol).as("__text"), nt.as("__nt"))
+    val simple = base.agg(
+      count(lit(1)).as("n_docs"),
+      sum(length(col("__text"))).as("n_chars"),
+      sum(col("__nt")).as("n_tokens"),
+      min(col("__nt")).as("tok_min"),
+      max(col("__nt")).as("tok_max"),
+      count(when(col("__nt") === 0, 1)).as("n_empty"),
+      countDistinct(col("__text")).as("n_distinct_texts"))
+    val hist = base.groupBy(col("__nt").as("v")).agg(count(lit(1)).as("cnt"))
+    val cum = hist.withColumn("cum",
+      sum("cnt").over(org.apache.spark.sql.expressions.Window.orderBy("v")
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)))
+    // cume_dist >= p, with the ratio computed in double exactly as the
+    // built-in does (pinned differentially in the spec)
+    val pctCols = ps.map(p =>
+      min(when(col("cum").cast("double") / col("__n") >= p, col("v")))
+        .as(s"tok_p${(p * 100).round}"))
+    val pcts = cum.crossJoin(simple.select(col("n_docs").as("__n")))
+      .agg(pctCols.head, pctCols.tail: _*)
+    simple.crossJoin(pcts)
+  }
 }

@@ -69,6 +69,33 @@ class CorpusStatsSpec extends AnyFunSuite {
     assert(exchanges == 1, s"expected 1 shuffle (post-join count only), plan:\n$plan")
   }
 
+  test("corpusProfile: histogram percentiles differentially equal percentile_disc") {
+    val real = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val prof = CorpusStats.corpusProfile(real, "doc_id", "text").collect()(0)
+    val nt = TextOps.tokenCountWs(col("text")).cast("long")
+    val builtin = real.select(nt.as("v")).agg(
+      expr("percentile_disc(0.1) WITHIN GROUP (ORDER BY v)"),
+      expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY v)"),
+      expr("percentile_disc(0.9) WITHIN GROUP (ORDER BY v)"),
+      expr("percentile_disc(0.99) WITHIN GROUP (ORDER BY v)")).collect()(0)
+    for ((name, i) <- Seq("tok_p10", "tok_p50", "tok_p90", "tok_p99").zipWithIndex)
+      assert(prof.getLong(prof.fieldIndex(name)) == builtin.getDouble(i).toLong,
+        s"$name: ${prof.getLong(prof.fieldIndex(name))} vs builtin ${builtin.getDouble(i)}")
+    assert(prof.getLong(prof.fieldIndex("n_docs")) == real.count())
+  }
+
+  test("corpusProfile: tiny corpora boundary semantics (n=4, n=5)") {
+    for (n <- Seq(4, 5)) {
+      // doc i has exactly i+1 tokens -> token counts 1..n
+      val df = (1 to n).map(i => (i.toLong, Seq.fill(i)("w").mkString(" "))).toDF("doc_id", "text")
+      val prof = CorpusStats.corpusProfile(df, "doc_id", "text").collect()(0)
+      val expected = if (n == 4) Seq(1L, 2L, 4L, 4L) else Seq(1L, 3L, 5L, 5L)
+      val got = Seq("tok_p10", "tok_p50", "tok_p90", "tok_p99")
+        .map(c => prof.getLong(prof.fieldIndex(c)))
+      assert(got == expected, s"n=$n: $got")
+    }
+  }
+
   test("topNgrams plan: TakeOrdered, no global sort, two exchanges") {
     val plan = CorpusStats.topNgrams(docs, "doc_id", "text", 2, k = 5)
       .queryExecution.executedPlan.toString
