@@ -316,6 +316,26 @@ object SparkEntry {
       TextOps.withLangId(s.read.parquet(t(dir, "documents")), "text")
         .select(col("doc_id"), col("lang_pred"))
     }),
+    "q72_image_crop" -> ((s, dir) => {
+      // the augmentation kernel under the pixel gate: per-image modular
+      // crop windows (partially out of range for wide ids ⇒ the clamping
+      // path is exercised), output dims from the cropped payload's own
+      // header, gray sum over exactly the window's pixels (q69's stream
+      // replay with an (x, y) filter)
+      registerAll(s)
+      val id = substring(col("image_id"), 5, 20).cast("long")
+      val x0 = (id % 5L).cast("int"); val y0 = (id % 4L).cast("int")
+      val cw = (lit(4) + id % 3L).cast("int"); val ch = (lit(3) + id % 2L).cast("int")
+      ImageGen.table(s, 2000)
+        .withColumn("crop", Multimodal.image_crop(col("bytes"), x0, y0, cw, ch))
+        .select(col("image_id"),
+          Multimodal.image_meta(col("crop")).getField("w").as("cw"),
+          Multimodal.image_meta(col("crop")).getField("h").as("ch"),
+          round(Multimodal.image_gray_mean(col("crop")) *
+            Multimodal.image_meta(col("crop")).getField("w") *
+            Multimodal.image_meta(col("crop")).getField("h") * 1000.0)
+            .cast("long").as("gray_milli_sum"))
+    }),
     "q71_corpus_profile" -> ((s, dir) => {
       // one-row corpus audit: totals + DISCRETE token-count percentiles
       // computed from a bounded value-histogram (never a buffer-everything
@@ -1254,6 +1274,59 @@ object SparkEntry {
         |  CAST(coalesce(list_max(list_transform(list_distinct(g3),
         |    d -> len(list_filter(g3, x -> x = d)))), 0) AS INT) AS rep_top_3gram
         |FROM g""".stripMargin,
+    "q72_image_crop" ->
+      // q69's pixel-stream replay restricted to the clamped crop window:
+      // pixel p = pos//3 sits at (p % w, p // w); the crop keeps
+      // [x0, min(w, x0+cw)) × [y0, min(h, y0+ch)) — never empty here since
+      // x0 <= 4 < 8 <= w and y0 <= 3 < 8 <= h
+      """WITH RECURSIVE img AS (
+        |  SELECT range AS id, CAST(8 + range % 9 AS BIGINT) AS w,
+        |         CAST(8 + range % 7 AS BIGINT) AS h, (range % 3 = 0) AS lossy,
+        |         CAST(8 + range % 9 AS BIGINT) * (8 + range % 7) * 3 AS nb,
+        |         range % 5 AS x0, range % 4 AS y0,
+        |         4 + range % 3 AS cw, 3 + range % 2 AS ch
+        |  FROM range(2000)),
+        |cfg AS (SELECT id, w, lossy, nb, (nb - 8) // 8 + 1 AS nchunks,
+        |         nb - ((nb - 8) // 8 + 1) * 8 AS nrem,
+        |         x0, y0, least(w, x0 + cw) AS xe, least(h, y0 + ch) AS ye FROM img),
+        |steps AS (
+        |  SELECT id, CAST(0 AS BIGINT) AS k,
+        |         CAST(id * 2654435761 + 1442695040888963407 AS UBIGINT) AS x,
+        |         nchunks, nrem
+        |  FROM cfg
+        |  UNION ALL
+        |  SELECT id, k + 1,
+        |         CAST(xor(CAST(b AS HUGEINT), (CAST(b AS HUGEINT) * 131072) % CAST('18446744073709551616' AS HUGEINT)) % CAST('18446744073709551616' AS HUGEINT) AS UBIGINT) AS x,
+        |         nchunks, nrem
+        |  FROM (
+        |    SELECT id, k, xor(a, a >> 7) AS b, nchunks, nrem
+        |    FROM (
+        |      SELECT id, k, CAST(xor(CAST(x AS HUGEINT), (CAST(x AS HUGEINT) * 8192) % CAST('18446744073709551616' AS HUGEINT)) % CAST('18446744073709551616' AS HUGEINT) AS UBIGINT) AS a,
+        |             nchunks, nrem
+        |      FROM steps WHERE k < nchunks + nrem))),
+        |bytes_ AS (
+        |  SELECT s.id, (s.k - 1) * 8 + b.j AS pos,
+        |         CAST((s.x >> CAST(b.j * 8 AS INT)) % 256 AS BIGINT) AS v
+        |  FROM steps s, (SELECT range AS j FROM range(8)) b
+        |  WHERE s.k >= 1 AND s.k <= s.nchunks
+        |  UNION ALL
+        |  SELECT s.id, s.nchunks * 8 + (s.k - s.nchunks - 1) AS pos,
+        |         CAST(s.x % 256 AS BIGINT) AS v
+        |  FROM steps s WHERE s.k > s.nchunks),
+        |q AS (
+        |  SELECT b.id, b.pos % 3 AS chan,
+        |         CASE WHEN c.lossy THEN least(252, (b.v + 2) // 4 * 4) ELSE b.v END AS v
+        |  FROM bytes_ b JOIN cfg c USING (id)
+        |  WHERE b.pos < c.nb
+        |    AND (b.pos // 3) % c.w >= c.x0 AND (b.pos // 3) % c.w < c.xe
+        |    AND (b.pos // 3) // c.w >= c.y0 AND (b.pos // 3) // c.w < c.ye),
+        |g AS (SELECT id, CAST(sum(CASE chan WHEN 0 THEN 299 * v WHEN 1 THEN 587 * v
+        |               ELSE 114 * v END) AS BIGINT) AS gray_milli_sum
+        |      FROM q GROUP BY id)
+        |SELECT 'img_' || c.id AS image_id,
+        |       CAST(c.xe - c.x0 AS INT) AS cw, CAST(c.ye - c.y0 AS INT) AS ch,
+        |       g.gray_milli_sum
+        |FROM cfg c JOIN g USING (id)""".stripMargin,
     "q71_corpus_profile" ->
       // quantile_disc ≡ Spark percentile_disc ≡ the histogram scan
       // (boundary semantics probed on n=4/5/500 and spec-pinned)

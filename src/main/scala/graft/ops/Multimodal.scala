@@ -64,6 +64,29 @@ object MmRuntime {
     out
   }
 
+  /** Crop the [x0, x0+cw) × [y0, y0+ch) window (clamped to the image) into
+    * a new GRB1 payload; null when the clamped window is empty. Rows copy
+    * with arraycopy — the augmentation hot path never touches pixels
+    * individually. */
+  def imageCrop(bytes: Array[Byte], x0: Int, y0: Int, cw: Int, ch: Int): Array[Byte] = {
+    val (w0, h0, lossy, rgb) = ImageGen.decodeCached(bytes)
+    val xs = math.max(0, x0); val ys = math.max(0, y0)
+    val xe = math.min(w0, x0 + math.max(0, cw)); val ye = math.min(h0, y0 + math.max(0, ch))
+    if (xs >= xe || ys >= ye) return null
+    val w1 = xe - xs; val h1 = ye - ys
+    val out = new Array[Byte](10 + w1 * h1 * 3)
+    out(0) = 'G'; out(1) = 'R'; out(2) = 'B'; out(3) = '1'
+    out(4) = ((w1 >> 8) & 0xff).toByte; out(5) = (w1 & 0xff).toByte
+    out(6) = ((h1 >> 8) & 0xff).toByte; out(7) = (h1 & 0xff).toByte
+    out(8) = if (lossy) 1 else 0
+    var y = 0
+    while (y < h1) {
+      System.arraycopy(rgb, ((ys + y) * w0 + xs) * 3, out, 10 + y * w1 * 3, w1 * 3)
+      y += 1
+    }
+    out
+  }
+
   def audioMeta(bytes: Array[Byte]): InternalRow = {
     val (rate, samples) = AudioGen.decodeCached(bytes)
     new GenericInternalRow(Array[Any](rate, samples.length))
@@ -223,6 +246,43 @@ object Multimodal {
       copy(f, s, t)
   }
 
+  /** `image_crop(bytes, x, y, w, h)` → cropped GRB1 payload (null when the
+    * clamped window is empty). 5-ary, so codegen is hand-written in the
+    * WithFeatureProps style — still a single static [[MmRuntime]] call. */
+  case class ImageCrop(bytes: Expression, x: Expression, y: Expression,
+                       w: Expression, h: Expression) extends Expression {
+    override def nullable: Boolean         = true
+    override def foldable: Boolean         = children.forall(_.foldable)
+    override def children: Seq[Expression] = Seq(bytes, x, y, w, h)
+    override def dataType: DataType        = BinaryType
+    override def eval(input: InternalRow): Any = {
+      val b = bytes.eval(input)
+      val xv = x.eval(input); val yv = y.eval(input)
+      val wv = w.eval(input); val hv = h.eval(input)
+      if (b == null || xv == null || yv == null || wv == null || hv == null) null
+      else MmRuntime.imageCrop(b.asInstanceOf[Array[Byte]],
+        xv.asInstanceOf[Int], yv.asInstanceOf[Int],
+        wv.asInstanceOf[Int], hv.asInstanceOf[Int])
+    }
+    override protected def doGenCode(ctx: codegen.CodegenContext,
+                                     ev: codegen.ExprCode): codegen.ExprCode = {
+      import org.apache.spark.sql.catalyst.expressions.codegen.Block._
+      val cs = children.map(_.genCode(ctx))
+      ev.copy(code = code"""
+        ${cs.map(_.code).reduce(_ + _)}
+        boolean ${ev.isNull} = true;
+        byte[] ${ev.value} = null;
+        if (!${cs(0).isNull} && !${cs(1).isNull} && !${cs(2).isNull} &&
+            !${cs(3).isNull} && !${cs(4).isNull}) {
+          ${ev.value} = graft.ops.MmRuntime.imageCrop(${cs(0).value},
+            ${cs(1).value}, ${cs(2).value}, ${cs(3).value}, ${cs(4).value});
+          ${ev.isNull} = (${ev.value} == null);
+        }""")
+    }
+    override protected def withNewChildrenInternal(c: IndexedSeq[Expression]) =
+      copy(c(0), c(1), c(2), c(3), c(4))
+  }
+
   // ---- audio (PCA1 payloads, graft.pipeline.AudioGen) -------------------
 
   val audioMetaType: StructType = StructType(Seq(
@@ -355,6 +415,7 @@ object Multimodal {
     "image_psnr"      -> (es => ImagePsnr(es(0), es(1))),
     "image_gray_mean" -> (es => ImageGrayMean(es.head)),
     "image_resize"    -> (es => ImageResize(es(0), es(1), es(2))),
+    "image_crop"      -> (es => ImageCrop(es(0), es(1), es(2), es(3), es(4))),
     "audio_meta"       -> (es => AudioMeta(es.head)),
     "audio_energy"     -> (es => AudioEnergy(es.head)),
     "audio_rms"        -> (es => AudioRms(es.head)),
@@ -380,6 +441,8 @@ object Multimodal {
   def image_gray_mean(bytes: Column): Column = call_function("image_gray_mean", bytes)
   def image_resize(bytes: Column, w: Column, h: Column): Column =
     call_function("image_resize", bytes, w, h)
+  def image_crop(bytes: Column, x: Column, y: Column, w: Column, h: Column): Column =
+    call_function("image_crop", bytes, x, y, w, h)
   def audio_meta(bytes: Column): Column   = call_function("audio_meta", bytes)
   def audio_energy(bytes: Column): Column = call_function("audio_energy", bytes)
   def audio_rms(bytes: Column): Column    = call_function("audio_rms", bytes)

@@ -1037,6 +1037,39 @@ class OpsSpec extends AnyFunSuite {
     assert(psnrs.forall(_ >= 40.0))
   }
 
+  test("image_crop: identity, tiling additivity, clamping, codegen") {
+    import Multimodal._
+    val imgs = graft.pipeline.ImageGen.table(spark, 60).localCheckpoint()
+    // full-window crop reproduces the payload byte-for-byte
+    assert(imgs.where(image_crop($"bytes", lit(0), lit(0), $"w", $"h") =!= $"bytes")
+      .count() == 0)
+    // a 2x2 tiling of crops partitions the pixels: gray sums add up exactly
+    // (Spark / on ints is DOUBLE division — crop args must be int halves)
+    val w2 = ($"w" / 2).cast("int"); val h2 = ($"h" / 2).cast("int")
+    val wr = $"w" - w2;              val hr = $"h" - h2
+    val halves = imgs.select($"image_id", $"w", $"h",
+      (image_gray_mean($"bytes") * $"w" * $"h").as("full"),
+      (coalesce(image_gray_mean(image_crop($"bytes", lit(0), lit(0), w2, h2)) * w2 * h2, lit(0.0)) +
+       coalesce(image_gray_mean(image_crop($"bytes", w2, lit(0), wr, h2)) * wr * h2, lit(0.0)) +
+       coalesce(image_gray_mean(image_crop($"bytes", lit(0), h2, w2, hr)) * w2 * hr, lit(0.0)) +
+       coalesce(image_gray_mean(image_crop($"bytes", w2, h2, wr, hr)) * wr * hr, lit(0.0))).as("tiled"))
+    assert(halves.where(abs($"full" - $"tiled") > 1e-6).count() == 0)
+    // clamping: an over-large window equals the full image; empty -> null
+    assert(imgs.where(image_crop($"bytes", lit(-5), lit(-5), $"w" + lit(99), $"h" + lit(99)) =!= $"bytes")
+      .count() == 0)
+    assert(imgs.where(image_crop($"bytes", $"w", $"h", lit(3), lit(3)).isNotNull).count() == 0)
+    assert(imgs.where(image_crop($"bytes", lit(0), lit(0), lit(0), lit(3)).isNotNull).count() == 0)
+    // meta of a crop reflects the window dims
+    val m = imgs.select(image_meta(image_crop($"bytes", lit(1), lit(2), lit(4), lit(3))).as("m"))
+      .select($"m.w", $"m.h").distinct().collect()
+    assert(m.length == 1 && m(0).getInt(0) == 4 && m(0).getInt(1) == 3)
+    // whole-stage pin, same as the other image kernels
+    val line = imgs.select(image_crop($"bytes", lit(1), lit(1), lit(4), lit(4)).as("c"))
+      .queryExecution.executedPlan.toString.linesIterator
+      .find(_.toLowerCase.contains("imagecrop")).getOrElse("")
+    assert(line.contains("*("), s"imagecrop fell out of whole-stage codegen: $line")
+  }
+
   test("multimodal kernels are real codegen: triple projection whole-stage, one decode per row") {
     import Multimodal._
     // the r2 from_geojson CSE test ported to the decode kernels: a
