@@ -15,13 +15,23 @@ import org.apache.spark.sql.functions._
   */
 object CorpusStats {
 
-  /** Lower-cased whitespace word n-grams of one document, as an array
-    * column. Tokenization is deliberately engine-reproducible (split on
-    * `\s+`, empties dropped, ASCII-stable lower) so corpus statistics can
-    * be cross-checked against any ANSI engine. */
-  def wordNgrams(text: Column, n: Int): Column = {
+  /** Lower-cased whitespace tokens of one document. Tokenization is
+    * deliberately engine-reproducible (split on `\s+`, empties dropped,
+    * ASCII-stable lower) so corpus statistics can be cross-checked against
+    * any ANSI engine. */
+  def wordTokens(text: Column): Column =
+    filter(split(lower(text), "\\s+"), t => length(t) > 0)
+
+  /** Word n-grams from an ALREADY-MATERIALIZED token array column.
+    *
+    * The token argument must be a bound column, not the tokenization
+    * expression itself: higher-order functions are CodegenFallback, and an
+    * expression tree referenced at each `element_at` site inside the lambda
+    * re-evaluates PER ELEMENT — lower+split+filter per n-gram turned the
+    * per-document cost O(tokens²) (measured: 10 s for a 5k-doc bigram
+    * count that takes 0.5 s with a materialized column). */
+  def ngramsFromTokens(toks: Column, n: Int): Column = {
     require(n >= 1, s"n-gram order must be >= 1, got $n")
-    val toks = filter(split(lower(text), "\\s+"), t => length(t) > 0)
     if (n == 1) toks
     else {
       val m = size(toks) - (n - 1)
@@ -33,6 +43,22 @@ object CorpusStats {
         .otherwise(array().cast("array<string>"))
     }
   }
+
+  /** [[ngramsFromTokens]] ∘ [[wordTokens]] — convenience for SINGLE-use
+    * sites (tests, ad-hoc selects). Corpus-scale flows materialize the
+    * tokens first; see [[ngramsFromTokens]]. */
+  def wordNgrams(text: Column, n: Int): Column =
+    ngramsFromTokens(wordTokens(text), n)
+
+  /** One (doc, gram) row per n-gram occurrence, via the one-pass
+    * [[TextFunctions.word_ngrams]] codegen kernel — NOT the
+    * transform/sequence/element_at lambda chain ([[ngramsFromTokens]]),
+    * which is CodegenFallback and costs ~µs per gram interpreted (measured
+    * 5x the whole downstream aggregation); kernel ≡ lambda is spec-pinned. */
+  private def gramRows(df: DataFrame, docCol: String, textCol: String,
+                       n: Int): DataFrame =
+    df.select(col(docCol).as("__doc"),
+      explode(TextFunctions.word_ngrams(col(textCol), lit(n))).as("gram"))
 
   /** Corpus-wide n-gram frequency table: one row per distinct gram with its
     * total occurrence count and document frequency.
@@ -47,8 +73,7 @@ object CorpusStats {
     * would force an extra exchange keyed on the doc column). */
   def ngramStats(df: DataFrame, docCol: String, textCol: String,
                  n: Int): DataFrame =
-    df.select(col(docCol).as("__doc"),
-        explode(wordNgrams(col(textCol), n)).as("gram"))
+    gramRows(df, docCol, textCol, n)
       .groupBy("__doc", "gram").agg(count(lit(1)).as("__c"))
       .groupBy("gram")
       .agg(sum("__c").as("total"), count(lit(1)).as("doc_freq"))
@@ -86,8 +111,7 @@ object CorpusStats {
     * shuffle every distinct gram of every document. */
   def bowRows(df: DataFrame, docCol: String, textCol: String,
               vocab: DataFrame, n: Int): DataFrame =
-    df.select(col(docCol).as("__doc"),
-        explode(wordNgrams(col(textCol), n)).as("gram"))
+    gramRows(df, docCol, textCol, n)
       .join(broadcast(vocab.select("gram", "vocab_id")), "gram")
       .groupBy("__doc", "vocab_id").agg(count(lit(1)).as("tf"))
       .select(col("__doc").as(docCol), col("vocab_id"), col("tf"))

@@ -30,6 +30,23 @@ class CorpusStatsSpec extends AnyFunSuite {
     assert(bi(4L) == Seq.empty && bi(5L) == Seq.empty)
   }
 
+  test("word_ngrams kernel == lambda-chain n-grams (real corpus + edges)") {
+    val real = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select($"text").unionByName(docs.select($"text"))
+    for (n <- Seq(1, 2, 3)) {
+      val diff = real.select(
+          TextFunctions.word_ngrams($"text", lit(n)).as("k"),
+          CorpusStats.wordNgrams($"text", n).as("l"))
+        .where(not($"k" <=> $"l"))
+      assert(diff.count() == 0, s"n=$n kernel/lambda divergence")
+    }
+    // codegen pin: the kernel projection stays whole-stage
+    val line = real.select(TextFunctions.word_ngrams($"text", lit(2)).as("g"))
+      .queryExecution.executedPlan.toString.linesIterator
+      .find(_.toLowerCase.contains("wordngrams")).getOrElse("")
+    assert(line.contains("*("), s"word_ngrams fell out of whole-stage codegen: $line")
+  }
+
   test("ngramStats: totals and document frequency") {
     val st = CorpusStats.ngramStats(docs, "doc_id", "text", 2)
       .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
