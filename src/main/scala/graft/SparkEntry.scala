@@ -316,6 +316,20 @@ object SparkEntry {
       TextOps.withLangId(s.read.parquet(t(dir, "documents")), "text")
         .select(col("doc_id"), col("lang_pred"))
     }),
+    "q73_audio_downsample" -> ((s, dir) => {
+      // the resampling kernel under the gate: keep every k-th sample
+      // (varying k exercises the ceil count and integer rate division);
+      // samples are closed-form, so the downsampled energy is exact SQL
+      registerAll(s)
+      val id = substring(col("audio_id"), 5, 20).cast("long")
+      val k = (lit(2) + id % 3L).cast("int")
+      graft.pipeline.AudioGen.table(s, 2000)
+        .withColumn("ds", Multimodal.audio_downsample(col("bytes"), k))
+        .select(col("audio_id"),
+          Multimodal.audio_meta(col("ds")).getField("rate").as("rate"),
+          Multimodal.audio_meta(col("ds")).getField("n_samples").as("n_samples"),
+          Multimodal.audio_energy(col("ds")).as("energy"))
+    }),
     "q72_image_crop" -> ((s, dir) => {
       // the augmentation kernel under the pixel gate: per-image modular
       // crop windows (partially out of range for wide ids ⇒ the clamping
@@ -1274,6 +1288,20 @@ object SparkEntry {
         |  CAST(coalesce(list_max(list_transform(list_distinct(g3),
         |    d -> len(list_filter(g3, x -> x = d)))), 0) AS INT) AS rep_top_3gram
         |FROM g""".stripMargin,
+    "q73_audio_downsample" ->
+      // kept sample i of the downsampled stream is source sample i*k:
+      // v = (id*7919 + i*k*31) % 256 - 128 (non-negative % operands);
+      // count = ceil(800/k), rate = source_rate // k
+      """WITH p AS (SELECT range AS id, 2 + range % 3 AS k FROM range(2000)),
+        |s AS (SELECT p.id, p.k,
+        |        ((p.id * 7919 + (r.range * p.k) * 31) % 256 - 128) AS v
+        |      FROM p, range(800) r
+        |      WHERE r.range < (800 + p.k - 1) // p.k)
+        |SELECT 'aud_' || id AS audio_id,
+        |  CAST((8000 + id % 3 * 4000) // k AS INT) AS rate,
+        |  CAST((800 + k - 1) // k AS INT) AS n_samples,
+        |  CAST(sum(v * v) AS BIGINT) AS energy
+        |FROM s GROUP BY id, k""".stripMargin,
     "q72_image_crop" ->
       // q69's pixel-stream replay restricted to the clamped crop window:
       // pixel p = pos//3 sits at (p % w, p // w); the crop keeps
