@@ -316,6 +316,21 @@ object SparkEntry {
       TextOps.withLangId(s.read.parquet(t(dir, "documents")), "text")
         .select(col("doc_id"), col("lang_pred"))
     }),
+    "q74_ngram_shards" -> ((s, dir) => {
+      // the INCREMENTAL corpus-stats path under the gate: three disjoint
+      // doc_id%3 shards accumulate n-gram partials (one re-run to prove
+      // idempotence), merged stats feed the same deterministic top-k —
+      // must equal the one-shot q68 closed form exactly
+      registerAll(s)
+      val docs = s.read.parquet(t(dir, "documents"))
+      val base = java.nio.file.Files.createTempDirectory("graft_q74").toString + "/ng"
+      for (sh <- 0 to 2)
+        CorpusStats.appendNgramShard(docs.where(pmod(col("doc_id"), lit(3)) === sh),
+          "doc_id", "text", n = 2, base, s"s$sh")
+      CorpusStats.appendNgramShard(docs.where(pmod(col("doc_id"), lit(3)) === 1),
+        "doc_id", "text", n = 2, base, "s1") // idempotent re-crawl
+      CorpusStats.topNgramsFrom(s, base, k = 100)
+    }),
     "q73_audio_downsample" -> ((s, dir) => {
       // the resampling kernel under the gate: keep every k-th sample
       // (varying k exercises the ceil count and integer rate division);
@@ -1437,6 +1452,20 @@ object SparkEntry {
         |       CAST(sum(CASE pos % 3 WHEN 0 THEN 299 * v WHEN 1 THEN 587 * v
         |                ELSE 114 * v END) AS BIGINT) AS gray_milli_sum
         |FROM q GROUP BY id""".stripMargin,
+    "q74_ngram_shards" ->
+      // disjoint shards + idempotent re-crawl merge back to the one-shot
+      // statistics, so the oracle is exactly q68's closed form
+      """WITH toks AS (SELECT doc_id,
+        |    list_filter(regexp_split_to_array(lower(text), '\s+'), x -> x <> '') AS tk
+        |  FROM documents),
+        |g AS (SELECT doc_id,
+        |    unnest(list_transform(range(1, greatest(len(tk) - 1, 0) + 1),
+        |                          i -> tk[i] || ' ' || tk[i+1])) AS gram
+        |  FROM toks),
+        |a AS (SELECT gram, count(*) AS total, count(DISTINCT doc_id) AS doc_freq
+        |  FROM g GROUP BY gram)
+        |SELECT gram, total, doc_freq FROM a
+        |ORDER BY total DESC, gram LIMIT 100""".stripMargin,
     "q68_top_ngrams" ->
       // same two-phase shape; ORDER BY total DESC, gram gives a TOTAL order
       // (gram is unique per row), so the k-boundary set is engine-exact

@@ -116,6 +116,35 @@ object CorpusStats {
       .groupBy("__doc", "vocab_id").agg(count(lit(1)).as("tf"))
       .select(col("__doc").as(docCol), col("vocab_id"), col("tf"))
 
+  /** Incremental corpus statistics — the per-crawl accumulation pattern:
+    * each arriving shard writes its OWN n-gram partials (one subdirectory
+    * per shard id; re-running a shard overwrites idempotently), and readers
+    * merge by re-aggregating. total is additive unconditionally; doc_freq
+    * is additive as long as each document lives in exactly one shard (the
+    * crawl-shard invariant). Chained streaming aggregations are unsupported
+    * in Structured Streaming, so this foreachBatch-shaped design IS the
+    * streaming story for corpus stats — and it doubles as the resumable
+    * batch one. */
+  def appendNgramShard(df: DataFrame, docCol: String, textCol: String,
+                       n: Int, dir: String, shardId: String): Unit =
+    ngramStats(df, docCol, textCol, n)
+      .write.mode("overwrite").parquet(s"$dir/shard=$shardId")
+
+  /** Merged view over every shard's partials (sum of partial sums — exact
+    * under the one-shard-per-document invariant). */
+  def ngramStatsFrom(spark: org.apache.spark.sql.SparkSession,
+                     dir: String): DataFrame =
+    spark.read.parquet(dir).groupBy("gram")
+      .agg(sum("total").as("total"), sum("doc_freq").as("doc_freq"))
+
+  /** [[topNgrams]] over the accumulated shards. */
+  def topNgramsFrom(spark: org.apache.spark.sql.SparkSession, dir: String,
+                    k: Int, minCount: Long = 1L): DataFrame =
+    ngramStatsFrom(spark, dir)
+      .where(col("total") >= minCount)
+      .orderBy(col("total").desc, col("gram"))
+      .limit(k)
+
   /** One-row corpus audit profile: document/char/token totals, empty-doc
     * and distinct-text counts, and DISCRETE token-count percentiles
     * (`percentile_disc` semantics: smallest value whose cumulative
@@ -129,7 +158,13 @@ object CorpusStats {
     * token count, not the corpus size; two-phase partial aggregation), and
     * the percentile scan runs over that small table — the only
     * single-partition work is a window over distinct token-count values.
-    * Equivalence to `percentile_disc` is differentially spec-pinned. */
+    * Equivalence to `percentile_disc` is differentially spec-pinned.
+    *
+    * Scale note: `n_distinct_texts` is a countDistinct on the text itself —
+    * exact and oracle-checkable, but the partial-distinct exchange carries
+    * distinct FULL texts. A 100 TB profile should swap in the exact-dedup
+    * discipline ([[Dedup.exact]]'s narrow (xxhash64, length) key, 16
+    * bytes/row) and accept hash-distinct semantics for this one column. */
   def corpusProfile(df: DataFrame, docCol: String, textCol: String,
                     ps: Seq[Double] = Seq(0.1, 0.5, 0.9, 0.99)): DataFrame = {
     val nt = TextOps.tokenCountWs(col(textCol)).cast("long")

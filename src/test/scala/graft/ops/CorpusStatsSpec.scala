@@ -86,6 +86,24 @@ class CorpusStatsSpec extends AnyFunSuite {
     assert(exchanges == 1, s"expected 1 shuffle (post-join count only), plan:\n$plan")
   }
 
+  test("incremental shards: 3-shard accumulation == one-shot stats, idempotent rewrite") {
+    val real = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val dir = java.nio.file.Files.createTempDirectory("corpus_shards").toString + "/ng"
+    for (s <- 0 to 2)
+      CorpusStats.appendNgramShard(real.where(pmod($"doc_id", lit(3)) === s),
+        "doc_id", "text", 2, dir, s"s$s")
+    // re-running a shard must not double-count
+    CorpusStats.appendNgramShard(real.where(pmod($"doc_id", lit(3)) === 1),
+      "doc_id", "text", 2, dir, "s1")
+    val merged = CorpusStats.ngramStatsFrom(spark, dir)
+    val oneShot = CorpusStats.ngramStats(real, "doc_id", "text", 2)
+    assert(merged.unionByName(oneShot).distinct().count() == oneShot.count(),
+      "merged shard stats differ from one-shot stats")
+    val topA = CorpusStats.topNgramsFrom(spark, dir, 50).collect().toSeq
+    val topB = CorpusStats.topNgrams(real, "doc_id", "text", 2, 50).collect().toSeq
+    assert(topA == topB)
+  }
+
   test("corpusProfile: histogram percentiles differentially equal percentile_disc") {
     val real = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     val prof = CorpusStats.corpusProfile(real, "doc_id", "text").collect()(0)
