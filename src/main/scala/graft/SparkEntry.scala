@@ -316,6 +316,19 @@ object SparkEntry {
       TextOps.withLangId(s.read.parquet(t(dir, "documents")), "text")
         .select(col("doc_id"), col("lang_pred"))
     }),
+    "q75_video_motion" -> ((s, dir) => {
+      // inter-frame motion under the pixel gate: video_motion's |Δ| sum is
+      // an exact integer (motion · comparedBytes), and the oracle replays
+      // every frame's xorshift64 raster with the per-(id, frame) seed —
+      // including the 64-bit WRAP in seed·2654435761 that q69's image ids
+      // never reach
+      registerAll(s)
+      graft.pipeline.VideoGen.table(s, 1500)
+        .select(col("video_id"),
+          round(Multimodal.video_motion(col("bytes")) *
+            ((col("n_frames") - 1) * col("w") * col("h") * 3))
+            .cast("long").as("motion_sum_abs"))
+    }),
     "q74_ngram_shards" -> ((s, dir) => {
       // the INCREMENTAL corpus-stats path under the gate: three disjoint
       // doc_id%3 shards accumulate n-gram partials (one re-run to prove
@@ -1452,6 +1465,47 @@ object SparkEntry {
         |       CAST(sum(CASE pos % 3 WHEN 0 THEN 299 * v WHEN 1 THEN 587 * v
         |                ELSE 114 * v END) AS BIGINT) AS gray_milli_sum
         |FROM q GROUP BY id""".stripMargin,
+    "q75_video_motion" ->
+      // per-(video, frame) xorshift64 raster replay (q69's machinery with a
+      // recursion keyed on (id, fr) and a seed that WRAPS mod 2^64), then
+      // consecutive-frame |Δ| summed by joining frame f with f+1 on pos
+      """WITH RECURSIVE vids AS (
+        |  SELECT range AS id, CAST(8 + range % 5 AS BIGINT) AS w,
+        |         CAST(6 + range % 4 AS BIGINT) AS h, CAST(4 + range % 3 AS BIGINT) AS nf
+        |  FROM range(1500)),
+        |fr AS (SELECT v.id, f.range AS fr, v.w * v.h * 3 AS nb
+        |  FROM vids v, range(6) f WHERE f.range < v.nf),
+        |cfg AS (SELECT id, fr, nb, (nb - 8) // 8 + 1 AS nchunks,
+        |         nb - ((nb - 8) // 8 + 1) * 8 AS nrem,
+        |         CAST((CAST(id * 131 + fr * 2654435761 AS HUGEINT) * 2654435761
+        |               + 1442695040888963407) % CAST('18446744073709551616' AS HUGEINT) AS UBIGINT) AS seed
+        |  FROM fr),
+        |steps AS (
+        |  SELECT id, fr, CAST(0 AS BIGINT) AS k, seed AS x, nchunks, nrem FROM cfg
+        |  UNION ALL
+        |  SELECT id, fr, k + 1,
+        |         CAST(xor(CAST(b AS HUGEINT), (CAST(b AS HUGEINT) * 131072) % CAST('18446744073709551616' AS HUGEINT)) % CAST('18446744073709551616' AS HUGEINT) AS UBIGINT),
+        |         nchunks, nrem
+        |  FROM (
+        |    SELECT id, fr, k, xor(a, a >> 7) AS b, nchunks, nrem
+        |    FROM (
+        |      SELECT id, fr, k, CAST(xor(CAST(x AS HUGEINT), (CAST(x AS HUGEINT) * 8192) % CAST('18446744073709551616' AS HUGEINT)) % CAST('18446744073709551616' AS HUGEINT) AS UBIGINT) AS a,
+        |             nchunks, nrem
+        |      FROM steps WHERE k < nchunks + nrem))),
+        |bytes_ AS (
+        |  SELECT s.id, s.fr, (s.k - 1) * 8 + b.j AS pos,
+        |         CAST((s.x >> CAST(b.j * 8 AS INT)) % 256 AS BIGINT) AS v
+        |  FROM steps s, (SELECT range AS j FROM range(8)) b
+        |  WHERE s.k >= 1 AND s.k <= s.nchunks
+        |  UNION ALL
+        |  SELECT s.id, s.fr, s.nchunks * 8 + (s.k - s.nchunks - 1) AS pos, CAST(s.x % 256 AS BIGINT) AS v
+        |  FROM steps s WHERE s.k > s.nchunks),
+        |bb AS (SELECT b.id, b.fr, b.pos, b.v
+        |  FROM bytes_ b JOIN cfg c USING (id, fr) WHERE b.pos < c.nb)
+        |SELECT 'vid_' || a.id AS video_id,
+        |       CAST(sum(abs(a.v - b.v)) AS BIGINT) AS motion_sum_abs
+        |FROM bb a JOIN bb b ON a.id = b.id AND a.pos = b.pos AND b.fr = a.fr + 1
+        |GROUP BY a.id""".stripMargin,
     "q74_ngram_shards" ->
       // disjoint shards + idempotent re-crawl merge back to the one-shot
       // statistics, so the oracle is exactly q68's closed form
