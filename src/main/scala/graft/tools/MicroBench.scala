@@ -65,6 +65,16 @@ object MicroBench {
         })
     }
     locally {
+      val text100 = (0 until 100).map(i => s"word$i").mkString(" ")
+      time("word_ngrams100x2", 100000)(id =>
+        graft.ops.TextKernels.wordNgramArray(text100, 2).numElements().toLong + id)
+    }
+    locally {
+      val payload = graft.pipeline.ImageGen.encode(7L) // 15x14 image
+      time("image_crop8x8", 200000)(id =>
+        graft.ops.MmRuntime.imageCrop(payload, 2, 2, 8, 8).length.toLong + id)
+    }
+    locally {
       val dim = 64; val m = 8; val dsub = 8
       val books = Array.tabulate(m * 256 * dsub)(i => ((i * 131) % 255 - 127) / 64.0f)
       val vec = new org.apache.spark.sql.catalyst.util.GenericArrayData(
