@@ -316,6 +316,15 @@ object SparkEntry {
       TextOps.withLangId(s.read.parquet(t(dir, "documents")), "text")
         .select(col("doc_id"), col("lang_pred"))
     }),
+    "q76_weighted_sample" -> ((s, dir) => {
+      // quality-weighted data mixing: each doc keeps with its own per-mille
+      // rate (here a token-count proxy, capped) — exact integer arithmetic
+      // on both engines, and the kept set is monotone in the weight
+      val docs = TextOps.withTokenCountWs(s.read.parquet(t(dir, "documents")), "text")
+      TextOps.weightedSample(docs, "doc_id",
+          least(col("n_tokens_ws") * 25L, lit(900L)))
+        .select(col("doc_id"), col("n_tokens_ws"))
+    }),
     "q75_video_motion" -> ((s, dir) => {
       // inter-frame motion under the pixel gate: video_motion's |Δ| sum is
       // an exact integer (motion · comparedBytes), and the oracle replays
@@ -1465,6 +1474,15 @@ object SparkEntry {
         |       CAST(sum(CASE pos % 3 WHEN 0 THEN 299 * v WHEN 1 THEN 587 * v
         |                ELSE 114 * v END) AS BIGINT) AS gray_milli_sum
         |FROM q GROUP BY id""".stripMargin,
+    "q76_weighted_sample" ->
+      // q42's Knuth bucket with a per-row threshold (token-count proxy)
+      """WITH v AS (SELECT doc_id,
+        |    CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+        |         ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS BIGINT) AS n_tokens_ws
+        |  FROM documents)
+        |SELECT doc_id, n_tokens_ws FROM v
+        |WHERE (doc_id * 2654435761 % 4294967296) * 1000 // 4294967296
+        |      < least(n_tokens_ws * 25, 900)""".stripMargin,
     "q75_video_motion" ->
       // per-(video, frame) xorshift64 raster replay (q69's machinery with a
       // recursion keyed on (id, fr) and a seed that WRAPS mod 2^64), then

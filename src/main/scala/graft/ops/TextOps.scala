@@ -147,6 +147,18 @@ object TextOps {
   def deterministicSample(df: DataFrame, idCol: String, perMille: Int): DataFrame =
     df.where(sampleBucket(col(idCol)) < perMille)
 
+  /** Quality-WEIGHTED deterministic sampling — the data-mixing knob of a
+    * training pipeline: each row carries its own keep rate (integer
+    * per-mille, e.g. from quality scores or language priors) and survives
+    * iff its [[sampleBucket]] falls under it. Same Knuth bucket as
+    * [[deterministicSample]], so the kept set is MONOTONE in the weight (a
+    * doc kept at w stays kept at every w' ≥ w — re-weighting a mixture
+    * never resamples the survivors) and reproducible across engines as
+    * exact integer arithmetic. A narrow filter; weights ≤ 0 drop the row,
+    * ≥ 1000 always keep it. */
+  def weightedSample(df: DataFrame, idCol: String, weightPerMille: Column): DataFrame =
+    df.where(sampleBucket(col(idCol)) < weightPerMille)
+
   /** The sampling bucket in [0, 1000): Knuth multiplicative hash — id *
     * 2654435761 (the golden-ratio multiplier) mod 2^32, scaled to 1/1000ths.
     * Defined for ANY 64-bit id: the product is computed with BOUNDED

@@ -794,6 +794,24 @@ class OpsSpec extends AnyFunSuite {
     assert(repart == s100)
   }
 
+  test("weighted sampling: per-row rates, monotone re-weighting, 0/1000 edges") {
+    val ids = spark.range(20000).select($"id".as("doc_id"),
+      pmod($"id" * 7, lit(1000)).as("w"))
+    def kept(wExpr: org.apache.spark.sql.Column) =
+      TextOps.weightedSample(ids, "doc_id", wExpr).select("doc_id").as[Long].collect().toSet
+    // equals the manual bucket filter
+    val manual = ids.where(TextOps.sampleBucket($"doc_id") < $"w")
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept($"w") == manual)
+    // monotone: raising every weight never drops a survivor
+    assert(kept($"w").subsetOf(kept(least($"w" + 200, lit(1000)))))
+    // edges: 0 keeps nothing, 1000 keeps everything
+    assert(kept(lit(0)).isEmpty && kept(lit(1000)).size == 20000)
+    // a fixed weight reproduces the unweighted sampler exactly
+    assert(kept(lit(250)) ==
+      TextOps.deterministicSample(ids, "doc_id", 250).select("doc_id").as[Long].collect().toSet)
+  }
+
   test("redactPii masks emails, IPs and phones; idempotent; plain text untouched") {
     val cases = Seq(
       ("write to jane.doe+spam@sub.example.org today",
