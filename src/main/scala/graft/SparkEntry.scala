@@ -76,6 +76,51 @@ object SparkEntry {
       |  cos(radians(qlat)) * cos(radians(lat)) * pow(sin(radians(lng - qlng) / 2), 2)
       |)))""".stripMargin
 
+  /** q69's GRB1 xorshift64 pixel-stream replay, extended one step to a
+    * per-PIXEL integer luma CTE `px(id, p, luma)` (luma = 299r+587g+114b;
+    * `img(id, w, h, …)` stays visible). Shared by the q77/q78 oracles. */
+  private def grb1LumaSql(n: Int) =
+    s"""WITH RECURSIVE img AS (
+       |  SELECT range AS id, CAST(8 + range % 9 AS BIGINT) AS w,
+       |         CAST(8 + range % 7 AS BIGINT) AS h, (range % 3 = 0) AS lossy,
+       |         CAST(8 + range % 9 AS BIGINT) * (8 + range % 7) * 3 AS nb
+       |  FROM range($n)),
+       |cfg AS (SELECT id, lossy, nb, (nb - 8) // 8 + 1 AS nchunks,
+       |         nb - ((nb - 8) // 8 + 1) * 8 AS nrem FROM img),
+       |steps AS (
+       |  SELECT id, CAST(0 AS BIGINT) AS k,
+       |         CAST(id * 2654435761 + 1442695040888963407 AS UBIGINT) AS x,
+       |         nchunks, nrem
+       |  FROM cfg
+       |  UNION ALL
+       |  SELECT id, k + 1,
+       |         CAST(xor(CAST(b AS HUGEINT), (CAST(b AS HUGEINT) * 131072) % CAST('18446744073709551616' AS HUGEINT)) % CAST('18446744073709551616' AS HUGEINT) AS UBIGINT) AS x,
+       |         nchunks, nrem
+       |  FROM (
+       |    SELECT id, k, xor(a, a >> 7) AS b, nchunks, nrem
+       |    FROM (
+       |      SELECT id, k, CAST(xor(CAST(x AS HUGEINT), (CAST(x AS HUGEINT) * 8192) % CAST('18446744073709551616' AS HUGEINT)) % CAST('18446744073709551616' AS HUGEINT) AS UBIGINT) AS a,
+       |             nchunks, nrem
+       |      FROM steps WHERE k < nchunks + nrem))),
+       |bytes_ AS (
+       |  SELECT s.id, (s.k - 1) * 8 + b.j AS pos,
+       |         CAST((s.x >> CAST(b.j * 8 AS INT)) % 256 AS BIGINT) AS v
+       |  FROM steps s, (SELECT range AS j FROM range(8)) b
+       |  WHERE s.k >= 1 AND s.k <= s.nchunks
+       |  UNION ALL
+       |  SELECT s.id, s.nchunks * 8 + (s.k - s.nchunks - 1) AS pos,
+       |         CAST(s.x % 256 AS BIGINT) AS v
+       |  FROM steps s WHERE s.k > s.nchunks),
+       |q AS (
+       |  SELECT b.id, b.pos,
+       |         CASE WHEN c.lossy THEN least(252, (b.v + 2) // 4 * 4) ELSE b.v END AS v
+       |  FROM bytes_ b JOIN cfg c USING (id)
+       |  WHERE b.pos < c.nb),
+       |px AS (
+       |  SELECT id, pos // 3 AS p,
+       |         CAST(sum(CASE pos % 3 WHEN 0 THEN 299 * v WHEN 1 THEN 587 * v ELSE 114 * v END) AS BIGINT) AS luma
+       |  FROM q GROUP BY id, pos // 3)""".stripMargin
+
   // ------------------------------------------------------------- flagship
 
   /** Flagship query on sf=0.001: the north-rule job — PIP join of the
@@ -315,6 +360,25 @@ object SparkEntry {
       registerAll(s)
       TextOps.withLangId(s.read.parquet(t(dir, "documents")), "text")
         .select(col("doc_id"), col("lang_pred"))
+    }),
+    "q78_image_histogram" -> ((s, dir) => {
+      // exposure audit: exact integer luma histogram (8 bins) per image,
+      // exploded to (image_id, bin, n_px) rows — zero bins included, so the
+      // oracle right-joins the full image × bin grid
+      registerAll(s)
+      ImageGen.table(s, 2000)
+        .select(col("image_id"),
+          posexplode(Multimodal.image_histogram(col("bytes"), lit(8))))
+        .select(col("image_id"), col("pos").as("bin"), col("col").as("n_px"))
+    }),
+    "q77_image_ahash" -> ((s, dir) => {
+      // perceptual hash COMPUTED from decoded pixels (not trusted from the
+      // table): 8×8 block mean-luma bits with an exact integer
+      // cross-multiplication threshold, so DuckDB replays it bit-for-bit
+      // from the same pixel stream
+      registerAll(s)
+      ImageGen.table(s, 2000)
+        .select(col("image_id"), Multimodal.image_ahash(col("bytes")).as("ahash"))
     }),
     "q76_weighted_sample" -> ((s, dir) => {
       // quality-weighted data mixing: each doc keeps with its own per-mille
@@ -1474,6 +1538,41 @@ object SparkEntry {
         |       CAST(sum(CASE pos % 3 WHEN 0 THEN 299 * v WHEN 1 THEN 587 * v
         |                ELSE 114 * v END) AS BIGINT) AS gray_milli_sum
         |FROM q GROUP BY id""".stripMargin,
+    "q77_image_ahash" ->
+      // per-block luma sums over the replayed pixel stream; bit set iff
+      // blockSum·totalPix > totalSum·blockPix (HUGEINT cross-multiplication
+      // — the kernel's 128-bit cmpProd). The hash re-assembles as a SUM of
+      // distinct powers of two; bit 63 contributes the sign-bit value
+      // directly so the signed BIGINT matches Spark's long bit-for-bit.
+      (grb1LumaSql(2000) +
+        """,
+          |blk AS (
+          |  SELECT px.id,
+          |         CAST((px.p // i.w) * 8 // i.h * 8 + (px.p % i.w) * 8 // i.w AS INT) AS b,
+          |         sum(px.luma) AS bsum, count(*) AS bcnt
+          |  FROM px JOIN img i USING (id)
+          |  GROUP BY 1, 2),
+          |tot AS (SELECT id, sum(bsum) AS tsum, sum(bcnt) AS n FROM blk GROUP BY id),
+          |bits AS (
+          |  SELECT blk.id, blk.b
+          |  FROM blk JOIN tot USING (id)
+          |  WHERE CAST(blk.bsum AS HUGEINT) * tot.n > CAST(tot.tsum AS HUGEINT) * blk.bcnt)
+          |SELECT 'img_' || i.id AS image_id,
+          |  CAST(coalesce(sum(CASE WHEN t.b = 63 THEN -9223372036854775807 - 1
+          |                         ELSE CAST(1 AS BIGINT) << t.b END), 0) AS BIGINT) AS ahash
+          |FROM img i LEFT JOIN bits t ON t.id = i.id
+          |GROUP BY i.id""".stripMargin),
+    "q78_image_histogram" ->
+      // exact integer luma histogram: bin = luma·8 // 255001; the full
+      // image × bin grid right-joins the counts so zero bins survive
+      (grb1LumaSql(2000) +
+        """,
+          |cnt AS (SELECT id, CAST((luma * 8) // 255001 AS INT) AS bin, count(*) AS n
+          |        FROM px GROUP BY 1, 2)
+          |SELECT 'img_' || i.id AS image_id, CAST(b.range AS INT) AS bin,
+          |       CAST(coalesce(c.n, 0) AS BIGINT) AS n_px
+          |FROM img i CROSS JOIN range(8) b
+          |LEFT JOIN cnt c ON c.id = i.id AND c.bin = b.range""".stripMargin),
     "q76_weighted_sample" ->
       // q42's Knuth bucket with a per-row threshold (token-count proxy)
       """WITH v AS (SELECT doc_id,

@@ -87,6 +87,72 @@ object MmRuntime {
     out
   }
 
+  /** Compare a*b vs c*d exactly for non-negative longs (128-bit, no
+    * overflow): the ahash threshold cross-multiplication can exceed 2^63
+    * for images past ~7000×7000 even though block sums individually fit. */
+  private def cmpProd(a: Long, b: Long, c: Long, d: Long): Int = {
+    val h1 = Math.multiplyHigh(a, b); val h2 = Math.multiplyHigh(c, d)
+    if (h1 != h2) java.lang.Long.compare(h1, h2)
+    else java.lang.Long.compareUnsigned(a * b, c * d)
+  }
+
+  /** 64-bit average hash (aHash) from DECODED pixels: the image is split
+    * into an 8×8 block grid (pixel (x,y) → block (x*8/w, y*8/h)), each
+    * block accumulates the integer luma sum Σ(299r+587g+114b), and bit
+    * by*8+bx (LSB = top-left block) is set iff the block's mean luma is
+    * STRICTLY above the global mean — compared as the exact integer
+    * cross-multiplication blockSum·totalPix > totalSum·blockPix, so the
+    * hash is bit-reproducible in any engine (no float means). Blocks with
+    * no pixels (w or h < 8 after a resize/crop) contribute 0-bits.
+    * Perceptual dedup over computed payloads: band this hash exactly like
+    * the catalog `phash` column (Dedup.geoPhashPairs). */
+  def imageAhash(bytes: Array[Byte]): Long = {
+    val (w, h, _, rgb) = ImageGen.decodeCached(bytes)
+    val sums = new Array[Long](64)
+    val cnts = new Array[Long](64)
+    var tot  = 0L
+    var y = 0
+    while (y < h) {
+      val by = y * 8 / h
+      var x = 0
+      while (x < w) {
+        val i    = (y * w + x) * 3
+        val luma = 299L * (rgb(i) & 0xff) + 587L * (rgb(i + 1) & 0xff) + 114L * (rgb(i + 2) & 0xff)
+        val b    = by * 8 + x * 8 / w
+        sums(b) += luma; cnts(b) += 1; tot += luma
+        x += 1
+      }
+      y += 1
+    }
+    val n    = w.toLong * h
+    var hash = 0L
+    var b    = 0
+    while (b < 64) {
+      if (cmpProd(sums(b), n, tot, cnts(b)) > 0) hash |= 1L << b
+      b += 1
+    }
+    hash
+  }
+
+  /** Integer luma histogram over decoded pixels: nbins counts of the
+    * per-pixel luma 299r+587g+114b ∈ [0, 255000], bin = luma·nbins/255001
+    * (the +1 keeps the max value inside the last bin). Exact counts — the
+    * exposure/quality-audit feature for image-corpus curation. */
+  def imageHistogram(bytes: Array[Byte], nbins0: Int): ArrayData = {
+    val (w, h, _, rgb) = ImageGen.decodeCached(bytes)
+    val nbins  = math.max(1, nbins0)
+    val counts = new Array[Long](nbins)
+    val n = w * h
+    var p = 0
+    while (p < n) {
+      val i    = p * 3
+      val luma = 299L * (rgb(i) & 0xff) + 587L * (rgb(i + 1) & 0xff) + 114L * (rgb(i + 2) & 0xff)
+      counts(((luma * nbins) / 255001L).toInt) += 1
+      p += 1
+    }
+    new GenericArrayData(counts)
+  }
+
   def audioMeta(bytes: Array[Byte]): InternalRow = {
     val (rate, samples) = AudioGen.decodeCached(bytes)
     new GenericInternalRow(Array[Any](rate, samples.length))
@@ -283,6 +349,38 @@ object Multimodal {
       copy(c(0), c(1), c(2), c(3), c(4))
   }
 
+  /** `image_ahash(bytes)` → 64-bit average hash from DECODED pixels (8×8
+    * block grid, strict integer cross-multiplication threshold — see
+    * [[MmRuntime.imageAhash]]). Banding this hash like the catalog `phash`
+    * column makes perceptual dedup end-to-end real: the signature is
+    * computed from the payload, not trusted from the table. */
+  case class ImageAhash(bytes: Expression) extends UnaryExpression with ImplicitCastInputTypes {
+    override def child: Expression = bytes
+    override def inputTypes        = Seq(BinaryType)
+    override def dataType: DataType = LongType
+    override protected def nullSafeEval(v: Any): Any =
+      MmRuntime.imageAhash(v.asInstanceOf[Array[Byte]])
+    override protected def doGenCode(ctx: codegen.CodegenContext, ev: codegen.ExprCode) =
+      defineCodeGen(ctx, ev, c => s"graft.ops.MmRuntime.imageAhash($c)")
+    override protected def withNewChildInternal(c: Expression) = copy(c)
+  }
+
+  /** `image_histogram(bytes, nbins)` → exact integer luma histogram
+    * (ARRAY<BIGINT> of pixel counts, bin = luma·nbins/255001) — the
+    * exposure/quality-audit feature for image-corpus curation. */
+  case class ImageHistogram(bytes: Expression, nbins: Expression)
+      extends BinaryExpression with ImplicitCastInputTypes {
+    override def left: Expression  = bytes
+    override def right: Expression = nbins
+    override def inputTypes        = Seq(BinaryType, IntegerType)
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    override protected def nullSafeEval(b: Any, n: Any): Any =
+      MmRuntime.imageHistogram(b.asInstanceOf[Array[Byte]], n.asInstanceOf[Int])
+    override protected def doGenCode(ctx: codegen.CodegenContext, ev: codegen.ExprCode) =
+      defineCodeGen(ctx, ev, (b, n) => s"graft.ops.MmRuntime.imageHistogram($b, $n)")
+    override protected def withNewChildrenInternal(l: Expression, r: Expression) = copy(l, r)
+  }
+
   // ---- audio (PCA1 payloads, graft.pipeline.AudioGen) -------------------
 
   val audioMetaType: StructType = StructType(Seq(
@@ -416,6 +514,8 @@ object Multimodal {
     "image_gray_mean" -> (es => ImageGrayMean(es.head)),
     "image_resize"    -> (es => ImageResize(es(0), es(1), es(2))),
     "image_crop"      -> (es => ImageCrop(es(0), es(1), es(2), es(3), es(4))),
+    "image_ahash"     -> (es => ImageAhash(es.head)),
+    "image_histogram" -> (es => ImageHistogram(es(0), es(1))),
     "audio_meta"       -> (es => AudioMeta(es.head)),
     "audio_energy"     -> (es => AudioEnergy(es.head)),
     "audio_rms"        -> (es => AudioRms(es.head)),
@@ -443,6 +543,9 @@ object Multimodal {
     call_function("image_resize", bytes, w, h)
   def image_crop(bytes: Column, x: Column, y: Column, w: Column, h: Column): Column =
     call_function("image_crop", bytes, x, y, w, h)
+  def image_ahash(bytes: Column): Column = call_function("image_ahash", bytes)
+  def image_histogram(bytes: Column, nbins: Column): Column =
+    call_function("image_histogram", bytes, nbins)
   def audio_meta(bytes: Column): Column   = call_function("audio_meta", bytes)
   def audio_energy(bytes: Column): Column = call_function("audio_energy", bytes)
   def audio_rms(bytes: Column): Column    = call_function("audio_rms", bytes)

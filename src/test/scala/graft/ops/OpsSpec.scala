@@ -1088,6 +1088,49 @@ class OpsSpec extends AnyFunSuite {
     assert(line.contains("*("), s"imagecrop fell out of whole-stage codegen: $line")
   }
 
+  test("image_ahash + image_histogram: closed forms, additivity, codegen") {
+    import Multimodal._
+    import graft.pipeline.VideoGen
+    // hand-built lossless GRB1 rasters with closed-form answers
+    val w = 16; val h = 8
+    val flat = Array.fill(w * h * 3)(77.toByte)
+    val split = Array.tabulate(w * h * 3) { i =>
+      if ((i / 3) % w < w / 2) 0.toByte else 255.toByte
+    }
+    val hand = Seq(("flat", VideoGen.frameAsImage(w, h, flat)),
+      ("split", VideoGen.frameAsImage(w, h, split))).toDF("name", "bytes")
+    val r = hand.select($"name", image_ahash($"bytes").as("ah"),
+        image_histogram($"bytes", lit(8)).as("hist")).collect()
+      .map(x => x.getString(0) -> ((x.getLong(1), x.getSeq[Long](2)))).toMap
+    // constant image: no block is STRICTLY above the global mean -> hash 0
+    assert(r("flat")._1 == 0L)
+    // left-black/right-white, w=16: block columns 4..7 bright -> 0xF0 per row
+    assert(r("split")._1 == 0xF0F0F0F0F0F0F0F0L)
+    // flat luma 77000 -> bin 77000*8/255001 = 2; split: bins 0 and 7
+    assert(r("flat")._2 == Seq(0L, 0L, 128L, 0L, 0L, 0L, 0L, 0L))
+    assert(r("split")._2 == Seq(64L, 0L, 0L, 0L, 0L, 0L, 0L, 64L))
+    // corpus invariants: counts partition the pixels; a left/right crop
+    // tiling's histograms add element-wise to the full histogram
+    val imgs = graft.pipeline.ImageGen.table(spark, 60).localCheckpoint()
+    assert(imgs.where(aggregate(image_histogram($"bytes", lit(8)), lit(0L),
+      (acc, x) => acc + x) =!= $"w".cast("long") * $"h").count() == 0)
+    val w2 = ($"w" / 2).cast("int"); val wr = $"w" - w2
+    val tiled = imgs.select(image_histogram($"bytes", lit(8)).as("full"),
+      zip_with(
+        image_histogram(image_crop($"bytes", lit(0), lit(0), w2, $"h"), lit(8)),
+        image_histogram(image_crop($"bytes", w2, lit(0), wr, $"h"), lit(8)),
+        (a, b) => a + b).as("tiled"))
+    assert(tiled.where($"full" =!= $"tiled").count() == 0)
+    // whole-stage pins, same as the other image kernels
+    for (kernel <- Seq("imageahash", "imagehistogram")) {
+      val line = imgs.select(image_ahash($"bytes").as("a"),
+          image_histogram($"bytes", lit(8)).as("hst"))
+        .queryExecution.executedPlan.toString.linesIterator
+        .find(_.toLowerCase.contains(kernel)).getOrElse("")
+      assert(line.contains("*("), s"$kernel fell out of whole-stage codegen: $line")
+    }
+  }
+
   test("multimodal kernels are real codegen: triple projection whole-stage, one decode per row") {
     import Multimodal._
     // the r2 from_geojson CSE test ported to the decode kernels: a
