@@ -121,6 +121,32 @@ object SparkEntry {
        |         CAST(sum(CASE pos % 3 WHEN 0 THEN 299 * v WHEN 1 THEN 587 * v ELSE 114 * v END) AS BIGINT) AS luma
        |  FROM q GROUP BY id, pos // 3)""".stripMargin
 
+  /** [[grb1LumaSql]] extended to the per-image 64-bit average hash: CTE
+    * `hashes(id, ahash)` — per-block luma sums, HUGEINT cross-multiplication
+    * threshold, hash re-assembled as a sum of distinct powers of two (bit 63
+    * contributes the sign-bit value, so the signed BIGINT matches Spark's
+    * long bit-for-bit). Shared by the q77/q80 oracles. */
+  private def grb1AhashSql(n: Int) =
+    grb1LumaSql(n) +
+      """,
+        |blk AS (
+        |  SELECT px.id,
+        |         CAST((px.p // i.w) * 8 // i.h * 8 + (px.p % i.w) * 8 // i.w AS INT) AS b,
+        |         sum(px.luma) AS bsum, count(*) AS bcnt
+        |  FROM px JOIN img i USING (id)
+        |  GROUP BY 1, 2),
+        |tot AS (SELECT id, sum(bsum) AS tsum, sum(bcnt) AS n FROM blk GROUP BY id),
+        |bits AS (
+        |  SELECT blk.id, blk.b
+        |  FROM blk JOIN tot USING (id)
+        |  WHERE CAST(blk.bsum AS HUGEINT) * tot.n > CAST(tot.tsum AS HUGEINT) * blk.bcnt),
+        |hashes AS (
+        |  SELECT i.id,
+        |    CAST(coalesce(sum(CASE WHEN t.b = 63 THEN -9223372036854775807 - 1
+        |                           ELSE CAST(1 AS BIGINT) << t.b END), 0) AS BIGINT) AS ahash
+        |  FROM img i LEFT JOIN bits t ON t.id = i.id
+        |  GROUP BY i.id)""".stripMargin
+
   // ------------------------------------------------------------- flagship
 
   /** Flagship query on sf=0.001: the north-rule job — PIP join of the
@@ -370,6 +396,24 @@ object SparkEntry {
         .select(col("image_id"),
           posexplode(Multimodal.image_histogram(col("bytes"), lit(8))))
         .select(col("image_id"), col("pos").as("bin"), col("col").as("n_px"))
+    }),
+    "q80_perceptual_catalog" -> ((s, dir) => {
+      // incremental PERCEPTUAL dedup: the accepted corpus (ids 0..1999)
+      // catalogs its pixel-COMPUTED ahash banded 4×16; a new shard mixing a
+      // re-crawl (500..999, byte-identical payloads → hamming 0) with fresh
+      // images (2000..2499) dedups against the catalog — signatures only,
+      // catalog never shuffles. The oracle replays every hash from pixels
+      // and applies the same band + hamming ≤ 3 definition.
+      registerAll(s)
+      val base = ImageGen.table(s, 2500)
+        .withColumn("iid", expr("CAST(substring(image_id, 5) AS BIGINT)"))
+        .select(col("image_id"), col("iid"),
+          Multimodal.image_ahash(col("bytes")).as("ahash"))
+      val cat = java.nio.file.Files.createTempDirectory("graft_q80").toString + "/catalog"
+      Dedup.writePerceptualCatalog(base.where(col("iid") < 2000), "iid", "ahash", cat)
+      val shard = base.where(col("iid").between(500, 999) || col("iid") >= 2000)
+      Dedup.dedupAgainstPerceptual(shard, "iid", "ahash", cat)
+        .select(col("image_id"), col("ahash"))
     }),
     "q77_image_ahash" -> ((s, dir) => {
       // perceptual hash COMPUTED from decoded pixels (not trusted from the
@@ -1544,24 +1588,32 @@ object SparkEntry {
       // — the kernel's 128-bit cmpProd). The hash re-assembles as a SUM of
       // distinct powers of two; bit 63 contributes the sign-bit value
       // directly so the signed BIGINT matches Spark's long bit-for-bit.
-      (grb1LumaSql(2000) +
+      (grb1AhashSql(2000) +
+        """
+          |SELECT 'img_' || id AS image_id, ahash FROM hashes""".stripMargin),
+    "q80_perceptual_catalog" ->
+      // the TRUE banded-dedup definition replayed end-to-end: DuckDB
+      // re-derives every ahash from pixels, bands both sides 4×16 bits
+      // (signed >> then & 65535 ≡ Spark shiftrightunsigned + mask — the
+      // mask strips the sign-fill), and anti-joins shard ids within
+      // hamming ≤ 3 of a band-sharing catalog hash — no planted closed
+      // form, natural collisions agree by construction
+      (grb1AhashSql(2500) +
         """,
-          |blk AS (
-          |  SELECT px.id,
-          |         CAST((px.p // i.w) * 8 // i.h * 8 + (px.p % i.w) * 8 // i.w AS INT) AS b,
-          |         sum(px.luma) AS bsum, count(*) AS bcnt
-          |  FROM px JOIN img i USING (id)
-          |  GROUP BY 1, 2),
-          |tot AS (SELECT id, sum(bsum) AS tsum, sum(bcnt) AS n FROM blk GROUP BY id),
-          |bits AS (
-          |  SELECT blk.id, blk.b
-          |  FROM blk JOIN tot USING (id)
-          |  WHERE CAST(blk.bsum AS HUGEINT) * tot.n > CAST(tot.tsum AS HUGEINT) * blk.bcnt)
-          |SELECT 'img_' || i.id AS image_id,
-          |  CAST(coalesce(sum(CASE WHEN t.b = 63 THEN -9223372036854775807 - 1
-          |                         ELSE CAST(1 AS BIGINT) << t.b END), 0) AS BIGINT) AS ahash
-          |FROM img i LEFT JOIN bits t ON t.id = i.id
-          |GROUP BY i.id""".stripMargin),
+          |cat AS (SELECT id, ahash FROM hashes WHERE id < 2000),
+          |shard AS (SELECT id, ahash FROM hashes
+          |          WHERE (id >= 500 AND id < 1000) OR id >= 2000),
+          |bnd AS (SELECT range AS band FROM range(4)),
+          |catb AS (SELECT c.id, b.band,
+          |    (c.ahash >> CAST(b.band * 16 AS INT)) & 65535 AS bh,
+          |    c.ahash FROM cat c, bnd b),
+          |shb AS (SELECT s.id, b.band,
+          |    (s.ahash >> CAST(b.band * 16 AS INT)) & 65535 AS bh,
+          |    s.ahash FROM shard s, bnd b),
+          |matched AS (SELECT DISTINCT shb.id FROM shb JOIN catb USING (band, bh)
+          |  WHERE bit_count(xor(shb.ahash, catb.ahash)) <= 3)
+          |SELECT 'img_' || s.id AS image_id, s.ahash
+          |FROM shard s ANTI JOIN matched m ON s.id = m.id""".stripMargin),
     "q78_image_histogram" ->
       // exact integer luma histogram: bin = luma·8 // 255001; the full
       // image × bin grid right-joins the counts so zero bins survive

@@ -704,4 +704,74 @@ object Dedup {
     val dups = clusters(pairs, idCol).where(col("is_dup")).select(col(idCol))
     df.join(dups, Seq(idCol), "left_anti")
   }
+
+  // --------------------------------- perceptual (image) catalog dedup
+
+  /** Banded signatures of a 64-bit PERCEPTUAL hash: (id, band, bh, ph) —
+    * `bands` contiguous (64/bands)-bit slices, the [[geoPhashPairs]]
+    * banding. Pigeonhole: any pair within hamming < bands shares at least
+    * one intact band, so with the default 4×16-bit bands recall is 1.0 at
+    * the hamming ≤ 3 verify threshold. The full hash rides along for the
+    * verify — 20 bytes/row total, never the payload. */
+  private def phashBands(df: DataFrame, idCol: String, hashCol: String,
+                         bands: Int): DataFrame = {
+    require(bands >= 2 && 64 % bands == 0, s"bands must divide 64 (>=2), got $bands")
+    val width = 64 / bands
+    val mask  = (1L << width) - 1
+    df.select(col(idCol).as("id"), col(hashCol).cast("long").as("ph"))
+      .withColumn("band", explode(sequence(lit(0), lit(bands - 1))))
+      .withColumn("bh", expr(s"shiftrightunsigned(ph, band * $width) & ${mask}L"))
+      .select("id", "band", "bh", "ph")
+  }
+
+  /** [[writeCatalog]]'s PERCEPTUAL twin for image corpora: persist the
+    * banded 64-bit perceptual-hash signatures (e.g. the pixel-computed
+    * `image_ahash`, or any phash) of the accepted corpus, so every future
+    * image shard dedups against the accumulated store WITHOUT re-reading a
+    * byte of historical payload — at 10^12 images the payloads are ~100 TB
+    * while this catalog is ~80 GB of (id, band, bh, ph) rows. Layout:
+    * `params` one row (bands); `phash` (id, band, bh, ph). Grow with
+    * [[appendToPerceptualCatalog]]. */
+  def writePerceptualCatalog(df: DataFrame, idCol: String, hashCol: String,
+                             path: String, bands: Int = 4): Unit = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    Seq(bands).toDF("bands").coalesce(1)
+      .write.mode("overwrite").parquet(s"$path/params")
+    phashBands(df, idCol, hashCol, bands)
+      .write.mode("overwrite").parquet(s"$path/phash")
+  }
+
+  /** Append an accepted shard's perceptual signatures, using the catalog's
+    * stored band count (compact with [[compactCatalog]]-style rewrites if
+    * appends accumulate small files). */
+  def appendToPerceptualCatalog(df: DataFrame, idCol: String, hashCol: String,
+                                path: String): Unit = {
+    val bands = df.sparkSession.read.parquet(s"$path/params").head.getAs[Int]("bands")
+    phashBands(df, idCol, hashCol, bands).write.mode("append").parquet(s"$path/phash")
+  }
+
+  /** Incremental PERCEPTUAL dedup of a new image shard against a persisted
+    * catalog: returns the shard rows whose hash is NOT within `maxHamming`
+    * bits of any catalog hash that shares a band. Same plan shape as
+    * [[dedupAgainst]] — the shard's signatures broadcast, the catalog
+    * parquet streams through one BroadcastHashJoin with ZERO exchange, and
+    * only the narrow matched-id set rides the final anti-join. Recall is
+    * exact for `maxHamming < bands` (pigeonhole); above that it follows the
+    * banding curve. A re-crawled byte-identical image matches at hamming 0;
+    * a re-encoded/lightly-edited one within `maxHamming` hash bits also
+    * goes — signature-level decisions, no payload access. */
+  def dedupAgainstPerceptual(shard: DataFrame, idCol: String, hashCol: String,
+                             catalogPath: String, maxHamming: Int = 3): DataFrame = {
+    val spark = shard.sparkSession
+    val bands = spark.read.parquet(s"$catalogPath/params").head.getAs[Int]("bands")
+    val sig = phashBands(shard, idCol, hashCol, bands)
+      .withColumnRenamed("id", "__sid").withColumnRenamed("ph", "__sph")
+    val matched = spark.read.parquet(s"$catalogPath/phash")
+      .join(broadcast(sig), Seq("band", "bh"))
+      .where(bit_count(col("ph").bitwiseXOR(col("__sph"))) <= maxHamming)
+      .select("__sid").distinct()
+    shard.join(broadcast(matched.withColumnRenamed("__sid", "__matched_id")),
+      col(idCol) === col("__matched_id"), "left_anti")
+  }
 }

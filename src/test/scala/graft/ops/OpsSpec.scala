@@ -615,6 +615,43 @@ class OpsSpec extends AnyFunSuite {
     assert(plan.contains("BroadcastHashJoin"), "shard signatures must broadcast")
   }
 
+  test("perceptual catalog: hamming-banded dedup, append grows it, catalog never shuffles") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_pcat").toString + "/catalog"
+    // synthetic 64-bit hashes (the API is modality-agnostic: any phash column)
+    val corpus = spark.range(100).select($"id", xxhash64($"id").as("ph"))
+    Dedup.writePerceptualCatalog(corpus, "id", "ph", dir)
+    // shard: re-crawls (hamming 0), near-dups (3 flips in ONE band — banding
+    // keeps 3 intact bands AND verify passes), in-band 4-flip (a band still
+    // intact -> candidate, but hamming 4 > 3 -> SURVIVES via verify), and
+    // spread 4-flip (one flip per band -> no intact band -> survives)
+    val flip3 = (h: org.apache.spark.sql.Column) =>
+      h.bitwiseXOR(lit(1L)).bitwiseXOR(lit(2L)).bitwiseXOR(lit(4L))
+    val flip4inband = (h: org.apache.spark.sql.Column) =>
+      h.bitwiseXOR(lit(0x000FL))
+    val flip4spread = (h: org.apache.spark.sql.Column) =>
+      h.bitwiseXOR(lit(1L)).bitwiseXOR(lit(1L << 16)).bitwiseXOR(lit(1L << 32)).bitwiseXOR(lit(1L << 48))
+    val shard =
+      spark.range(10).select(($"id" + 1000L).as("id"), xxhash64($"id").as("ph"))
+        .unionByName(spark.range(10).select(($"id" + 1100L).as("id"), flip3(xxhash64($"id")).as("ph")))
+        .unionByName(spark.range(10).select(($"id" + 1200L).as("id"), flip4inband(xxhash64($"id")).as("ph")))
+        .unionByName(spark.range(10).select(($"id" + 1300L).as("id"), flip4spread(xxhash64($"id")).as("ph")))
+        .unionByName(spark.range(10).select(($"id" + 1400L).as("id"), xxhash64($"id" + 77000L).as("ph")))
+    def ids(df: org.apache.spark.sql.DataFrame) = df.select("id").as[Long].collect().toSet
+    val survivors = Dedup.dedupAgainstPerceptual(shard, "id", "ph", dir)
+    assert(ids(survivors) ==
+      ((1200L until 1210L) ++ (1300L until 1310L) ++ (1400L until 1410L)).toSet)
+    // incremental flow: accepted survivors append; a re-crawl now matches
+    Dedup.appendToPerceptualCatalog(survivors, "id", "ph", dir)
+    assert(Dedup.dedupAgainstPerceptual(shard, "id", "ph", dir).isEmpty)
+    // plan: catalog (band, bh, ph) rows stream through a BHJ, never shuffle
+    val plan = Dedup.dedupAgainstPerceptual(shard, "id", "ph", dir)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("SortMergeJoin"), s"catalog side must not sort-merge:\n${plan.take(3000)}")
+    assert(!plan.contains("hashpartitioning(band#") && !plan.contains("hashpartitioning(bh#"),
+      s"signature keys must not shuffle:\n${plan.take(3000)}")
+    assert(plan.contains("BroadcastHashJoin"), "shard signatures must broadcast")
+  }
+
   test("int8 embedding quantization: bounded reconstruction, scale-invariant cosine, ANN-grade fidelity") {
     val vecs = embs.limit(200).select($"vec_id", $"embedding")
     // reconstruction error per component <= scale/2 (round-to-nearest)
