@@ -73,6 +73,10 @@ object MicroBench {
       val payload = graft.pipeline.ImageGen.encode(7L) // 15x14 image
       time("image_crop8x8", 200000)(id =>
         graft.ops.MmRuntime.imageCrop(payload, 2, 2, 8, 8).length.toLong + id)
+      time("image_ahash", 200000)(id =>
+        graft.ops.MmRuntime.imageAhash(payload) + id)
+      time("image_histogram8", 200000)(id =>
+        graft.ops.MmRuntime.imageHistogram(payload, 8).getLong(0) + id)
     }
     locally {
       val dim = 64; val m = 8; val dsub = 8
