@@ -494,32 +494,35 @@ object Dedup {
     */
   def compactCatalog(spark: org.apache.spark.sql.SparkSession, path: String,
                      filesPerTable: Int = 4): Unit = {
-    import java.nio.file.{Files, Paths, StandardCopyOption}
     require(filesPerTable > 0, s"filesPerTable must be positive, got $filesPerTable")
-    def rm(p: java.io.File): Unit = if (p.exists()) {
-      if (p.isDirectory) p.listFiles().foreach(rm)
-      p.delete()
-    }
-    def swap(sub: String)(write: String => Unit): Unit = {
-      val cur = Paths.get(s"$path/$sub")
-      val tmp = Paths.get(s"$path/.compact_$sub")
-      val bak = Paths.get(s"$path/.old_$sub")
-      rm(tmp.toFile); rm(bak.toFile)
-      write(tmp.toString)
-      Files.move(cur, bak, StandardCopyOption.ATOMIC_MOVE)
-      Files.move(tmp, cur, StandardCopyOption.ATOMIC_MOVE)
-      rm(bak.toFile)
-    }
-    swap("exact") { out =>
+    swapSubdir(path, "exact") { out =>
       spark.read.parquet(s"$path/exact").distinct()
         .repartitionByRange(filesPerTable, col("h"))
         .write.parquet(out)
     }
-    swap("minhash") { out =>
+    swapSubdir(path, "minhash") { out =>
       spark.read.parquet(s"$path/minhash").distinct()
         .repartitionByRange(filesPerTable, col("band"), col("bh"))
         .write.parquet(out)
     }
+  }
+
+  /** [[compactCatalog]]'s atomic tmp-dir + two-rename swap of one catalog
+    * subdirectory (a concurrent reader sees old or new, never half). */
+  private def swapSubdir(path: String, sub: String)(write: String => Unit): Unit = {
+    import java.nio.file.{Files, Paths, StandardCopyOption}
+    def rm(p: java.io.File): Unit = if (p.exists()) {
+      if (p.isDirectory) p.listFiles().foreach(rm)
+      p.delete()
+    }
+    val cur = Paths.get(s"$path/$sub")
+    val tmp = Paths.get(s"$path/.compact_$sub")
+    val bak = Paths.get(s"$path/.old_$sub")
+    rm(tmp.toFile); rm(bak.toFile)
+    write(tmp.toString)
+    Files.move(cur, bak, StandardCopyOption.ATOMIC_MOVE)
+    Files.move(tmp, cur, StandardCopyOption.ATOMIC_MOVE)
+    rm(bak.toFile)
   }
 
   private def catalogParams(spark: org.apache.spark.sql.SparkSession, path: String): (Int, Int, Int) = {
@@ -749,6 +752,64 @@ object Dedup {
                                 path: String): Unit = {
     val bands = df.sparkSession.read.parquet(s"$path/params").head.getAs[Int]("bands")
     phashBands(df, idCol, hashCol, bands).write.mode("append").parquet(s"$path/phash")
+  }
+
+  /** Streaming PERCEPTUAL dedup — [[nearDupStreaming]]'s image twin over a
+    * 64-bit perceptual-hash column: each image claims its `bands` hash
+    * slices (first arrival wins a (band, bh) bucket — dropDuplicates
+    * state) and survives iff it won ALL of them, i.e. a row drops when ANY
+    * band collides with an earlier image (a byte-identical re-crawl
+    * collides on all of them; a near-dup within hamming < bands collides
+    * on at least one). Decisions are BAND-level with no hamming verify
+    * (the winner's hash isn't visible to later rows), so false drops
+    * follow the per-band collision rate: a band is 64/bands bits and a
+    * stream with n distinct images expects ~bands·n²/2^(64/bands+1)
+    * spurious collisions — fine for daily shards at bands=4 (16-bit
+    * slices: keep shards ≪ 65k distinct images), use bands=2 (32-bit
+    * slices, recall 1.0 at hamming ≤ 1) or bands=1 (exact-hash dedup) for
+    * large streams; for full hamming-verified decisions run the batch
+    * [[dedupAgainstPerceptual]] against the catalog instead. The
+    * co-arrival caveat of [[nearDupStreaming]] applies verbatim. With
+    * `eventTime` the bucket state is watermark-GC'd
+    * (dropDuplicatesWithinWatermark). Emit in update mode. */
+  def perceptualStreaming(df: DataFrame, idCol: String, hashCol: String,
+                          bands: Int = 4,
+                          eventTime: Option[(String, String)] = None): DataFrame = {
+    require(bands >= 1 && 64 % bands == 0, s"bands must divide 64, got $bands")
+    val width = 64 / bands
+    val mask  = if (bands == 1) -1L else (1L << width) - 1
+    val banded = df
+      .withColumn("__ph", col(hashCol).cast("long"))
+      .withColumn("__band", explode(sequence(lit(0), lit(bands - 1))))
+      .withColumn("__bh", expr(s"shiftrightunsigned(__ph, __band * $width) & ${mask}L"))
+      .drop("__ph")
+    val winners = eventTime match {
+      case Some((c, delay)) =>
+        banded.withWatermark(c, delay).dropDuplicatesWithinWatermark("__band", "__bh")
+      case None => banded.dropDuplicates("__band", "__bh")
+    }
+    winners.groupBy(col(idCol), col(hashCol))
+      .agg(count(lit(1)).as("__owned"))
+      .where(col("__owned") === bands)
+      .select(col(idCol), col(hashCol))
+  }
+
+  /** Perceptual-catalog MAINTENANCE — [[compactCatalog]]'s twin for the
+    * `phash` table: repeated [[appendToPerceptualCatalog]] calls accumulate
+    * small parquet files and duplicate (id, band, bh, ph) rows (a re-crawled
+    * image appended twice matches itself forever). Rewrites the table with
+    * exact-duplicate rows dropped and file count bounded by a range
+    * repartition on the probe keys (band, bh) — which also gives parquet
+    * min/max stats a sorted layout to prune against — atomically via the
+    * same tmp-dir + two-rename swap. */
+  def compactPerceptualCatalog(spark: org.apache.spark.sql.SparkSession,
+                               path: String, filesPerTable: Int = 4): Unit = {
+    require(filesPerTable > 0, s"filesPerTable must be positive, got $filesPerTable")
+    swapSubdir(path, "phash") { out =>
+      spark.read.parquet(s"$path/phash").distinct()
+        .repartitionByRange(filesPerTable, col("band"), col("bh"))
+        .write.parquet(out)
+    }
   }
 
   /** Incremental PERCEPTUAL dedup of a new image shard against a persisted

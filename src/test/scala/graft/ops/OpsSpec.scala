@@ -643,6 +643,16 @@ class OpsSpec extends AnyFunSuite {
     // incremental flow: accepted survivors append; a re-crawl now matches
     Dedup.appendToPerceptualCatalog(survivors, "id", "ph", dir)
     assert(Dedup.dedupAgainstPerceptual(shard, "id", "ph", dir).isEmpty)
+    // maintenance: a duplicate append self-dedups under compaction, file
+    // count bounded, dedup results identical
+    Dedup.appendToPerceptualCatalog(survivors, "id", "ph", dir)
+    Dedup.compactPerceptualCatalog(spark, dir, filesPerTable = 2)
+    assert(Dedup.dedupAgainstPerceptual(shard, "id", "ph", dir).isEmpty)
+    val rows = spark.read.parquet(s"$dir/phash")
+    assert(rows.count() == rows.distinct().count(), "compaction must drop duplicate signature rows")
+    val nFiles = new java.io.File(s"$dir/phash").listFiles()
+      .count(_.getName.endsWith(".parquet"))
+    assert(nFiles <= 2, s"expected <=2 parquet files after compaction, got $nFiles")
     // plan: catalog (band, bh, ph) rows stream through a BHJ, never shuffle
     val plan = Dedup.dedupAgainstPerceptual(shard, "id", "ph", dir)
       .queryExecution.executedPlan.toString

@@ -221,6 +221,42 @@ class SessionIvfSpec extends AnyFunSuite {
     assert(batchAll == (0L until 30L).toSet)
   }
 
+  test("streaming perceptual dedup: cross-batch first arrival, band semantics") {
+    val b1 = (0L until 30L).map(i => (i, graft.ops.TextKernels.mix64(i)))
+      .toDF("image_id", "ahash")
+    // batch 2: exact re-crawls (same hash), near-dups (3 flips in one band
+    // -> lose the 3 intact bands), fresh hashes
+    val b2 = ((0L until 10L).map(i => (1000L + i, graft.ops.TextKernels.mix64(i))) ++
+      (0L until 10L).map(i => (1100L + i, graft.ops.TextKernels.mix64(10 + i) ^ 7L)) ++
+      (0L until 10L).map(i => (1200L + i, graft.ops.TextKernels.mix64(90000L + i))))
+      .toDF("image_id", "ahash")
+    val dir = java.nio.file.Files.createTempDirectory("pdup_src").toString
+    b1.coalesce(1).write.mode("overwrite").parquet(dir + "/in")
+    val stream = spark.readStream.schema(b1.schema).parquet(dir + "/in")
+    val q = Dedup.perceptualStreaming(stream, "image_id", "ahash")
+      .writeStream.format("memory").queryName("pdup_stream")
+      .outputMode("update").start()
+    q.processAllAvailable()
+    b2.coalesce(1).write.mode("append").parquet(dir + "/in")
+    q.processAllAvailable()
+    q.stop()
+    val survivors = spark.sql("select image_id from pdup_stream")
+      .as[Long].collect().toSet
+    assert(survivors == ((0L until 30L) ++ (1200L until 1210L)).toSet,
+      s"unexpected survivors: ${survivors.toSeq.sorted}")
+    // batch-frame twin on a dup-free frame: everything survives
+    assert(Dedup.perceptualStreaming(b1, "image_id", "ahash")
+      .select("image_id").as[Long].collect().toSet == (0L until 30L).toSet)
+    // bands=1 degenerates to exact-hash dedup: near-dups and fresh hashes
+    // survive; each co-arriving identical pair keeps exactly one member
+    val exact = Dedup.perceptualStreaming(b1.unionByName(b2), "image_id", "ahash", bands = 1)
+      .select("image_id").as[Long].collect().toSet
+    assert((1100L until 1110L).forall(exact.contains))
+    assert((1200L until 1210L).forall(exact.contains))
+    assert((10L until 30L).forall(exact.contains))
+    assert((0L until 10L).forall(i => exact.contains(i) ^ exact.contains(1000L + i)))
+  }
+
   test("mapGroupsWithState user stats: stream equals the groupBy oracle") {
     val raw = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
       .select($"user_id", ($"ts".cast("timestamp").cast("double") * 1000).cast("long").as("ts_ms"),
