@@ -397,6 +397,27 @@ object SparkEntry {
           posexplode(Multimodal.image_histogram(col("bytes"), lit(8))))
         .select(col("image_id"), col("pos").as("bin"), col("col").as("n_px"))
     }),
+    "q81_erase_box" -> ((s, dir) => {
+      // the set-DIFFERENCE construction op under the gate: region boxes
+      // MINUS nation-keyed probe windows. The slab decomposition gives a
+      // closed-form part count — 1 when disjoint (identity), else
+      // (pw>w)+(pe<e)+(ps>s)+(pn<n) — and area = subject − intersection,
+      // emitted as exact integer micro-square-degrees (q62's scaled-integer
+      // grid trick; the probe box is smaller than every region box in both
+      // dimensions, so full coverage / NULL never arises)
+      registerAll(s)
+      val probes = s.read.parquet(t(dir, "nation"))
+        .withColumn("pw", (col("n_nationkey") * 29 % 300 - 160).cast("double"))
+        .withColumn("ps", (col("n_nationkey") * 17 % 120 - 65).cast("double"))
+        .select(col("n_nationkey"), col("pw"), col("ps"),
+          (col("pw") + 33.0).as("pe"), (col("ps") + 27.0).as("pn"))
+      regionPolys(s, dir).crossJoin(probes)
+        .withColumn("g", st_erase_box(col("geom"), col("pw"), col("ps"), col("pe"), col("pn")))
+        .where(col("g").isNotNull)
+        .select(col("r_regionkey"), col("n_nationkey"),
+          (size(col("g").getField("part_offsets")) - 1).as("n_parts"),
+          round(st_area(col("g")) * 1e6).cast("long").as("area_u6"))
+    }),
     "q80_perceptual_catalog" -> ((s, dir) => {
       // incremental PERCEPTUAL dedup: the accepted corpus (ids 0..1999)
       // catalogs its pixel-COMPUTED ahash banded 4×16; a new shard mixing a
@@ -1591,6 +1612,32 @@ object SparkEntry {
       (grb1AhashSql(2000) +
         """
           |SELECT 'img_' || id AS image_id, ahash FROM hashes""".stripMargin),
+    "q81_erase_box" ->
+      // q62's explicit-double re-derivation, negated: part count from the
+      // four strict slab conditions, area = subject − intersection, both on
+      // the micro-degree integer grid
+      s"""WITH box AS (SELECT r_regionkey,
+         |  CAST(-170.005 AS DOUBLE) + r_regionkey * CAST(66.0 AS DOUBLE) AS w,
+         |  CAST(-170.005 AS DOUBLE) + r_regionkey * CAST(66.0 AS DOUBLE) + CAST(40.0 AS DOUBLE) AS e,
+         |  CAST(-60.005 AS DOUBLE) + r_regionkey * CAST(25.0 AS DOUBLE) AS s,
+         |  CAST(-60.005 AS DOUBLE) + r_regionkey * CAST(25.0 AS DOUBLE) + CAST(35.0 AS DOUBLE) AS n
+         |  FROM region),
+         |p AS (SELECT n_nationkey,
+         |  CAST(n_nationkey * 29 % 300 - 160 AS DOUBLE) AS pw,
+         |  CAST(n_nationkey * 17 % 120 - 65 AS DOUBLE) AS ps FROM nation),
+         |j AS (SELECT b.r_regionkey, p.n_nationkey, b.w, b.s, b.e, b.n, p.pw, p.ps,
+         |        p.pw + CAST(33.0 AS DOUBLE) AS pe, p.ps + CAST(27.0 AS DOUBLE) AS pn
+         |      FROM box b, p)
+         |SELECT r_regionkey, n_nationkey,
+         |  CAST(CASE WHEN pe <= w OR pw >= e OR pn <= s OR ps >= n THEN 1
+         |       ELSE (CASE WHEN pw > w THEN 1 ELSE 0 END) + (CASE WHEN pe < e THEN 1 ELSE 0 END) +
+         |            (CASE WHEN ps > s THEN 1 ELSE 0 END) + (CASE WHEN pn < n THEN 1 ELSE 0 END)
+         |       END AS INT) AS n_parts,
+         |  CAST(round(((e - w) * (n - s) -
+         |    CASE WHEN pe <= w OR pw >= e OR pn <= s OR ps >= n THEN CAST(0 AS DOUBLE)
+         |         ELSE (least(e, pe) - greatest(w, pw)) * (least(n, pn) - greatest(s, ps)) END
+         |    ) * 1000000.0) AS BIGINT) AS area_u6
+         |FROM j""".stripMargin,
     "q80_perceptual_catalog" ->
       // the TRUE banded-dedup definition replayed end-to-end: DuckDB
       // re-derives every ahash from pixels, bands both sides 4×16 bits

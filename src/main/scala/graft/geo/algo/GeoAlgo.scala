@@ -1099,6 +1099,131 @@ object GeoAlgo {
     assembleClipped(gtype, lineal, parts.result())
   }
 
+  /** Subject MINUS box — the set-difference sibling of [[clipBox]] (the
+    * missing construction half of redaction/carve-out flows: cut a
+    * restricted zone out of a coverage polygon, erase a tile's already-
+    * written window). The complement is decomposed into at most FOUR slabs
+    * bounded by the subject's own raw bbox — west and east of the box over
+    * the full latitude span, then the middle column's south and north
+    * slabs — whose interiors partition subject∖box exactly (pieces share
+    * boundary LINES only, zero area), and each slab is realized with
+    * [[clipBox]], so hole handling, type promotion, and the per-part ±360°
+    * translate machinery are inherited. Pieces merge into one geometry
+    * ([[mergeClipped]]); a box missing the bbox returns the subject
+    * unchanged; a box covering it returns null (Optional semantics, like
+    * clipBox's empty output). Boundary semantics: clips are
+    * edge-INCLUSIVE, so the erase keeps the box's boundary lines (areal
+    * measure zero; a lineal run lying exactly ON an interior slab edge can
+    * duplicate across pieces). Points erase by the negated [[clipBox]]
+    * point test directly (closed-box complement — boundary points drop).
+    * The box must not cross the antimeridian (clipBox's contract);
+    * subjects spanning more than 360° minus a slab's width of unwrapped
+    * longitude inherit clipBox's wide-window duplicate caveat. */
+  def eraseBox(gtype: Int, coords0: Array[Double], posOff: Array[Int],
+               ringOff: Array[Int], partOff: Array[Int],
+               w: Double, s: Double, e: Double, n: Double): Clipped = {
+    if (e < w || n < s) // empty box erases nothing
+      return Clipped(gtype, coords0, posOff, ringOff, partOff)
+    if (gtype == 1 || gtype == 2) { // Point / MultiPoint: negated box test
+      val kept = Seq.newBuilder[Int]
+      var i = 0
+      while (i < posOff.length - 1) {
+        val x = coords0(posOff(i)); val y = coords0(posOff(i) + 1)
+        val inBox = y >= s && y <= n &&
+          ((x >= w && x <= e) || (x + 360 >= w && x + 360 <= e) ||
+           (x - 360 >= w && x - 360 <= e))
+        if (!inBox) kept += i
+        i += 1
+      }
+      return keptPoints(gtype, coords0, posOff, kept.result())
+    }
+    if (gtype < 3 || gtype > 6) return null
+    // bbox in the subject's UNWRAPPED frame (a seam-crossing part spans
+    // past ±180 in its own frame, where the raw bbox would lie about it)
+    val ux = unwrapParts(coords0, posOff, ringOff, partOff)
+    var minx = Double.PositiveInfinity; var maxx = Double.NegativeInfinity
+    var miny = Double.PositiveInfinity; var maxy = Double.NegativeInfinity
+    var i = 0
+    while (i < posOff.length - 1) {
+      val x = ux(posOff(i)); val y = coords0(posOff(i) + 1)
+      if (x < minx) minx = x; if (x > maxx) maxx = x
+      if (y < miny) miny = y; if (y > maxy) maxy = y
+      i += 1
+    }
+    // pick the box longitude image overlapping the subject most (a raw
+    // [-180,180] box can sit at ±360 relative to an unwrapped east part);
+    // a subject whose parts straddle the seam so that TWO box images hit
+    // different parts erases only the dominant image — compose two erase
+    // calls for the degenerate both-images case
+    var bestShift = 0.0; var bestOv = Double.NegativeInfinity
+    var k = -1
+    while (k <= 1) {
+      val ov = math.min(e + 360.0 * k, maxx) - math.max(w + 360.0 * k, minx)
+      if (ov > bestOv) { bestOv = ov; bestShift = 360.0 * k }
+      k += 1
+    }
+    val bw = w + bestShift; val be = e + bestShift
+    if (bestOv <= 0 || s > maxy || n < miny) // box misses the subject
+      return Clipped(gtype, coords0, posOff, ringOff, partOff)
+    val lineal = gtype == 3 || gtype == 4
+    val pieces = Seq.newBuilder[Clipped]
+    // slab bounds extend one degree past the bbox/box union so degenerate
+    // bbox spans (a horizontal line, a vertical path) still get full
+    // complement slabs; the clip bounds the result to the subject anyway
+    val ow = math.min(minx, bw) - 1.0; val oe = math.max(maxx, be) + 1.0
+    val os = math.min(miny, s) - 1.0; val on = math.max(maxy, n) + 1.0
+    def slab(cw: Double, cs: Double, ce: Double, cn: Double): Unit = {
+      val c = clipBox(gtype, coords0, posOff, ringOff, partOff, cw, cs, ce, cn)
+      if (c != null) pieces += c
+    }
+    if (bw > minx) slab(ow, os, bw, on) // west of the box
+    if (be < maxx) slab(be, os, oe, on) // east of the box
+    if (s > miny)  slab(bw, os, be, s)  // middle column, south of the box
+    if (n < maxy)  slab(bw, n, be, on)  // middle column, north of the box
+    mergeClipped(gtype, lineal, pieces.result())
+  }
+
+  /** Concatenate several [[Clipped]] pieces of one subject into a single
+    * packed geometry: areal pieces contribute their parts; lineal pieces
+    * collapse into ONE part whose rings are all the paths (the
+    * GeoStruct.packGeometry lineal convention). Type promotion matches
+    * [[assembleClipped]]. */
+  private def mergeClipped(origType: Int, lineal: Boolean, pieces: Seq[Clipped]): Clipped = {
+    if (pieces.isEmpty) return null
+    val nPos   = pieces.iterator.map(_.posOff.length - 1).sum
+    val nRings = pieces.iterator.map(_.ringOff.length - 1).sum
+    val nParts = if (lineal) 1 else pieces.iterator.map(_.partOff.length - 1).sum
+    val coords = Array.newBuilder[Double]
+    val pos    = new Array[Int](nPos + 1)
+    val ring   = new Array[Int](nRings + 1)
+    val partO  = new Array[Int](nParts + 1)
+    var ci = 0; var pi = 0; var ri = 0; var gi = 0
+    pieces.foreach { c =>
+      var part = 0
+      while (part < c.partOff.length - 1) {
+        if (!lineal) { partO(gi) = ri; gi += 1 }
+        var r = c.partOff(part)
+        while (r < c.partOff(part + 1)) {
+          ring(ri) = pi; ri += 1
+          var p = c.ringOff(r)
+          while (p < c.ringOff(r + 1)) { pos(pi) = ci + c.posOff(p); pi += 1; p += 1 }
+          r += 1
+        }
+        part += 1
+      }
+      coords ++= c.coords
+      ci += c.coords.length
+    }
+    if (lineal) partO(0) = 0
+    partO(nParts) = ri
+    ring(nRings) = pi
+    pos(nPos) = ci
+    val outType =
+      if (lineal) { if (origType == 3 && nRings == 1) 3 else 4 }
+      else { if (origType == 5 && nParts == 1) 5 else 6 }
+    Clipped(outType, coords.result(), pos, ring, partO)
+  }
+
   /** Pack kept point indices into a [[Clipped]] (Point/MultiPoint clips). */
   private def keptPoints(gtype: Int, coords0: Array[Double], posOff: Array[Int],
                          ks: Seq[Int]): Clipped = {

@@ -783,6 +783,70 @@ case class StClipBox(geom: Expression, w: Expression, s: Expression,
     copy(c(0), c(1), c(2), c(3), c(4))
 }
 
+/** `st_erase_box(geom, w, s, e, n)` — the set-DIFFERENCE sibling of
+  * [[StClipBox]]: subject minus the box (cut a restricted zone out of a
+  * coverage polygon, carve a tile's already-written window out of the
+  * remainder). Realized as at most four [[GeoAlgo.clipBox]] slabs against
+  * the box's complement bounded by the subject's own bbox, merged into one
+  * geometry ([[GeoAlgo.eraseBox]]) — so clip(g,box) and erase(g,box)
+  * exactly tile g: st_area(clip) + st_area(erase) = st_area(g). NULL when
+  * the box covers the subject; the subject unchanged when the box misses
+  * it. Boundary semantics: areal/lineal erases keep the box's boundary
+  * lines (edge-inclusive clips, measure zero); POINTS on the closed box
+  * drop (exact complement of the st_clip_box point test). Output type can
+  * promote (a carved Polygon → MultiPolygon). Collections erase each child
+  * and drop the emptied ones. Box must not cross the antimeridian. */
+case class StEraseBox(geom: Expression, w: Expression, s: Expression,
+                      e: Expression, n: Expression) extends GeoExpression {
+  override def children: Seq[Expression] = Seq(geom, w, s, e, n)
+  override def dataType: DataType        = GeoStruct.geometryType
+  private def num(v: Any): Double = v match {
+    case d: Double => d
+    case f: Float  => f.toDouble
+    case i: Int    => i.toDouble
+    case l: Long   => l.toDouble
+    case x: java.math.BigDecimal => x.doubleValue()
+    case x: org.apache.spark.sql.types.Decimal => x.toDouble
+  }
+  private def erased(r: InternalRow, w: Double, s: Double, e: Double, n: Double): InternalRow =
+    if (GeomAccess.gtype(r) == GType.Collection) {
+      val kids = GeomAccess.childStrings(r).flatMap { str =>
+        val g = GeoJsonCodec.geometryOfJson(JValue.parseUnsafe(str))
+          .fold(err => throw new IllegalArgumentException(err), identity)
+        Option(erased(GeoStruct.packGeometry(g), w, s, e, n)).map(child =>
+          UTF8String.fromString(
+            GeoJsonCodec.geometryToJson(GeoStruct.unpackGeometry(child)).render))
+      }
+      if (kids.isEmpty) null
+      else {
+        val out = new GenericInternalRow(7)
+        out.update(0, r.getByte(0))
+        out.update(5, new GenericArrayData(kids.toArray[Any]))
+        out.update(6, r.get(6, GeoStruct.geometryType("fm").dataType))
+        out
+      }
+    } else {
+      val c = GeoAlgo.eraseBox(GeomAccess.gtype(r), GeomAccess.coords(r),
+        GeomAccess.posOff(r), GeomAccess.ringOff(r), GeomAccess.partOff(r),
+        w, s, e, n)
+      if (c == null) null
+      else {
+        val out = new GenericInternalRow(7)
+        out.update(0, c.gtype.toByte)
+        out.update(1, new GenericArrayData(c.coords))
+        out.update(2, new GenericArrayData(c.posOff))
+        out.update(3, new GenericArrayData(c.ringOff))
+        out.update(4, new GenericArrayData(c.partOff))
+        out.update(6, r.get(6, GeoStruct.geometryType("fm").dataType))
+        out
+      }
+    }
+  override protected def evalNotNull(v: Array[Any]): Any =
+    erased(v(0).asInstanceOf[InternalRow], num(v(1)), num(v(2)), num(v(3)), num(v(4)))
+  override protected def withNewChildrenInternal(c: IndexedSeq[Expression]) =
+    copy(c(0), c(1), c(2), c(3), c(4))
+}
+
 /** `st_clip_convex(geom, clip)` — clip a geometry against an arbitrary
   * CONVEX clip polygon (the general-window sibling of [[StClipBox]]):
   * Sutherland–Hodgman per areal ring against the clip's edges, Cyrus–Beck

@@ -35,6 +35,7 @@ object GeoFunctions {
     "st_area_m2"        -> (es => StAreaM2(es.head)),
     "st_simplify"       -> (es => StSimplify(es(0), es(1))),
     "st_clip_box"       -> (es => StClipBox(es(0), es(1), es(2), es(3), es(4))),
+    "st_erase_box"      -> (es => StEraseBox(es(0), es(1), es(2), es(3), es(4))),
     "st_clip_convex"    -> (es => StClipConvex(es(0), es(1))),
     "st_convex_hull"    -> (es => StConvexHull(es.head)),
     "st_parts"          -> (es => StParts(es.head)),
@@ -101,6 +102,8 @@ object GeoFunctions {
     call_function("st_simplify", geom, tol)
   def st_clip_box(geom: Column, w: Column, s: Column, e: Column, n: Column): Column =
     call_function("st_clip_box", geom, w, s, e, n)
+  def st_erase_box(geom: Column, w: Column, s: Column, e: Column, n: Column): Column =
+    call_function("st_erase_box", geom, w, s, e, n)
   def st_clip_convex(geom: Column, clip: Column): Column =
     call_function("st_clip_convex", geom, clip)
   def st_convex_hull(geom: Column): Column   = call_function("st_convex_hull", geom)

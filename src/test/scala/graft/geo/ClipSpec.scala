@@ -435,6 +435,108 @@ class ClipSpec extends AnyFunSuite {
     assert(a2 == 16.0, a2.toString)
   }
 
+  test("erase: subject minus box — closed forms, identity, coverage null") {
+    val subj = polyJson(boxPts(-10, -5, 30, 25)) // 40 x 30 = 1200
+    val cases = Seq(
+      (subj, 0.0, 0.0, 10.0, 10.0, true, 4, 1100.0),   // interior: 4 slabs
+      (subj, 40.0, 40.0, 60.0, 70.0, true, 1, 1200.0), // disjoint: identity
+      (subj, -20.0, -10.0, 50.0, 40.0, false, 0, 0.0), // covering: null
+      (subj, -20.0, -10.0, 0.0, 40.0, true, 1, 900.0), // west strip cut
+      (subj, -10.0, -5.0, 0.0, 5.0, true, 2, 1100.0))  // SW corner: 2 slabs
+    val rows = cases.map { case (j, w, s, e, n, _, _, _) => (j, w, s, e, n) }
+      .toDF("json", "w", "s", "e", "n")
+      .select(st_erase_box(from_geojson_geom($"json"), $"w", $"s", $"e", $"n").as("g"))
+      .select($"g".isNotNull.as("hit"),
+        (size($"g".getField("part_offsets")) - 1).as("np"), st_area($"g").as("area"))
+      .collect()
+    cases.zip(rows).foreach { case ((_, w, s, e, n, hit, np, area), r) =>
+      assert(r.getBoolean(0) == hit, s"box [$w,$s,$e,$n]")
+      if (hit) {
+        assert(r.getInt(1) == np, s"parts for box [$w,$s,$e,$n]: ${r.getInt(1)} != $np")
+        assert(r.getDouble(2) == area, s"area for box [$w,$s,$e,$n]")
+      }
+    }
+    // the disjoint erase is a byte-identical pass-through
+    val idJson = Seq((subj, 40.0, 40.0, 60.0, 70.0)).toDF("json", "w", "s", "e", "n")
+      .select(to_geojson_geom(st_erase_box(from_geojson_geom($"json"), $"w", $"s", $"e", $"n")).as("a"),
+        to_geojson_geom(from_geojson_geom($"json")).as("b")).head()
+    assert(idJson.getString(0) == idJson.getString(1))
+  }
+
+  test("erase: differential vs JTS difference + clip/erase additivity on random stars") {
+    import org.locationtech.jts.geom.{Coordinate, GeometryFactory, Envelope}
+    val gf  = new GeometryFactory()
+    val rnd = new scala.util.Random(20260818L)
+    def star(cx: Double, cy: Double, rMin: Double, rMax: Double, k: Int): Seq[(Double, Double)] =
+      (0 until k).map { i =>
+        val a = 2 * math.Pi * i / k
+        val r = rMin + rnd.nextDouble() * (rMax - rMin)
+        (cx + r * math.cos(a), cy + r * math.sin(a))
+      }
+    val cases = (0 until 300).map { i =>
+      val cx = rnd.nextDouble() * 100 - 50; val cy = rnd.nextDouble() * 60 - 30
+      val shell = star(cx, cy, 4.0, 12.0, 5 + rnd.nextInt(12))
+      val holes = if (i % 3 == 0) Seq(star(cx, cy, 0.5, 1.8, 4 + rnd.nextInt(5)).reverse) else Nil
+      val bw = cx - 14 + rnd.nextDouble() * 20; val bs = cy - 10 + rnd.nextDouble() * 14
+      (polyJson(shell, holes), shell, holes, bw, bs, bw + 3 + rnd.nextDouble() * 16,
+        bs + 3 + rnd.nextDouble() * 12)
+    }
+    val got = cases.map { case (j, _, _, w, s, e, n) => (j, w, s, e, n) }
+      .toDF("json", "w", "s", "e", "n")
+      .select(
+        coalesce(st_area(st_erase_box(from_geojson_geom($"json"), $"w", $"s", $"e", $"n")), lit(0.0)).as("er"),
+        coalesce(st_area(st_clip_box(from_geojson_geom($"json"), $"w", $"s", $"e", $"n")), lit(0.0)).as("cl"),
+        st_area(from_geojson_geom($"json")).as("full"))
+      .as[(Double, Double, Double)].collect()
+    cases.zip(got).zipWithIndex.foreach { case (((_, shell, holes, w, s, e, n), (er, cl, full)), i) =>
+      def ring(pts: Seq[(Double, Double)]) =
+        gf.createLinearRing((pts :+ pts.head).map { case (x, y) => new Coordinate(x, y) }.toArray)
+      val subject = gf.createPolygon(ring(shell), holes.map(ring).toArray)
+      val want = subject.difference(gf.toGeometry(new Envelope(w, e, s, n))).getArea
+      assert(math.abs(er - want) <= 1e-9 * math.max(1.0, want),
+        s"case $i: erase area $er vs JTS $want (box [$w,$s,$e,$n])")
+      // clip and erase exactly tile the subject
+      assert(math.abs(cl + er - full) <= 1e-9 * math.max(1.0, full),
+        s"case $i: clip $cl + erase $er != subject $full")
+    }
+  }
+
+  test("erase: lineal cuts, point complement, antimeridian additivity") {
+    // horizontal line cut by a middle box: two runs, length = total - inside
+    val line = """{"type":"LineString","coordinates":[[0.0,5.0],[20.0,5.0]]}"""
+    val lr = Seq((line, 8.0, 0.0, 12.0, 10.0)).toDF("json", "w", "s", "e", "n")
+      .select(st_erase_box(from_geojson_geom($"json"), $"w", $"s", $"e", $"n").as("g"))
+      .select(st_geometry_type($"g"), to_geojson_geom($"g")).head()
+    assert(lr.getString(0) == "MultiLineString", lr.getString(1))
+    assert(lr.getString(1) ==
+      """{"type":"MultiLineString","coordinates":[[[0,5],[8,5]],[[12,5],[20,5]]]}""",
+      lr.getString(1))
+    // points: inside AND boundary drop (closed-box complement), outside kept
+    val mp = """{"type":"MultiPoint","coordinates":[[1.0,1.0],[5.0,5.0],[10.0,5.0],[15.0,15.0]]}"""
+    val pr = Seq((mp, 5.0, 0.0, 10.0, 10.0)).toDF("json", "w", "s", "e", "n")
+      .select(to_geojson_geom(st_erase_box(from_geojson_geom($"json"), $"w", $"s", $"e", $"n")))
+      .as[String].head()
+    assert(pr == """{"type":"MultiPoint","coordinates":[[1,1],[15,15]]}""", pr)
+    // antimeridian-crossing subject: clip + erase areas tile the subject
+    val cross = """{"type":"Polygon","coordinates":[[[170.0,0.0],[-170.0,0.0],[-170.0,10.0],[170.0,10.0],[170.0,0.0]]]}"""
+    val boxes = Seq((cross, 175.0, 2.0, 180.0, 8.0),   // east-side window
+      (cross, -180.0, 2.0, -172.0, 8.0),               // west-side window
+      (cross, 168.0, -2.0, 172.0, 12.0))               // window over the seam-adjacent edge
+    // the subject's area measured in the SAME split frame the pieces live
+    // in: raw shoelace on a crossing ring is meaningless (340-wide planar
+    // span), the world-clip splits it at ±180 into its true 2x(10x10)
+    val ar = boxes.toDF("json", "w", "s", "e", "n")
+      .select(
+        coalesce(st_area(st_erase_box(from_geojson_geom($"json"), $"w", $"s", $"e", $"n")), lit(0.0)).as("er"),
+        coalesce(st_area(st_clip_box(from_geojson_geom($"json"), $"w", $"s", $"e", $"n")), lit(0.0)).as("cl"),
+        st_area(st_clip_box(from_geojson_geom($"json"), lit(-180.0), lit(-90.0), lit(180.0), lit(90.0))).as("full"))
+      .as[(Double, Double, Double)].collect()
+    ar.zipWithIndex.foreach { case ((er, cl, full), i) =>
+      assert(cl > 0.0, s"case $i expected a real clip")
+      assert(math.abs(cl + er - full) <= 1e-9, s"case $i: $cl + $er != $full")
+    }
+  }
+
   test("clip round-trips through the codec and composes with st_parts") {
     val j = """{"type":"Polygon","coordinates":[[[170.0,0.0],[-170.0,0.0],[-170.0,10.0],[170.0,10.0],[170.0,0.0]]]}"""
     val split = Seq((j, -180.0, -90.0, 180.0, 90.0)).toDF("json", "w", "s", "e", "n")
