@@ -397,6 +397,21 @@ object SparkEntry {
           posexplode(Multimodal.image_histogram(col("bytes"), lit(8))))
         .select(col("image_id"), col("pos").as("bin"), col("col").as("n_px"))
     }),
+    "q82_tile_exposure" -> ((s, dir) => {
+      // corpus curation at the TILE level: the exact per-image luma
+      // histogram (q78) rolled up per map tile (q21) — the per-region
+      // exposure audit for balancing geographic training mixes. Zero bins
+      // ride the explode so every (tile, bin) cell is present; counts stay
+      // exact integers end to end
+      registerAll(s)
+      val imgs = ImageGen.withLngLat(ImageGen.table(s, 2000))
+      SpatialJoins.assignTiles(imgs, "lng", "lat", z = 8)
+        .select(col("tile_x").as("tx"), col("tile_y").as("ty"),
+          posexplode(Multimodal.image_histogram(col("bytes"), lit(8))))
+        .select(col("tx"), col("ty"), col("pos").as("bin"), col("col").as("c"))
+        .groupBy("tx", "ty", "bin")
+        .agg(sum(col("c")).as("n_px"))
+    }),
     "q81_erase_box" -> ((s, dir) => {
       // the set-DIFFERENCE construction op under the gate: region boxes
       // MINUS nation-keyed probe windows. The slab decomposition gives a
@@ -1612,6 +1627,25 @@ object SparkEntry {
       (grb1AhashSql(2000) +
         """
           |SELECT 'img_' || id AS image_id, ahash FROM hashes""".stripMargin),
+    "q82_tile_exposure" ->
+      // pixel replay (q78) x closed-form lng/lat + Mercator tile (q21),
+      // grouped per (tile, bin) with the zero bins kept via the bin grid
+      (grb1LumaSql(2000) +
+        """,
+          |cnt AS (SELECT id, CAST((luma * 8) // 255001 AS INT) AS bin, count(*) AS n
+          |        FROM px GROUP BY 1, 2),
+          |hsh AS (SELECT id, (id * 48271 % 2147483647) AS h FROM range(2000) t(id)),
+          |pts2 AS (SELECT id, (h % 36000)/100.0 - 180.0 AS lng,
+          |               ((h // 36000) % 16800)/100.0 - 84.0 AS lat FROM hsh),
+          |tiles AS (SELECT id,
+          |    CAST(floor((lng + 180.0) / 360.0 * 256) AS BIGINT) AS tx,
+          |    CAST(floor((1.0 - ln(tan(radians(lat)) + 1.0/cos(radians(lat))) / pi()) / 2.0 * 256) AS BIGINT) AS ty
+          |  FROM pts2)
+          |SELECT tl.tx, tl.ty, CAST(b.range AS INT) AS bin,
+          |       CAST(coalesce(sum(c.n), 0) AS BIGINT) AS n_px
+          |FROM tiles tl CROSS JOIN range(8) b
+          |LEFT JOIN cnt c ON c.id = tl.id AND c.bin = b.range
+          |GROUP BY tl.tx, tl.ty, b.range""".stripMargin),
     "q81_erase_box" ->
       // q62's explicit-double re-derivation, negated: part count from the
       // four strict slab conditions, area = subject − intersection, both on
