@@ -121,6 +121,44 @@ object SparkEntry {
        |         CAST(sum(CASE pos % 3 WHEN 0 THEN 299 * v WHEN 1 THEN 587 * v ELSE 114 * v END) AS BIGINT) AS luma
        |  FROM q GROUP BY id, pos // 3)""".stripMargin
 
+  /** VID1 per-(video, frame) xorshift64 raster replay through the byte CTE
+    * `bb(id, fr, pos, v)` (q69's machinery keyed on (id, fr), seed WRAPS
+    * mod 2^64; `vids(id, w, h, nf)` stays visible). Shared by q75/q84. */
+  private def vid1BytesSql(n: Int) =
+    s"""WITH RECURSIVE vids AS (
+       |  SELECT range AS id, CAST(8 + range % 5 AS BIGINT) AS w,
+       |         CAST(6 + range % 4 AS BIGINT) AS h, CAST(4 + range % 3 AS BIGINT) AS nf
+       |  FROM range($n)),
+       |fr AS (SELECT v.id, f.range AS fr, v.w * v.h * 3 AS nb
+       |  FROM vids v, range(6) f WHERE f.range < v.nf),
+       |cfg AS (SELECT id, fr, nb, (nb - 8) // 8 + 1 AS nchunks,
+       |         nb - ((nb - 8) // 8 + 1) * 8 AS nrem,
+       |         CAST((CAST(id * 131 + fr * 2654435761 AS HUGEINT) * 2654435761
+       |               + 1442695040888963407) % CAST('18446744073709551616' AS HUGEINT) AS UBIGINT) AS seed
+       |  FROM fr),
+       |steps AS (
+       |  SELECT id, fr, CAST(0 AS BIGINT) AS k, seed AS x, nchunks, nrem FROM cfg
+       |  UNION ALL
+       |  SELECT id, fr, k + 1,
+       |         CAST(xor(CAST(b AS HUGEINT), (CAST(b AS HUGEINT) * 131072) % CAST('18446744073709551616' AS HUGEINT)) % CAST('18446744073709551616' AS HUGEINT) AS UBIGINT),
+       |         nchunks, nrem
+       |  FROM (
+       |    SELECT id, fr, k, xor(a, a >> 7) AS b, nchunks, nrem
+       |    FROM (
+       |      SELECT id, fr, k, CAST(xor(CAST(x AS HUGEINT), (CAST(x AS HUGEINT) * 8192) % CAST('18446744073709551616' AS HUGEINT)) % CAST('18446744073709551616' AS HUGEINT) AS UBIGINT) AS a,
+       |             nchunks, nrem
+       |      FROM steps WHERE k < nchunks + nrem))),
+       |bytes_ AS (
+       |  SELECT s.id, s.fr, (s.k - 1) * 8 + b.j AS pos,
+       |         CAST((s.x >> CAST(b.j * 8 AS INT)) % 256 AS BIGINT) AS v
+       |  FROM steps s, (SELECT range AS j FROM range(8)) b
+       |  WHERE s.k >= 1 AND s.k <= s.nchunks
+       |  UNION ALL
+       |  SELECT s.id, s.fr, s.nchunks * 8 + (s.k - s.nchunks - 1) AS pos, CAST(s.x % 256 AS BIGINT) AS v
+       |  FROM steps s WHERE s.k > s.nchunks),
+       |bb AS (SELECT b.id, b.fr, b.pos, b.v
+       |  FROM bytes_ b JOIN cfg c USING (id, fr) WHERE b.pos < c.nb)""".stripMargin
+
   /** [[grb1LumaSql]] extended to the per-image 64-bit average hash: CTE
     * `hashes(id, ahash)` — per-block luma sums, HUGEINT cross-multiplication
     * threshold, hash re-assembled as a sum of distinct powers of two (bit 63
@@ -396,6 +434,27 @@ object SparkEntry {
         .select(col("image_id"),
           posexplode(Multimodal.image_histogram(col("bytes"), lit(8))))
         .select(col("image_id"), col("pos").as("bin"), col("col").as("n_px"))
+    }),
+    "q84_video_cuts" -> ((s, dir) => {
+      // shot segmentation plumbing: count frame transitions whose mean |Δ|
+      // per byte strictly exceeds 85/1000 of a luma unit... threshold 85000
+      // milli ≈ the uniform-noise expectation E|X−Y| = 85, so counts split
+      // non-trivially; the comparison is an exact integer cross-product
+      registerAll(s)
+      graft.pipeline.VideoGen.table(s, 1500)
+        .select(col("video_id"),
+          Multimodal.video_cuts(col("bytes"), lit(85000)).as("n_cuts"))
+    }),
+    "q83_audio_quality" -> ((s, dir) => {
+      // audio curation features: strict-rise local-maxima count (peak
+      // density / transient screening) and zero-crossing count (silence /
+      // noisiness) — both exact integers the oracle recomputes from the
+      // synthesis formula with lag/lead windows
+      registerAll(s)
+      graft.pipeline.AudioGen.table(s, 2000)
+        .select(col("audio_id"),
+          Multimodal.audio_peaks(col("bytes")).as("n_peaks"),
+          Multimodal.audio_zero_crossings(col("bytes")).as("n_zc"))
     }),
     "q82_tile_exposure" -> ((s, dir) => {
       // corpus curation at the TILE level: the exact per-image luma
@@ -1627,6 +1686,22 @@ object SparkEntry {
       (grb1AhashSql(2000) +
         """
           |SELECT 'img_' || id AS image_id, ahash FROM hashes""".stripMargin),
+    "q83_audio_quality" ->
+      // q45's sample replay with lag/lead: peaks need both neighbors
+      // (interior only — CASE nulls at the edges drop out of count),
+      // crossings need the previous sample's sign
+      """WITH s AS (
+        |  SELECT a.range AS id, r.range AS i,
+        |         ((a.range * 7919 + r.range * 31) % 256 - 128) AS v
+        |  FROM range(2000) a, range(800) r),
+        |w AS (SELECT id, v,
+        |        lag(v)  OVER (PARTITION BY id ORDER BY i) AS pv,
+        |        lead(v) OVER (PARTITION BY id ORDER BY i) AS nv
+        |      FROM s)
+        |SELECT 'aud_' || id AS audio_id,
+        |  CAST(count(CASE WHEN pv < v AND v >= nv THEN 1 END) AS INT) AS n_peaks,
+        |  CAST(count(CASE WHEN (pv < 0) <> (v < 0) THEN 1 END) AS INT) AS n_zc
+        |FROM w GROUP BY id""".stripMargin,
     "q82_tile_exposure" ->
       // pixel replay (q78) x closed-form lng/lat + Mercator tile (q21),
       // grouped per (tile, bin) with the zero bins kept via the bin grid
@@ -1719,43 +1794,23 @@ object SparkEntry {
       // per-(video, frame) xorshift64 raster replay (q69's machinery with a
       // recursion keyed on (id, fr) and a seed that WRAPS mod 2^64), then
       // consecutive-frame |Δ| summed by joining frame f with f+1 on pos
-      """WITH RECURSIVE vids AS (
-        |  SELECT range AS id, CAST(8 + range % 5 AS BIGINT) AS w,
-        |         CAST(6 + range % 4 AS BIGINT) AS h, CAST(4 + range % 3 AS BIGINT) AS nf
-        |  FROM range(1500)),
-        |fr AS (SELECT v.id, f.range AS fr, v.w * v.h * 3 AS nb
-        |  FROM vids v, range(6) f WHERE f.range < v.nf),
-        |cfg AS (SELECT id, fr, nb, (nb - 8) // 8 + 1 AS nchunks,
-        |         nb - ((nb - 8) // 8 + 1) * 8 AS nrem,
-        |         CAST((CAST(id * 131 + fr * 2654435761 AS HUGEINT) * 2654435761
-        |               + 1442695040888963407) % CAST('18446744073709551616' AS HUGEINT) AS UBIGINT) AS seed
-        |  FROM fr),
-        |steps AS (
-        |  SELECT id, fr, CAST(0 AS BIGINT) AS k, seed AS x, nchunks, nrem FROM cfg
-        |  UNION ALL
-        |  SELECT id, fr, k + 1,
-        |         CAST(xor(CAST(b AS HUGEINT), (CAST(b AS HUGEINT) * 131072) % CAST('18446744073709551616' AS HUGEINT)) % CAST('18446744073709551616' AS HUGEINT) AS UBIGINT),
-        |         nchunks, nrem
-        |  FROM (
-        |    SELECT id, fr, k, xor(a, a >> 7) AS b, nchunks, nrem
-        |    FROM (
-        |      SELECT id, fr, k, CAST(xor(CAST(x AS HUGEINT), (CAST(x AS HUGEINT) * 8192) % CAST('18446744073709551616' AS HUGEINT)) % CAST('18446744073709551616' AS HUGEINT) AS UBIGINT) AS a,
-        |             nchunks, nrem
-        |      FROM steps WHERE k < nchunks + nrem))),
-        |bytes_ AS (
-        |  SELECT s.id, s.fr, (s.k - 1) * 8 + b.j AS pos,
-        |         CAST((s.x >> CAST(b.j * 8 AS INT)) % 256 AS BIGINT) AS v
-        |  FROM steps s, (SELECT range AS j FROM range(8)) b
-        |  WHERE s.k >= 1 AND s.k <= s.nchunks
-        |  UNION ALL
-        |  SELECT s.id, s.fr, s.nchunks * 8 + (s.k - s.nchunks - 1) AS pos, CAST(s.x % 256 AS BIGINT) AS v
-        |  FROM steps s WHERE s.k > s.nchunks),
-        |bb AS (SELECT b.id, b.fr, b.pos, b.v
-        |  FROM bytes_ b JOIN cfg c USING (id, fr) WHERE b.pos < c.nb)
-        |SELECT 'vid_' || a.id AS video_id,
-        |       CAST(sum(abs(a.v - b.v)) AS BIGINT) AS motion_sum_abs
-        |FROM bb a JOIN bb b ON a.id = b.id AND a.pos = b.pos AND b.fr = a.fr + 1
-        |GROUP BY a.id""".stripMargin,
+      (vid1BytesSql(1500) +
+        """
+          |SELECT 'vid_' || a.id AS video_id,
+          |       CAST(sum(abs(a.v - b.v)) AS BIGINT) AS motion_sum_abs
+          |FROM bb a JOIN bb b ON a.id = b.id AND a.pos = b.pos AND b.fr = a.fr + 1
+          |GROUP BY a.id""".stripMargin),
+    "q84_video_cuts" ->
+      // q75's per-pair |Δ| sums compared against the threshold by EXACT
+      // integer cross-multiplication: pairSum·1000 > thresholdMilli·nBytes
+      (vid1BytesSql(1500) +
+        """,
+          |pair AS (SELECT a.id, a.fr, sum(abs(a.v - b.v)) AS psum, count(*) AS nb2
+          |  FROM bb a JOIN bb b ON a.id = b.id AND a.pos = b.pos AND b.fr = a.fr + 1
+          |  GROUP BY a.id, a.fr)
+          |SELECT 'vid_' || id AS video_id,
+          |  CAST(count(CASE WHEN psum * 1000 > 85000 * nb2 THEN 1 END) AS INT) AS n_cuts
+          |FROM pair GROUP BY id""".stripMargin),
     "q74_ngram_shards" ->
       // disjoint shards + idempotent re-crawl merge back to the one-shot
       // statistics, so the oracle is exactly q68's closed form

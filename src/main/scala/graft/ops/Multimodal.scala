@@ -166,6 +166,34 @@ object MmRuntime {
     sum
   }
 
+  /** Count of STRICT-rise local maxima (s[i-1] < s[i] >= s[i+1], interior
+    * indices) — peak density, the clipping/transient feature for audio
+    * curation. Exact integer from the decoded samples. */
+  def audioPeaks(bytes: Array[Byte]): Int = {
+    val (_, s) = AudioGen.decodeCached(bytes)
+    var c = 0
+    var i = 1
+    while (i < s.length - 1) {
+      if (s(i - 1) < s(i) && s(i) >= s(i + 1)) c += 1
+      i += 1
+    }
+    c
+  }
+
+  /** Count of sign changes between consecutive samples (zero counts as
+    * non-negative) — the classic zero-crossing-rate numerator for
+    * silence/noisiness screening. Exact integer. */
+  def audioZeroCrossings(bytes: Array[Byte]): Int = {
+    val (_, s) = AudioGen.decodeCached(bytes)
+    var c = 0
+    var i = 1
+    while (i < s.length) {
+      if ((s(i - 1) < 0) != (s(i) < 0)) c += 1
+      i += 1
+    }
+    c
+  }
+
   def audioRms(bytes: Array[Byte]): Double = {
     val (_, samples) = AudioGen.decodeCached(bytes)
     if (samples.isEmpty) 0.0
@@ -210,6 +238,25 @@ object MmRuntime {
     val k = math.max(1, every)
     new GenericArrayData(
       (0 until nf by k).map(f => VideoGen.frameAsImage(w, h, frames(f))).toArray[Any])
+  }
+
+  /** Count of frame transitions whose mean |Δ| per byte STRICTLY exceeds
+    * thresholdMilli/1000 — compared as the exact integer cross-product
+    * pairSum·1000 > thresholdMilli·nBytes, so any engine reproduces it
+    * bit-for-bit. Shot-segmentation plumbing for video curation. */
+  def videoCuts(bytes: Array[Byte], thresholdMilli: Int): Int = {
+    val (_, _, nf, frames) = VideoGen.decodeCached(bytes)
+    var cuts = 0
+    var f = 1
+    while (f < nf) {
+      val a = frames(f - 1); val b = frames(f)
+      var sum = 0L
+      var i = 0
+      while (i < a.length) { sum += math.abs((a(i) & 0xff) - (b(i) & 0xff)); i += 1 }
+      if (sum * 1000L > thresholdMilli.toLong * a.length) cuts += 1
+      f += 1
+    }
+    cuts
   }
 
   def videoMotion(bytes: Array[Byte]): Double = {
@@ -412,6 +459,31 @@ object Multimodal {
     override protected def withNewChildInternal(c: Expression) = copy(c)
   }
 
+  /** `audio_peaks(bytes)` → count of strict-rise local maxima (exact int). */
+  case class AudioPeaks(bytes: Expression) extends UnaryExpression with ImplicitCastInputTypes {
+    override def child: Expression = bytes
+    override def inputTypes        = Seq(BinaryType)
+    override def dataType: DataType = IntegerType
+    override protected def nullSafeEval(v: Any): Any =
+      MmRuntime.audioPeaks(v.asInstanceOf[Array[Byte]])
+    override protected def doGenCode(ctx: codegen.CodegenContext, ev: codegen.ExprCode) =
+      defineCodeGen(ctx, ev, c => s"graft.ops.MmRuntime.audioPeaks($c)")
+    override protected def withNewChildInternal(c: Expression) = copy(c)
+  }
+
+  /** `audio_zero_crossings(bytes)` → count of consecutive-sample sign
+    * changes (exact int; zero is non-negative). */
+  case class AudioZeroCrossings(bytes: Expression) extends UnaryExpression with ImplicitCastInputTypes {
+    override def child: Expression = bytes
+    override def inputTypes        = Seq(BinaryType)
+    override def dataType: DataType = IntegerType
+    override protected def nullSafeEval(v: Any): Any =
+      MmRuntime.audioZeroCrossings(v.asInstanceOf[Array[Byte]])
+    override protected def doGenCode(ctx: codegen.CodegenContext, ev: codegen.ExprCode) =
+      defineCodeGen(ctx, ev, c => s"graft.ops.MmRuntime.audioZeroCrossings($c)")
+    override protected def withNewChildInternal(c: Expression) = copy(c)
+  }
+
   /** `audio_rms(bytes)` → sqrt(energy / n) (feature-extraction stand-in). */
   case class AudioRms(bytes: Expression) extends UnaryExpression with ImplicitCastInputTypes {
     override def child: Expression = bytes
@@ -508,6 +580,22 @@ object Multimodal {
     override protected def withNewChildInternal(c: Expression) = copy(c)
   }
 
+  /** `video_cuts(bytes, thresholdMilli)` → count of frame transitions whose
+    * mean |Δ|/byte strictly exceeds thresholdMilli/1000 (exact integer
+    * cross-multiplication — see [[MmRuntime.videoCuts]]). */
+  case class VideoCuts(bytes: Expression, thresholdMilli: Expression)
+      extends BinaryExpression with ImplicitCastInputTypes {
+    override def left: Expression  = bytes
+    override def right: Expression = thresholdMilli
+    override def inputTypes        = Seq(BinaryType, IntegerType)
+    override def dataType: DataType = IntegerType
+    override protected def nullSafeEval(b: Any, t: Any): Any =
+      MmRuntime.videoCuts(b.asInstanceOf[Array[Byte]], t.asInstanceOf[Int])
+    override protected def doGenCode(ctx: codegen.CodegenContext, ev: codegen.ExprCode) =
+      defineCodeGen(ctx, ev, (b, t) => s"graft.ops.MmRuntime.videoCuts($b, $t)")
+    override protected def withNewChildrenInternal(l: Expression, r: Expression) = copy(l, r)
+  }
+
   val builders: Seq[(String, Seq[Expression] => Expression)] = Seq(
     "image_meta"      -> (es => ImageMeta(es.head)),
     "image_psnr"      -> (es => ImagePsnr(es(0), es(1))),
@@ -518,12 +606,15 @@ object Multimodal {
     "image_histogram" -> (es => ImageHistogram(es(0), es(1))),
     "audio_meta"       -> (es => AudioMeta(es.head)),
     "audio_energy"     -> (es => AudioEnergy(es.head)),
+    "audio_peaks"      -> (es => AudioPeaks(es.head)),
+    "audio_zero_crossings" -> (es => AudioZeroCrossings(es.head)),
     "audio_rms"        -> (es => AudioRms(es.head)),
     "audio_downsample" -> (es => AudioDownsample(es(0), es(1))),
     "video_meta"       -> (es => VideoMeta(es.head)),
     "video_frame"      -> (es => VideoFrame(es(0), es(1))),
     "video_frames"     -> (es => VideoFrames(es(0), es(1))),
-    "video_motion"     -> (es => VideoMotion(es.head)))
+    "video_motion"     -> (es => VideoMotion(es.head)),
+    "video_cuts"       -> (es => VideoCuts(es(0), es(1))))
 
   @volatile private var registered: Set[Int] = Set.empty
   def register(spark: SparkSession): Unit = {
@@ -548,6 +639,9 @@ object Multimodal {
     call_function("image_histogram", bytes, nbins)
   def audio_meta(bytes: Column): Column   = call_function("audio_meta", bytes)
   def audio_energy(bytes: Column): Column = call_function("audio_energy", bytes)
+  def audio_peaks(bytes: Column): Column  = call_function("audio_peaks", bytes)
+  def audio_zero_crossings(bytes: Column): Column =
+    call_function("audio_zero_crossings", bytes)
   def audio_rms(bytes: Column): Column    = call_function("audio_rms", bytes)
   def audio_downsample(bytes: Column, k: Column): Column =
     call_function("audio_downsample", bytes, k)
@@ -556,6 +650,8 @@ object Multimodal {
   def video_frames(bytes: Column, every: Column): Column =
     call_function("video_frames", bytes, every)
   def video_motion(bytes: Column): Column = call_function("video_motion", bytes)
+  def video_cuts(bytes: Column, thresholdMilli: Column): Column =
+    call_function("video_cuts", bytes, thresholdMilli)
 
   /** Frame-sample an "animation": deterministic every-nth selection over a
     * grouping key — the batch-shape pattern for video columns. */
