@@ -435,6 +435,14 @@ object SparkEntry {
           posexplode(Multimodal.image_histogram(col("bytes"), lit(8))))
         .select(col("image_id"), col("pos").as("bin"), col("col").as("n_px"))
     }),
+    "q85_tfidf_search" -> ((s, dir) => {
+      // corpus retrieval under the gate: integer-exact tf-idf (floor-scaled
+      // idf, no logs) with a TOTAL-order top-k boundary — hits filter before
+      // any exchange, idf broadcasts, TakeOrdered instead of a global sort
+      registerAll(s)
+      CorpusStats.tfidfSearch(s.read.parquet(t(dir, "documents")),
+        "doc_id", "text", "spark window join", k = 20)
+    }),
     "q84_video_cuts" -> ((s, dir) => {
       // shot segmentation plumbing: count frame transitions whose mean |Δ|
       // per byte strictly exceeds 85/1000 of a luma unit... threshold 85000
@@ -1800,6 +1808,21 @@ object SparkEntry {
           |       CAST(sum(abs(a.v - b.v)) AS BIGINT) AS motion_sum_abs
           |FROM bb a JOIN bb b ON a.id = b.id AND a.pos = b.pos AND b.fr = a.fr + 1
           |GROUP BY a.id""".stripMargin),
+    "q85_tfidf_search" ->
+      // same integer formula; ORDER BY score DESC, doc_id is a total order
+      // so the LIMIT boundary is engine-exact
+      """WITH toks AS (SELECT doc_id,
+        |    unnest(list_filter(regexp_split_to_array(lower(text), '\s+'), x -> x <> '')) AS t
+        |  FROM documents),
+        |hit AS (SELECT doc_id, t FROM toks WHERE t IN ('spark', 'window', 'join')),
+        |tf AS (SELECT doc_id, t, count(*) AS tf FROM hit GROUP BY 1, 2),
+        |df AS (SELECT t, count(*) AS df FROM tf GROUP BY t),
+        |n AS (SELECT count(*) AS n FROM documents)
+        |SELECT tf.doc_id, CAST(sum(tf.tf * ((SELECT n FROM n) * 1000 // df.df)) AS BIGINT) AS score
+        |FROM tf JOIN df USING (t)
+        |GROUP BY tf.doc_id
+        |ORDER BY score DESC, tf.doc_id
+        |LIMIT 20""".stripMargin,
     "q84_video_cuts" ->
       // q75's per-pair |Δ| sums compared against the threshold by EXACT
       // integer cross-multiplication: pairSum·1000 > thresholdMilli·nBytes

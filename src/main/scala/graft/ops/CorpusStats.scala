@@ -116,6 +116,37 @@ object CorpusStats {
       .groupBy("__doc", "vocab_id").agg(count(lit(1)).as("tf"))
       .select(col("__doc").as(docCol), col("vocab_id"), col("tf"))
 
+  /** Integer-exact tf-idf retrieval over the corpus: score(doc) =
+    * Σ_term tf(term, doc) · (N·1000 div df(term)) over the query's distinct
+    * lower-cased terms, top-k by (score DESC, doc ASC) — a TOTAL order, so
+    * the k-boundary set is engine-exact (the q68 discipline) — with a
+    * log-free floor-scaled integer idf (rarer term ⇒ larger weight) that
+    * any engine reproduces bit-for-bit.
+    *
+    * Plan: the exploded token stream filters to the query's literal term
+    * set BEFORE any exchange, so only query-term hits shuffle; document
+    * frequency is derived from those hits and BROADCAST back with the
+    * corpus count (computed in-plan — no eager job); the top-k is a
+    * TakeOrdered, never a global sort. At 10^12 docs the shuffled volume
+    * is the hit rows of a handful of terms, not the corpus. */
+  def tfidfSearch(df: DataFrame, docCol: String, textCol: String,
+                  query: String, k: Int): DataFrame = {
+    val terms = query.toLowerCase.split("\\s+").filter(_.nonEmpty).distinct.toSeq
+    require(terms.nonEmpty, "query must contain at least one term")
+    val hits = df.select(col(docCol).as("__doc"),
+        explode(TextFunctions.word_ngrams(col(textCol), lit(1))).as("t"))
+      .where(col("t").isin(terms: _*))
+    val tf    = hits.groupBy("__doc", "t").agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy("t").agg(count(lit(1)).as("df"))
+    val nDf   = df.agg(count(lit(1)).as("__n"))
+    val idf   = dfreq.crossJoin(nDf).withColumn("idf", expr("(__n * 1000) div df"))
+    tf.join(broadcast(idf.select("t", "idf")), "t")
+      .groupBy("__doc").agg(sum(col("tf") * col("idf")).as("score"))
+      .orderBy(col("score").desc, col("__doc"))
+      .limit(k)
+      .select(col("__doc").as(docCol), col("score"))
+  }
+
   /** Incremental corpus statistics — the per-crawl accumulation pattern:
     * each arriving shard writes its OWN n-gram partials (one subdirectory
     * per shard id; re-running a shard overwrites idempotently), and readers

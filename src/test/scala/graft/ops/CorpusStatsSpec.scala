@@ -139,4 +139,26 @@ class CorpusStatsSpec extends AnyFunSuite {
     val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).length
     assert(exchanges == 2, s"expected 2 shuffles, plan:\n$plan")
   }
+
+  test("tfidfSearch: closed-form integer scores, total-order ties, top-k plan") {
+    // N=4; df(alpha)=2, df(beta)=2 -> idf 2000 each; doc 4 never hits
+    val docs = Seq(
+      (1L, "alpha alpha beta"),
+      (2L, "alpha gamma gamma"),
+      (3L, "beta beta beta"),
+      (4L, "delta delta delta")).toDF("doc_id", "text")
+    val out = CorpusStats.tfidfSearch(docs, "doc_id", "text", "Alpha  beta", 10)
+      .as[(Long, Long)].collect().toSeq
+    // docs 1 and 3 tie at 6000 -> doc_id ascending breaks it
+    assert(out == Seq((1L, 6000L), (3L, 6000L), (2L, 2000L)), out.toString)
+    // k truncation at the engine-exact boundary
+    assert(CorpusStats.tfidfSearch(docs, "doc_id", "text", "alpha beta", 2)
+      .as[(Long, Long)].collect().toSeq == Seq((1L, 6000L), (3L, 6000L)))
+    // plan: TakeOrdered top-k, broadcast idf, no standalone global sort
+    val plan = CorpusStats.tfidfSearch(docs, "doc_id", "text", "alpha beta", 5)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"), plan.take(2000))
+    assert(plan.contains("BroadcastHashJoin"), plan.take(2000))
+    assert(!plan.contains("\nSort "), plan.take(2000))
+  }
 }
