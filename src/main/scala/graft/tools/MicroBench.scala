@@ -79,6 +79,16 @@ object MicroBench {
         graft.ops.MmRuntime.imageHistogram(payload, 8).getLong(0) + id)
     }
     locally {
+      val audio = graft.pipeline.AudioGen.encode(7L, 8000, 800)
+      time("audio_peaks800", 500000)(id =>
+        graft.ops.MmRuntime.audioPeaks(audio).toLong + id)
+      time("audio_zero_crossings800", 500000)(id =>
+        graft.ops.MmRuntime.audioZeroCrossings(audio).toLong + id)
+      val video = graft.pipeline.VideoGen.encode(7L)
+      time("video_cuts", 200000)(id =>
+        graft.ops.MmRuntime.videoCuts(video, 85000).toLong + id)
+    }
+    locally {
       val dim = 64; val m = 8; val dsub = 8
       val books = Array.tabulate(m * 256 * dsub)(i => ((i * 131) % 255 - 127) / 64.0f)
       val vec = new org.apache.spark.sql.catalyst.util.GenericArrayData(
