@@ -7,7 +7,7 @@ import org.apache.spark.sql.expressions.Window
 import graft.geo.join.SpatialJoins
 import graft.geo.sql.GeoFunctions
 import graft.geo.sql.GeoFunctions._
-import graft.ops.{CorpusStats, Dedup, Multimodal, Similarity, TextFunctions, TextOps}
+import graft.ops.{CorpusStats, Dedup, Multimodal, Similarity, Sketches, TextFunctions, TextOps}
 import graft.ops.TextFunctions._
 import graft.pipeline.{GeoImagePipeline, ImageGen}
 
@@ -21,6 +21,7 @@ object SparkEntry {
 
   private def registerAll(s: SparkSession): Unit = {
     GeoFunctions.register(s); TextFunctions.register(s); Multimodal.register(s)
+    Sketches.register(s)
   }
 
   private def t(dir: String, name: String) = s"$dir/$name.parquet"
@@ -434,6 +435,20 @@ object SparkEntry {
         .select(col("image_id"),
           posexplode(Multimodal.image_histogram(col("bytes"), lit(8))))
         .select(col("image_id"), col("pos").as("bin"), col("col").as("n_px"))
+    }),
+    "q86_hll_registers" -> ((s, dir) => {
+      // mergeable cardinality sketches under the gate: per-lang HyperLogLog
+      // REGISTERS over mix64(doc_id) — bucket = top 8 bits, rho = leading
+      // zeros of the remaining 56 bits + 1 — replayed exactly in DuckDB
+      // (the q66 HUGEINT mix64 plus a bin()-length leading-zero count).
+      // The float ESTIMATE is spec-tested instead; max-merge makes shard
+      // partials byte-identical to the one-shot sketch (OpsSpec)
+      registerAll(s)
+      s.read.parquet(t(dir, "documents"))
+        .groupBy("lang")
+        .agg(Sketches.hll_sketch(mix64_col(col("doc_id")), p = 8).as("sk"))
+        .select(col("lang"), posexplode(Sketches.hll_registers(col("sk"))))
+        .select(col("lang"), col("pos").as("bucket"), col("col").as("register"))
     }),
     "q85_tfidf_search" -> ((s, dir) => {
       // corpus retrieval under the gate: integer-exact tf-idf (floor-scaled
@@ -1808,6 +1823,36 @@ object SparkEntry {
           |       CAST(sum(abs(a.v - b.v)) AS BIGINT) AS motion_sum_abs
           |FROM bb a JOIN bb b ON a.id = b.id AND a.pos = b.pos AND b.fr = a.fr + 1
           |GROUP BY a.id""".stripMargin),
+    "q86_hll_registers" ->
+      // scalar mix64 (q66's 32-bit-split HUGEINT multiplies mod 2^64),
+      // bucket = h >> 56, rho = 65 - bin-length of (h << 8) (57 when the
+      // low 56 bits are all zero), max per (lang, bucket), zero registers
+      // kept via the lang x 256 grid
+      """WITH z0 AS (SELECT lang,
+        |    CAST((CAST(doc_id AS HUGEINT) + 11400714819323198485) % CAST('18446744073709551616' AS HUGEINT) AS UBIGINT) AS x
+        |  FROM documents),
+        |z1 AS (SELECT lang, xor(x, x >> 30) AS x FROM z0),
+        |z2 AS (SELECT lang, CAST((
+        |    (CAST('13787848793156543929' AS HUGEINT) * (x % 4294967296)) % CAST('18446744073709551616' AS HUGEINT)
+        |    + ((CAST('13787848793156543929' AS HUGEINT) % 4294967296) * (x >> 32)) % 4294967296 * 4294967296
+        |  ) % CAST('18446744073709551616' AS HUGEINT) AS UBIGINT) AS x FROM z1),
+        |z3 AS (SELECT lang, xor(x, x >> 27) AS x FROM z2),
+        |z4 AS (SELECT lang, CAST((
+        |    (CAST('10723151780598845931' AS HUGEINT) * (x % 4294967296)) % CAST('18446744073709551616' AS HUGEINT)
+        |    + ((CAST('10723151780598845931' AS HUGEINT) % 4294967296) * (x >> 32)) % 4294967296 * 4294967296
+        |  ) % CAST('18446744073709551616' AS HUGEINT) AS UBIGINT) AS x FROM z3),
+        |z5 AS (SELECT lang, xor(x, x >> 31) AS h FROM z4),
+        |br AS (SELECT lang, CAST(h >> 56 AS INT) AS bucket,
+        |    CASE WHEN (CAST(h AS HUGEINT) * 256) % CAST('18446744073709551616' AS HUGEINT) = 0 THEN 57
+        |         ELSE 65 - length(bin(CAST((CAST(h AS HUGEINT) * 256) % CAST('18446744073709551616' AS HUGEINT) AS UBIGINT)))
+        |    END AS rho
+        |  FROM z5),
+        |mx AS (SELECT lang, bucket, max(rho) AS r FROM br GROUP BY 1, 2),
+        |langs AS (SELECT DISTINCT lang FROM documents)
+        |SELECT l.lang, CAST(b.range AS INT) AS bucket,
+        |       CAST(coalesce(m.r, 0) AS INT) AS register
+        |FROM langs l CROSS JOIN range(256) b
+        |LEFT JOIN mx m ON m.lang = l.lang AND m.bucket = b.range""".stripMargin,
     "q85_tfidf_search" ->
       // same integer formula; ORDER BY score DESC, doc_id is a total order
       // so the LIMIT boundary is engine-exact

@@ -1,0 +1,151 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, Encoder, Encoders}
+import org.apache.spark.sql.catalyst.expressions.{Expression, ImplicitCastInputTypes, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.expressions.Aggregator
+import org.apache.spark.sql.functions.{call_function, udaf}
+import org.apache.spark.sql.types._
+
+/** Static kernels for the sketch expressions' generated code (the
+  * MmRuntime/GeoRuntime pattern). */
+object SketchRuntime {
+
+  /** HyperLogLog estimate from a register blob (m = regs.length, a power
+    * of two): the Flajolet–Fusy–Gandouet–Meunier estimator with the
+    * small-range linear-counting correction. The 64-bit hash space makes
+    * the classic large-range correction unnecessary at any realistic
+    * cardinality. Standard error ≈ 1.04/√m (p=12 ⇒ ~1.6%). */
+  def hllEstimate(regs: Array[Byte]): Double = {
+    val m = regs.length
+    val alpha = m match {
+      case 16 => 0.673
+      case 32 => 0.697
+      case 64 => 0.709
+      case _  => 0.7213 / (1.0 + 1.079 / m)
+    }
+    var inv   = 0.0
+    var zeros = 0
+    var i = 0
+    while (i < m) {
+      inv += java.lang.Double.longBitsToDouble((1023L - (regs(i) & 0xff)) << 52) // 2^-reg
+      if (regs(i) == 0) zeros += 1
+      i += 1
+    }
+    val e = alpha * m * m / inv
+    if (e <= 2.5 * m && zeros > 0) m * math.log(m.toDouble / zeros) else e
+  }
+
+  /** Register blob → ARRAY<INT> for inspection / oracle explosion. */
+  def hllRegisters(regs: Array[Byte]): ArrayData =
+    new GenericArrayData(regs.map(b => (b & 0xff): Any))
+}
+
+/** Mergeable cardinality sketches for corpus statistics at 10^12-row
+  * scale, where exact `count(DISTINCT …)` forces a full shuffle of every
+  * distinct value: a HyperLogLog register blob is 2^p bytes per group,
+  * partial-aggregates map-side (the only exchange carries sketches, never
+  * values), persists as a plain BINARY column, and merges EXACTLY
+  * (element-wise max is associative + idempotent — shard-partials then
+  * [[hll_merge]] is byte-identical to the one-shot sketch, the
+  * [[CorpusStats.appendNgramShard]] accumulation pattern extended to
+  * distinct counts).
+  *
+  * The caller supplies the 64-bit hash column (e.g. `mix64(xxhash64(x))`
+  * or [[TextFunctions.mix64_col]]), keeping the sketch engine-reproducible:
+  * bucket = top p bits, rho = leading zeros of the remaining bits + 1
+  * (capped at 64-p+1 when they are all zero).
+  */
+object Sketches {
+
+  /** bucket/rho update of a register blob, shared by both aggregators. */
+  private def update(regs: Array[Byte], hash: Long, p: Int): Unit = {
+    val bucket = (hash >>> (64 - p)).toInt
+    val w      = hash << p
+    val rho    = if (w == 0L) 64 - p + 1 else java.lang.Long.numberOfLeadingZeros(w) + 1
+    if (rho > (regs(bucket) & 0xff)) regs(bucket) = rho.toByte
+  }
+
+  /** Sketch 64-bit hashes into 2^p registers (BINARY output). */
+  final class HllAggregator(p: Int) extends Aggregator[Long, Array[Byte], Array[Byte]] {
+    require(p >= 4 && p <= 16, s"p must be in [4, 16], got $p")
+    override def zero: Array[Byte] = new Array[Byte](1 << p)
+    override def reduce(b: Array[Byte], hash: Long): Array[Byte] = { update(b, hash, p); b }
+    override def merge(a: Array[Byte], b: Array[Byte]): Array[Byte] = {
+      var i = 0
+      while (i < a.length) {
+        if ((b(i) & 0xff) > (a(i) & 0xff)) a(i) = b(i)
+        i += 1
+      }
+      a
+    }
+    override def finish(r: Array[Byte]): Array[Byte] = r
+    override def bufferEncoder: Encoder[Array[Byte]] = Encoders.BINARY
+    override def outputEncoder: Encoder[Array[Byte]] = Encoders.BINARY
+  }
+
+  /** Merge persisted sketches (shard partials → the corpus sketch). */
+  final class HllMergeAggregator(p: Int) extends Aggregator[Array[Byte], Array[Byte], Array[Byte]] {
+    private val agg = new HllAggregator(p)
+    override def zero: Array[Byte] = agg.zero
+    override def reduce(b: Array[Byte], sk: Array[Byte]): Array[Byte] = {
+      require(sk.length == b.length, s"sketch p mismatch: ${sk.length} vs ${b.length} registers")
+      agg.merge(b, sk)
+    }
+    override def merge(a: Array[Byte], b: Array[Byte]): Array[Byte] = agg.merge(a, b)
+    override def finish(r: Array[Byte]): Array[Byte] = r
+    override def bufferEncoder: Encoder[Array[Byte]] = Encoders.BINARY
+    override def outputEncoder: Encoder[Array[Byte]] = Encoders.BINARY
+  }
+
+  /** `hll_estimate(sketch)` → approximate distinct count (DOUBLE). */
+  case class HllEstimate(sketch: Expression) extends UnaryExpression with ImplicitCastInputTypes {
+    override def child: Expression = sketch
+    override def inputTypes        = Seq(BinaryType)
+    override def dataType: DataType = DoubleType
+    override protected def nullSafeEval(v: Any): Any =
+      SketchRuntime.hllEstimate(v.asInstanceOf[Array[Byte]])
+    override protected def doGenCode(ctx: codegen.CodegenContext, ev: codegen.ExprCode) =
+      defineCodeGen(ctx, ev, c => s"graft.ops.SketchRuntime.hllEstimate($c)")
+    override protected def withNewChildInternal(c: Expression) = copy(c)
+  }
+
+  /** `hll_registers(sketch)` → ARRAY<INT> register values. */
+  case class HllRegisters(sketch: Expression) extends UnaryExpression with ImplicitCastInputTypes {
+    override def child: Expression = sketch
+    override def inputTypes        = Seq(BinaryType)
+    override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+    override protected def nullSafeEval(v: Any): Any =
+      SketchRuntime.hllRegisters(v.asInstanceOf[Array[Byte]])
+    override protected def doGenCode(ctx: codegen.CodegenContext, ev: codegen.ExprCode) =
+      defineCodeGen(ctx, ev, c => s"graft.ops.SketchRuntime.hllRegisters($c)")
+    override protected def withNewChildInternal(c: Expression) = copy(c)
+  }
+
+  val builders: Seq[(String, Seq[Expression] => Expression)] = Seq(
+    "hll_estimate"  -> (es => HllEstimate(es.head)),
+    "hll_registers" -> (es => HllRegisters(es.head)))
+
+  @volatile private var registered: Set[Int] = Set.empty
+
+  /** Idempotent per-session registration. */
+  def register(spark: org.apache.spark.sql.SparkSession): Unit = {
+    val key = System.identityHashCode(spark)
+    if (!registered.contains(key)) synchronized {
+      builders.foreach { case (name, b) =>
+        spark.sessionState.functionRegistry.createOrReplaceTempFunction(name, b, "built-in")
+      }
+      registered += key
+    }
+  }
+
+  // --------------------------------------------------------- Column API
+
+  def hll_sketch(hash: Column, p: Int = 12): Column =
+    udaf(new HllAggregator(p)).apply(hash)
+  def hll_merge(sketch: Column, p: Int = 12): Column =
+    udaf(new HllMergeAggregator(p)).apply(sketch)
+  def hll_estimate(sketch: Column): Column  = call_function("hll_estimate", sketch)
+  def hll_registers(sketch: Column): Column = call_function("hll_registers", sketch)
+}

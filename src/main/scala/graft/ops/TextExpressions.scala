@@ -499,6 +499,26 @@ case class TokenCountBpe(text: Expression) extends GeoExpression {
   * repetition signals of Gopher-style quality filters. Codegen-enabled: it
   * runs as a narrow map over the whole corpus ([[TextOps.withRepetition]]).
   */
+/** `mix64(x)` → SplitMix64 finalizer over a 64-bit value: the engine's
+  * standard avalanche hash (winnowing, shingles) exposed as a scalar —
+  * use it to derive hash inputs for [[Sketches]] or ANSI-safe seeds
+  * (Column arithmetic with big literal multipliers overflows under ANSI;
+  * this kernel wraps). Bit-reproducible in SQL (the q66 HUGEINT replay). */
+case class Mix64Expr(x: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression
+    with org.apache.spark.sql.catalyst.expressions.ImplicitCastInputTypes {
+  override def child: Expression = x
+  override def inputTypes        = Seq(LongType)
+  override def dataType: DataType = LongType
+  override protected def nullSafeEval(v: Any): Any =
+    TextKernels.mix64(v.asInstanceOf[Long])
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode) =
+    defineCodeGen(ctx, ev, v => s"graft.ops.TextKernels.mix64($v)")
+  override protected def withNewChildInternal(c: Expression) = copy(c)
+}
+
 /** `word_ngrams(text, n)` → array<string> of lower-cased whitespace word
   * n-grams, one codegen kernel pass ([[TextKernels.wordNgramArray]]);
   * lower-casing uses UTF8String.toLowerCase — identical to the built-in
@@ -643,6 +663,7 @@ object TextFunctions {
   import org.apache.spark.sql.functions.call_function
 
   val builders: Seq[(String, Seq[Expression] => Expression)] = Seq(
+    "mix64"         -> (es => Mix64Expr(es.head)),
     "minhash_sig"   -> (es => MinHashSig(es(0), es(1), es(2))),
     "simhash64"     -> (es => SimHash64(es(0), es(1))),
     "ngram_jaccard" -> (es => NgramJaccard(es(0), es(1), es(2))),
@@ -674,6 +695,7 @@ object TextFunctions {
     }
   }
 
+  def mix64_col(x: Column): Column = call_function("mix64", x)
   def minhash_sig(text: Column, numHashes: Column, shingle: Column): Column =
     call_function("minhash_sig", text, numHashes, shingle)
   def simhash64(text: Column, shingle: Column): Column = call_function("simhash64", text, shingle)

@@ -18,6 +18,7 @@ object SparkTestBase {
     graft.geo.sql.GeoFunctions.register(s)
     graft.ops.TextFunctions.register(s)
     graft.ops.Multimodal.register(s)
+    graft.ops.Sketches.register(s)
     s
   }
 }

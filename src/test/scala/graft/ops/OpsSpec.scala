@@ -662,6 +662,38 @@ class OpsSpec extends AnyFunSuite {
     assert(plan.contains("BroadcastHashJoin"), "shard signatures must broadcast")
   }
 
+  test("HLL sketches: closed-form registers, byte-identical shard merge, estimate accuracy") {
+    import Sketches._
+    // hand-built hashes with known (bucket, rho): top 8 bits = bucket, the
+    // remaining 56 carry a single set bit at rho-1 (57 = all-zero tail)
+    def h(b: Int, r: Int): Long =
+      if (r == 57) b.toLong << 56 else (b.toLong << 56) | ((1L << (64 - r)) >>> 8)
+    val sk = Seq(h(3, 5), h(3, 9), h(200, 1), h(255, 57)).toDF("hh")
+      .agg(hll_sketch($"hh", 8)).head().getAs[Array[Byte]](0)
+    assert(sk.length == 256)
+    assert((sk(3) & 0xff) == 9 && (sk(200) & 0xff) == 1 && (sk(255) & 0xff) == 57)
+    assert(sk.count(_ != 0) == 3)
+    // hll_registers exposes the same values through the SQL surface
+    val regs = Seq(sk).toDF("sk").select(hll_registers($"sk")).head().getSeq[Int](0)
+    assert(regs(3) == 9 && regs(200) == 1 && regs(255) == 57 && regs.sum == 67)
+    // shard partials merge BYTE-IDENTICALLY to the one-shot sketch
+    val hashed = docs.select($"doc_id", mix64_col($"doc_id").as("hh"),
+      ($"doc_id" % 3).as("shard"))
+    val whole = hashed.agg(hll_sketch($"hh", 12)).head().getAs[Array[Byte]](0)
+    val merged = hashed.groupBy("shard").agg(hll_sketch($"hh", 12).as("sk"))
+      .agg(hll_merge($"sk", 12)).head().getAs[Array[Byte]](0)
+    assert(java.util.Arrays.equals(whole, merged))
+    // estimate: 500 distinct ids at p=12 sits in the linear-counting regime
+    val est = Seq(whole).toDF("sk").select(hll_estimate($"sk")).head().getDouble(0)
+    val exact = docs.select(countDistinct($"doc_id")).head().getLong(0).toDouble
+    assert(math.abs(est - exact) / exact < 0.05, s"estimate $est vs exact $exact")
+    // text cardinality through the same pipeline (hash of the content)
+    val tsk = docs.agg(hll_sketch(mix64_col(xxhash64($"text")), 12)).head().getAs[Array[Byte]](0)
+    val test_ = Seq(tsk).toDF("sk").select(hll_estimate($"sk")).head().getDouble(0)
+    val texact = docs.select(countDistinct($"text")).head().getLong(0).toDouble
+    assert(math.abs(test_ - texact) / texact < 0.05, s"estimate $test_ vs exact $texact")
+  }
+
   test("int8 embedding quantization: bounded reconstruction, scale-invariant cosine, ANN-grade fidelity") {
     val vecs = embs.limit(200).select($"vec_id", $"embedding")
     // reconstruction error per component <= scale/2 (round-to-nearest)
