@@ -436,6 +436,15 @@ object SparkEntry {
           posexplode(Multimodal.image_histogram(col("bytes"), lit(8))))
         .select(col("image_id"), col("pos").as("bin"), col("col").as("n_px"))
     }),
+    "q87_fixed_k_sample" -> ((s, dir) => {
+      // exact fixed-size deterministic sampling: the 20 smallest
+      // (mix64(doc_id), doc_id) ranks per language — the bounded top-k
+      // aggregator caps exchange traffic at k pairs per (group, partition)
+      // instead of serializing the corpus through a few-group window
+      registerAll(s)
+      TextOps.fixedKSample(s.read.parquet(t(dir, "documents")),
+        "lang", "doc_id", k = 20)
+    }),
     "q86_hll_registers" -> ((s, dir) => {
       // mergeable cardinality sketches under the gate: per-lang HyperLogLog
       // REGISTERS over mix64(doc_id) — bucket = top 8 bits, rho = leading
@@ -1823,6 +1832,30 @@ object SparkEntry {
           |       CAST(sum(abs(a.v - b.v)) AS BIGINT) AS motion_sum_abs
           |FROM bb a JOIN bb b ON a.id = b.id AND a.pos = b.pos AND b.fr = a.fr + 1
           |GROUP BY a.id""".stripMargin),
+    "q87_fixed_k_sample" ->
+      // mix64 replay (signed reinterpretation — Spark ranks SIGNED longs),
+      // then a row_number qualify; (hash, doc_id) is a total order
+      """WITH z0 AS (SELECT lang, doc_id,
+        |    CAST((CAST(doc_id AS HUGEINT) + 11400714819323198485) % CAST('18446744073709551616' AS HUGEINT) AS UBIGINT) AS x
+        |  FROM documents),
+        |z1 AS (SELECT lang, doc_id, xor(x, x >> 30) AS x FROM z0),
+        |z2 AS (SELECT lang, doc_id, CAST((
+        |    (CAST('13787848793156543929' AS HUGEINT) * (x % 4294967296)) % CAST('18446744073709551616' AS HUGEINT)
+        |    + ((CAST('13787848793156543929' AS HUGEINT) % 4294967296) * (x >> 32)) % 4294967296 * 4294967296
+        |  ) % CAST('18446744073709551616' AS HUGEINT) AS UBIGINT) AS x FROM z1),
+        |z3 AS (SELECT lang, doc_id, xor(x, x >> 27) AS x FROM z2),
+        |z4 AS (SELECT lang, doc_id, CAST((
+        |    (CAST('10723151780598845931' AS HUGEINT) * (x % 4294967296)) % CAST('18446744073709551616' AS HUGEINT)
+        |    + ((CAST('10723151780598845931' AS HUGEINT) % 4294967296) * (x >> 32)) % 4294967296 * 4294967296
+        |  ) % CAST('18446744073709551616' AS HUGEINT) AS UBIGINT) AS x FROM z3),
+        |z5 AS (SELECT lang, doc_id, xor(x, x >> 31) AS h FROM z4),
+        |sg AS (SELECT lang, doc_id,
+        |    CAST(CAST(h AS HUGEINT) - (CASE WHEN h >= CAST('9223372036854775808' AS UBIGINT)
+        |         THEN CAST('18446744073709551616' AS HUGEINT) ELSE 0 END) AS BIGINT) AS hs
+        |  FROM z5),
+        |r AS (SELECT lang, doc_id,
+        |    row_number() OVER (PARTITION BY lang ORDER BY hs, doc_id) AS rn FROM sg)
+        |SELECT lang, doc_id FROM r WHERE rn <= 20""".stripMargin,
     "q86_hll_registers" ->
       // scalar mix64 (q66's 32-bit-split HUGEINT multiplies mod 2^64),
       // bucket = h >> 56, rho = 65 - bin-length of (h << 8) (57 when the

@@ -147,6 +147,74 @@ object TextOps {
   def deterministicSample(df: DataFrame, idCol: String, perMille: Int): DataFrame =
     df.where(sampleBucket(col(idCol)) < perMille)
 
+  /** Buffer/output wrapper so the bounded top-k aggregator's long array
+    * rides Spark's product encoder. */
+  final case class LongBuf(v: Array[Long])
+
+  /** Bounded top-k by (hash, id): the buffer holds at most k interleaved
+    * (hash, id) pairs sorted ascending, so partial aggregation caps what
+    * crosses the exchange at k pairs per (group, partition). */
+  final class TopKByHash(k: Int)
+      extends org.apache.spark.sql.expressions.Aggregator[(Long, Long), LongBuf, LongBuf] {
+    private def less(h1: Long, i1: Long, h2: Long, i2: Long): Boolean =
+      h1 < h2 || (h1 == h2 && i1 < i2)
+    override def zero: LongBuf = LongBuf(Array.emptyLongArray)
+    override def reduce(buf: LongBuf, in: (Long, Long)): LongBuf = {
+      val b = buf.v
+      val (h, id) = in
+      val n = b.length / 2
+      if (n == k && !less(h, id, b(2 * (k - 1)), b(2 * (k - 1) + 1))) return buf
+      var lo = 0; var hi = n
+      while (lo < hi) {
+        val mid = (lo + hi) >>> 1
+        if (less(b(2 * mid), b(2 * mid + 1), h, id)) lo = mid + 1 else hi = mid
+      }
+      val outN = math.min(n + 1, k)
+      val out = new Array[Long](outN * 2)
+      System.arraycopy(b, 0, out, 0, lo * 2)
+      out(2 * lo) = h; out(2 * lo + 1) = id
+      System.arraycopy(b, lo * 2, out, (lo + 1) * 2, math.min(n - lo, outN - lo - 1) * 2)
+      LongBuf(out)
+    }
+    override def merge(x: LongBuf, y: LongBuf): LongBuf = {
+      val a = x.v; val c = y.v
+      val n1 = a.length / 2; val n2 = c.length / 2
+      val outN = math.min(n1 + n2, k)
+      val out = new Array[Long](outN * 2)
+      var i = 0; var j = 0; var o = 0
+      while (o < outN) {
+        val takeA = j >= n2 || (i < n1 && less(a(2 * i), a(2 * i + 1), c(2 * j), c(2 * j + 1)))
+        if (takeA) { out(2 * o) = a(2 * i); out(2 * o + 1) = a(2 * i + 1); i += 1 }
+        else { out(2 * o) = c(2 * j); out(2 * o + 1) = c(2 * j + 1); j += 1 }
+        o += 1
+      }
+      LongBuf(out)
+    }
+    override def finish(b: LongBuf): LongBuf =
+      LongBuf(Array.tabulate(b.v.length / 2)(i => b.v(2 * i + 1)))
+    override def bufferEncoder = org.apache.spark.sql.Encoders.product[LongBuf]
+    override def outputEncoder = org.apache.spark.sql.Encoders.product[LongBuf]
+  }
+
+  /** Exact FIXED-SIZE deterministic sample per group: the k rows with the
+    * smallest (mix64(id), id) rank in each group — a pure function of the
+    * ids, reproducible across engines, runs, and partitionings (the
+    * fixed-count companion of the per-mille [[deterministicSample]]).
+    * Scale-safe where a row_number window is NOT: a window over a
+    * few-group key (5 languages) serializes the corpus into that many
+    * tasks, while the bounded [[TopKByHash]] aggregator partial-aggregates
+    * map-side, so only ≤ k (hash, id) pairs per (group, partition) reach
+    * the one group-keyed exchange. Returns (groupCol, idCol), exactly
+    * min(k, |group|) rows per group. */
+  def fixedKSample(df: DataFrame, groupCol: String, idCol: String, k: Int): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    val agg = udaf(new TopKByHash(k))
+    df.select(col(groupCol), mix64_col(col(idCol)).as("__h"), col(idCol).cast("long").as("__id"))
+      .groupBy(groupCol)
+      .agg(agg(col("__h"), col("__id")).as("__ids"))
+      .select(col(groupCol), explode(col("__ids.v")).as(idCol))
+  }
+
   /** Quality-WEIGHTED deterministic sampling — the data-mixing knob of a
     * training pipeline: each row carries its own keep rate (integer
     * per-mille, e.g. from quality scores or language priors) and survives

@@ -662,6 +662,32 @@ class OpsSpec extends AnyFunSuite {
     assert(plan.contains("BroadcastHashJoin"), "shard signatures must broadcast")
   }
 
+  test("fixedKSample: window-oracle equality, partition independence, small groups, partial agg") {
+    import org.apache.spark.sql.expressions.Window
+    val corpus = docs.select($"lang", $"doc_id")
+    def ids(df: org.apache.spark.sql.DataFrame) =
+      df.select("lang", "doc_id").as[(String, Long)].collect().toSet
+    // oracle: the row_number window over the same (mix64, id) order
+    val oracle = ids(corpus
+      .withColumn("__h", mix64_col($"doc_id"))
+      .withColumn("__rn", row_number().over(
+        Window.partitionBy($"lang").orderBy($"__h", $"doc_id")))
+      .where($"__rn" <= 7).drop("__h", "__rn"))
+    assert(ids(TextOps.fixedKSample(corpus, "lang", "doc_id", 7)) == oracle)
+    // partitioning never changes the sample (merge path exercised)
+    assert(ids(TextOps.fixedKSample(corpus.repartition(13), "lang", "doc_id", 7)) == oracle)
+    assert(ids(TextOps.fixedKSample(corpus.repartition(1), "lang", "doc_id", 7)) == oracle)
+    // a group smaller than k returns the whole group
+    val tiny = Seq(("a", 1L), ("a", 2L), ("b", 3L)).toDF("lang", "doc_id")
+    assert(ids(TextOps.fixedKSample(tiny, "lang", "doc_id", 10)) ==
+      Set(("a", 1L), ("a", 2L), ("b", 3L)))
+    // plan: partial ObjectHashAggregate before the one group-keyed exchange
+    val plan = TextOps.fixedKSample(corpus, "lang", "doc_id", 7)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("ObjectHashAggregate"), plan.take(2000))
+    assert("Exchange hashpartitioning".r.findAllIn(plan).length == 1, plan.take(2000))
+  }
+
   test("HLL sketches: closed-form registers, byte-identical shard merge, estimate accuracy") {
     import Sketches._
     // hand-built hashes with known (bucket, rho): top 8 bits = bucket, the
