@@ -122,6 +122,26 @@ object SparkEntry {
        |         CAST(sum(CASE pos % 3 WHEN 0 THEN 299 * v WHEN 1 THEN 587 * v ELSE 114 * v END) AS BIGINT) AS luma
        |  FROM q GROUP BY id, pos // 3)""".stripMargin
 
+  /** DuckDB mix64 replay (q66's 32-bit-split HUGEINT multiplies mod 2^64):
+    * emits six chained CTEs `${tag}0..${tag}5` over `src`, carrying `cols`
+    * through and hashing the UBIGINT expression `in` into column `h` of
+    * `${tag}5`. Shared by the q86/q87/q88 oracles. */
+  private def mix64Sql(tag: String, src: String, cols: String, in: String): String = {
+    def mul(c: String) =
+      s"""CAST((
+         |    (CAST('$c' AS HUGEINT) * (x % 4294967296)) % CAST('18446744073709551616' AS HUGEINT)
+         |    + ((CAST('$c' AS HUGEINT) % 4294967296) * (x >> 32)) % 4294967296 * 4294967296
+         |  ) % CAST('18446744073709551616' AS HUGEINT) AS UBIGINT)""".stripMargin
+    s"""${tag}0 AS (SELECT $cols,
+       |    CAST((CAST($in AS HUGEINT) + 11400714819323198485) % CAST('18446744073709551616' AS HUGEINT) AS UBIGINT) AS x
+       |  FROM $src),
+       |${tag}1 AS (SELECT $cols, xor(x, x >> 30) AS x FROM ${tag}0),
+       |${tag}2 AS (SELECT $cols, ${mul("13787848793156543929")} AS x FROM ${tag}1),
+       |${tag}3 AS (SELECT $cols, xor(x, x >> 27) AS x FROM ${tag}2),
+       |${tag}4 AS (SELECT $cols, ${mul("10723151780598845931")} AS x FROM ${tag}3),
+       |${tag}5 AS (SELECT $cols, xor(x, x >> 31) AS h FROM ${tag}4)""".stripMargin
+  }
+
   /** VID1 per-(video, frame) xorshift64 raster replay through the byte CTE
     * `bb(id, fr, pos, v)` (q69's machinery keyed on (id, fr), seed WRAPS
     * mod 2^64; `vids(id, w, h, nf)` stays visible). Shared by q75/q84. */
@@ -435,6 +455,20 @@ object SparkEntry {
         .select(col("image_id"),
           posexplode(Multimodal.image_histogram(col("bytes"), lit(8))))
         .select(col("image_id"), col("pos").as("bin"), col("col").as("n_px"))
+    }),
+    "q88_bloom_filter" -> ((s, dir) => {
+      // Bloom-filter decontamination plumbing under the gate: the benchmark
+      // slice (doc_id % 10 == 0) builds one 4096-bit / 4-probe filter over
+      // mix64(doc_id); every doc probes it via the broadcast blob. No false
+      // negatives, and the false POSITIVES are deterministic double-hash
+      // collisions the oracle replays bit-for-bit
+      registerAll(s)
+      val docs = s.read.parquet(t(dir, "documents"))
+      val bench = docs.where(col("doc_id") % 10 === 0)
+        .agg(Sketches.bloom_sketch(mix64_col(col("doc_id")), mBits = 4096, k = 4).as("bf"))
+      docs.crossJoin(broadcast(bench))
+        .select(col("doc_id"),
+          Sketches.bloom_contains(col("bf"), mix64_col(col("doc_id")), lit(4)).as("hit"))
     }),
     "q87_fixed_k_sample" -> ((s, dir) => {
       // exact fixed-size deterministic sampling: the 20 smallest
@@ -1832,49 +1866,46 @@ object SparkEntry {
           |       CAST(sum(abs(a.v - b.v)) AS BIGINT) AS motion_sum_abs
           |FROM bb a JOIN bb b ON a.id = b.id AND a.pos = b.pos AND b.fr = a.fr + 1
           |GROUP BY a.id""".stripMargin),
+    "q88_bloom_filter" ->
+      // h1 = mix64(doc_id), h2 = mix64(h1) (the chain replays twice);
+      // positions i in 0..3 = (h1 + i*h2) mod 2^64 mod 4096; bit set =
+      // DISTINCT positions of the benchmark slice; a doc hits iff all 4 of
+      // its positions are set (left join + count of matches = 4)
+      ("WITH " + mix64Sql("a", "documents", "doc_id", "CAST(doc_id AS UBIGINT)") +
+      """,
+        |pre AS (SELECT doc_id, h AS h1 FROM a5),
+        |""".stripMargin +
+      mix64Sql("b", "pre", "doc_id, h1", "h1") +
+      """,
+        |pos AS (SELECT doc_id, h1, h AS h2 FROM b5),
+        |pp AS (SELECT doc_id,
+        |    CAST(((CAST(h1 AS HUGEINT) + i.range * CAST(h2 AS HUGEINT))
+        |          % CAST('18446744073709551616' AS HUGEINT)) % 4096 AS INT) AS p
+        |  FROM pos, range(4) i),
+        |bits AS (SELECT DISTINCT p FROM pp WHERE doc_id % 10 = 0)
+        |SELECT d.doc_id,
+        |       sum(CASE WHEN b.p IS NOT NULL THEN 1 ELSE 0 END) = 4 AS hit
+        |FROM pp d LEFT JOIN bits b ON d.p = b.p
+        |GROUP BY d.doc_id""".stripMargin),
     "q87_fixed_k_sample" ->
       // mix64 replay (signed reinterpretation — Spark ranks SIGNED longs),
       // then a row_number qualify; (hash, doc_id) is a total order
-      """WITH z0 AS (SELECT lang, doc_id,
-        |    CAST((CAST(doc_id AS HUGEINT) + 11400714819323198485) % CAST('18446744073709551616' AS HUGEINT) AS UBIGINT) AS x
-        |  FROM documents),
-        |z1 AS (SELECT lang, doc_id, xor(x, x >> 30) AS x FROM z0),
-        |z2 AS (SELECT lang, doc_id, CAST((
-        |    (CAST('13787848793156543929' AS HUGEINT) * (x % 4294967296)) % CAST('18446744073709551616' AS HUGEINT)
-        |    + ((CAST('13787848793156543929' AS HUGEINT) % 4294967296) * (x >> 32)) % 4294967296 * 4294967296
-        |  ) % CAST('18446744073709551616' AS HUGEINT) AS UBIGINT) AS x FROM z1),
-        |z3 AS (SELECT lang, doc_id, xor(x, x >> 27) AS x FROM z2),
-        |z4 AS (SELECT lang, doc_id, CAST((
-        |    (CAST('10723151780598845931' AS HUGEINT) * (x % 4294967296)) % CAST('18446744073709551616' AS HUGEINT)
-        |    + ((CAST('10723151780598845931' AS HUGEINT) % 4294967296) * (x >> 32)) % 4294967296 * 4294967296
-        |  ) % CAST('18446744073709551616' AS HUGEINT) AS UBIGINT) AS x FROM z3),
-        |z5 AS (SELECT lang, doc_id, xor(x, x >> 31) AS h FROM z4),
+      ("WITH " + mix64Sql("z", "documents", "lang, doc_id", "CAST(doc_id AS UBIGINT)") +
+      """,
         |sg AS (SELECT lang, doc_id,
         |    CAST(CAST(h AS HUGEINT) - (CASE WHEN h >= CAST('9223372036854775808' AS UBIGINT)
         |         THEN CAST('18446744073709551616' AS HUGEINT) ELSE 0 END) AS BIGINT) AS hs
         |  FROM z5),
         |r AS (SELECT lang, doc_id,
         |    row_number() OVER (PARTITION BY lang ORDER BY hs, doc_id) AS rn FROM sg)
-        |SELECT lang, doc_id FROM r WHERE rn <= 20""".stripMargin,
+        |SELECT lang, doc_id FROM r WHERE rn <= 20""".stripMargin),
     "q86_hll_registers" ->
       // scalar mix64 (q66's 32-bit-split HUGEINT multiplies mod 2^64),
       // bucket = h >> 56, rho = 65 - bin-length of (h << 8) (57 when the
       // low 56 bits are all zero), max per (lang, bucket), zero registers
       // kept via the lang x 256 grid
-      """WITH z0 AS (SELECT lang,
-        |    CAST((CAST(doc_id AS HUGEINT) + 11400714819323198485) % CAST('18446744073709551616' AS HUGEINT) AS UBIGINT) AS x
-        |  FROM documents),
-        |z1 AS (SELECT lang, xor(x, x >> 30) AS x FROM z0),
-        |z2 AS (SELECT lang, CAST((
-        |    (CAST('13787848793156543929' AS HUGEINT) * (x % 4294967296)) % CAST('18446744073709551616' AS HUGEINT)
-        |    + ((CAST('13787848793156543929' AS HUGEINT) % 4294967296) * (x >> 32)) % 4294967296 * 4294967296
-        |  ) % CAST('18446744073709551616' AS HUGEINT) AS UBIGINT) AS x FROM z1),
-        |z3 AS (SELECT lang, xor(x, x >> 27) AS x FROM z2),
-        |z4 AS (SELECT lang, CAST((
-        |    (CAST('10723151780598845931' AS HUGEINT) * (x % 4294967296)) % CAST('18446744073709551616' AS HUGEINT)
-        |    + ((CAST('10723151780598845931' AS HUGEINT) % 4294967296) * (x >> 32)) % 4294967296 * 4294967296
-        |  ) % CAST('18446744073709551616' AS HUGEINT) AS UBIGINT) AS x FROM z3),
-        |z5 AS (SELECT lang, xor(x, x >> 31) AS h FROM z4),
+      ("WITH " + mix64Sql("z", "documents", "lang", "CAST(doc_id AS UBIGINT)") +
+      """,
         |br AS (SELECT lang, CAST(h >> 56 AS INT) AS bucket,
         |    CASE WHEN (CAST(h AS HUGEINT) * 256) % CAST('18446744073709551616' AS HUGEINT) = 0 THEN 57
         |         ELSE 65 - length(bin(CAST((CAST(h AS HUGEINT) * 256) % CAST('18446744073709551616' AS HUGEINT) AS UBIGINT)))
@@ -1885,7 +1916,7 @@ object SparkEntry {
         |SELECT l.lang, CAST(b.range AS INT) AS bucket,
         |       CAST(coalesce(m.r, 0) AS INT) AS register
         |FROM langs l CROSS JOIN range(256) b
-        |LEFT JOIN mx m ON m.lang = l.lang AND m.bucket = b.range""".stripMargin,
+        |LEFT JOIN mx m ON m.lang = l.lang AND m.bucket = b.range""".stripMargin),
     "q85_tfidf_search" ->
       // same integer formula; ORDER BY score DESC, doc_id is a total order
       // so the LIMIT boundary is engine-exact

@@ -40,6 +40,26 @@ object SketchRuntime {
   /** Register blob → ARRAY<INT> for inspection / oracle explosion. */
   def hllRegisters(regs: Array[Byte]): ArrayData =
     new GenericArrayData(regs.map(b => (b & 0xff): Any))
+
+  /** The i-th Bloom bit position of a 64-bit hash: classic double hashing
+    * pos_i = (h + i·mix64(h)) mod m with m a power of two — wrapping
+    * arithmetic only, so the positions replay exactly in SQL. */
+  def bloomPos(hash: Long, i: Int, mBits: Int): Int =
+    ((hash + i.toLong * TextKernels.mix64(hash)) & (mBits - 1)).toInt
+
+  /** Membership test against a Bloom bitset blob (k double-hash probes).
+    * False negatives: never. False positives: the standard Bloom rate —
+    * and DETERMINISTIC, so an oracle replays them bit-for-bit. */
+  def bloomContains(bits: Array[Byte], hash: Long, k: Int): Boolean = {
+    val m = bits.length * 8
+    var i = 0
+    while (i < k) {
+      val p = bloomPos(hash, i, m)
+      if ((bits(p >> 3) & (1 << (p & 7))) == 0) return false
+      i += 1
+    }
+    true
+  }
 }
 
 /** Mergeable cardinality sketches for corpus statistics at 10^12-row
@@ -99,6 +119,56 @@ object Sketches {
     override def outputEncoder: Encoder[Array[Byte]] = Encoders.BINARY
   }
 
+  /** Build a Bloom bitset over 64-bit hashes: mBits a power of two,
+    * k double-hash probes per value. Merge = bitwise OR — associative +
+    * idempotent, so shard partials OR together byte-identically to the
+    * one-shot filter. The persisted blob is mBits/8 bytes; at 10^12 rows a
+    * benchmark-membership filter becomes one broadcast blob + a codegen
+    * probe per row instead of an exact-set join. */
+  final class BloomAggregator(mBits: Int, k: Int)
+      extends Aggregator[Long, Array[Byte], Array[Byte]] {
+    require(mBits >= 64 && (mBits & (mBits - 1)) == 0, s"mBits must be a power of two >= 64, got $mBits")
+    require(k >= 1 && k <= 16, s"k must be in [1, 16], got $k")
+    override def zero: Array[Byte] = new Array[Byte](mBits / 8)
+    override def reduce(b: Array[Byte], hash: Long): Array[Byte] = {
+      var i = 0
+      while (i < k) {
+        val p = SketchRuntime.bloomPos(hash, i, mBits)
+        b(p >> 3) = (b(p >> 3) | (1 << (p & 7))).toByte
+        i += 1
+      }
+      b
+    }
+    override def merge(a: Array[Byte], b: Array[Byte]): Array[Byte] = {
+      var i = 0
+      while (i < a.length) { a(i) = (a(i) | b(i)).toByte; i += 1 }
+      a
+    }
+    override def finish(r: Array[Byte]): Array[Byte] = r
+    override def bufferEncoder: Encoder[Array[Byte]] = Encoders.BINARY
+    override def outputEncoder: Encoder[Array[Byte]] = Encoders.BINARY
+  }
+
+  /** `bloom_contains(bits, hash, k)` → membership (BOOLEAN; no false
+    * negatives, deterministic false positives). */
+  case class BloomContains(bits: Expression, hash: Expression, k: Expression)
+      extends org.apache.spark.sql.catalyst.expressions.TernaryExpression
+      with ImplicitCastInputTypes {
+    override def first: Expression  = bits
+    override def second: Expression = hash
+    override def third: Expression  = k
+    override def inputTypes         = Seq(BinaryType, LongType, IntegerType)
+    override def dataType: DataType = BooleanType
+    override protected def nullSafeEval(b: Any, h: Any, kk: Any): Any =
+      SketchRuntime.bloomContains(b.asInstanceOf[Array[Byte]],
+        h.asInstanceOf[Long], kk.asInstanceOf[Int])
+    override protected def doGenCode(ctx: codegen.CodegenContext, ev: codegen.ExprCode) =
+      defineCodeGen(ctx, ev,
+        (b, h, kk) => s"graft.ops.SketchRuntime.bloomContains($b, $h, $kk)")
+    override protected def withNewChildrenInternal(a: Expression, b: Expression, c: Expression) =
+      copy(a, b, c)
+  }
+
   /** `hll_estimate(sketch)` → approximate distinct count (DOUBLE). */
   case class HllEstimate(sketch: Expression) extends UnaryExpression with ImplicitCastInputTypes {
     override def child: Expression = sketch
@@ -124,8 +194,9 @@ object Sketches {
   }
 
   val builders: Seq[(String, Seq[Expression] => Expression)] = Seq(
-    "hll_estimate"  -> (es => HllEstimate(es.head)),
-    "hll_registers" -> (es => HllRegisters(es.head)))
+    "hll_estimate"   -> (es => HllEstimate(es.head)),
+    "hll_registers"  -> (es => HllRegisters(es.head)),
+    "bloom_contains" -> (es => BloomContains(es(0), es(1), es(2))))
 
   @volatile private var registered: Set[Int] = Set.empty
 
@@ -148,4 +219,8 @@ object Sketches {
     udaf(new HllMergeAggregator(p)).apply(sketch)
   def hll_estimate(sketch: Column): Column  = call_function("hll_estimate", sketch)
   def hll_registers(sketch: Column): Column = call_function("hll_registers", sketch)
+  def bloom_sketch(hash: Column, mBits: Int = 1 << 20, k: Int = 4): Column =
+    udaf(new BloomAggregator(mBits, k)).apply(hash)
+  def bloom_contains(bits: Column, hash: Column, k: Column): Column =
+    call_function("bloom_contains", bits, hash, k)
 }

@@ -662,6 +662,36 @@ class OpsSpec extends AnyFunSuite {
     assert(plan.contains("BroadcastHashJoin"), "shard signatures must broadcast")
   }
 
+  test("Bloom sketch: no false negatives, byte-identical shard OR-merge, bounded FPs") {
+    import Sketches._
+    val keys = docs.where($"doc_id" % 7 === 0).select(mix64_col($"doc_id").as("hh"))
+    val bf = keys.agg(bloom_sketch($"hh", mBits = 4096, k = 4)).head().getAs[Array[Byte]](0)
+    assert(bf.length == 512)
+    // every inserted key hits (no false negatives)
+    val misses = keys.crossJoin(Seq(bf).toDF("bf"))
+      .where(!bloom_contains($"bf", $"hh", lit(4))).count()
+    assert(misses == 0)
+    // shard partials OR together byte-identically to the one-shot filter
+    val sharded = docs.where($"doc_id" % 7 === 0)
+      .select(mix64_col($"doc_id").as("hh"), ($"doc_id" % 3).as("shard"))
+      .groupBy("shard").agg(bloom_sketch($"hh", 4096, 4).as("bf"))
+      .select($"bf")
+    val merged = sharded.as[Array[Byte]].collect()
+      .reduce((a, b) => a.zip(b).map { case (x, y) => (x | y).toByte })
+    assert(java.util.Arrays.equals(bf, merged))
+    // non-members: FP rate bounded well under the theoretical envelope x4
+    val nonMembers = docs.where($"doc_id" % 7 =!= 0)
+      .crossJoin(Seq(bf).toDF("bf"))
+      .where(bloom_contains($"bf", mix64_col($"doc_id"), lit(4))).count()
+    val n = docs.where($"doc_id" % 7 === 0).count().toDouble
+    val fpTheory = math.pow(1.0 - math.exp(-4.0 * n / 4096.0), 4)
+    assert(nonMembers <= math.max(4.0, 4 * fpTheory * 500).toLong,
+      s"$nonMembers false positives vs theory $fpTheory")
+    // determinism: the blob is a pure function of the key set
+    val bf2 = keys.repartition(9).agg(bloom_sketch($"hh", 4096, 4)).head().getAs[Array[Byte]](0)
+    assert(java.util.Arrays.equals(bf, bf2))
+  }
+
   test("fixedKSample: window-oracle equality, partition independence, small groups, partial agg") {
     import org.apache.spark.sql.expressions.Window
     val corpus = docs.select($"lang", $"doc_id")
