@@ -456,6 +456,20 @@ object SparkEntry {
           posexplode(Multimodal.image_histogram(col("bytes"), lit(8))))
         .select(col("image_id"), col("pos").as("bin"), col("col").as("n_px"))
     }),
+    "q89_cms_counters" -> ((s, dir) => {
+      // CountMin frequency sketch under the gate: the doc-length (ws token
+      // count) frequency table sketched into 4 x 512 counters — merge is
+      // element-wise SUM so shard partials reproduce the one-shot blob;
+      // the oracle recomputes every counter from the replayed double-hash
+      registerAll(s)
+      val docs = s.read.parquet(t(dir, "documents"))
+      docs.select(mix64_col(TextOps.tokenCountWs(col("text")).cast("long")).as("hh"))
+        .agg(Sketches.cms_sketch(col("hh"), w = 512, d = 4).as("cms"))
+        .select(posexplode(col("cms.v")))
+        .select(expr("shiftright(pos, 9)").cast("int").as("d_row"),
+          expr("pos & 511").cast("int").as("bucket"),
+          col("col").as("counter"))
+    }),
     "q88_bloom_filter" -> ((s, dir) => {
       // Bloom-filter decontamination plumbing under the gate: the benchmark
       // slice (doc_id % 10 == 0) builds one 4096-bit / 4-probe filter over
@@ -1866,6 +1880,27 @@ object SparkEntry {
           |       CAST(sum(abs(a.v - b.v)) AS BIGINT) AS motion_sum_abs
           |FROM bb a JOIN bb b ON a.id = b.id AND a.pos = b.pos AND b.fr = a.fr + 1
           |GROUP BY a.id""".stripMargin),
+    "q89_cms_counters" ->
+      // ws token count (the q76 formula) → h1 = mix64(n), h2 = mix64(h1),
+      // row i's bucket = (h1 + i*h2) mod 2^64 mod 512, counters = counts
+      // per (row, bucket), zero counters kept via the 4 x 512 grid
+      ("WITH nt AS (SELECT doc_id, CAST(CASE WHEN length(trim(text)) = 0 THEN 0\n" +
+       "    ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS BIGINT) AS n FROM documents),\n" +
+      mix64Sql("a", "nt", "doc_id", "CAST(n AS UBIGINT)") +
+      """,
+        |pre AS (SELECT doc_id, h AS h1 FROM a5),
+        |""".stripMargin +
+      mix64Sql("b", "pre", "doc_id, h1", "h1") +
+      """,
+        |pp AS (SELECT i.range AS r,
+        |    CAST(((CAST(h1 AS HUGEINT) + i.range * CAST(h AS HUGEINT))
+        |          % CAST('18446744073709551616' AS HUGEINT)) % 512 AS INT) AS bucket
+        |  FROM b5, range(4) i),
+        |cnt AS (SELECT r, bucket, count(*) AS c FROM pp GROUP BY 1, 2)
+        |SELECT CAST(g.range AS INT) AS d_row, CAST(b.range AS INT) AS bucket,
+        |       CAST(coalesce(c.c, 0) AS BIGINT) AS counter
+        |FROM range(4) g CROSS JOIN range(512) b
+        |LEFT JOIN cnt c ON c.r = g.range AND c.bucket = b.range""".stripMargin),
     "q88_bloom_filter" ->
       // h1 = mix64(doc_id), h2 = mix64(h1) (the chain replays twice);
       // positions i in 0..3 = (h1 + i*h2) mod 2^64 mod 4096; bit set =

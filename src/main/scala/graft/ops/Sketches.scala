@@ -47,6 +47,19 @@ object SketchRuntime {
   def bloomPos(hash: Long, i: Int, mBits: Int): Int =
     ((hash + i.toLong * TextKernels.mix64(hash)) & (mBits - 1)).toInt
 
+  /** CountMin point estimate: min over the d rows' probed counters. */
+  def cmsEstimate(counters: ArrayData, hash: Long, d: Int): Long = {
+    val w = counters.numElements() / d
+    var best = Long.MaxValue
+    var i = 0
+    while (i < d) {
+      val v = counters.getLong(i * w + bloomPos(hash, i, w))
+      if (v < best) best = v
+      i += 1
+    }
+    best
+  }
+
   /** Membership test against a Bloom bitset blob (k double-hash probes).
     * False negatives: never. False positives: the standard Bloom rate —
     * and DETERMINISTIC, so an oracle replays them bit-for-bit. */
@@ -149,6 +162,58 @@ object Sketches {
     override def outputEncoder: Encoder[Array[Byte]] = Encoders.BINARY
   }
 
+  /** Output/buffer wrapper for the CountMin counters (product encoder). */
+  final case class CmsBuf(v: Array[Long])
+
+  /** Count-Min frequency sketch over 64-bit key hashes: d rows × w
+    * counters (w a power of two), row i's bucket from the same double
+    * hashing as [[BloomAggregator]] (pos_i = (h + i·mix64(h)) mod w —
+    * wrapping arithmetic, SQL-replayable). Merge = element-wise SUM
+    * (associative: shard partials sum to the one-shot sketch exactly);
+    * point estimate = min over rows — an OVERESTIMATE, never under, with
+    * error ≤ 2N/w at confidence 1 − 2^−d. The d·w·8-byte blob
+    * partial-aggregates map-side, so frequency tables over 10^12 rows ship
+    * kilobytes per group instead of shuffling keys. */
+  final class CmsAggregator(w: Int, d: Int)
+      extends Aggregator[Long, CmsBuf, CmsBuf] {
+    require(w >= 64 && (w & (w - 1)) == 0, s"w must be a power of two >= 64, got $w")
+    require(d >= 1 && d <= 8, s"d must be in [1, 8], got $d")
+    override def zero: CmsBuf = CmsBuf(new Array[Long](d * w))
+    override def reduce(b: CmsBuf, hash: Long): CmsBuf = {
+      var i = 0
+      while (i < d) { b.v(i * w + SketchRuntime.bloomPos(hash, i, w)) += 1; i += 1 }
+      b
+    }
+    override def merge(a: CmsBuf, b: CmsBuf): CmsBuf = {
+      var i = 0
+      while (i < a.v.length) { a.v(i) += b.v(i); i += 1 }
+      a
+    }
+    override def finish(r: CmsBuf): CmsBuf = r
+    override def bufferEncoder: Encoder[CmsBuf] = Encoders.product[CmsBuf]
+    override def outputEncoder: Encoder[CmsBuf] = Encoders.product[CmsBuf]
+  }
+
+  /** `cms_estimate(counters, hash, d)` → min-over-rows point frequency
+    * estimate (LONG; w = counters.length / d). */
+  case class CmsEstimate(counters: Expression, hash: Expression, d: Expression)
+      extends org.apache.spark.sql.catalyst.expressions.TernaryExpression
+      with ImplicitCastInputTypes {
+    override def first: Expression  = counters
+    override def second: Expression = hash
+    override def third: Expression  = d
+    override def inputTypes         = Seq(ArrayType(LongType), LongType, IntegerType)
+    override def dataType: DataType = LongType
+    override protected def nullSafeEval(c: Any, h: Any, dd: Any): Any =
+      SketchRuntime.cmsEstimate(c.asInstanceOf[ArrayData],
+        h.asInstanceOf[Long], dd.asInstanceOf[Int])
+    override protected def doGenCode(ctx: codegen.CodegenContext, ev: codegen.ExprCode) =
+      defineCodeGen(ctx, ev,
+        (c, h, dd) => s"graft.ops.SketchRuntime.cmsEstimate($c, $h, $dd)")
+    override protected def withNewChildrenInternal(a: Expression, b: Expression, c: Expression) =
+      copy(a, b, c)
+  }
+
   /** `bloom_contains(bits, hash, k)` → membership (BOOLEAN; no false
     * negatives, deterministic false positives). */
   case class BloomContains(bits: Expression, hash: Expression, k: Expression)
@@ -196,7 +261,8 @@ object Sketches {
   val builders: Seq[(String, Seq[Expression] => Expression)] = Seq(
     "hll_estimate"   -> (es => HllEstimate(es.head)),
     "hll_registers"  -> (es => HllRegisters(es.head)),
-    "bloom_contains" -> (es => BloomContains(es(0), es(1), es(2))))
+    "bloom_contains" -> (es => BloomContains(es(0), es(1), es(2))),
+    "cms_estimate"   -> (es => CmsEstimate(es(0), es(1), es(2))))
 
   @volatile private var registered: Set[Int] = Set.empty
 
@@ -223,4 +289,8 @@ object Sketches {
     udaf(new BloomAggregator(mBits, k)).apply(hash)
   def bloom_contains(bits: Column, hash: Column, k: Column): Column =
     call_function("bloom_contains", bits, hash, k)
+  def cms_sketch(hash: Column, w: Int = 1 << 12, d: Int = 4): Column =
+    udaf(new CmsAggregator(w, d)).apply(hash)
+  def cms_estimate(counters: Column, hash: Column, d: Column): Column =
+    call_function("cms_estimate", counters, hash, d)
 }

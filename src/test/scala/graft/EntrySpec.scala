@@ -14,7 +14,7 @@ class EntrySpec extends AnyFunSuite {
     val qs = SparkEntry.queries.keySet
     val os = SparkEntry.oracleSql.keySet
     assert(os.subsetOf(qs), s"orphan oracles: ${os diff qs}")
-    assert(qs.size == 87 && os.size == 84, s"${qs.size} queries / ${os.size} oracles")
+    assert(qs.size == 88 && os.size == 85, s"${qs.size} queries / ${os.size} oracles")
     // the three rows-only queries are exactly the documented ones
     assert((qs diff os) == Set("q24_flagship", "q25_s2_cells", "q33_text_fingerprints"))
   }

@@ -662,6 +662,32 @@ class OpsSpec extends AnyFunSuite {
     assert(plan.contains("BroadcastHashJoin"), "shard signatures must broadcast")
   }
 
+  test("CountMin sketch: never underestimates, exact shard SUM-merge, point accuracy") {
+    import Sketches._
+    // key = doc length bucket (0..~60): true counts from an exact groupBy
+    val keyed = docs.select(TextOps.tokenCountWs($"text").cast("long").as("k"))
+    val truth = keyed.groupBy("k").count().as[(Long, Long)].collect().toMap
+    val cms = keyed.select(mix64_col($"k").as("hh"))
+      .agg(cms_sketch($"hh", w = 4096, d = 4)).head().getAs[org.apache.spark.sql.Row](0).getSeq[Long](0).toArray
+    assert(cms.length == 4 * 4096 && cms.sum == 4 * docs.count())
+    // point estimates: >= truth always; with ~60 keys in 4096 buckets,
+    // collisions are rare enough that every estimate is EXACT here
+    val est = keyed.distinct().crossJoin(Seq(Tuple1(cms)).toDF("cms"))
+      .select($"k", cms_estimate($"cms", mix64_col($"k"), lit(4)).as("e"))
+      .as[(Long, Long)].collect()
+    est.foreach { case (k, e) =>
+      assert(e >= truth(k), s"CMS underestimated key $k: $e < ${truth(k)}")
+      assert(e == truth(k), s"unexpected collision on key $k: $e != ${truth(k)}")
+    }
+    // shard partials SUM together element-wise to the one-shot blob
+    val sharded = docs.select(mix64_col(TextOps.tokenCountWs($"text").cast("long")).as("hh"),
+        ($"doc_id" % 3).as("shard"))
+      .groupBy("shard").agg(cms_sketch($"hh", 4096, 4).as("c"))
+      .select($"c").collect().map(_.getAs[org.apache.spark.sql.Row](0).getSeq[Long](0).toArray)
+    val summed = sharded.reduce((a, b) => a.zip(b).map { case (x, y) => x + y })
+    assert(java.util.Arrays.equals(cms, summed))
+  }
+
   test("Bloom sketch: no false negatives, byte-identical shard OR-merge, bounded FPs") {
     import Sketches._
     val keys = docs.where($"doc_id" % 7 === 0).select(mix64_col($"doc_id").as("hh"))
