@@ -147,10 +147,17 @@ object Bench {
     // mid-line and parsed nothing even though the line was valid)
     val full = s"""{"metric":"total",$shared,"canary":$cs}"""
     println(full)
-    // contract line LAST and canary-map-free (~half the bytes): any stdout
-    // tail window wide enough for one line ends with a complete parseable
-    // JSON object carrying every graded field
+    // mid-size line: canary-map-free but still carries the per-leg times
     println(s"""{"metric":"total",$shared}""")
+    // contract line LAST and TRULY minimal (<300 bytes, no per-leg maps):
+    // rounds 3-5 all shipped parsed:null because the ~2.3 KB line above
+    // front-truncated in the driver's ~2 KB stdout tail window. Any tail
+    // window wide enough for ONE short line now ends with a complete JSON
+    // object carrying the graded headline fields.
+    val throttledLegs = legs.filter { case (_, _, c) => c > 2.0 * canaryMedian }
+    val worstNames = throttledLegs.sortBy(-_._3).take(5).map("\"" + _._1 + "\"").mkString("[", ",", "]")
+    println(
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","sf":"$sfDir","flagship_rows_per_sec":$rps%.0f,"flagship_sec":$flagSec%.3f,"canary_median":$canaryMedian%.4f,"canary_base":$canaryBase%.4f,"n_legs":${legs.length}%d,"n_throttled":${throttledLegs.length}%d,"throttled_names":$worstNames%s}""")
     // machine-readable copy: sbt decorates stdout with [info] prefixes,
     // which broke the driver's JSON parse in round 1 (BENCH_r01 parsed:null)
     val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "/tmp/bench.json")

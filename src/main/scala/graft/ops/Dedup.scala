@@ -484,13 +484,14 @@ object Dedup {
     * a range-repartition on the probe keys (h; band, bh), which also gives
     * parquet min/max stats a sorted layout to prune against.
     *
-    * The rewrite is ATOMIC in the [[graft.pipeline.Stages]] `_SUCCESS`
+    * The rewrite is CRASH-SAFE in the [[graft.pipeline.Stages]] `_SUCCESS`
     * discipline: the compacted copy lands in a sibling tmp dir first and
-    * swaps in via two directory renames, so a concurrent reader sees either
-    * the old or the new catalog, never a half-written one (overwriting a
-    * parquet path being read is also an error in Spark — the tmp hop is
-    * required for self-reads anyway). Leftover tmp/backup dirs from a
-    * crashed prior compaction are cleaned on entry.
+    * swaps in via two directory renames, and a crash at any point leaves a
+    * recoverable full copy that the next compaction restores before it
+    * deletes anything (overwriting a parquet path being read is also an
+    * error in Spark — the tmp hop is required for self-reads anyway).
+    * Readers concurrent with the swap itself can see a briefly missing
+    * path and must retry — see [[swapSubdir]] for the exact contract.
     */
   def compactCatalog(spark: org.apache.spark.sql.SparkSession, path: String,
                      filesPerTable: Int = 4): Unit = {
@@ -507,8 +508,16 @@ object Dedup {
     }
   }
 
-  /** [[compactCatalog]]'s atomic tmp-dir + two-rename swap of one catalog
-    * subdirectory (a concurrent reader sees old or new, never half). */
+  /** [[compactCatalog]]'s tmp-dir + two-rename swap of one catalog
+    * subdirectory. CRASH-SAFE, not reader-atomic: a compaction that dies at
+    * any point leaves either the old or the new catalog recoverable — on
+    * re-entry, a missing live dir with a surviving backup is restored
+    * BEFORE anything is deleted, and the backup is only dropped after the
+    * new live dir is in place. A concurrent READER during the swap window
+    * (between the two renames) can observe a briefly missing path and
+    * should retry; single-writer + retry-reader is the catalog's contract
+    * (true multi-reader atomicity needs an indirection the local FS can't
+    * give — e.g. a manifest pointer, which Iceberg provides in production). */
   private def swapSubdir(path: String, sub: String)(write: String => Unit): Unit = {
     import java.nio.file.{Files, Paths, StandardCopyOption}
     def rm(p: java.io.File): Unit = if (p.exists()) {
@@ -518,11 +527,15 @@ object Dedup {
     val cur = Paths.get(s"$path/$sub")
     val tmp = Paths.get(s"$path/.compact_$sub")
     val bak = Paths.get(s"$path/.old_$sub")
+    // crash recovery: a prior run that died between its two renames left
+    // bak as the ONLY copy — restore it before any delete touches it
+    if (!Files.exists(cur) && Files.exists(bak))
+      Files.move(bak, cur, StandardCopyOption.ATOMIC_MOVE)
     rm(tmp.toFile); rm(bak.toFile)
     write(tmp.toString)
     Files.move(cur, bak, StandardCopyOption.ATOMIC_MOVE)
     Files.move(tmp, cur, StandardCopyOption.ATOMIC_MOVE)
-    rm(bak.toFile)
+    rm(bak.toFile) // only after the new live dir is in place
   }
 
   private def catalogParams(spark: org.apache.spark.sql.SparkSession, path: String): (Int, Int, Int) = {

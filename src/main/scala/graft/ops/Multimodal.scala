@@ -363,10 +363,13 @@ object Multimodal {
     * clamped window is empty). 5-ary, so codegen is hand-written in the
     * WithFeatureProps style — still a single static [[MmRuntime]] call. */
   case class ImageCrop(bytes: Expression, x: Expression, y: Expression,
-                       w: Expression, h: Expression) extends Expression {
+                       w: Expression, h: Expression)
+      extends Expression with ImplicitCastInputTypes {
     override def nullable: Boolean         = true
     override def foldable: Boolean         = children.forall(_.foldable)
     override def children: Seq[Expression] = Seq(bytes, x, y, w, h)
+    override def inputTypes =
+      Seq(BinaryType, IntegerType, IntegerType, IntegerType, IntegerType)
     override def dataType: DataType        = BinaryType
     override def eval(input: InternalRow): Any = {
       val b = bytes.eval(input)

@@ -123,6 +123,7 @@ object Sketches {
     private val agg = new HllAggregator(p)
     override def zero: Array[Byte] = agg.zero
     override def reduce(b: Array[Byte], sk: Array[Byte]): Array[Byte] = {
+      if (sk == null) return b // ignore-nulls semantics (a shard with a null partial)
       require(sk.length == b.length, s"sketch p mismatch: ${sk.length} vs ${b.length} registers")
       agg.merge(b, sk)
     }

@@ -169,6 +169,9 @@ object TextOps {
         val mid = (lo + hi) >>> 1
         if (less(b(2 * mid), b(2 * mid + 1), h, id)) lo = mid + 1 else hi = mid
       }
+      // duplicate (group, id) input rows must not occupy two slots: the
+      // sample is over DISTINCT ids (k slots = k distinct ids)
+      if (lo < n && b(2 * lo) == h && b(2 * lo + 1) == id) return buf
       val outN = math.min(n + 1, k)
       val out = new Array[Long](outN * 2)
       System.arraycopy(b, 0, out, 0, lo * 2)
@@ -179,15 +182,21 @@ object TextOps {
     override def merge(x: LongBuf, y: LongBuf): LongBuf = {
       val a = x.v; val c = y.v
       val n1 = a.length / 2; val n2 = c.length / 2
-      val outN = math.min(n1 + n2, k)
-      val out = new Array[Long](outN * 2)
+      val cap = math.min(n1 + n2, k)
+      val out = new Array[Long](cap * 2)
       var i = 0; var j = 0; var o = 0
-      while (o < outN) {
+      while (o < cap && (i < n1 || j < n2)) {
         val takeA = j >= n2 || (i < n1 && less(a(2 * i), a(2 * i + 1), c(2 * j), c(2 * j + 1)))
         if (takeA) { out(2 * o) = a(2 * i); out(2 * o + 1) = a(2 * i + 1); i += 1 }
-        else { out(2 * o) = c(2 * j); out(2 * o + 1) = c(2 * j + 1); j += 1 }
+        else {
+          out(2 * o) = c(2 * j); out(2 * o + 1) = c(2 * j + 1)
+          // equal pairs (same id seen by both partials) collapse to one slot
+          if (i < n1 && a(2 * i) == c(2 * j) && a(2 * i + 1) == c(2 * j + 1)) i += 1
+          j += 1
+        }
         o += 1
       }
+      if (o < cap) return LongBuf(java.util.Arrays.copyOf(out, o * 2))
       LongBuf(out)
     }
     override def finish(b: LongBuf): LongBuf =
@@ -205,7 +214,10 @@ object TextOps {
     * tasks, while the bounded [[TopKByHash]] aggregator partial-aggregates
     * map-side, so only ≤ k (hash, id) pairs per (group, partition) reach
     * the one group-keyed exchange. Returns (groupCol, idCol), exactly
-    * min(k, |group|) rows per group. */
+    * min(k, |distinct ids in group|) rows per group — duplicate (group, id)
+    * input rows collapse (the aggregator dedupes equal pairs in both
+    * reduce and merge), so a dup-carrying input cannot shrink the sample's
+    * distinct-id count. */
   def fixedKSample(df: DataFrame, groupCol: String, idCol: String, k: Int): DataFrame = {
     require(k > 0, s"k must be positive, got $k")
     val agg = udaf(new TopKByHash(k))

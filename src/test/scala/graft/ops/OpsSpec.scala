@@ -579,6 +579,29 @@ class OpsSpec extends AnyFunSuite {
     assert(rows("exact") == 80L && result() == before)
   }
 
+  test("compactCatalog: crash between the two renames is recovered, no data loss") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_crash").toString + "/catalog"
+    val corpus = (0L until 40L).map(i => (i, s"crash recovery corpus document body $i"))
+      .toDF("id", "text")
+    Dedup.writeCatalog(corpus, "id", "text", dir)
+    val shard = (0L until 10L).map(i => (3000L + i, s"crash recovery corpus document body $i"))
+      .toDF("id", "text")
+    def matchedIds() = shard.count() - Dedup.dedupAgainst(shard, "id", "text", dir).count()
+    assert(matchedIds() == 10L)
+    // simulate a compaction that died BETWEEN its two renames: the live dir
+    // was already moved to the backup, the compacted tmp never arrived —
+    // the backup is now the ONLY copy of the exact table
+    import java.nio.file.{Files, Paths, StandardCopyOption}
+    Files.move(Paths.get(s"$dir/exact"), Paths.get(s"$dir/.old_exact"),
+      StandardCopyOption.ATOMIC_MOVE)
+    // re-entry must restore the backup before deleting anything
+    Dedup.compactCatalog(spark, dir, filesPerTable = 2)
+    assert(matchedIds() == 10L, "catalog lost rows after crash recovery")
+    assert(spark.read.parquet(s"$dir/exact").count() == 40L)
+    assert(!Files.exists(Paths.get(s"$dir/.old_exact")) &&
+           !Files.exists(Paths.get(s"$dir/.compact_exact")))
+  }
+
   test("catalog dedup: STRING doc ids (URLs) catalog as-is") {
     // production doc ids are often strings; signatures must preserve the
     // id type instead of silently nulling it through a long cast
@@ -733,6 +756,10 @@ class OpsSpec extends AnyFunSuite {
     // partitioning never changes the sample (merge path exercised)
     assert(ids(TextOps.fixedKSample(corpus.repartition(13), "lang", "doc_id", 7)) == oracle)
     assert(ids(TextOps.fixedKSample(corpus.repartition(1), "lang", "doc_id", 7)) == oracle)
+    // duplicate (group, id) input rows collapse to one slot: the sample is
+    // still the same k DISTINCT ids (reduce + merge both dedupe equal pairs)
+    assert(ids(TextOps.fixedKSample(
+      corpus.union(corpus).union(corpus.limit(40)).repartition(5), "lang", "doc_id", 7)) == oracle)
     // a group smaller than k returns the whole group
     val tiny = Seq(("a", 1L), ("a", 2L), ("b", 3L)).toDF("lang", "doc_id")
     assert(ids(TextOps.fixedKSample(tiny, "lang", "doc_id", 10)) ==
@@ -765,6 +792,12 @@ class OpsSpec extends AnyFunSuite {
     val merged = hashed.groupBy("shard").agg(hll_sketch($"hh", 12).as("sk"))
       .agg(hll_merge($"sk", 12)).head().getAs[Array[Byte]](0)
     assert(java.util.Arrays.equals(whole, merged))
+    // a null partial (e.g. a shard table with an empty shard's null sketch)
+    // is skipped with ignore-nulls semantics, not an NPE
+    val withNull = hashed.groupBy("shard").agg(hll_sketch($"hh", 12).as("sk"))
+      .union(Seq((99L, null.asInstanceOf[Array[Byte]])).toDF("shard", "sk"))
+      .agg(hll_merge($"sk", 12)).head().getAs[Array[Byte]](0)
+    assert(java.util.Arrays.equals(whole, withNull))
     // estimate: 500 distinct ids at p=12 sits in the linear-counting regime
     val est = Seq(whole).toDF("sk").select(hll_estimate($"sk")).head().getDouble(0)
     val exact = docs.select(countDistinct($"doc_id")).head().getLong(0).toDouble
@@ -1238,6 +1271,10 @@ class OpsSpec extends AnyFunSuite {
       .count() == 0)
     assert(imgs.where(image_crop($"bytes", $"w", $"h", lit(3), lit(3)).isNotNull).count() == 0)
     assert(imgs.where(image_crop($"bytes", lit(0), lit(0), lit(0), lit(3)).isNotNull).count() == 0)
+    // bigint args implicitly cast (ImplicitCastInputTypes) instead of a
+    // runtime ClassCastException — same leniency as every sibling kernel
+    assert(imgs.selectExpr("image_crop(bytes, 0L, 0L, 8L, 8L) AS c")
+      .where($"c".isNull).count() == 0)
     // meta of a crop reflects the window dims
     val m = imgs.select(image_meta(image_crop($"bytes", lit(1), lit(2), lit(4), lit(3))).as("m"))
       .select($"m.w", $"m.h").distinct().collect()
