@@ -456,6 +456,39 @@ object SparkEntry {
           posexplode(Multimodal.image_histogram(col("bytes"), lit(8))))
         .select(col("image_id"), col("pos").as("bin"), col("col").as("n_px"))
     }),
+    "q90_overlay" -> ((s, dir) => {
+      // GENERAL polygon overlay under the gate: per-nation INTEGER-cornered
+      // concave L-shaped pairs (each L = two interior-disjoint rectangles),
+      // so intersection/union/difference areas have exact rectangle-
+      // decomposition closed forms: area(A∩B) = Σᵢⱼ area(Aᵢ∩Bⱼ), union and
+      // both differences by inclusion-exclusion — all integer arithmetic
+      // the oracle replays verbatim. The slab overlay reproduces the same
+      // integers through the full decompose→stitch pipeline (shared edges
+      // and vertex-on-edge contacts included, by construction of the
+      // lattice offsets).
+      registerAll(s)
+      val n  = col("n_nationkey")
+      val ax = (n * 7 % 40 - 20).cast("int"); val ay = (n * 5 % 30 - 15).cast("int")
+      val bx = (ax + n * 3 % 9 - 2).cast("int"); val by = (ay + n % 7 - 2).cast("int")
+      def pt(x: Column, y: Column) =
+        concat(lit("["), x.cast("string"), lit(","), y.cast("string"), lit("]"))
+      def ring(pts: (Column, Column)*) =
+        concat(lit("""{"type":"Polygon","coordinates":[["""),
+          concat_ws(",", (pts :+ pts.head).map { case (x, y) => pt(x, y) }: _*), lit("]]}"))
+      // A: ⌐-shaped L — base 10x4 + upright 4x6 (area 64)
+      val aJson = ring((ax, ay), (ax + 10, ay), (ax + 10, ay + 4), (ax + 4, ay + 4),
+        (ax + 4, ay + 10), (ax, ay + 10))
+      // B: mirrored L — base 9x3 + east upright 4x6 (area 51)
+      val bJson = ring((bx, by), (bx + 9, by), (bx + 9, by + 9), (bx + 5, by + 9),
+        (bx + 5, by + 3), (bx, by + 3))
+      s.read.parquet(t(dir, "nation"))
+        .select(n, from_geojson_geom(aJson).as("ga"), from_geojson_geom(bJson).as("gb"))
+        .select(n,
+          coalesce(round(st_area(st_intersection(col("ga"), col("gb")))).cast("long"), lit(0L)).as("inter_a"),
+          coalesce(round(st_area(st_union(col("ga"), col("gb")))).cast("long"), lit(0L)).as("union_a"),
+          coalesce(round(st_area(st_difference(col("ga"), col("gb")))).cast("long"), lit(0L)).as("diff_ab"),
+          coalesce(round(st_area(st_difference(col("gb"), col("ga")))).cast("long"), lit(0L)).as("diff_ba"))
+    }),
     "q89_cms_counters" -> ((s, dir) => {
       // CountMin frequency sketch under the gate: the doc-length (ws token
       // count) frequency table sketched into 4 x 512 counters — merge is
@@ -1880,6 +1913,34 @@ object SparkEntry {
           |       CAST(sum(abs(a.v - b.v)) AS BIGINT) AS motion_sum_abs
           |FROM bb a JOIN bb b ON a.id = b.id AND a.pos = b.pos AND b.fr = a.fr + 1
           |GROUP BY a.id""".stripMargin),
+    "q90_overlay" ->
+      // each L-shape = two interior-disjoint axis rectangles, so the
+      // overlay areas reduce to rectangle-pair interval arithmetic:
+      // area(A∩B) = Σᵢⱼ ovl(Aᵢ,Bⱼ); union/differences by inclusion-
+      // exclusion over the fixed operand areas (|A| = 64, |B| = 51) —
+      // exact INTEGER math in both engines
+      """WITH p AS (SELECT n_nationkey,
+        |    (n_nationkey * 7 % 40 - 20) AS ax, (n_nationkey * 5 % 30 - 15) AS ay,
+        |    (n_nationkey * 7 % 40 - 20 + n_nationkey * 3 % 9 - 2) AS bx,
+        |    (n_nationkey * 5 % 30 - 15 + n_nationkey % 7 - 2) AS by
+        |  FROM nation),
+        |r AS (SELECT n_nationkey,
+        |    ax AS a1w, ay AS a1s, ax + 10 AS a1e, ay + 4 AS a1n,
+        |    ax AS a2w, ay + 4 AS a2s, ax + 4 AS a2e, ay + 10 AS a2n,
+        |    bx AS b1w, by AS b1s, bx + 9 AS b1e, by + 3 AS b1n,
+        |    bx + 5 AS b2w, by + 3 AS b2s, bx + 9 AS b2e, by + 9 AS b2n
+        |  FROM p),
+        |i AS (SELECT n_nationkey,
+        |    greatest(0, least(a1e,b1e) - greatest(a1w,b1w)) * greatest(0, least(a1n,b1n) - greatest(a1s,b1s))
+        |  + greatest(0, least(a1e,b2e) - greatest(a1w,b2w)) * greatest(0, least(a1n,b2n) - greatest(a1s,b2s))
+        |  + greatest(0, least(a2e,b1e) - greatest(a2w,b1w)) * greatest(0, least(a2n,b1n) - greatest(a2s,b1s))
+        |  + greatest(0, least(a2e,b2e) - greatest(a2w,b2w)) * greatest(0, least(a2n,b2n) - greatest(a2s,b2s)) AS inter
+        |  FROM r)
+        |SELECT n_nationkey, CAST(inter AS BIGINT) AS inter_a,
+        |  CAST(64 + 51 - inter AS BIGINT) AS union_a,
+        |  CAST(64 - inter AS BIGINT) AS diff_ab,
+        |  CAST(51 - inter AS BIGINT) AS diff_ba
+        |FROM i""".stripMargin,
     "q89_cms_counters" ->
       // ws token count (the q76 formula) → h1 = mix64(n), h2 = mix64(h1),
       // row i's bucket = (h1 + i*h2) mod 2^64 mod 512, counters = counts

@@ -264,7 +264,7 @@ object GeoAlgo {
     * (cumulative delta walk — identity for rings that never jump by more
     * than 180°), and every non-shell ring of a part shifted by a multiple
     * of 360 so it shares its shell's frame (holes stay inside). */
-  private def unwrapParts(c: Array[Double], p: Array[Int], r: Array[Int],
+  private[algo] def unwrapParts(c: Array[Double], p: Array[Int], r: Array[Int],
                           f: Array[Int]): Array[Double] = {
     val out = java.util.Arrays.copyOf(c, c.length)
     var part = 0

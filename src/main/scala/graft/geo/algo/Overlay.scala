@@ -1,0 +1,734 @@
+package graft.geo.algo
+
+import scala.collection.mutable
+
+/** General polygon overlay — `st_intersection` / `st_difference` /
+  * `st_union` for ARBITRARY (concave, holed, multi-part) polygon pairs:
+  * the construction operator the axis-box ([[GeoAlgo.clipBox]] /
+  * [[GeoAlgo.eraseBox]]) and convex-window ([[GeoAlgo.clipConvex]]) family
+  * cannot express.
+  *
+  * Algorithm: SLAB (trapezoidal) decomposition rather than a
+  * Greiner–Hormann vertex walk — GH's pathological cases (shared edges,
+  * vertex-on-edge, collinear overlaps: exactly what rectilinear corpora
+  * and re-tiled geometries produce) are non-issues here because the result
+  * region is re-derived from even-odd PARITY per slab, never from pairing
+  * up crossing points:
+  *
+  *  1. both operands' rings are unwrapped ([[GeoAlgo.unwrapParts]]) and
+  *     reduced to non-horizontal edge soups (even-odd semantics over ALL
+  *     rings of an operand — the engine's `pointInRings` convention; valid
+  *     inputs with interior-disjoint parts are unaffected);
+  *  2. the y-axis is cut at every vertex y and every A×B edge-crossing y;
+  *     inside one slab no two edges cross, so the active edges are totally
+  *     ordered by their x at the slab midline;
+  *  3. a left-to-right parity walk (inA, inB toggles) emits one trapezoid
+  *     per maximal interval where the boolean predicate holds
+  *     (`inA && inB` / `inA && !inB` / `inA || inB`);
+  *  4. trapezoid corners are SNAPPED per y-level (1e-9° clustering — the
+  *     only step where two floats meaning the same point can differ in the
+  *     last ulp is an A×B crossing evaluated from both edges), horizontal
+  *     cell edges are split at every corner breakpoint of the level and
+  *     cancelled pairwise (interior walls vanish, boundary survives);
+  *  5. surviving directed edges relink into rings by the sharpest-left-turn
+  *     rule (interior stays on the left), giving CCW shells and CW holes
+  *     directly; collinear trapezoid seams collapse; holes attach to the
+  *     smallest containing shell ([[GeoAlgo.areaM2]]'s |shell| − Σ|holes|
+  *     per-part convention depends on this grouping).
+  *
+  * Cost: O(E² + S·E log E) per pair for E total edges and S slabs — an
+  * exact per-candidate-pair refinement kernel (like
+  * [[GeoAlgo.intersectsGeoms]]), not a scan primitive; at 100 TB it runs
+  * inside a row-local projection after the cell-cover equi-join has
+  * already reduced pairs, so it shuffles nothing.
+  *
+  * Antimeridian: operands are unwrapped; B is additionally tried at ±360°
+  * translates — intersection/difference consider every overlapping
+  * translate (intersection collects pieces, difference subtracts them in
+  * sequence); union aligns B once by the translate closest to A's frame.
+  * Output coordinates stay in A's unwrapped frame. Altitude (z) is NOT
+  * propagated — overlay output is 2D.
+  *
+  * The reference library ships no geometry construction at all (pure
+  * codec/optics: /root/reference/src/geojson/geojson.ml) — this operator
+  * is part of the engine's beyond-reference analytical surface.
+  */
+object Overlay {
+
+  val OpIntersection = 0
+  val OpDifference   = 1
+  val OpUnion        = 2
+
+  /** Corner-snap / sliver tolerance, degrees (~0.1 mm at the equator). */
+  private final val Eps = 1e-9
+
+  // ------------------------------------------------------------ edge soup
+
+  /** Parallel arrays of non-horizontal edges, each oriented so y1 < y2. */
+  private final class Edges {
+    var n  = 0
+    var x1 = new Array[Double](64); var y1 = new Array[Double](64)
+    var x2 = new Array[Double](64); var y2 = new Array[Double](64)
+    var own = new Array[Int](64)
+
+    def add(ax: Double, ay: Double, bx: Double, by: Double, owner: Int): Unit = {
+      if (ay == by) return // horizontal edges never toggle midline parity
+      if (n == x1.length) {
+        x1 = java.util.Arrays.copyOf(x1, n * 2); y1 = java.util.Arrays.copyOf(y1, n * 2)
+        x2 = java.util.Arrays.copyOf(x2, n * 2); y2 = java.util.Arrays.copyOf(y2, n * 2)
+        own = java.util.Arrays.copyOf(own, n * 2)
+      }
+      if (ay < by) { x1(n) = ax; y1(n) = ay; x2(n) = bx; y2(n) = by }
+      else         { x1(n) = bx; y1(n) = by; x2(n) = ax; y2(n) = ay }
+      own(n) = owner
+      n += 1
+    }
+
+    /** Canonical x of edge i at height y: exact endpoints, one shared
+      * interpolation formula everywhere else — so the same (edge, y) pair
+      * is bit-identical wherever it is evaluated. */
+    def xAt(i: Int, y: Double): Double =
+      if (y == y1(i)) x1(i)
+      else if (y == y2(i)) x2(i)
+      else x1(i) + (y - y1(i)) * (x2(i) - x1(i)) / (y2(i) - y1(i))
+  }
+
+  /** Append every edge of every CLOSED ring in [r0, r1) to the soup, with
+    * `shift` added to longitudes. */
+  private def addRingEdges(es: Edges, ux: Array[Double], p: Array[Int], r: Array[Int],
+                           r0: Int, r1: Int, owner: Int, shift: Double): Unit = {
+    var ri = r0
+    while (ri < r1) {
+      var i = r(ri)
+      val last = r(ri + 1) - 1 // rings carry the closing duplicate vertex
+      while (i < last) {
+        es.add(ux(p(i)) + shift, ux(p(i) + 1), ux(p(i + 1)) + shift, ux(p(i + 1) + 1), owner)
+        i += 1
+      }
+      ri += 1
+    }
+  }
+
+  // ------------------------------------------------------ trapezoid cells
+
+  /** One predicate-true trapezoid: corners at the two bounding slab levels. */
+  private final class Cell(val y0: Double, val y1: Double,
+                           var xl0: Double, var xl1: Double,
+                           var xr0: Double, var xr1: Double)
+
+  /** Decompose the predicate-true region of the edge soup into trapezoids.
+    * `pred(inA, inB)` is evaluated with even-odd parities per owner. */
+  private def cells(es: Edges, pred: (Boolean, Boolean) => Boolean): mutable.ArrayBuffer[Cell] = {
+    val out = new mutable.ArrayBuffer[Cell]
+    if (es.n == 0) return out
+    // event levels: every endpoint y + every cross-owner crossing y
+    val ys = new mutable.ArrayBuffer[Double]
+    var i = 0
+    while (i < es.n) { ys += es.y1(i); ys += es.y2(i); i += 1 }
+    i = 0
+    while (i < es.n) {
+      var j = i + 1
+      while (j < es.n) {
+        if (es.own(i) != es.own(j) &&
+            es.y1(i) < es.y2(j) && es.y1(j) < es.y2(i)) {
+          val d1x = es.x2(i) - es.x1(i); val d1y = es.y2(i) - es.y1(i)
+          val d2x = es.x2(j) - es.x1(j); val d2y = es.y2(j) - es.y1(j)
+          val den = d1x * d2y - d1y * d2x
+          if (den != 0.0) {
+            val rx = es.x1(j) - es.x1(i); val ry = es.y1(j) - es.y1(i)
+            val t = (rx * d2y - ry * d2x) / den
+            val u = (rx * d1y - ry * d1x) / den
+            if (t >= 0.0 && t <= 1.0 && u >= 0.0 && u <= 1.0)
+              ys += es.y1(i) + t * d1y
+          }
+        }
+        j += 1
+      }
+      i += 1
+    }
+    val lv = ys.toArray
+    java.util.Arrays.sort(lv)
+    // active-edge scratch, reused per slab
+    val idx = new Array[Int](es.n)
+    val xm  = new Array[Double](es.n)
+    var li = 0
+    while (li < lv.length - 1) {
+      val y0 = lv(li); val y1 = lv(li + 1)
+      if (y1 > y0) {
+        val ym = 0.5 * (y0 + y1)
+        var na = 0
+        var e = 0
+        while (e < es.n) {
+          if (es.y1(e) <= y0 && es.y2(e) >= y1) { idx(na) = e; xm(na) = es.xAt(e, ym); na += 1 }
+          e += 1
+        }
+        // insertion sort by xm (slabs are small; avoids boxing)
+        var a = 1
+        while (a < na) {
+          val ke = idx(a); val kx = xm(a)
+          var b = a - 1
+          while (b >= 0 && xm(b) > kx) { xm(b + 1) = xm(b); idx(b + 1) = idx(b); b -= 1 }
+          xm(b + 1) = kx; idx(b + 1) = ke
+          a += 1
+        }
+        var inA = false; var inB = false
+        var g = 0
+        while (g < na) {
+          // toggle every edge in the eps-group starting at g
+          val gx = xm(g)
+          var h = g
+          while (h < na && xm(h) - gx <= Eps) {
+            if (es.own(idx(h)) == 0) inA = !inA else inB = !inB
+            h += 1
+          }
+          if (h < na && pred(inA, inB)) {
+            val le = idx(h - 1) // any group member: same line within the slab
+            val re = idx(h)
+            if (xm(h) - xm(h - 1) > Eps)
+              out += new Cell(y0, y1, es.xAt(le, y0), es.xAt(le, y1),
+                                       es.xAt(re, y0), es.xAt(re, y1))
+          }
+          g = h
+        }
+      }
+      li += 1
+    }
+    out
+  }
+
+  // --------------------------------------------------- snap + edge cancel
+
+  /** Snap all cell corners per y-level (eps chain-clustering) and return
+    * the per-level sorted breakpoint arrays. */
+  private def snapCorners(cs: mutable.ArrayBuffer[Cell]): mutable.HashMap[Double, Array[Double]] = {
+    val byLevel = new mutable.HashMap[Double, mutable.ArrayBuffer[Double]]
+    cs.foreach { c =>
+      byLevel.getOrElseUpdate(c.y0, new mutable.ArrayBuffer[Double]) += c.xl0 += c.xr0
+      byLevel.getOrElseUpdate(c.y1, new mutable.ArrayBuffer[Double]) += c.xl1 += c.xr1
+    }
+    val snapped = new mutable.HashMap[Double, Array[Double]]
+    byLevel.foreach { case (y, xs) =>
+      val a = xs.toArray
+      java.util.Arrays.sort(a)
+      val reps = new mutable.ArrayBuffer[Double]
+      var i = 0
+      while (i < a.length) {
+        if (reps.isEmpty || a(i) - a(i - 1) > Eps) reps += a(i)
+        i += 1
+      }
+      snapped(y) = reps.toArray
+    }
+    def snap(y: Double, x: Double): Double = {
+      val reps = snapped(y)
+      var lo = 0; var hi = reps.length - 1
+      while (lo < hi) { // greatest rep <= x — reps are chain minima, so this
+        val mid = (lo + hi + 1) >>> 1 // is exactly x's own cluster rep
+        if (reps(mid) <= x) lo = mid else hi = mid - 1
+      }
+      reps(lo)
+    }
+    cs.foreach { c =>
+      c.xl0 = snap(c.y0, c.xl0); c.xr0 = snap(c.y0, c.xr0)
+      c.xl1 = snap(c.y1, c.xl1); c.xr1 = snap(c.y1, c.xr1)
+    }
+    snapped
+  }
+
+  /** Directed boundary edges surviving cancellation: sides verbatim,
+    * horizontals split at level breakpoints and net-summed. */
+  private def boundaryEdges(cs: mutable.ArrayBuffer[Cell],
+                            levels: mutable.HashMap[Double, Array[Double]])
+      : (Array[Double], Array[Double], Array[Double], Array[Double]) = {
+    val sx = new mutable.ArrayBuffer[Double]; val sy = new mutable.ArrayBuffer[Double]
+    val ex = new mutable.ArrayBuffer[Double]; val ey = new mutable.ArrayBuffer[Double]
+    // net horizontal segments: key (y, xa, xb) with xa < xb
+    val net = new mutable.HashMap[(Double, Double, Double), Int]
+    def addH(y: Double, a: Double, b: Double, dir: Int): Unit = if (b > a) {
+      val reps = levels(y)
+      var i = java.util.Arrays.binarySearch(reps, a)
+      if (i < 0) i = -i - 1 // a is always a rep; defensive
+      while (i + 1 <= reps.length - 1 && reps(i) < b) {
+        val p0 = reps(i); val p1 = reps(i + 1)
+        val seg = (y, p0, math.min(p1, b))
+        net(seg) = net.getOrElse(seg, 0) + dir
+        i += 1
+      }
+    }
+    cs.foreach { c =>
+      addH(c.y0, c.xl0, c.xr0, +1) // bottom, left→right
+      addH(c.y1, c.xl1, c.xr1, -1) // top, right→left
+      // right side BR→TR, left side TL→BL (CCW, interior left)
+      sx += c.xr0; sy += c.y0; ex += c.xr1; ey += c.y1
+      sx += c.xl1; sy += c.y1; ex += c.xl0; ey += c.y0
+    }
+    net.foreach { case ((y, a, b), d) =>
+      if (d > 0)      { sx += a; sy += y; ex += b; ey += y }
+      else if (d < 0) { sx += b; sy += y; ex += a; ey += y }
+    }
+    (sx.toArray, sy.toArray, ex.toArray, ey.toArray)
+  }
+
+  // -------------------------------------------------------- ring relinking
+
+  /** Link directed edges into closed rings with the sharpest-left-turn rule
+    * (interior on the left ⇒ CCW shells, CW holes). Returns open vertex
+    * rings. */
+  private def linkRings(sx: Array[Double], sy: Array[Double],
+                        ex: Array[Double], ey: Array[Double])
+      : Seq[(Array[Double], Array[Double])] = {
+    val n = sx.length
+    val outgoing = new mutable.HashMap[(Double, Double), mutable.ArrayBuffer[Int]]
+    var i = 0
+    while (i < n) {
+      outgoing.getOrElseUpdate((sx(i), sy(i)), new mutable.ArrayBuffer[Int]) += i
+      i += 1
+    }
+    val used = new Array[Boolean](n)
+    val rings = new mutable.ArrayBuffer[(Array[Double], Array[Double])]
+    var s = 0
+    while (s < n) {
+      if (!used(s)) {
+        val xs = new mutable.ArrayBuffer[Double]
+        val ysb = new mutable.ArrayBuffer[Double]
+        val startKey = (sx(s), sy(s))
+        var cur = s
+        var open = true
+        while (open) {
+          used(cur) = true
+          xs += sx(cur); ysb += sy(cur)
+          val vKey = (ex(cur), ey(cur))
+          if (vKey == startKey) open = false
+          else {
+            val cands = outgoing.getOrElse(vKey, null)
+            var best = -1; var bestAng = Double.MaxValue
+            val din = math.atan2(ey(cur) - sy(cur), ex(cur) - sx(cur))
+            if (cands != null) {
+              var ci = 0
+              while (ci < cands.length) {
+                val cd = cands(ci)
+                if (!used(cd)) {
+                  var a = math.atan2(ey(cd) - sy(cd), ex(cd) - sx(cd)) - din
+                  while (a <= 0) a += 2 * math.Pi
+                  while (a > 2 * math.Pi) a -= 2 * math.Pi
+                  // an exact U-turn is the worst choice, not the best
+                  if (math.abs(a - math.Pi) < 1e-12) a = 2 * math.Pi
+                  if (a < bestAng) { bestAng = a; best = cd }
+                }
+                ci += 1
+              }
+            }
+            if (best < 0) { open = false; xs.clear(); ysb.clear() } // stranded (defensive)
+            else cur = best
+          }
+        }
+        if (xs.length >= 3) rings += ((xs.toArray, ysb.toArray))
+      }
+      s += 1
+    }
+    rings.toSeq
+  }
+
+  /** Drop consecutive duplicates and forward-collinear seam vertices (the
+    * trapezoid splits along straight input edges). */
+  private def simplifyRing(xs0: Array[Double], ys0: Array[Double])
+      : (Array[Double], Array[Double]) = {
+    var xs = xs0; var ys = ys0
+    var changed = true
+    while (changed && xs.length >= 3) {
+      changed = false
+      val kx = new mutable.ArrayBuffer[Double]; val ky = new mutable.ArrayBuffer[Double]
+      val n = xs.length
+      var i = 0
+      while (i < n) {
+        val p = (i + n - 1) % n; val q = (i + 1) % n
+        val ax = xs(i) - xs(p); val ay = ys(i) - ys(p)
+        val bx = xs(q) - xs(i); val by = ys(q) - ys(i)
+        val cross = ax * by - ay * bx
+        val la = math.sqrt(ax * ax + ay * ay); val lb = math.sqrt(bx * bx + by * by)
+        // near-duplicate of the PREVIOUS vertex (a vertex-y event and a
+        // crossing-y event for the same point can sit ~1 ulp apart across
+        // two sliver-separated levels): drop this copy, keep the other
+        val dup = la <= Eps
+        // |cross| / (la + lb) ≈ distance of the vertex from the straight
+        // line — absolute ~1e-9°, the snap tolerance. BOTH legs must be
+        // real: a tiny leg makes any corner spuriously "collinear" and a
+        // simultaneous pass would then remove the corner's BOTH copies
+        val collinear = !dup && la > Eps && lb > Eps &&
+          math.abs(cross) <= 1e-9 * (la + lb) && (ax * bx + ay * by) > 0
+        if (dup || collinear) changed = true
+        else { kx += xs(i); ky += ys(i) }
+        i += 1
+      }
+      xs = kx.toArray; ys = ky.toArray
+    }
+    (xs, ys)
+  }
+
+  private def signedArea2(xs: Array[Double], ys: Array[Double]): Double = {
+    var a = 0.0
+    val n = xs.length
+    var i = 0
+    while (i < n) {
+      val j = (i + 1) % n
+      a += xs(i) * ys(j) - xs(j) * ys(i)
+      i += 1
+    }
+    a
+  }
+
+  private def pointInRing(xs: Array[Double], ys: Array[Double],
+                          px: Double, py: Double): Boolean = {
+    var in = false
+    val n = xs.length
+    var i = 0
+    var j = n - 1
+    while (i < n) {
+      if ((ys(i) > py) != (ys(j) > py) &&
+          px < xs(i) + (py - ys(i)) / (ys(j) - ys(i)) * (xs(j) - xs(i))) in = !in
+      j = i; i += 1
+    }
+    in
+  }
+
+  // ----------------------------------------------------------- planar core
+
+  /** Run the boolean over two unwrapped edge soups; returns the parts
+    * (shell, holes) of the result, empty when the region is empty. */
+  private def planarParts(op: Int, es: Edges)
+      : Seq[(Array[Double], Array[Double], Seq[(Array[Double], Array[Double])])] = {
+    val pred: (Boolean, Boolean) => Boolean = op match {
+      case OpIntersection => (a, b) => a && b
+      case OpDifference   => (a, b) => a && !b
+      case OpUnion        => (a, b) => a || b
+    }
+    val cs = cells(es, pred)
+    if (cs.isEmpty) return Seq.empty
+    val levels = snapCorners(cs)
+    val (sx, sy, ex, ey) = boundaryEdges(cs, levels)
+    val raw = linkRings(sx, sy, ex, ey)
+    val shells = new mutable.ArrayBuffer[(Array[Double], Array[Double], Double)]
+    val holes  = new mutable.ArrayBuffer[(Array[Double], Array[Double])]
+    raw.foreach { case (xs0, ys0) =>
+      val (xs, ys) = simplifyRing(xs0, ys0)
+      if (xs.length >= 3) {
+        val a2 = signedArea2(xs, ys)
+        if (a2 > Eps * Eps) shells += ((xs, ys, a2))
+        else if (a2 < -Eps * Eps) holes += ((xs, ys))
+      }
+    }
+    if (shells.isEmpty) return Seq.empty
+    val byArea = shells.sortBy(_._3) // ascending: smallest containing shell wins
+    val partHoles = Array.fill(byArea.length)(new mutable.ArrayBuffer[(Array[Double], Array[Double])])
+    holes.foreach { case (hx, hy) =>
+      var assigned = false
+      var vi = 0
+      while (!assigned && vi < hx.length) {
+        var si = 0
+        while (!assigned && si < byArea.length) {
+          if (pointInRing(byArea(si)._1, byArea(si)._2, hx(vi), hy(vi))) {
+            partHoles(si) += ((hx, hy)); assigned = true
+          }
+          si += 1
+        }
+        vi += 1
+      }
+      // a hole contained by no shell is a cancellation artifact — drop it
+    }
+    byArea.zipWithIndex.map { case ((xs, ys, _), si) =>
+      (xs, ys, partHoles(si).toSeq)
+    }.toSeq
+  }
+
+  /** Pack parts into the engine's [[GeoAlgo.Clipped]] layout (2D, closed
+    * rings, Polygon when single-part else MultiPolygon). */
+  private def packParts(
+      parts: Seq[(Array[Double], Array[Double], Seq[(Array[Double], Array[Double])])])
+      : GeoAlgo.Clipped = {
+    if (parts.isEmpty) return null
+    val coords = Array.newBuilder[Double]
+    val pos    = new mutable.ArrayBuffer[Int]
+    val ring   = new mutable.ArrayBuffer[Int]
+    val partO  = new mutable.ArrayBuffer[Int]
+    var ci = 0
+    var ri = 0
+    parts.foreach { case (sxs, sys, hs) =>
+      partO += ri
+      ((sxs, sys) +: hs.map(h => (h._1, h._2))).foreach { case (xs, ys) =>
+        ring += pos.length
+        var k = 0
+        while (k <= xs.length) { // <=: close the ring
+          val p = k % xs.length
+          pos += ci
+          coords += xs(p); coords += ys(p); ci += 2
+          k += 1
+        }
+        ri += 1
+      }
+    }
+    partO += ri
+    ring += pos.length
+    pos += ci
+    val gt = if (parts.length == 1) 5 else 6
+    GeoAlgo.Clipped(gt, coords.result(), pos.toArray, ring.toArray, partO.toArray)
+  }
+
+  // -------------------------------------------------------------- wrapper
+
+  private def xRange(ux: Array[Double], p: Array[Int]): (Double, Double) = {
+    var mn = Double.PositiveInfinity; var mx = Double.NegativeInfinity
+    var i = 0
+    while (i < p.length - 1) {
+      val x = ux(p(i)); if (x < mn) mn = x; if (x > mx) mx = x
+      i += 1
+    }
+    (mn, mx)
+  }
+
+  private val Shifts = Array(0.0, 360.0, -360.0)
+
+  /** Overlay of two AREAL packed geometries (gtype 5|6). Returns the packed
+    * result, or null when the region is empty. Throws on non-areal input —
+    * the expression layer routes point/line operands separately. */
+  def overlayGeoms(op: Int,
+                   gtA: Int, cA: Array[Double], pA: Array[Int], rA: Array[Int], fA: Array[Int],
+                   gtB: Int, cB: Array[Double], pB: Array[Int], rB: Array[Int], fB: Array[Int])
+      : GeoAlgo.Clipped = {
+    require(gtA == 5 || gtA == 6, s"overlay: first operand must be areal (got gtype $gtA)")
+    require(gtB == 5 || gtB == 6, s"overlay: second operand must be areal (got gtype $gtB)")
+    val uA = GeoAlgo.unwrapParts(cA, pA, rA, fA)
+    val uB = GeoAlgo.unwrapParts(cB, pB, rB, fB)
+    val (aMin, aMax) = xRange(uA, pA)
+    val (bMin, bMax) = xRange(uB, pB)
+    def soup(shift: Double): Edges = {
+      val es = new Edges
+      addRingEdges(es, uA, pA, rA, 0, rA.length - 1, 0, 0.0)
+      addRingEdges(es, uB, pB, rB, 0, rB.length - 1, 1, shift)
+      es
+    }
+    op match {
+      case OpIntersection =>
+        val parts = Shifts.toSeq.filter(s => bMin + s <= aMax && aMin <= bMax + s)
+          .flatMap(s => planarParts(op, soup(s)))
+        packParts(parts)
+      case OpUnion =>
+        // one aligning translate: the candidate overlapping A, else nearest
+        val best = Shifts.find(s => bMin + s <= aMax && aMin <= bMax + s).getOrElse(
+          Shifts.minBy(s => math.abs((bMin + bMax) / 2 + s - (aMin + aMax) / 2)))
+        packParts(planarParts(op, soup(best)))
+      case OpDifference =>
+        val hits = Shifts.filter(s => bMin + s <= aMax && aMin <= bMax + s)
+        if (hits.isEmpty)
+          return GeoAlgo.Clipped(gtA, cA, pA, rA, fA) // B misses A entirely
+        var cur = GeoAlgo.Clipped(gtA, uA, pA, rA, fA)
+        var k = 0
+        while (k < hits.length && cur != null) {
+          val es = new Edges
+          addRingEdges(es, cur.coords, cur.posOff, cur.ringOff,
+            0, cur.ringOff.length - 1, 0, 0.0)
+          addRingEdges(es, uB, pB, rB, 0, rB.length - 1, 1, hits(k))
+          cur = packParts(planarParts(op, es))
+          k += 1
+        }
+        cur
+    }
+  }
+
+  /** Trapezoid cells as CCW convex 4-gon shells (degenerate corners
+    * collapse to triangles); empty quads drop. */
+  private def toQuads(cs: mutable.ArrayBuffer[Cell]): Seq[(Array[Double], Array[Double])] =
+    cs.toSeq.flatMap { cell =>
+      val xs = new mutable.ArrayBuffer[Double]; val ys = new mutable.ArrayBuffer[Double]
+      def addPt(x: Double, y: Double): Unit =
+        if (xs.isEmpty || xs.last != x || ys.last != y) { xs += x; ys += y }
+      addPt(cell.xl0, cell.y0); addPt(cell.xr0, cell.y0)
+      addPt(cell.xr1, cell.y1); addPt(cell.xl1, cell.y1)
+      if (xs.length >= 3) Some((xs.toArray, ys.toArray)) else None
+    }
+
+  /** Interior trapezoids of ONE areal operand (shifted by `shift`) as
+    * convex 4-gon shells — the lineal routing path: clip each path against
+    * each trapezoid with [[GeoAlgo.clipConvex]]. Trapezoids partition the
+    * interior exactly (shared boundary lines only). */
+  def interiorTrapezoids(gt: Int, c: Array[Double], p: Array[Int], r: Array[Int],
+                         f: Array[Int], shift: Double = 0.0): Seq[(Array[Double], Array[Double])] = {
+    require(gt == 5 || gt == 6, s"overlay: operand must be areal (got gtype $gt)")
+    val u = GeoAlgo.unwrapParts(c, p, r, f)
+    val es = new Edges
+    addRingEdges(es, u, p, r, 0, r.length - 1, 0, shift)
+    toQuads(cells(es, (a, _) => a))
+  }
+
+  /** Trapezoids of box∖B (B shifted by `shift`): the areal operand's rings
+    * plus the bounding box ring share ONE even-odd parity, so the odd
+    * region is exactly inside-box-and-outside-B. */
+  private def complementTrapezoids(gt: Int, c: Array[Double], p: Array[Int],
+                                   r: Array[Int], f: Array[Int], shift: Double,
+                                   w: Double, s: Double, e: Double, n: Double)
+      : Seq[(Array[Double], Array[Double])] = {
+    val u = GeoAlgo.unwrapParts(c, p, r, f)
+    val es = new Edges
+    addRingEdges(es, u, p, r, 0, r.length - 1, 0, shift)
+    es.add(w, s, e, s, 0); es.add(e, s, e, n, 0)
+    es.add(e, n, w, n, 0); es.add(w, n, w, s, 0)
+    toQuads(cells(es, (a, _) => a))
+  }
+
+  /** Lineal ∩ / ∖ areal: each path of the lineal subject is clipped by
+    * every interior (∩) or bbox-bounded complement (∖) trapezoid of the
+    * areal operand via [[GeoAlgo.clipConvex]] (which also supplies the
+    * subject-side ±360° translate machinery), and the pieces merge into
+    * one (Multi)LineString. Caveat (inherited from the partition sharing
+    * boundary LINES): a run lying exactly on an interior trapezoid seam
+    * can duplicate across pieces — same documented behavior as
+    * [[GeoAlgo.eraseBox]]'s slab edges. Union of mixed dimensions is not
+    * defined here. */
+  def linealOverlay(op: Int,
+                    gtA: Int, cA: Array[Double], pA: Array[Int], rA: Array[Int], fA: Array[Int],
+                    gtB: Int, cB: Array[Double], pB: Array[Int], rB: Array[Int], fB: Array[Int])
+      : GeoAlgo.Clipped = {
+    require(gtA == 3 || gtA == 4, s"linealOverlay: subject must be lineal (got gtype $gtA)")
+    require(gtB == 5 || gtB == 6, s"linealOverlay: operand must be areal (got gtype $gtB)")
+    require(op != OpUnion, "union of mixed dimensions is not defined")
+    val uB = GeoAlgo.unwrapParts(cB, pB, rB, fB)
+    val (bMin, bMax) = xRange(uB, pB)
+    val bb = GeoAlgo.bbox(cA, pA) // unwrapped subject bbox
+    val hits = Shifts.filter(sh => bMin + sh <= bb(2) + 1 && bb(0) - 1 <= bMax + sh)
+    if (op == OpIntersection) {
+      val pieces = hits.flatMap { sh =>
+        interiorTrapezoids(gtB, cB, pB, rB, fB, sh).flatMap { case (xs, ys) =>
+          Option(GeoAlgo.clipConvex(gtA, cA, pA, rA, fA, xs, ys))
+        }
+      }
+      mergeLinealPaths(gtA, pieces.toSeq)
+    } else {
+      if (hits.isEmpty) return GeoAlgo.Clipped(gtA, cA, pA, rA, fA)
+      var cur = GeoAlgo.Clipped(gtA, cA, pA, rA, fA)
+      var k = 0
+      while (k < hits.length && cur != null) {
+        val traps = complementTrapezoids(gtB, cB, pB, rB, fB, hits(k),
+          bb(0) - 1, bb(1) - 1, bb(2) + 1, bb(3) + 1)
+        val pieces = traps.flatMap { case (xs, ys) =>
+          Option(GeoAlgo.clipConvex(cur.gtype, cur.coords, cur.posOff,
+            cur.ringOff, cur.partOff, xs, ys))
+        }
+        cur = mergeLinealPaths(gtA, pieces.toSeq)
+        k += 1
+      }
+      cur
+    }
+  }
+
+  /** Merge lineal pieces (each ONE part of paths, the packing convention)
+    * into a single (Multi)LineString Clipped. */
+  private def mergeLinealPaths(origType: Int, pieces: Seq[GeoAlgo.Clipped]): GeoAlgo.Clipped = {
+    if (pieces.isEmpty) return null
+    val coords = Array.newBuilder[Double]
+    val pos    = new mutable.ArrayBuffer[Int]
+    val ring   = new mutable.ArrayBuffer[Int]
+    var ci = 0
+    pieces.foreach { c =>
+      var r = 0
+      while (r < c.ringOff.length - 1) {
+        ring += pos.length
+        var p = c.ringOff(r)
+        while (p < c.ringOff(r + 1)) { pos += ci + c.posOff(p); p += 1 }
+        r += 1
+      }
+      coords ++= c.coords
+      ci += c.coords.length
+    }
+    ring += pos.length
+    pos += ci
+    val nPaths = ring.length - 1
+    val gt = if (origType == 3 && nPaths == 1) 3 else 4
+    GeoAlgo.Clipped(gt, coords.result(), pos.toArray, ring.toArray, Array(0, nPaths))
+  }
+
+  /** Test/debug hook: cell-area sum and linked-ring signed areas of an
+    * areal×areal intersection, BEFORE classification — pinpoints whether a
+    * discrepancy is in decomposition or in stitching. */
+  def debugIntersection(gtA: Int, cA: Array[Double], pA: Array[Int], rA: Array[Int], fA: Array[Int],
+                        gtB: Int, cB: Array[Double], pB: Array[Int], rB: Array[Int], fB: Array[Int])
+      : (Double, Int, Seq[Double]) = {
+    val uA = GeoAlgo.unwrapParts(cA, pA, rA, fA)
+    val uB = GeoAlgo.unwrapParts(cB, pB, rB, fB)
+    val es = new Edges
+    addRingEdges(es, uA, pA, rA, 0, rA.length - 1, 0, 0.0)
+    addRingEdges(es, uB, pB, rB, 0, rB.length - 1, 1, 0.0)
+    val cs = cells(es, (a, b) => a && b)
+    val sum = cs.map(c => 0.5 * (c.y1 - c.y0) * ((c.xr0 - c.xl0) + (c.xr1 - c.xl1))).sum
+    val levels = snapCorners(cs)
+    val (sx, sy, ex, ey) = boundaryEdges(cs, levels)
+    val ringAreas = linkRings(sx, sy, ex, ey).map { case (xs, ys) => 0.5 * signedArea2(xs, ys) }
+    (sum, cs.length, ringAreas)
+  }
+
+  /** Test/debug hook: ring vertex lists before and after simplification. */
+  def debugSimplify(gtA: Int, cA: Array[Double], pA: Array[Int], rA: Array[Int], fA: Array[Int],
+                    gtB: Int, cB: Array[Double], pB: Array[Int], rB: Array[Int], fB: Array[Int])
+      : Seq[(Seq[(Double, Double)], Seq[(Double, Double)])] = {
+    val uA = GeoAlgo.unwrapParts(cA, pA, rA, fA)
+    val uB = GeoAlgo.unwrapParts(cB, pB, rB, fB)
+    val es = new Edges
+    addRingEdges(es, uA, pA, rA, 0, rA.length - 1, 0, 0.0)
+    addRingEdges(es, uB, pB, rB, 0, rB.length - 1, 1, 0.0)
+    val cs = cells(es, (a, b) => a && b)
+    val levels = snapCorners(cs)
+    val (sx, sy, ex, ey) = boundaryEdges(cs, levels)
+    linkRings(sx, sy, ex, ey).map { case (xs, ys) =>
+      val (x2, y2) = simplifyRing(xs, ys)
+      (xs.zip(ys).toSeq, x2.zip(y2).toSeq)
+    }
+  }
+
+  /** Test/debug hook: per-part (shell, holes) signed areas after the full
+    * planar pipeline (simplify + classify + assign). */
+  def debugParts(gtA: Int, cA: Array[Double], pA: Array[Int], rA: Array[Int], fA: Array[Int],
+                 gtB: Int, cB: Array[Double], pB: Array[Int], rB: Array[Int], fB: Array[Int])
+      : Seq[(Double, Seq[Double])] = {
+    val uA = GeoAlgo.unwrapParts(cA, pA, rA, fA)
+    val uB = GeoAlgo.unwrapParts(cB, pB, rB, fB)
+    val es = new Edges
+    addRingEdges(es, uA, pA, rA, 0, rA.length - 1, 0, 0.0)
+    addRingEdges(es, uB, pB, rB, 0, rB.length - 1, 1, 0.0)
+    planarParts(OpIntersection, es).map { case (xs, ys, hs) =>
+      (0.5 * signedArea2(xs, ys), hs.map(h => 0.5 * signedArea2(h._1, h._2)))
+    }
+  }
+
+  /** Point/MultiPoint subject vs areal operand: keep members inside (∩) or
+    * outside (∖) the areal region — [[GeoAlgo.contains]] even-odd
+    * semantics, ±360° translates on the member. */
+  def pointOverlay(op: Int,
+                   gtA: Int, cA: Array[Double], pA: Array[Int],
+                   gtB: Int, cB: Array[Double], pB: Array[Int], rB: Array[Int], fB: Array[Int])
+      : GeoAlgo.Clipped = {
+    require(gtA == 1 || gtA == 2, s"pointOverlay: subject must be a point set (got gtype $gtA)")
+    require(gtB == 5 || gtB == 6, s"pointOverlay: operand must be areal (got gtype $gtB)")
+    require(op != OpUnion, "union of mixed dimensions is not defined")
+    val keep = new mutable.ArrayBuffer[Int]
+    var i = 0
+    while (i < pA.length - 1) {
+      val x = cA(pA(i)); val y = cA(pA(i) + 1)
+      val in = GeoAlgo.contains(gtB, cB, pB, rB, fB, x, y) ||
+               GeoAlgo.contains(gtB, cB, pB, rB, fB, x + 360, y) ||
+               GeoAlgo.contains(gtB, cB, pB, rB, fB, x - 360, y)
+      if (in == (op == OpIntersection)) keep += i
+      i += 1
+    }
+    if (keep.isEmpty) return null
+    val coords = Array.newBuilder[Double]
+    val pos    = new Array[Int](keep.length + 1)
+    var ci = 0
+    var k = 0
+    while (k < keep.length) {
+      pos(k) = ci
+      var c = pA(keep(k))
+      while (c < pA(keep(k) + 1)) { coords += cA(c); c += 1 }
+      ci += pA(keep(k) + 1) - pA(keep(k))
+      k += 1
+    }
+    pos(keep.length) = ci
+    GeoAlgo.Clipped(gtA, coords.result(), pos, Array(0, keep.length), Array(0, 1))
+  }
+}

@@ -7,7 +7,7 @@ import org.apache.spark.sql.catalyst.util.GenericArrayData
 import org.apache.spark.sql.types._
 import org.apache.spark.unsafe.types.UTF8String
 
-import graft.geo.algo.GeoAlgo
+import graft.geo.algo.{GeoAlgo, Overlay}
 import graft.geo.index.{HexCell, S2Cell}
 import graft.geo.json.{GeoJsonCodec, JValue}
 import graft.geo.model.GeoModel.GType
@@ -911,6 +911,100 @@ case class StClipConvex(geom: Expression, clip: Expression) extends GeoExpressio
   }
   override protected def withNewChildrenInternal(c: IndexedSeq[Expression]) =
     copy(c(0), c(1))
+}
+
+/** `st_intersection(a, b)` / `st_difference(a, b)` / `st_union(a, b)` —
+  * GENERAL polygon overlay for arbitrary (concave, holed, multi-part)
+  * polygon pairs: the construction family [[StClipBox]] (axis boxes),
+  * [[StEraseBox]] (box complements) and [[StClipConvex]] (convex windows)
+  * cannot express. Slab-decomposition boolean with even-odd parity
+  * ([[graft.geo.algo.Overlay]]) — robust on the degenerate inputs
+  * (shared edges, vertex-on-edge, collinear overlaps) that break
+  * crossing-pairing walks; antimeridian-aware via unwrap + ±360° operand
+  * translates. Semantics:
+  *
+  *  - areal × areal: all three ops; NULL when the result region is empty
+  *    (Optional semantics, like the clip family); output promotes
+  *    Polygon ↔ MultiPolygon as the part count dictates; output is 2D
+  *    (altitudes are not propagated through region reconstruction).
+  *  - point/line subject × areal operand: intersection and difference
+  *    route through containment / trapezoid clipping; an areal subject
+  *    minus a lower-dimensional operand is the subject UNCHANGED
+  *    (measure-zero subtrahend), and areal ∩ lower-dim swaps operands.
+  *  - union is defined for equal-dimension areal operands only; mixed
+  *    dimensions or GeometryCollections THROW (loud, never silently
+  *    wrong — the [[StClipConvex]] discipline).
+  *
+  * A stand-alone scalar kernel: at scale it runs row-local AFTER the
+  * cell-cover equi-join has reduced candidate pairs, so the plan shape of
+  * q03/q58 is unchanged — no exchange is introduced by construction. */
+case class StOverlay(a: Expression, b: Expression, op: Int) extends GeoExpression {
+  override def children: Seq[Expression] = Seq(a, b)
+  override def dataType: DataType        = GeoStruct.geometryType
+  private def areal(gt: Int)  = gt == 5 || gt == 6
+  private def lineal(gt: Int) = gt == 3 || gt == 4
+  private def pointy(gt: Int) = gt == 1 || gt == 2
+  private def opName = op match {
+    case Overlay.OpIntersection => "st_intersection"
+    case Overlay.OpDifference   => "st_difference"
+    case _                      => "st_union"
+  }
+  private def pack(c: GeoAlgo.Clipped): InternalRow =
+    if (c == null) null
+    else {
+      val out = new GenericInternalRow(7)
+      out.update(0, c.gtype.toByte)
+      out.update(1, new GenericArrayData(c.coords))
+      out.update(2, new GenericArrayData(c.posOff))
+      out.update(3, new GenericArrayData(c.ringOff))
+      out.update(4, new GenericArrayData(c.partOff))
+      out
+    }
+  override protected def evalNotNull(v: Array[Any]): Any = {
+    val ra = v(0).asInstanceOf[InternalRow]
+    val rb = v(1).asInstanceOf[InternalRow]
+    val ga = GeomAccess.gtype(ra); val gb = GeomAccess.gtype(rb)
+    require(ga != GType.Collection && gb != GType.Collection,
+      s"$opName: GeometryCollection operands are not supported")
+    if (areal(ga) && areal(gb))
+      pack(Overlay.overlayGeoms(op,
+        ga, GeomAccess.coords(ra), GeomAccess.posOff(ra), GeomAccess.ringOff(ra), GeomAccess.partOff(ra),
+        gb, GeomAccess.coords(rb), GeomAccess.posOff(rb), GeomAccess.ringOff(rb), GeomAccess.partOff(rb)))
+    else if (pointy(ga) && areal(gb) && op != Overlay.OpUnion)
+      pack(Overlay.pointOverlay(op, ga, GeomAccess.coords(ra), GeomAccess.posOff(ra),
+        gb, GeomAccess.coords(rb), GeomAccess.posOff(rb), GeomAccess.ringOff(rb), GeomAccess.partOff(rb)))
+    else if (lineal(ga) && areal(gb) && op != Overlay.OpUnion)
+      pack(Overlay.linealOverlay(op,
+        ga, GeomAccess.coords(ra), GeomAccess.posOff(ra), GeomAccess.ringOff(ra), GeomAccess.partOff(ra),
+        gb, GeomAccess.coords(rb), GeomAccess.posOff(rb), GeomAccess.ringOff(rb), GeomAccess.partOff(rb)))
+    else if (areal(ga) && (pointy(gb) || lineal(gb)))
+      op match {
+        case Overlay.OpIntersection => // symmetric: route the thin side as subject
+          evalSwapped(rb, ra)
+        case Overlay.OpDifference => // measure-zero subtrahend: subject unchanged
+          pack(GeoAlgo.Clipped(ga, GeomAccess.coords(ra), GeomAccess.posOff(ra),
+            GeomAccess.ringOff(ra), GeomAccess.partOff(ra)))
+        case _ =>
+          throw new IllegalArgumentException(
+            s"$opName: union of mixed dimensions (gtype $ga × $gb) is not defined")
+      }
+    else
+      throw new IllegalArgumentException(
+        s"$opName: unsupported operand dimensions (gtype $ga × $gb) — " +
+        "at least one operand must be areal, and union needs both")
+  }
+  private def evalSwapped(ra: InternalRow, rb: InternalRow): Any = {
+    val ga = GeomAccess.gtype(ra); val gb = GeomAccess.gtype(rb)
+    if (pointy(ga))
+      pack(Overlay.pointOverlay(op, ga, GeomAccess.coords(ra), GeomAccess.posOff(ra),
+        gb, GeomAccess.coords(rb), GeomAccess.posOff(rb), GeomAccess.ringOff(rb), GeomAccess.partOff(rb)))
+    else
+      pack(Overlay.linealOverlay(op,
+        ga, GeomAccess.coords(ra), GeomAccess.posOff(ra), GeomAccess.ringOff(ra), GeomAccess.partOff(ra),
+        gb, GeomAccess.coords(rb), GeomAccess.posOff(rb), GeomAccess.ringOff(rb), GeomAccess.partOff(rb)))
+  }
+  override protected def withNewChildrenInternal(c: IndexedSeq[Expression]) =
+    copy(c(0), c(1), op)
 }
 
 /** `st_length_m(geom)` → great-circle metres of all segments (perimeter for

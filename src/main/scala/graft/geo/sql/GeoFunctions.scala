@@ -37,6 +37,9 @@ object GeoFunctions {
     "st_clip_box"       -> (es => StClipBox(es(0), es(1), es(2), es(3), es(4))),
     "st_erase_box"      -> (es => StEraseBox(es(0), es(1), es(2), es(3), es(4))),
     "st_clip_convex"    -> (es => StClipConvex(es(0), es(1))),
+    "st_intersection"   -> (es => StOverlay(es(0), es(1), graft.geo.algo.Overlay.OpIntersection)),
+    "st_difference"     -> (es => StOverlay(es(0), es(1), graft.geo.algo.Overlay.OpDifference)),
+    "st_union"          -> (es => StOverlay(es(0), es(1), graft.geo.algo.Overlay.OpUnion)),
     "st_convex_hull"    -> (es => StConvexHull(es.head)),
     "st_parts"          -> (es => StParts(es.head)),
     "st_length_m"       -> (es => StLengthM(es.head)),
@@ -104,6 +107,9 @@ object GeoFunctions {
     call_function("st_clip_box", geom, w, s, e, n)
   def st_erase_box(geom: Column, w: Column, s: Column, e: Column, n: Column): Column =
     call_function("st_erase_box", geom, w, s, e, n)
+  def st_intersection(a: Column, b: Column): Column = call_function("st_intersection", a, b)
+  def st_difference(a: Column, b: Column): Column   = call_function("st_difference", a, b)
+  def st_union(a: Column, b: Column): Column        = call_function("st_union", a, b)
   def st_clip_convex(geom: Column, clip: Column): Column =
     call_function("st_clip_convex", geom, clip)
   def st_convex_hull(geom: Column): Column   = call_function("st_convex_hull", geom)

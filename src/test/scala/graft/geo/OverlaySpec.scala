@@ -1,0 +1,289 @@
+package graft.geo
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+
+import graft.SparkTestBase
+import graft.geo.sql.GeoFunctions._
+
+/** `st_intersection` / `st_difference` / `st_union` — general polygon
+  * overlay. Rectilinear closed forms (interval arithmetic), the
+  * shared-edge / vertex-on-edge degeneracies that break crossing-pairing
+  * algorithms, hole and island-in-lake topologies, a 300-pair JTS
+  * differential on random concave/holed polygons (intersection, union,
+  * both differences, and the additivity identity), antimeridian frames,
+  * and the mixed-dimension routings.
+  */
+class OverlaySpec extends AnyFunSuite {
+  lazy val spark = SparkTestBase.spark
+  import spark.implicits._
+
+  private def ringJson(pts: Seq[(Double, Double)]): String =
+    (pts :+ pts.head).map { case (x, y) => s"[$x,$y]" }.mkString("[", ",", "]")
+
+  private def polyJson(shell: Seq[(Double, Double)], holes: Seq[Seq[(Double, Double)]] = Nil): String =
+    s"""{"type":"Polygon","coordinates":[${(ringJson(shell) +: holes.map(ringJson)).mkString(",")}]}"""
+
+  private def boxPts(w: Double, s: Double, e: Double, n: Double) =
+    Seq((w, s), (e, s), (e, n), (w, n))
+
+  /** (intersection, unionArea, aMinusB, bMinusA) planar areas; null → 0. */
+  private def areas(aJson: String, bJson: String): (Double, Double, Double, Double) = {
+    val r = Seq((aJson, bJson)).toDF("a", "b")
+      .select(
+        coalesce(st_area(st_intersection(from_geojson_geom($"a"), from_geojson_geom($"b"))), lit(0.0)),
+        coalesce(st_area(st_union(from_geojson_geom($"a"), from_geojson_geom($"b"))), lit(0.0)),
+        coalesce(st_area(st_difference(from_geojson_geom($"a"), from_geojson_geom($"b"))), lit(0.0)),
+        coalesce(st_area(st_difference(from_geojson_geom($"b"), from_geojson_geom($"a"))), lit(0.0)))
+      .head()
+    (r.getDouble(0), r.getDouble(1), r.getDouble(2), r.getDouble(3))
+  }
+
+  private def approx(got: Double, want: Double, tol: Double = 1e-9, ctx: => String = ""): Unit =
+    assert(math.abs(got - want) <= tol * math.max(1.0, math.abs(want)), s"$got vs $want $ctx")
+
+  test("overlapping boxes: closed-form interval arithmetic for all three ops") {
+    val a = polyJson(boxPts(0, 0, 10, 10))
+    val b = polyJson(boxPts(5, 5, 15, 15))
+    val (i, u, d1, d2) = areas(a, b)
+    approx(i, 25.0); approx(u, 175.0); approx(d1, 75.0); approx(d2, 75.0)
+    // nested: B strictly inside A — difference punches a HOLE
+    val inner = polyJson(boxPts(3, 3, 5, 5))
+    val (i2, u2, d3, d4) = areas(a, inner)
+    approx(i2, 4.0); approx(u2, 100.0); approx(d3, 96.0); approx(d4, 0.0)
+    val holed = Seq((a, inner)).toDF("a", "b")
+      .select(st_difference(from_geojson_geom($"a"), from_geojson_geom($"b")).as("g"))
+      .select(st_geometry_type($"g"), st_area($"g"),
+        st_area_m2($"g") / st_area_m2(from_geojson_geom(lit(a)))).head()
+    assert(holed.getString(0) == "Polygon")
+    approx(holed.getDouble(1), 96.0) // planar: |shell| − |hole| exactly
+    // spherical ratio differs from planar in the 4th decimal (cos-lat
+    // weighting of the hole's band) — sanity-bound only
+    approx(holed.getDouble(2), 0.96, 2e-4)
+    // disjoint: intersection NULL, difference unchanged, union = both parts
+    val far = polyJson(boxPts(40, 40, 44, 44))
+    val (i3, u3, d5, _) = areas(a, far)
+    approx(i3, 0.0); approx(u3, 116.0); approx(d5, 100.0)
+    val parts = Seq((a, far)).toDF("a", "b")
+      .select(st_geometry_type(st_union(from_geojson_geom($"a"), from_geojson_geom($"b"))))
+      .head().getString(0)
+    assert(parts == "MultiPolygon")
+  }
+
+  test("L-shaped concave subject: exact rectilinear overlay") {
+    // L: 10x4 base + 4x6 upright = 64
+    val l = polyJson(Seq((0.0, 0.0), (10.0, 0.0), (10.0, 4.0), (4.0, 4.0), (4.0, 10.0), (0.0, 10.0)))
+    val b = polyJson(boxPts(3, 3, 6, 6))
+    // B ∩ L: [3,6]x[3,4] = 3 plus [3,4]x[4,6] = 2
+    val (i, u, d1, d2) = areas(l, b)
+    approx(i, 5.0); approx(u, 64.0 + 9.0 - 5.0); approx(d1, 59.0); approx(d2, 4.0)
+    // two interlocking Ls: rectilinear concave × concave
+    val l2 = polyJson(Seq((6.0, 0.0), (10.0, 0.0), (10.0, 10.0), (0.0, 10.0),
+      (0.0, 6.0), (6.0, 6.0)))
+    // l2 area = 10*4 (x 6..10 full height? no) — compute: rect x6..10 y0..10 = 40 plus rect x0..6 y6..10 = 24 → 64
+    // l ∩ l2: [6,10]x[0,4] = 16, [0,4]x[6,10] = 16 → 32
+    val (i2, u2, d3, d4) = areas(l, l2)
+    approx(i2, 32.0); approx(u2, 96.0); approx(d3, 32.0); approx(d4, 32.0)
+  }
+
+  test("shared-edge and vertex-on-edge degeneracies (the Greiner-Hormann killers)") {
+    val a = polyJson(boxPts(0, 0, 10, 10))
+    // share the full edge x=10: zero-area contact
+    val (i1, u1, d1, _) = areas(a, polyJson(boxPts(10, 0, 20, 10)))
+    approx(i1, 0.0); approx(u1, 200.0); approx(d1, 100.0)
+    // B overlaps and shares boundary runs top+bottom
+    val (i2, u2, d2, _) = areas(a, polyJson(boxPts(5, 0, 15, 10)))
+    approx(i2, 50.0); approx(u2, 150.0); approx(d2, 50.0)
+    // identical operands
+    val (i3, u3, d3, d4) = areas(a, a)
+    approx(i3, 100.0); approx(u3, 100.0); approx(d3, 0.0); approx(d4, 0.0)
+    // vertex-on-edge touch: diamond kissing the box edge at one point
+    val kiss = polyJson(Seq((10.0, 5.0), (14.0, 2.0), (14.0, 8.0)))
+    val (i4, u4, d5, _) = areas(a, kiss)
+    approx(i4, 0.0); approx(u4, 112.0); approx(d5, 100.0)
+    // collinear overlap without area overlap: staircase edges along y=x grid
+    val st1 = polyJson(Seq((0.0, 0.0), (4.0, 0.0), (4.0, 4.0), (8.0, 4.0), (8.0, 8.0), (0.0, 8.0)))
+    val st2 = polyJson(Seq((4.0, 0.0), (8.0, 0.0), (8.0, 4.0), (4.0, 4.0)))
+    val (i5, u5, d6, _) = areas(st1, st2)
+    approx(i5, 0.0); approx(u5, 48.0 + 16.0); approx(d6, 48.0)
+  }
+
+  test("holes and island-in-lake topology") {
+    val annulus = polyJson(boxPts(0, 0, 10, 10), Seq(boxPts(2, 2, 8, 8).reverse))
+    // island fully inside the lake: union is a 2-part MultiPolygon
+    val island = polyJson(boxPts(4, 4, 6, 6))
+    val (i1, u1, d1, d2) = areas(annulus, island)
+    approx(i1, 0.0); approx(u1, 68.0); approx(d1, 64.0); approx(d2, 4.0)
+    val uGeom = Seq((annulus, island)).toDF("a", "b")
+      .select(st_union(from_geojson_geom($"a"), from_geojson_geom($"b")).as("g"))
+      .select(st_geometry_type($"g"), size(st_parts($"g"))).head()
+    assert(uGeom.getString(0) == "MultiPolygon" && uGeom.getInt(1) == 2)
+    // B swallows the hole: A∩B is B minus the hole; A∪B plugs the lake
+    val big = polyJson(boxPts(1, 1, 9, 9))
+    val (i2, u2, d3, d4) = areas(annulus, big)
+    approx(i2, 64.0 - 36.0); approx(u2, 100.0); approx(d3, 36.0); approx(d4, 36.0)
+    // hole partially overlapping B: rectilinear closed form
+    val shifted = polyJson(boxPts(5, 5, 12, 12))
+    // annulus ∩ shifted: [5,12]x[5,12] ∩ annulus = [5,10]x[5,10] minus hole∩ = 25 - [5,8]x[5,8]=9 → 16
+    val (i3, _, _, _) = areas(annulus, shifted)
+    approx(i3, 16.0)
+  }
+
+  test("differential vs JTS: 300 random concave/holed pairs, all ops + additivity") {
+    import org.locationtech.jts.geom.{Coordinate, GeometryFactory}
+    val gf  = new GeometryFactory()
+    val rnd = new scala.util.Random(20260818L)
+    def star(cx: Double, cy: Double, rMin: Double, rMax: Double, k: Int): Seq[(Double, Double)] =
+      (0 until k).map { i =>
+        val a = 2 * math.Pi * i / k
+        val r = rMin + rnd.nextDouble() * (rMax - rMin)
+        (cx + r * math.cos(a), cy + r * math.sin(a))
+      }
+    val cases = (0 until 300).map { i =>
+      val cx = rnd.nextDouble() * 100 - 50; val cy = rnd.nextDouble() * 60 - 30
+      val sa = star(cx, cy, 4.0, 12.0, 5 + rnd.nextInt(12))
+      val ha = if (i % 3 == 0) Seq(star(cx, cy, 0.5, 1.8, 4 + rnd.nextInt(5)).reverse) else Nil
+      val dx = rnd.nextDouble() * 12 - 6; val dy = rnd.nextDouble() * 12 - 6
+      val sb = star(cx + dx, cy + dy, 3.0, 10.0, 5 + rnd.nextInt(10))
+      val hb = if (i % 4 == 0) Seq(star(cx + dx, cy + dy, 0.4, 1.5, 4).reverse) else Nil
+      (polyJson(sa, ha), polyJson(sb, hb), sa, ha, sb, hb)
+    }
+    val got = cases.map { case (a, b, _, _, _, _) => (a, b) }.toDF("a", "b")
+      .select(
+        coalesce(st_area(st_intersection(from_geojson_geom($"a"), from_geojson_geom($"b"))), lit(0.0)),
+        coalesce(st_area(st_union(from_geojson_geom($"a"), from_geojson_geom($"b"))), lit(0.0)),
+        coalesce(st_area(st_difference(from_geojson_geom($"a"), from_geojson_geom($"b"))), lit(0.0)),
+        coalesce(st_area(st_difference(from_geojson_geom($"b"), from_geojson_geom($"a"))), lit(0.0)))
+      .as[(Double, Double, Double, Double)].collect()
+    def ring(pts: Seq[(Double, Double)]) =
+      gf.createLinearRing((pts :+ pts.head).map { case (x, y) => new Coordinate(x, y) }.toArray)
+    cases.zip(got).zipWithIndex.foreach {
+      case (((_, _, sa, ha, sb, hb), (gi, gu, gd1, gd2)), idx) =>
+        val ja = gf.createPolygon(ring(sa), ha.map(ring).toArray)
+        val jb = gf.createPolygon(ring(sb), hb.map(ring).toArray)
+        val tol = 1e-6
+        approx(gi, ja.intersection(jb).getArea, tol, s"case $idx intersection")
+        approx(gu, ja.union(jb).getArea, tol, s"case $idx union")
+        approx(gd1, ja.difference(jb).getArea, tol, s"case $idx a-b")
+        approx(gd2, jb.difference(ja).getArea, tol, s"case $idx b-a")
+        // additivity: ∩ + (A∖B) + (B∖A) = ∪ (the partition identity)
+        approx(gi + gd1 + gd2, gu, tol, s"case $idx additivity")
+    }
+  }
+
+  test("spherical areas: st_area_m2 additivity — ∩ + (A∖B) + (B∖A) = ∪") {
+    // areaM2's |shell| − Σ|holes| per-part convention: the identity only
+    // holds when every hole is attached to the right shell — pins the
+    // classification/assignment stage on curved-metric ground
+    val rnd = new scala.util.Random(41L)
+    def star(cx: Double, cy: Double, rMin: Double, rMax: Double, k: Int): Seq[(Double, Double)] =
+      (0 until k).map { i =>
+        val a = 2 * math.Pi * i / k
+        val r = rMin + rnd.nextDouble() * (rMax - rMin)
+        (cx + r * math.cos(a), cy + r * math.sin(a))
+      }
+    val cases = (0 until 40).map { i =>
+      val cx = rnd.nextDouble() * 80 - 40; val cy = rnd.nextDouble() * 80 - 40
+      val sa = star(cx, cy, 3.0, 9.0, 6 + rnd.nextInt(8))
+      val ha = if (i % 2 == 0) Seq(star(cx, cy, 0.5, 1.5, 4).reverse) else Nil
+      val sb = star(cx + rnd.nextDouble() * 8 - 4, cy + rnd.nextDouble() * 8 - 4,
+        2.5, 8.0, 5 + rnd.nextInt(8))
+      (polyJson(sa, ha), polyJson(sb))
+    }
+    cases.toDF("a", "b")
+      .select(
+        coalesce(st_area_m2(st_intersection(from_geojson_geom($"a"), from_geojson_geom($"b"))), lit(0.0)),
+        coalesce(st_area_m2(st_union(from_geojson_geom($"a"), from_geojson_geom($"b"))), lit(0.0)),
+        coalesce(st_area_m2(st_difference(from_geojson_geom($"a"), from_geojson_geom($"b"))), lit(0.0)),
+        coalesce(st_area_m2(st_difference(from_geojson_geom($"b"), from_geojson_geom($"a"))), lit(0.0)))
+      .as[(Double, Double, Double, Double)].collect()
+      .zipWithIndex.foreach { case ((i2, u2, d1, d2), idx) =>
+        approx(i2 + d1 + d2, u2, 1e-6, s"case $idx m2 additivity")
+      }
+  }
+
+  test("antimeridian: frames align through ±360° translates") {
+    // ring over lngs 170 → -170 (10° each side of the antimeridian), lats 0..10
+    val a = """{"type":"Polygon","coordinates":[[[170.0,0.0],[-170.0,0.0],[-170.0,10.0],[170.0,10.0],[170.0,0.0]]]}"""
+    val west = polyJson(boxPts(-180, 0, -170, 10))
+    val east = polyJson(boxPts(170, 0, 180, 10))
+    val (i1, _, _, _) = areas(a, west)
+    approx(i1, 100.0)
+    val (i2, _, _, _) = areas(a, east)
+    approx(i2, 100.0)
+    // union across frames: B overlapping the east half in its own frame
+    val b = polyJson(boxPts(165, 0, 175, 10))
+    val (i3, u3, _, _) = areas(a, b)
+    approx(i3, 50.0); approx(u3, 200.0 + 100.0 - 50.0)
+  }
+
+  test("mixed dimensions: points and lines against areal operands") {
+    val box = polyJson(boxPts(0, 0, 10, 10))
+    val pts = """{"type":"MultiPoint","coordinates":[[5,5],[15,5],[-3,2],[9,9]]}"""
+    val keep = Seq((pts, box)).toDF("a", "b")
+      .select(st_intersection(from_geojson_geom($"a"), from_geojson_geom($"b")).as("g"))
+      .select(st_geometry_type($"g"), st_bbox($"g")).head()
+    assert(keep.getString(0) == "MultiPoint")
+    assert(keep.getSeq[Double](1) == Seq(5.0, 5.0, 9.0, 9.0))
+    val drop = Seq((pts, box)).toDF("a", "b")
+      .select(st_bbox(st_difference(from_geojson_geom($"a"), from_geojson_geom($"b")))).head()
+    assert(drop.getSeq[Double](0) == Seq(-3.0, 2.0, 15.0, 5.0))
+    // line across the box: clipped run [0,10] at lat 5
+    val line = """{"type":"LineString","coordinates":[[-5,5],[15,5]]}"""
+    val lres = Seq((line, box)).toDF("a", "b")
+      .select(st_intersection(from_geojson_geom($"a"), from_geojson_geom($"b")).as("g"))
+      .select(st_geometry_type($"g"), st_bbox($"g")).head()
+    assert(lres.getString(0) == "LineString" || lres.getString(0) == "MultiLineString")
+    assert(lres.getSeq[Double](1) == Seq(0.0, 5.0, 10.0, 5.0))
+    // line through a holed polygon: the hole splits the run in two — kept
+    // length is the 4° outside the hole (vs 10° through the plain box)
+    val annulus = polyJson(boxPts(0, 0, 10, 10), Seq(boxPts(2, 2, 8, 8).reverse))
+    val lres2 = Seq((line, annulus, box)).toDF("a", "b", "c")
+      .select(st_geometry_type(st_intersection(from_geojson_geom($"a"), from_geojson_geom($"b"))),
+        st_length_m(st_intersection(from_geojson_geom($"a"), from_geojson_geom($"b"))) /
+          st_length_m(st_intersection(from_geojson_geom($"a"), from_geojson_geom($"c")))).head()
+    assert(lres2.getString(0) == "MultiLineString")
+    // great-circle length is slightly non-linear in lon span (asin), so the
+    // 4°/10° ratio sits ~4e-6 off exactly 0.4
+    approx(lres2.getDouble(1), 0.4, 1e-5)
+    // areal minus a line: measure-zero subtrahend, unchanged
+    val unchanged = Seq((box, line)).toDF("a", "b")
+      .select(st_area(st_difference(from_geojson_geom($"a"), from_geojson_geom($"b")))).head().getDouble(0)
+    approx(unchanged, 100.0)
+    // areal ∩ point set: symmetric routing
+    val sym = Seq((box, pts)).toDF("a", "b")
+      .select(st_bbox(st_intersection(from_geojson_geom($"a"), from_geojson_geom($"b")))).head()
+    assert(sym.getSeq[Double](0) == Seq(5.0, 5.0, 9.0, 9.0))
+    // union of mixed dimensions throws (loud, never silently wrong)
+    val err = intercept[Throwable] {
+      Seq((box, line)).toDF("a", "b")
+        .select(st_union(from_geojson_geom($"a"), from_geojson_geom($"b"))).collect()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    assert(msgs(err).exists(_.contains("union of mixed dimensions")), msgs(err).mkString(" | "))
+  }
+
+  test("overlay composes with the clip family: erase ≡ difference on boxes") {
+    val rnd = new scala.util.Random(99L)
+    (0 until 40).foreach { _ =>
+      val cx = rnd.nextDouble() * 40 - 20; val cy = rnd.nextDouble() * 30 - 15
+      val shell = (0 until 9).map { i =>
+        val a = 2 * math.Pi * i / 9
+        val r = 2.0 + rnd.nextDouble() * 7.0
+        (cx + r * math.cos(a), cy + r * math.sin(a))
+      }
+      val w = cx - 4 + rnd.nextDouble() * 6; val s = cy - 4 + rnd.nextDouble() * 6
+      val e = w + 2 + rnd.nextDouble() * 6; val n = s + 2 + rnd.nextDouble() * 6
+      val r = Seq((polyJson(shell), polyJson(boxPts(w, s, e, n)), w, s, e, n)).toDF("a", "b", "w", "s", "e", "n")
+        .select(
+          coalesce(st_area(st_erase_box(from_geojson_geom($"a"), $"w", $"s", $"e", $"n")), lit(0.0)),
+          coalesce(st_area(st_difference(from_geojson_geom($"a"), from_geojson_geom($"b"))), lit(0.0)),
+          coalesce(st_area(st_clip_box(from_geojson_geom($"a"), $"w", $"s", $"e", $"n")), lit(0.0)),
+          coalesce(st_area(st_intersection(from_geojson_geom($"a"), from_geojson_geom($"b"))), lit(0.0)))
+        .head()
+      approx(r.getDouble(1), r.getDouble(0), 1e-8, "erase vs difference")
+      approx(r.getDouble(3), r.getDouble(2), 1e-8, "clip vs intersection")
+    }
+  }
+}
