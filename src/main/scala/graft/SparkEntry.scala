@@ -456,6 +456,34 @@ object SparkEntry {
           posexplode(Multimodal.image_histogram(col("bytes"), lit(8))))
         .select(col("image_id"), col("pos").as("bin"), col("col").as("n_px"))
     }),
+    "q91_kll_quantiles" -> ((s, dir) => {
+      // KLL quantile sketch under the gate: per-language document byte-
+      // length percentiles through the full two-phase path — per-shard
+      // kll_sketch partials, then kll_merge per language. k=4096 keeps
+      // every group in EXACT mode at all driver SFs (max group 2059), where
+      // the sketch is a sorted multiset union: byte-identical across any
+      // merge order, and kll_quantile is exactly percentile_disc — which
+      // the oracle replays. (Compacted-mode error bounds + the planted-
+      // distribution property tests live in OpsSpec; approximate answers
+      // are inherently not hash-oracleable.)
+      registerAll(s)
+      import graft.ops.Sketches
+      val docs = s.read.parquet(t(dir, "documents"))
+      val shards = docs
+        .select(col("lang"), (col("doc_id") % 4).as("shard"),
+          octet_length(col("text")).cast("long").as("v"))
+        .groupBy("lang", "shard")
+        .agg(Sketches.kll_sketch(col("v"), k = 4096).as("s"))
+        .select(col("lang"), col("s.v").as("blob"))
+      shards.groupBy("lang")
+        .agg(Sketches.kll_merge(col("blob"), k = 4096).as("m"))
+        .select(col("lang"), Sketches.kll_n(col("m.v")).as("n_docs"),
+          Sketches.kll_quantile(col("m.v"), lit(0.1)).as("q10"),
+          Sketches.kll_quantile(col("m.v"), lit(0.25)).as("q25"),
+          Sketches.kll_quantile(col("m.v"), lit(0.5)).as("q50"),
+          Sketches.kll_quantile(col("m.v"), lit(0.9)).as("q90"),
+          Sketches.kll_quantile(col("m.v"), lit(0.99)).as("q99"))
+    }),
     "q90_overlay" -> ((s, dir) => {
       // GENERAL polygon overlay under the gate: per-nation INTEGER-cornered
       // concave L-shaped pairs (each L = two interior-disjoint rectangles),
@@ -1913,6 +1941,16 @@ object SparkEntry {
           |       CAST(sum(abs(a.v - b.v)) AS BIGINT) AS motion_sum_abs
           |FROM bb a JOIN bb b ON a.id = b.id AND a.pos = b.pos AND b.fr = a.fr + 1
           |GROUP BY a.id""".stripMargin),
+    "q91_kll_quantiles" ->
+      // exact-mode KLL ≡ percentile_disc (first value with cumulative
+      // fraction >= q); byte lengths via octet_length are engine-identical
+      """SELECT lang, count(*) AS n_docs,
+        |  CAST(percentile_disc(0.1)  WITHIN GROUP (ORDER BY octet_length(CAST(text AS BLOB))) AS BIGINT) AS q10,
+        |  CAST(percentile_disc(0.25) WITHIN GROUP (ORDER BY octet_length(CAST(text AS BLOB))) AS BIGINT) AS q25,
+        |  CAST(percentile_disc(0.5)  WITHIN GROUP (ORDER BY octet_length(CAST(text AS BLOB))) AS BIGINT) AS q50,
+        |  CAST(percentile_disc(0.9)  WITHIN GROUP (ORDER BY octet_length(CAST(text AS BLOB))) AS BIGINT) AS q90,
+        |  CAST(percentile_disc(0.99) WITHIN GROUP (ORDER BY octet_length(CAST(text AS BLOB))) AS BIGINT) AS q99
+        |FROM documents GROUP BY lang""".stripMargin,
     "q90_overlay" ->
       // each L-shape = two interior-disjoint axis rectangles, so the
       // overlay areas reduce to rectangle-pair interval arithmetic:

@@ -60,6 +60,67 @@ object SketchRuntime {
     best
   }
 
+  /** KLL quantile query over a COMPACT sketch blob ([k, L, n, sizes…,
+    * sorted levels…]; level ℓ items weigh 2^ℓ): the smallest stored value
+    * whose cumulative weight reaches max(1, ceil(q·n)) — percentile_disc
+    * semantics, exact when the sketch never compacted. */
+  def kllQuantile(sk: ArrayData, q: Double): Any = {
+    val l = sk.getLong(1).toInt
+    val n = sk.getLong(2)
+    if (n <= 0) return null
+    val target = math.max(1L, math.ceil(q * n).toLong)
+    // k-way merge over the (already sorted) levels
+    val pos  = new Array[Int](l)
+    val offs = new Array[Int](l)
+    var o = 3 + l
+    var i = 0
+    while (i < l) { offs(i) = o; o += sk.getLong(3 + i).toInt; i += 1 }
+    var cum  = 0L
+    var last = 0L
+    var more = true
+    while (more) {
+      var best = -1
+      var bv   = Long.MaxValue
+      i = 0
+      while (i < l) {
+        if (pos(i) < sk.getLong(3 + i).toInt) {
+          val v = sk.getLong(offs(i) + pos(i))
+          if (v < bv) { bv = v; best = i }
+        }
+        i += 1
+      }
+      if (best < 0) more = false
+      else {
+        cum += 1L << best
+        last = bv
+        pos(best) += 1
+        if (cum >= target) return last
+      }
+    }
+    last // q beyond the stored mass: the maximum stored value
+  }
+
+  /** KLL rank query: estimated #values strictly below v (weighted count of
+    * stored items < v). */
+  def kllRank(sk: ArrayData, value: Long): Long = {
+    val l = sk.getLong(1).toInt
+    var o = 3 + l
+    var rank = 0L
+    var i = 0
+    while (i < l) {
+      val m = sk.getLong(3 + i).toInt
+      var lo = 0; var hi = m
+      while (lo < hi) {
+        val mid = (lo + hi) >>> 1
+        if (sk.getLong(o + mid) < value) lo = mid + 1 else hi = mid
+      }
+      rank += lo.toLong << i
+      o += m
+      i += 1
+    }
+    rank
+  }
+
   /** Membership test against a Bloom bitset blob (k double-hash probes).
     * False negatives: never. False positives: the standard Bloom rate —
     * and DETERMINISTIC, so an oracle replays them bit-for-bit. */
@@ -259,11 +320,303 @@ object Sketches {
     override protected def withNewChildInternal(c: Expression) = copy(c)
   }
 
+  // -------------------------------------------------- KLL quantile sketch
+
+  /** Mergeable QUANTILE sketch (KLL-style compactor stack) — the fourth
+    * sketch: percentiles over UNBOUNDED value domains at 10^12 rows, where
+    * [[CorpusStats.corpusProfile]]'s value histogram needs a bounded domain
+    * and exact `percentile_disc` buffers every value through the exchange.
+    *
+    * Structure: levels of sorted LONG arrays, level ℓ items carry weight
+    * 2^ℓ; a level reaching capacity k compacts — keep every second item
+    * (offset derived from `mix64` of the level's extreme items, the
+    * engine's replayable-randomness discipline: DETERMINISTIC, content-
+    * seeded, no RNG state) and push the survivors up one level. Space is
+    * O(k·log(n/k)) longs per group; rank error grows O(levels/k)·n.
+    *
+    * EXACT MODE: while a sketch has seen ≤ k values everything sits in
+    * level 0 and merge is a sorted multiset union — byte-identical
+    * regardless of Spark's partial-aggregation merge order, which is what
+    * the q91 oracle replays (`percentile_disc` semantics below). Beyond k,
+    * merges remain deterministic in operand content but not merge-order
+    * invariant (inherent to compacting quantile sketches); the rank-error
+    * bound is what survives any order, spec-pinned in OpsSpec.
+    *
+    * Query semantics: `kll_quantile(sk, q)` = the smallest stored value
+    * whose cumulative weight reaches max(1, ceil(q·n)) — exactly
+    * `percentile_disc(q)` when the sketch is exact. `kll_rank(sk, v)` =
+    * estimated #values < v. */
+  final case class KllBuf(v: Array[Long])
+
+  /** Flat slack layout while aggregating: [k, L, n, m_0..m_{L-1},
+    * level0 (k slots), level1 (k slots), …]; levels sorted ascending in
+    * their first m_ℓ slots. Compact layout (stored): [k, L, n, sizes…,
+    * trimmed levels…]. */
+  private object KllOps {
+    def emptySlack(k: Int): Array[Long] = {
+      val v = new Array[Long](3 + 1 + k)
+      v(0) = k; v(1) = 1; v(2) = 0L; v(3) = 0L
+      v
+    }
+    @inline private def levelOff(v: Array[Long], l: Int): Int =
+      3 + v(1).toInt + l * v(0).toInt
+
+    /** Sorted in-place insert into level 0; cascading compaction. Returns
+      * the (possibly re-allocated) buffer. */
+    def insert(v0: Array[Long], value: Long): Array[Long] = {
+      var v = v0
+      val k = v(0).toInt
+      if (v(3) == k) v = compactCascade(v)
+      val m   = v(3).toInt
+      val off = levelOff(v, 0)
+      var lo = 0; var hi = m
+      while (lo < hi) {
+        val mid = (lo + hi) >>> 1
+        if (v(off + mid) < value) lo = mid + 1 else hi = mid
+      }
+      System.arraycopy(v, off + lo, v, off + lo + 1, m - lo)
+      v(off + lo) = value
+      v(3) += 1
+      v(2) += 1
+      v
+    }
+
+    /** Compact every full level bottom-up (adds a level when the top one
+      * fills). Deterministic: the kept parity comes from mix64 of the
+      * level's extreme items. */
+    def compactCascade(v0: Array[Long]): Array[Long] = {
+      var v = v0
+      val k = v(0).toInt
+      var l = 0
+      while (l < v(1).toInt) {
+        if (v(3 + l) >= k) v = compactLevel(v, l)
+        l += 1
+      }
+      v
+    }
+
+    /** Compact level l (halve it upward), first making room above —
+      * recursion depth is the level count. */
+    private def compactLevel(v0: Array[Long], l: Int): Array[Long] = {
+      var v = v0
+      val k = v(0).toInt
+      val m = v(3 + l).toInt
+      if (m < 2) return v
+      if (l + 1 == v(1).toInt) v = addLevel(v)
+      if (v(3 + l + 1).toInt + m / 2 > k) v = compactLevel(v, l + 1)
+      val off  = levelOff(v, l)
+      val seed = TextKernels.mix64(v(off) * 31 + v(off + m - 1) + l)
+      val keepOdd = (seed & 1L) == 1L
+      val kept = Array.tabulate(m / 2)(i => v(off + 2 * i + (if (keepOdd) 1 else 0)))
+      // weight accounting: m items of weight 2^l become m/2 of 2^(l+1); an
+      // odd straggler (m odd) stays at level l
+      val stray = m - (m / 2) * 2
+      if (stray == 1) v(off) = v(off + (if (keepOdd) 0 else m - 1))
+      v(3 + l) = stray
+      mergeIntoLevel(v, l + 1, kept)
+      v
+    }
+
+    private def addLevel(v: Array[Long]): Array[Long] = {
+      val k = v(0).toInt; val nl = v(1).toInt
+      val out = new Array[Long](3 + (nl + 1) + (nl + 1) * k)
+      out(0) = k; out(1) = nl + 1; out(2) = v(2)
+      var l = 0
+      while (l < nl) { out(3 + l) = v(3 + l); l += 1 }
+      out(3 + nl) = 0
+      l = 0
+      while (l < nl) {
+        System.arraycopy(v, 3 + nl + l * k, out, 3 + nl + 1 + l * k, v(3 + l).toInt)
+        l += 1
+      }
+      out
+    }
+
+    /** Merge a sorted array into level l's sorted slots (capacity k is
+      * guaranteed by the caller's cascade order: l compacts before l+1 is
+      * topped up, and k/2 incoming never overflows a just-compacted
+      * level). */
+    private def mergeIntoLevel(v: Array[Long], l: Int, add: Array[Long]): Unit = {
+      val off = levelOff(v, l)
+      val m   = v(3 + l).toInt
+      var i = m - 1; var j = add.length - 1; var o = m + add.length - 1
+      while (j >= 0) {
+        if (i >= 0 && v(off + i) > add(j)) { v(off + o) = v(off + i); i -= 1 }
+        else { v(off + o) = add(j); j -= 1 }
+        o -= 1
+      }
+      v(3 + l) = m + add.length
+    }
+
+    /** Merge another sketch (slack OR compact layout) into a slack buffer. */
+    def mergeSketch(v0: Array[Long], other: Array[Long], otherCompact: Boolean): Array[Long] = {
+      var v = v0
+      val k = v(0).toInt
+      require(other(0).toInt == k, s"kll k mismatch: ${other(0)} vs $k")
+      val oL = other(1).toInt
+      while (v(1).toInt < oL) v = addLevel(v)
+      var l = 0
+      var coff = 3 + oL // compact layout read cursor
+      while (l < oL) {
+        val om = other(3 + l).toInt
+        val ooff = if (otherCompact) coff else 3 + oL + l * k
+        if (om > 0) {
+          val add = java.util.Arrays.copyOfRange(other, ooff, ooff + om)
+          // room check: level may exceed k after merge — compact first
+          if (v(3 + l).toInt + om > k) v = compactCascade(v)
+          if (v(3 + l).toInt + om > k) { // incoming alone ≥ k: feed in halves
+            var i = 0
+            while (i < add.length) {
+              v = insertAtLevel(v, l, add(i)); i += 1
+            }
+          } else mergeIntoLevel(v, l, add)
+        }
+        coff += om
+        l += 1
+      }
+      v(2) += other(2)
+      compactCascade(v)
+    }
+
+    private def insertAtLevel(v0: Array[Long], l: Int, value: Long): Array[Long] = {
+      var v = v0
+      if (v(3 + l).toInt == v(0).toInt) v = compactCascade(v)
+      val off = levelOff(v, l)
+      val m   = v(3 + l).toInt
+      var lo = 0; var hi = m
+      while (lo < hi) {
+        val mid = (lo + hi) >>> 1
+        if (v(off + mid) < value) lo = mid + 1 else hi = mid
+      }
+      System.arraycopy(v, off + lo, v, off + lo + 1, m - lo)
+      v(off + lo) = value
+      v(3 + l) += 1
+      v
+    }
+
+    /** Slack → canonical compact serialization. */
+    def toCompact(v: Array[Long]): Array[Long] = {
+      val k = v(0).toInt; val nl = v(1).toInt
+      // trim empty top levels for canonical bytes
+      var topL = nl
+      while (topL > 1 && v(3 + topL - 1) == 0) topL -= 1
+      var total = 0
+      var l = 0
+      while (l < topL) { total += v(3 + l).toInt; l += 1 }
+      val out = new Array[Long](3 + topL + total)
+      out(0) = k; out(1) = topL; out(2) = v(2)
+      var o = 3 + topL
+      l = 0
+      while (l < topL) {
+        val m = v(3 + l).toInt
+        out(3 + l) = m
+        System.arraycopy(v, 3 + nl + l * k, out, o, m)
+        o += m
+        l += 1
+      }
+      out
+    }
+
+    /** Compact → slack (for the merge aggregator's zero-start reduce). */
+    def toSlack(c: Array[Long]): Array[Long] = {
+      val k = c(0).toInt; val nl = c(1).toInt
+      val out = new Array[Long](3 + nl + nl * k)
+      out(0) = k; out(1) = nl; out(2) = c(2)
+      var o = 3 + nl
+      var l = 0
+      while (l < nl) {
+        val m = c(3 + l).toInt
+        out(3 + l) = m
+        System.arraycopy(c, o, out, 3 + nl + l * k, m)
+        o += m
+        l += 1
+      }
+      out
+    }
+  }
+
+  /** Sketch raw LONG values into a KLL compactor stack (compact ARRAY<LONG>
+    * output via the [[KllBuf]] struct — probe with `kll_quantile` /
+    * `kll_rank` / `kll_n` on the `.v` column). */
+  final class KllAggregator(k: Int) extends Aggregator[Long, KllBuf, KllBuf] {
+    require(k >= 8 && k % 2 == 0, s"k must be an even number >= 8, got $k")
+    override def zero: KllBuf = KllBuf(KllOps.emptySlack(k))
+    override def reduce(b: KllBuf, value: Long): KllBuf =
+      KllBuf(KllOps.insert(b.v, value))
+    override def merge(a: KllBuf, b: KllBuf): KllBuf =
+      KllBuf(KllOps.mergeSketch(a.v, b.v, otherCompact = false))
+    override def finish(r: KllBuf): KllBuf = KllBuf(KllOps.toCompact(r.v))
+    override def bufferEncoder: Encoder[KllBuf] = Encoders.product[KllBuf]
+    override def outputEncoder: Encoder[KllBuf] = Encoders.product[KllBuf]
+  }
+
+  /** Merge persisted compact sketches (shard partials → corpus sketch).
+    * Null partials are skipped (ignore-nulls aggregate semantics). */
+  final class KllMergeAggregator(k: Int) extends Aggregator[Array[Long], KllBuf, KllBuf] {
+    require(k >= 8 && k % 2 == 0, s"k must be an even number >= 8, got $k")
+    override def zero: KllBuf = KllBuf(KllOps.emptySlack(k))
+    override def reduce(b: KllBuf, sk: Array[Long]): KllBuf = {
+      if (sk == null) return b
+      KllBuf(KllOps.mergeSketch(b.v, sk, otherCompact = true))
+    }
+    override def merge(a: KllBuf, b: KllBuf): KllBuf =
+      KllBuf(KllOps.mergeSketch(a.v, b.v, otherCompact = false))
+    override def finish(r: KllBuf): KllBuf = KllBuf(KllOps.toCompact(r.v))
+    override def bufferEncoder: Encoder[KllBuf] = Encoders.product[KllBuf]
+    override def outputEncoder: Encoder[KllBuf] = Encoders.product[KllBuf]
+  }
+
+  /** `kll_quantile(sk, q)` → LONG percentile_disc-style quantile. */
+  case class KllQuantile(sk: Expression, q: Expression)
+      extends org.apache.spark.sql.catalyst.expressions.BinaryExpression
+      with ImplicitCastInputTypes {
+    override def left: Expression  = sk
+    override def right: Expression = q
+    override def inputTypes        = Seq(ArrayType(LongType), DoubleType)
+    override def dataType: DataType = LongType
+    override def nullable: Boolean  = true
+    override protected def nullSafeEval(s: Any, qq: Any): Any =
+      SketchRuntime.kllQuantile(s.asInstanceOf[ArrayData], qq.asInstanceOf[Double])
+    override protected def doGenCode(ctx: codegen.CodegenContext, ev: codegen.ExprCode) =
+      defineCodeGen(ctx, ev, (s, qq) => s"graft.ops.SketchRuntime.kllQuantile($s, $qq)")
+    override protected def withNewChildrenInternal(a: Expression, b: Expression) = copy(a, b)
+  }
+
+  /** `kll_rank(sk, v)` → LONG estimated #values < v. */
+  case class KllRank(sk: Expression, value: Expression)
+      extends org.apache.spark.sql.catalyst.expressions.BinaryExpression
+      with ImplicitCastInputTypes {
+    override def left: Expression  = sk
+    override def right: Expression = value
+    override def inputTypes        = Seq(ArrayType(LongType), LongType)
+    override def dataType: DataType = LongType
+    override protected def nullSafeEval(s: Any, v: Any): Any =
+      SketchRuntime.kllRank(s.asInstanceOf[ArrayData], v.asInstanceOf[Long])
+    override protected def doGenCode(ctx: codegen.CodegenContext, ev: codegen.ExprCode) =
+      defineCodeGen(ctx, ev, (s, v) => s"graft.ops.SketchRuntime.kllRank($s, $v)")
+    override protected def withNewChildrenInternal(a: Expression, b: Expression) = copy(a, b)
+  }
+
+  /** `kll_n(sk)` → LONG total weighted count. */
+  case class KllN(sk: Expression) extends UnaryExpression with ImplicitCastInputTypes {
+    override def child: Expression = sk
+    override def inputTypes        = Seq(ArrayType(LongType))
+    override def dataType: DataType = LongType
+    override protected def nullSafeEval(s: Any): Any =
+      s.asInstanceOf[ArrayData].getLong(2)
+    override protected def doGenCode(ctx: codegen.CodegenContext, ev: codegen.ExprCode) =
+      defineCodeGen(ctx, ev, s => s"$s.getLong(2)")
+    override protected def withNewChildInternal(c: Expression) = copy(c)
+  }
+
   val builders: Seq[(String, Seq[Expression] => Expression)] = Seq(
     "hll_estimate"   -> (es => HllEstimate(es.head)),
     "hll_registers"  -> (es => HllRegisters(es.head)),
     "bloom_contains" -> (es => BloomContains(es(0), es(1), es(2))),
-    "cms_estimate"   -> (es => CmsEstimate(es(0), es(1), es(2))))
+    "cms_estimate"   -> (es => CmsEstimate(es(0), es(1), es(2))),
+    "kll_quantile"   -> (es => KllQuantile(es(0), es(1))),
+    "kll_rank"       -> (es => KllRank(es(0), es(1))),
+    "kll_n"          -> (es => KllN(es.head)))
 
   @volatile private var registered: Set[Int] = Set.empty
 
@@ -294,4 +647,11 @@ object Sketches {
     udaf(new CmsAggregator(w, d)).apply(hash)
   def cms_estimate(counters: Column, hash: Column, d: Column): Column =
     call_function("cms_estimate", counters, hash, d)
+  def kll_sketch(value: Column, k: Int = 200): Column =
+    udaf(new KllAggregator(k)).apply(value)
+  def kll_merge(sk: Column, k: Int = 200): Column =
+    udaf(new KllMergeAggregator(k)).apply(sk)
+  def kll_quantile(sk: Column, q: Column): Column = call_function("kll_quantile", sk, q)
+  def kll_rank(sk: Column, value: Column): Column = call_function("kll_rank", sk, value)
+  def kll_n(sk: Column): Column                   = call_function("kll_n", sk)
 }

@@ -685,6 +685,78 @@ class OpsSpec extends AnyFunSuite {
     assert(plan.contains("BroadcastHashJoin"), "shard signatures must broadcast")
   }
 
+  test("KLL quantile sketch: exact mode, planted distributions, merge ≡ one-shot bounds") {
+    import Sketches._
+    Sketches.register(spark)
+    def sk(df: org.apache.spark.sql.DataFrame, k: Int) =
+      df.agg(kll_sketch($"v", k).as("s")).select($"s.v".as("blob")).head().getSeq[Long](0)
+    def quantile(blob: Seq[Long], q: Double): Long = {
+      val r = Seq(Tuple1(blob.toArray)).toDF("blob")
+        .selectExpr(s"kll_quantile(blob, ${q}d) AS qv").head()
+      r.getLong(0)
+    }
+    // ---- exact mode (n <= k): percentile_disc equality + partition independence
+    val vals = (1L to 150L).map(i => (i * 37) % 151) // a permutation of 1..150
+    val exact = vals.sorted
+    Seq(1, 7).foreach { parts =>
+      val blob = sk(vals.toDF("v").repartition(parts), 200)
+      assert(blob(2) == 150L)
+      Seq(0.0, 0.1, 0.25, 0.5, 0.9, 1.0).foreach { q =>
+        val want = exact(math.max(1, math.ceil(q * 150).toInt) - 1)
+        assert(quantile(blob, q) == want, s"q=$q parts=$parts")
+      }
+    }
+    // exact-mode blobs are BYTE-identical across partitionings (sorted
+    // multiset union is merge-order invariant)
+    assert(sk(vals.toDF("v").repartition(1), 200) == sk(vals.toDF("v").repartition(7), 200))
+    // ---- compacted mode: planted distributions with closed-form quantiles
+    val n = 100000L
+    val eps = 0.02 // generous bound: k=400 → levels ~ log2(n/k) ≈ 8
+    def checkDist(df: org.apache.spark.sql.DataFrame, trueQ: Double => Long, name: String): Unit = {
+      val blob = sk(df, 400)
+      assert(blob(2) == n, s"$name n")
+      // total stored weight must equal n (compaction conserves mass)
+      val l = blob(1).toInt
+      val mass = (0 until l).map(i => blob(3 + i) * (1L << i)).sum
+      assert(mass == n, s"$name stored weight $mass != $n")
+      Seq(0.01, 0.1, 0.5, 0.9, 0.99).foreach { q =>
+        val got = quantile(blob, q)
+        // value-space check via the true rank of the returned value
+        val lo = trueQ(math.max(0.0, q - eps)); val hi = trueQ(math.min(1.0, q + eps))
+        assert(got >= lo && got <= hi, s"$name q=$q got $got not in [$lo, $hi]")
+      }
+    }
+    // uniform 0..999 (value = rank-scaled)
+    checkDist(spark.range(n).select((col("id") % 1000).as("v")),
+      q => math.min(999L, (q * 1000).toLong), "uniform")
+    // heavy-skew: 90% zeros + a 10% spike at 5000 (the two-point closed form)
+    checkDist(spark.range(n).select(
+      when(col("id") % 10 =!= 0, lit(0L)).otherwise(lit(5000L)).as("v")),
+      q => if (q <= 0.9) 0L else 5000L, "skew")
+    // ---- merge ≡ one-shot: shard partials through kll_merge land within
+    // the same rank bound as the one-shot sketch
+    val uniform = spark.range(n).select((col("id") % 1000).as("v"), (col("id") % 7).as("shard"))
+    val shards = uniform.groupBy("shard").agg(kll_sketch($"v", 400).as("s"))
+      .select($"s.v".as("blob"))
+    val merged = shards.agg(kll_merge($"blob", 400).as("m")).select($"m.v".as("blob"))
+      .head().getSeq[Long](0)
+    assert(merged(2) == n)
+    Seq(0.1, 0.5, 0.9).foreach { q =>
+      val got = quantile(merged, q)
+      val want = (q * 1000).toLong
+      assert(math.abs(got - want) <= 1000 * 2 * eps, s"merged q=$q got $got want ~$want")
+    }
+    // null shard partials are skipped, not an NPE
+    val withNull = shards.union(Seq(Tuple1(null.asInstanceOf[Array[Long]])).toDF("blob"))
+      .agg(kll_merge($"blob", 400).as("m")).select($"m.v".as("blob")).head().getSeq[Long](0)
+    assert(withNull(2) == n)
+    // ---- rank query: strict-below counting on the exact-mode sketch
+    val blob150 = sk(vals.toDF("v"), 200)
+    val ranks = Seq(Tuple1(blob150.toArray)).toDF("blob")
+      .selectExpr("kll_rank(blob, 76L) AS r", "kll_n(blob) AS n").head()
+    assert(ranks.getLong(0) == exact.count(_ < 76L) && ranks.getLong(1) == 150L)
+  }
+
   test("CountMin sketch: never underestimates, exact shard SUM-merge, point accuracy") {
     import Sketches._
     // key = doc length bucket (0..~60): true counts from an exact groupBy
