@@ -1405,7 +1405,11 @@ object SparkEntry {
     }),
     "q25_s2_cells" -> ((s, dir) => {
       registerAll(s)
-      // cell ids + range-pruning roundtrip (no SQL equivalent → rows-only)
+      // S2 cell ids under the gate: the oracle replays the whole derivation
+      // in SQL — radians (Java's deg/180*π op order), xyz, face dispatch,
+      // gnomonic u/v, the quadratic s/t transform, the level-12 grid snap,
+      // a 12-step recursive-CTE Hilbert walk, and HUGEINT id packing with
+      // the signed wrap (the q66/q86 replay discipline)
       customerPoints(s, dir)
         .withColumn("cell", s2_cell(col("lng"), col("lat"), lit(12)))
         .withColumn("parent8", s2_range_min(col("cell"))) // touch helpers
@@ -1470,6 +1474,143 @@ object SparkEntry {
          |  CAST(floor((1.0 - ln(tan(radians(lat)) + 1.0/cos(radians(lat))) / pi()) / 2.0 * 64) AS BIGINT) AS ty,
          |  count(*) AS n
          |FROM pts GROUP BY 1, 2""".stripMargin,
+    "q24_flagship" ->
+      // the flagship PIP join, fully replayed: the 3 bundled fixture
+      // geometries as literal vertices (part/ring/idx structure mirrors
+      // packGeometry), the 40 translated copies via the engine's exact
+      // pmod-wrap translate, then GeoAlgo.contains re-derived — per-ring
+      // even-odd ray-cast (identical xint op order), the antimeridian
+      // winding fallback on rings with a consecutive lng jump > 180°
+      // (recursive-CTE unwrap reproducing the sequential cur+=delta
+      // rounding, wn at x and x±360), ring parity per part, OR over parts
+      """WITH RECURSIVE imgs AS (
+        |  SELECT 'img_' || range AS image_id, (range * 48271) % 2147483647 AS h FROM range(5000)),
+        |pts AS (SELECT image_id, (h % 36000)/100.0 - 180.0 AS px,
+        |               ((h // 36000) % 16800)/100.0 - 84.0 AS py FROM imgs),
+        |verts(f, part, ring, idx, vx, vy) AS (VALUES
+        |  ('polygon', 0, 0, 0, 100.0, 0.0), ('polygon', 0, 0, 1, 101.0, 0.0),
+        |  ('polygon', 0, 0, 2, 101.0, 1.0), ('polygon', 0, 0, 3, 100.0, 1.0),
+        |  ('polygon', 0, 0, 4, 100.0, 0.0),
+        |  ('multi_polygon', 0, 0, 0, 102.0, 2.0), ('multi_polygon', 0, 0, 1, 103.0, 2.0),
+        |  ('multi_polygon', 0, 0, 2, 103.0, 3.0), ('multi_polygon', 0, 0, 3, 102.0, 3.0),
+        |  ('multi_polygon', 0, 0, 4, 102.0, 2.0),
+        |  ('multi_polygon', 1, 0, 0, 100.0, 0.0), ('multi_polygon', 1, 0, 1, 101.0, 0.0),
+        |  ('multi_polygon', 1, 0, 2, 101.0, 1.0), ('multi_polygon', 1, 0, 3, 100.0, 1.0),
+        |  ('multi_polygon', 1, 0, 4, 100.0, 0.0),
+        |  ('multi_polygon', 1, 1, 0, 100.2, 0.2), ('multi_polygon', 1, 1, 1, 100.2, 0.8),
+        |  ('multi_polygon', 1, 1, 2, 100.8, 0.8), ('multi_polygon', 1, 1, 3, 100.8, 0.2),
+        |  ('multi_polygon', 1, 1, 4, 100.2, 0.2),
+        |  ('geo_with_bbox', 0, 0, 0, 100.0, 0.0), ('geo_with_bbox', 0, 0, 1, 101.0, 0.0),
+        |  ('geo_with_bbox', 0, 0, 2, 101.0, 1.0), ('geo_with_bbox', 0, 0, 3, 100.0, 1.0),
+        |  ('geo_with_bbox', 0, 0, 4, 100.0, 0.0)),
+        |copies AS (SELECT range AS copy,
+        |    ((range * 7.3 + 13.0) % 340.0) - 170.0 AS dlng,
+        |    ((range * 3.1) % 140.0) - 70.0 AS dlat
+        |  FROM range(40)),
+        |tv AS (SELECT f, copy, part, ring, idx,
+        |    (CASE WHEN m < 0 THEN m + 360.0 ELSE m END) - 180.0 AS vx, vy + dlat AS vy
+        |  FROM (SELECT f, copy, part, ring, idx,
+        |          (vx + dlng + 180.0) % 360.0 AS m, vy, dlat
+        |        FROM verts, copies) q),
+        |edges AS (SELECT f, copy, part, ring, idx,
+        |    lag(vx) OVER w AS x1, lag(vy) OVER w AS y1, vx AS x2, vy AS y2
+        |  FROM tv WINDOW w AS (PARTITION BY f, copy, part, ring ORDER BY idx)),
+        |rings AS (SELECT f, copy, part, ring,
+        |    max(CASE WHEN abs(x2 - x1) > 180.0 THEN 1 ELSE 0 END) AS crosses
+        |  FROM edges WHERE x1 IS NOT NULL GROUP BY 1, 2, 3, 4),
+        |unw AS (
+        |  SELECT f, copy, part, ring, idx, vx AS ux, vy FROM tv WHERE idx = 0
+        |  UNION ALL
+        |  SELECT t.f, t.copy, t.part, t.ring, t.idx,
+        |    u.ux + (CASE WHEN t.vx - u.ux > 180.0 THEN t.vx - u.ux - 360.0
+        |                 WHEN t.vx - u.ux < -180.0 THEN t.vx - u.ux + 360.0
+        |                 ELSE t.vx - u.ux END), t.vy
+        |  FROM tv t JOIN unw u ON t.f = u.f AND t.copy = u.copy
+        |    AND t.part = u.part AND t.ring = u.ring AND t.idx = u.idx + 1),
+        |uedges AS (SELECT f, copy, part, ring, idx,
+        |    lag(ux) OVER w2 AS x1, lag(vy) OVER w2 AS y1, ux AS x2, vy AS y2
+        |  FROM unw WINDOW w2 AS (PARTITION BY f, copy, part, ring ORDER BY idx)),
+        |cr AS (SELECT p.image_id, e.f, e.copy, e.part, e.ring,
+        |    sum(CASE WHEN (e.y2 > p.py) <> (e.y1 > p.py)
+        |             AND p.px < (e.x1 - e.x2) * (p.py - e.y2) / (e.y1 - e.y2) + e.x2
+        |             THEN 1 ELSE 0 END) AS crossings
+        |  FROM pts p, edges e WHERE e.x1 IS NOT NULL GROUP BY 1, 2, 3, 4, 5),
+        |wn AS (SELECT t.image_id, t.f, t.copy, t.part, t.ring,
+        |    max(CASE WHEN wsum <> 0 THEN 1 ELSE 0 END) AS wany
+        |  FROM (SELECT p2.image_id AS image_id, e2.f, e2.copy, e2.part, e2.ring, sh.s AS sh,
+        |          sum(CASE WHEN e2.y1 <= p2.py AND e2.y2 > p2.py
+        |                   AND (e2.x2 - e2.x1) * (p2.py - e2.y1) - (p2.px + sh.s - e2.x1) * (e2.y2 - e2.y1) > 0
+        |                   THEN 1
+        |                   WHEN e2.y1 > p2.py AND e2.y2 <= p2.py
+        |                   AND (e2.x2 - e2.x1) * (p2.py - e2.y1) - (p2.px + sh.s - e2.x1) * (e2.y2 - e2.y1) < 0
+        |                   THEN -1 ELSE 0 END) AS wsum
+        |        FROM pts p2, uedges e2, (VALUES (0.0), (360.0), (-360.0)) sh(s)
+        |        JOIN rings r2 ON r2.f = e2.f AND r2.copy = e2.copy
+        |          AND r2.part = e2.part AND r2.ring = e2.ring AND r2.crosses = 1
+        |        WHERE e2.x1 IS NOT NULL
+        |        GROUP BY 1, 2, 3, 4, 5, 6) t
+        |  GROUP BY 1, 2, 3, 4, 5),
+        |ring_in AS (SELECT c.image_id, c.f, c.copy, c.part, c.ring,
+        |    CASE WHEN r.crosses = 1 THEN coalesce(w.wany, 0) = 1
+        |         ELSE c.crossings % 2 = 1 END AS inside
+        |  FROM cr c
+        |  JOIN rings r ON r.f = c.f AND r.copy = c.copy AND r.part = c.part AND r.ring = c.ring
+        |  LEFT JOIN wn w ON w.image_id = c.image_id AND w.f = c.f AND w.copy = c.copy
+        |    AND w.part = c.part AND w.ring = c.ring),
+        |part_in AS (SELECT image_id, f, copy, part,
+        |    sum(CASE WHEN inside THEN 1 ELSE 0 END) % 2 = 1 AS inside
+        |  FROM ring_in GROUP BY 1, 2, 3, 4)
+        |SELECT image_id, f || '#' || copy AS poly_id
+        |FROM part_in WHERE inside GROUP BY 1, 2""".stripMargin,
+    "q25_s2_cells" ->
+      // full S2 cell-id replay: Java toRadians is deg/180*π (NOT deg*(π/180)
+      // — last-ulp different), xyz with cos(lat) factored exactly as the
+      // engine computes it, face dispatch with the same tie order, gnomonic
+      // u/v per face, quadratic s/t, floor to the 4096 grid, then a 12-step
+      // Hilbert walk (recursive CTE, one row per point per step) and
+      // [face:3][pos<<37][1<<36] packing via HUGEINT with the signed wrap
+      s"""WITH RECURSIVE pts AS ($customerPointsSql),
+         |rad AS (SELECT c_custkey, lng/180.0*pi() AS lngr, lat/180.0*pi() AS latr FROM pts),
+         |xyz AS (SELECT c_custkey, cos(latr)*cos(lngr) AS x, cos(latr)*sin(lngr) AS y,
+         |               sin(latr) AS z FROM rad),
+         |fc AS (SELECT c_custkey, x, y, z,
+         |  CASE WHEN abs(x) >= abs(y) AND abs(x) >= abs(z) THEN (CASE WHEN x >= 0 THEN 0 ELSE 3 END)
+         |       WHEN abs(y) >= abs(x) AND abs(y) >= abs(z) THEN (CASE WHEN y >= 0 THEN 1 ELSE 4 END)
+         |       ELSE (CASE WHEN z >= 0 THEN 2 ELSE 5 END) END AS f FROM xyz),
+         |uv AS (SELECT c_custkey, f,
+         |  CASE f WHEN 0 THEN y/x WHEN 1 THEN -x/y WHEN 2 THEN -x/z
+         |         WHEN 3 THEN z/x WHEN 4 THEN z/y ELSE -y/z END AS u,
+         |  CASE f WHEN 0 THEN z/x WHEN 1 THEN z/y WHEN 2 THEN -y/z
+         |         WHEN 3 THEN y/x WHEN 4 THEN -x/y ELSE x/z END AS v FROM fc),
+         |st AS (SELECT c_custkey, f,
+         |  CASE WHEN u >= 0 THEN 0.5*sqrt(1.0 + 3.0*u) ELSE 1.0 - 0.5*sqrt(1.0 - 3.0*u) END AS ss,
+         |  CASE WHEN v >= 0 THEN 0.5*sqrt(1.0 + 3.0*v) ELSE 1.0 - 0.5*sqrt(1.0 - 3.0*v) END AS tt
+         |  FROM uv),
+         |ij AS (SELECT c_custkey, f,
+         |  least(CAST(4095 AS BIGINT), greatest(CAST(0 AS BIGINT), CAST(floor(ss * 4096) AS BIGINT))) AS i,
+         |  least(CAST(4095 AS BIGINT), greatest(CAST(0 AS BIGINT), CAST(floor(tt * 4096) AS BIGINT))) AS j
+         |  FROM st),
+         |hil AS (
+         |  SELECT c_custkey, f, i AS hx, j AS hy, CAST(0 AS BIGINT) AS d, CAST(2048 AS BIGINT) AS s
+         |  FROM ij
+         |  UNION ALL
+         |  SELECT c_custkey, f,
+         |    CASE WHEN ry = 0 AND rx = 1 THEN s - 1 - hy WHEN ry = 0 THEN hy ELSE hx END,
+         |    CASE WHEN ry = 0 AND rx = 1 THEN s - 1 - hx WHEN ry = 0 THEN hx ELSE hy END,
+         |    d + s * s * xor(3 * rx, ry),
+         |    s // 2
+         |  FROM (SELECT c_custkey, f, hx, hy, d, s,
+         |          CASE WHEN (hx & s) > 0 THEN 1 ELSE 0 END AS rx,
+         |          CASE WHEN (hy & s) > 0 THEN 1 ELSE 0 END AS ry
+         |        FROM hil WHERE s > 0) t),
+         |packed AS (SELECT c_custkey,
+         |    CAST(f AS HUGEINT) * CAST('2305843009213693952' AS HUGEINT)
+         |    + CAST(d AS HUGEINT) * 137438953472 + 68719476736 AS idu
+         |  FROM hil WHERE s = 0)
+         |SELECT CAST(idu - CASE WHEN idu >= CAST('9223372036854775808' AS HUGEINT)
+         |                       THEN CAST('18446744073709551616' AS HUGEINT) ELSE 0 END AS BIGINT) AS cell,
+         |  count(*) AS n
+         |FROM packed GROUP BY 1""".stripMargin,
     "q26_parse_errors" ->
       """SELECT doc_id, CASE WHEN doc_id % 2 = 0
         |  THEN 'Unknown type of geometry Wibble'
