@@ -191,11 +191,14 @@ object CorpusStats {
     * single-partition work is a window over distinct token-count values.
     * Equivalence to `percentile_disc` is differentially spec-pinned.
     *
-    * Scale note: `n_distinct_texts` is a countDistinct on the text itself —
-    * exact and oracle-checkable, but the partial-distinct exchange carries
-    * distinct FULL texts. A 100 TB profile should swap in the exact-dedup
-    * discipline ([[Dedup.exact]]'s narrow (xxhash64, length) key, 16
-    * bytes/row) and accept hash-distinct semantics for this one column. */
+    * Scale note: `n_distinct_texts` counts distinct over the exact-dedup
+    * key discipline ([[Dedup.exact]]'s narrow `(xxhash64(text),
+    * length(text))` pair) — the partial-distinct exchange carries 16
+    * bytes/row instead of distinct FULL documents. Semantics are
+    * hash-distinct: equal to the true distinct count unless two distinct
+    * equal-length texts collide in 64 bits (~2^-64 per pair — the
+    * [[Dedup.exactStreaming]] caveat), which is why the q71 oracle's
+    * `count(DISTINCT text)` remains a valid twin. */
   def corpusProfile(df: DataFrame, docCol: String, textCol: String,
                     ps: Seq[Double] = Seq(0.1, 0.5, 0.9, 0.99)): DataFrame = {
     val nt = TextOps.tokenCountWs(col(textCol)).cast("long")
@@ -207,7 +210,8 @@ object CorpusStats {
       min(col("__nt")).as("tok_min"),
       max(col("__nt")).as("tok_max"),
       count(when(col("__nt") === 0, 1)).as("n_empty"),
-      countDistinct(col("__text")).as("n_distinct_texts"))
+      countDistinct(xxhash64(col("__text")), length(col("__text")))
+        .as("n_distinct_texts"))
     val hist = base.groupBy(col("__nt").as("v")).agg(count(lit(1)).as("cnt"))
     val cum = hist.withColumn("cum",
       sum("cnt").over(org.apache.spark.sql.expressions.Window.orderBy("v")

@@ -331,19 +331,40 @@ object Similarity {
         .drop("__l")
     // ALL subspaces' distinct subvectors in ONE job (explode -> distinct ->
     // per-j row_number capped at 257): a per-subspace loop of distinct jobs
-    // costs m x fixed job overhead — measured 16 s for m = 8 at bench scale
-    val w257 = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("j")).orderBy(col("sv"))
-    val drawn = src.select(explode(transform(sequence(lit(0), lit(m - 1)),
+    // costs m x fixed job overhead — measured 16 s for m = 8 at bench scale.
+    // GATED by approx_count_distinct per subspace first: on a CONTINUOUS
+    // embedding corpus distinct ≈ corpus, and the exact pre-cap distinct
+    // would shuffle all n subvectors once — the approximate pass exchanges
+    // only m HLL partials, and only subspaces that might actually be
+    // small-alphabet (estimate ≤ 400: the 257 cutoff with ample margin for
+    // the ~5% HLL rsd — a false "small" verdict only costs that subspace
+    // the exact check, never correctness) reach the exact distinct.
+    val exploded = src.select(explode(transform(sequence(lit(0), lit(m - 1)),
         j => struct(j.cast("int").as("j"),
           slice(col(cvec), j * dsub + 1, lit(dsub)).as("sv")))).as("x"))
-      .select(col("x.j").as("j"), col("x.sv").as("sv")).distinct()
-      .withColumn("rn", row_number().over(w257)).where(col("rn") <= 257)
-      .select(col("j"), col("sv"), col("rn")).as[(Int, Array[Float], Int)].collect()
-      .groupBy(_._1).view.mapValues(_.sortBy(_._3).map(_._2)).toMap // rn = Spark's array asc order
+      .select(col("x.j").as("j"), col("x.sv").as("sv"))
+    val approxAlphabet = exploded.groupBy(col("j"))
+      .agg(approx_count_distinct(col("sv")).as("acd"))
+      .as[(Int, Long)].collect().toMap
+    val smallJs = (0 until m).filter(j => approxAlphabet.getOrElse(j, 0L) <= 400)
+    val w257 = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("j")).orderBy(col("sv"))
+    val drawn: Map[Int, Array[Array[Float]]] =
+      if (smallJs.isEmpty) Map.empty
+      else {
+        // job-description marker: the spec pins that a continuous corpus
+        // never reaches this exact-distinct job
+        spark.sparkContext.setJobDescription("pq-exact-alphabet")
+        try exploded.where(col("j").isin(smallJs: _*)).distinct()
+          .withColumn("rn", row_number().over(w257)).where(col("rn") <= 257)
+          .select(col("j"), col("sv"), col("rn")).as[(Int, Array[Float], Int)].collect()
+          .groupBy(_._1).view.mapValues(_.sortBy(_._3).map(_._2)).toMap // rn = Spark's array asc order
+        finally spark.sparkContext.setJobDescription(null)
+      }
     val books: Array[Array[Array[Float]]] = (0 until m).map { j =>
-      val distinctCapped = drawn(j)
-      if (distinctCapped.length <= 256) distinctCapped // the alphabet IS the codebook
+      val distinctCapped = drawn.getOrElse(j, Array.empty[Array[Float]])
+      if (distinctCapped.nonEmpty && distinctCapped.length <= 256)
+        distinctCapped // the alphabet IS the codebook
       else {
         // continuous subspace: L2 Lloyd's, assignment through the encode
         // kernel itself (narrow map + (code, dim)-keyed partial sums)

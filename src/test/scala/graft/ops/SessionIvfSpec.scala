@@ -117,8 +117,24 @@ class SessionIvfSpec extends AnyFunSuite {
         (when(d >= c && d < c + 4, lit(3.0)).otherwise(lit(0.0)) + noise(d)).cast("float")
       }).as("embedding")).localCheckpoint()
     val idx = java.nio.file.Files.createTempDirectory("graft_pqk").toString + "/pq"
-    Similarity.trainIvfPq(corpus, "vec_id", "embedding", idx,
-      nlist = 8, m = 4, maxIter = 6, pqIter = 5) // residual (the default)
+    // a continuous corpus must never reach the exact-distinct alphabet job:
+    // the approx_count_distinct gate routes every subspace straight to
+    // Lloyd's (listener watches for the "pq-exact-alphabet" job marker)
+    val exactJobs = new java.util.concurrent.atomic.AtomicInteger(0)
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(j: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+        if (Option(j.properties).exists(p =>
+          Option(p.getProperty("spark.job.description")).exists(_ == "pq-exact-alphabet")))
+          exactJobs.incrementAndGet()
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      Similarity.trainIvfPq(corpus, "vec_id", "embedding", idx,
+        nlist = 8, m = 4, maxIter = 6, pqIter = 5) // residual (the default)
+      Thread.sleep(1000) // listener delivery is async (CLAUDE.md)
+      assert(exactJobs.get() == 0,
+        "continuous training shuffled the corpus through the exact distinct")
+    } finally spark.sparkContext.removeSparkListener(listener)
     val qs = corpus.where($"vec_id" % 83 === 0)
       .select($"vec_id".as("qid"), $"embedding".as("qvec"))
     val brute = Similarity.bruteForceTopK(qs, "qid", "qvec",
