@@ -195,24 +195,36 @@ object SpatialJoins {
   /** kNN join: for each query row the k nearest point rows by haversine.
     *
     * H3-style k-ring expansion with haversine refinement (BASELINE.json:6):
-    * round i joins the so-far-unsatisfied queries' k-rings (radius doubling)
-    * against the indexed points, takes per-query top-k with a window, and
-    * keeps the queries whose k-th distance is below the sound lower bound of
-    * everything outside the explored ring ([[HexCell.ringLowerBoundMetres]]).
-    * Queries still unsatisfied past `maxRadius` fall back to a brute-force
-    * pass (correct, rare — empty regions only).
+    * round i joins the so-far-unsatisfied queries' k-rings against the
+    * indexed points, takes per-query top-k with a window, and keeps the
+    * queries whose k-th distance is below the sound lower bound of
+    * everything outside the explored ring
+    * ([[HexCell.ringLowerBoundMetres]]). Queries still unsatisfied past
+    * `maxRadius` fall back to a brute-force pass (correct, rare — empty
+    * regions only).
     *
-    * Polar routing: the planar hex grid distorts toward the poles and its
-    * ring bound rarely certifies for queries at |lat| ≳ 85°, so queries
-    * beyond `polarCutoff` (a fraction (1 - sin φcap) of a uniform sphere —
-    * 0.4% above 85°) are routed through [[knnJoinS2]], whose cube-face
-    * cells cover the poles natively — no query ever takes an unindexed
-    * path for being polar. Set `polarCutoff >= 90` to disable routing
-    * (polar queries then fall to the brute tail, the pre-round-4
-    * behavior).
+    * Ring seeding (round 6): each query's FIRST radius comes from the
+    * plan-time density target — d ≈ 2·√(k·A/(π·N)) with N from Catalyst
+    * statistics (zero jobs, the [[knnJoinS2]] discipline) — inverted
+    * through the ring bound at the query's own latitude, so round 1 rings
+    * are already big enough to certify and the old fixed-schedule early
+    * rounds (provably insufficient for most densities) never run. The
+    * estimate only needs the order of magnitude: a wrong N costs one extra
+    * ×`growth` round, never correctness (the done test always uses the
+    * actually-explored radius).
+    *
+    * Routing (round 4 + 6): the planar hex grid distorts toward the poles
+    * — beyond `polarCutoff` AND wherever the ring bound cannot reach the
+    * density target even at `maxRadius` (the cos(maxLat) collapse starts
+    * biting ~60° for coarse grids), the query routes through
+    * [[knnJoinS2]], whose metric caps certify at any latitude — no query
+    * ever takes an unindexed path for being high-latitude. Null/NaN
+    * latitudes stay planar and surface through the brute tail. Set
+    * `polarCutoff >= 90` to disable routing (pre-round-4 behavior).
     *
     * @param queries DataFrame with (qidCol, qLng, qLat)
     * @param points  DataFrame with (idCol, pLng, pLat); extra cols carried
+    * @param initialRadius floor for the seeded first radius (≤ 0 → 2)
     * @return qid, point columns, `dist_m`, `rank` (1..k)
     */
   def knnJoin(
@@ -228,35 +240,55 @@ object SpatialJoins {
       polarCutoff: Double = 85.0): DataFrame = {
     import org.apache.spark.sql.expressions.Window
 
-    val pts = points.withColumn("__pcell", hex_cell(col(pLng), col(pLat), lit(res)))
+    val pts   = points.withColumn("__pcell", hex_cell(col(pLng), col(pLat), lit(res)))
+    val szDeg = HexCell.sizeDeg(res)
 
-    // null- and NaN-latitude rows stay on the planar branch (for null both
-    // filters are null-false; for NaN both comparisons are plain-false — the
-    // row would silently DROP from BOTH branches otherwise); they surface
-    // through the brute tail exactly as before round 4
-    val polarQs = queries.where(abs(col(qLat)) > polarCutoff)
-    var remaining = queries.where(abs(col(qLat)) <= polarCutoff ||
-      col(qLat).isNull || isnan(col(qLat).cast("double")))
+    // plan-time density target (metres): ~2x the expected k-NN distance on
+    // a uniform sphere; order-of-magnitude is all that matters
+    val nEst    = planTimeRowEstimate(points)
+    val dTarget = 2.0 * math.sqrt(k * 5.1e14 / (math.Pi * nEst.toDouble))
+
+    // smallest schedule radius whose ring bound can reach dTarget at this
+    // query's latitude (inverts ringLowerBound, ignoring the bound's own
+    // maxLat inflation — underestimates escalate one extra round)
+    val floorR = math.max(2, if (initialRadius > 0) initialRadius else 2)
+    val latOk  = col(qLat).isNotNull && !isnan(col(qLat).cast("double"))
+    val cosLat = cos(radians(least(lit(85.0), abs(col(qLat)))))
+    val rNeed  = ceil((lit(dTarget) / (lit(111194.9) * cosLat * szDeg) + 1.0) / 0.866)
+    val r0col  = when(latOk,
+      least(lit(maxRadius), greatest(lit(floorR), rNeed)).cast("int"))
+      .otherwise(lit(maxRadius)) // null/NaN: inert rings, surfaces via tail
+    // planar-certifiable: the bound at maxRadius can reach the target
+    val planarCond = (abs(col(qLat)) <= polarCutoff &&
+      ringLowerBoundCol(col(qLat), res, lit(maxRadius)) >= dTarget) || !latOk
+
+    val polarQs = if (polarCutoff >= 90.0) queries.limit(0)
+                  else queries.where(!coalesce(planarCond, lit(false)))
+    var remaining = (if (polarCutoff >= 90.0) queries
+                     else queries.where(coalesce(planarCond, lit(false))))
+      .withColumn("__r", r0col)
     var resultOpt: Option[DataFrame] = None
-    // ring schedule 4 -> 16 -> 64: each round costs ~3 fixed-overhead Spark
-    // jobs regardless of data size, so FEWER, WIDER rounds beat the
-    // doubling schedule (2..64 = 6 rounds) — candidates per round grow only
-    // by the ring area ratio while the job count halves. The distance bound
-    // uses the actual explored radius, so soundness is schedule-independent.
-    var radius    = initialRadius
-    while (radius <= maxRadius && !remaining.isEmpty) {
+    var tailOpt: Option[DataFrame]   = None
+    // per-query radii: every query starts at its seeded radius and grows
+    // ×growth until certified or past maxRadius (then: brute tail). The
+    // round cap is a safety net — radii saturate at maxRadius in
+    // log_growth(maxRadius) rounds.
+    val maxRounds = math.max(1,
+      math.ceil(math.log(maxRadius.toDouble) / math.log(growth.toDouble)).toInt + 1)
+    var round = 0
+    while (round < maxRounds && !remaining.isEmpty) {
       // seam-aware probing: the planar hex grid does not wrap at ±180, so a
       // query within ring-reach of the antimeridian also probes its ±360°
       // translates — neighbors across the seam live in those frames' cells.
-      val reach = (radius + 2) * HexCell.sizeDeg(res)
+      val reach = (col("__r") + 2) * szDeg
       // all probe cells of one query live on its own row, so de-duplicating
       // the ±360° seam frames is a narrow array_distinct — the previous
       // explode + dropDuplicates(qid, cell) paid a full exchange per round
-      val shifts = when(abs(col(qLng)) > 180.0 - reach,
+      val shifts = when(abs(col(qLng)) > lit(180.0) - reach,
         array(lit(0.0), lit(360.0), lit(-360.0))).otherwise(array(lit(0.0)))
       val cand = remaining
         .withColumn("__cell", explode(array_distinct(flatten(transform(shifts,
-          sh => hex_kring(hex_cell(col(qLng) + sh, col(qLat), lit(res)), lit(radius)))))))
+          sh => hex_kring(hex_cell(col(qLng) + sh, col(qLat), lit(res)), col("__r")))))))
         .join(pts, col("__cell") === col("__pcell"))
         .withColumn("dist_m", haversine(col(qLng), col(qLat), col(pLng), col(pLat)))
       val w      = Window.partitionBy(col(qidCol)).orderBy(col("dist_m"), col(pLng), col(pLat))
@@ -268,31 +300,38 @@ object SpatialJoins {
       val ranked = cand.withColumn("rank", row_number().over(w)).where(col("rank") <= k)
         .localCheckpoint()
       // a query is DONE when it has k hits and the k-th is provably nearer
-      // than anything outside the explored ring
+      // than anything outside ITS explored ring
       val withBound = ranked.withColumn("__lb",
-        ringLowerBoundCol(col(qLat), res, radius))
+        ringLowerBoundCol(col(qLat), res, col("__r")))
       val perQ = withBound.groupBy(qidCol)
         .agg(count(lit(1)).as("__n"), max("dist_m").as("__kth"), first("__lb").as("__lb"))
         .withColumn("__done", col("__n") === k && col("__kth") <= col("__lb"))
       val doneQ = perQ.where(col("__done")).select(col(qidCol))
       val done  = ranked.join(doneQ, Seq(qidCol), "left_semi")
-        .drop("__cell", "__pcell", "__lb")
+        .drop("__cell", "__pcell", "__lb", "__r")
       resultOpt = Some(resultOpt.map(_.unionByName(done)).getOrElse(done))
-      remaining = remaining
-        .join(perQ.where(col("__done")).select(col(qidCol)), Seq(qidCol), "left_anti")
+      val notDone = remaining.join(doneQ, Seq(qidCol), "left_anti")
+      // saturated-but-uncertified queries leave the loop for the brute tail
+      // instead of burning identical full-radius rounds
+      val toTail = notDone.where(col("__r") >= maxRadius || col("__r").isNull).drop("__r")
+      tailOpt = Some(tailOpt.map(_.unionByName(toTail)).getOrElse(toTail))
+      remaining = notDone.where(col("__r") < maxRadius)
+        .withColumn("__r", least(lit(maxRadius), col("__r") * growth))
         .localCheckpoint()
-      radius *= growth
+      round += 1
     }
     // brute-force fallback for stragglers (provably correct; hits only when
     // the neighborhood is emptier than maxRadius rings)
-    val tail =
-      if (remaining.isEmpty) None
-      else {
-        val w = Window.partitionBy(col(qidCol)).orderBy(col("dist_m"), col(pLng), col(pLat))
-        Some(remaining.crossJoin(points)
-          .withColumn("dist_m", haversine(col(qLng), col(qLat), col(pLng), col(pLat)))
-          .withColumn("rank", row_number().over(w)).where(col("rank") <= k))
-      }
+    val tailQs = (tailOpt, Some(remaining.drop("__r")).filterNot(_ => remaining.isEmpty)) match {
+      case (Some(a), Some(b)) => Some(a.unionByName(b))
+      case (a, b)             => a.orElse(b)
+    }
+    val tail = tailQs.filterNot(_.isEmpty).map { qs =>
+      val w = Window.partitionBy(col(qidCol)).orderBy(col("dist_m"), col(pLng), col(pLat))
+      qs.crossJoin(points)
+        .withColumn("dist_m", haversine(col(qLng), col(qLat), col(pLng), col(pLat)))
+        .withColumn("rank", row_number().over(w)).where(col("rank") <= k)
+    }
     val res0 = (resultOpt, tail) match {
       case (Some(a), Some(b)) => a.unionByName(b, allowMissingColumns = true)
       case (Some(a), None)    => a
@@ -301,7 +340,7 @@ object SpatialJoins {
         .withColumn("dist_m", lit(0.0)).withColumn("rank", lit(1))
     }
     // no eager polarQs.isEmpty here: knnJoinS2's own loop exits on its first
-    // (single) emptiness check, so the zero-polar case costs one limit(1)
+    // (single) emptiness check, so the zero-route case costs one limit(1)
     // scan either way and the code path stays uniform
     if (polarCutoff >= 90.0) res0
     else res0.unionByName(
@@ -511,12 +550,14 @@ object SpatialJoins {
   }
 
   /** Sound per-row lower bound (metres) on distances outside ring `radius`
-    * — Column form of [[HexCell.ringLowerBoundMetres]]. */
-  private def ringLowerBoundCol(lat: Column, res: Int, radius: Int): Column = {
+    * — Column form of [[HexCell.ringLowerBoundMetres]]; `radius` may be a
+    * per-query column (the seeded-schedule loop). */
+  private def ringLowerBoundCol(lat: Column, res: Int, radius: Column): Column = {
     val sz        = HexCell.sizeDeg(res)
-    val planarDeg = math.max(0.0, (radius.toDouble * math.sqrt(3.0) / 2.0 - 1.0) * sz)
-    val maxLat    = least(lit(89.9), abs(lat) + lit(planarDeg + sz))
-    lit(planarDeg) * lit(111194.9) * cos(radians(maxLat))
+    val planarDeg = greatest(lit(0.0),
+      (radius.cast("double") * math.sqrt(3.0) / 2.0 - 1.0) * sz)
+    val maxLat    = least(lit(89.9), abs(lat) + (planarDeg + lit(sz)))
+    planarDeg * lit(111194.9) * cos(radians(maxLat))
   }
 
   /** Raster→vector tile assignment (BASELINE.json:14): attach the packed ZXY

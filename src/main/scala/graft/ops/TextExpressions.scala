@@ -406,6 +406,19 @@ object TextKernels {
     if (na == 0L || nb == 0L) 0.0 else dot / math.sqrt(na.toDouble * nb.toDouble)
   }
 
+  // codegen adapters: one static call per row, UTF8String/ArrayData in,
+  // Catalyst types out — so the six hot text kernels stay inside
+  // whole-stage codegen (a single CodegenFallback ejects the WHOLE
+  // projection and disables subexpression elimination, CLAUDE.md)
+  def minhashArray(t: UTF8String, n: Int, sh: Int): GenericArrayData =
+    new GenericArrayData(minhash(t.toString, n, sh))
+  def winnowArray(t: UTF8String, k: Int, w: Int): GenericArrayData =
+    new GenericArrayData(winnow(t.toString, k, w))
+  def langIdU(t: UTF8String): UTF8String = UTF8String.fromString(langId(t.toString))
+  def hyperplaneSigAd(v: org.apache.spark.sql.catalyst.util.ArrayData,
+                      bits: Int, seed: Long): Long =
+    hyperplaneSig(v.toFloatArray(), bits, seed)
+
   /** Random-hyperplane (sign-random-projection) LSH signature: bit k set iff
     * dot(v, h_k) >= 0, with hyperplane components ±1 derived from mix64 —
     * the standard cosine-LSH family, fully deterministic from `seed`. */
@@ -430,21 +443,40 @@ object TextKernels {
 // --------------------------------------------------------------- exprs
 
 case class MinHashSig(text: Expression, numHashes: Expression, shingle: Expression)
-    extends GeoExpression {
-  override def children: Seq[Expression] = Seq(text, numHashes, shingle)
-  override def dataType: DataType        = ArrayType(LongType, containsNull = false)
-  override protected def evalNotNull(v: Array[Any]): Any =
-    new GenericArrayData(TextKernels.minhash(v(0).asInstanceOf[UTF8String].toString,
-      v(1).asInstanceOf[Int], v(2).asInstanceOf[Int]))
-  override protected def withNewChildrenInternal(c: IndexedSeq[Expression]) = copy(c(0), c(1), c(2))
+    extends org.apache.spark.sql.catalyst.expressions.TernaryExpression
+    with org.apache.spark.sql.catalyst.expressions.ImplicitCastInputTypes {
+  override def first: Expression  = text
+  override def second: Expression = numHashes
+  override def third: Expression  = shingle
+  override def inputTypes         = Seq(StringType, IntegerType, IntegerType)
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override protected def nullSafeEval(t: Any, n: Any, sh: Any): Any =
+    TextKernels.minhashArray(t.asInstanceOf[UTF8String],
+      n.asInstanceOf[Int], sh.asInstanceOf[Int])
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode) =
+    defineCodeGen(ctx, ev,
+      (t, n, sh) => s"graft.ops.TextKernels.minhashArray($t, $n, $sh)")
+  override protected def withNewChildrenInternal(a: Expression, b: Expression, c: Expression) =
+    copy(a, b, c)
 }
 
-case class SimHash64(text: Expression, shingle: Expression) extends GeoExpression {
-  override def children: Seq[Expression] = Seq(text, shingle)
-  override def dataType: DataType        = LongType
-  override protected def evalNotNull(v: Array[Any]): Any =
-    TextKernels.simhash(v(0).asInstanceOf[UTF8String].toString, v(1).asInstanceOf[Int])
-  override protected def withNewChildrenInternal(c: IndexedSeq[Expression]) = copy(c(0), c(1))
+case class SimHash64(text: Expression, shingle: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression
+    with org.apache.spark.sql.catalyst.expressions.ImplicitCastInputTypes {
+  override def left: Expression  = text
+  override def right: Expression = shingle
+  override def inputTypes        = Seq(StringType, IntegerType)
+  override def dataType: DataType = LongType
+  override protected def nullSafeEval(t: Any, sh: Any): Any =
+    TextKernels.simhash(t.asInstanceOf[UTF8String].toString, sh.asInstanceOf[Int])
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode) =
+    defineCodeGen(ctx, ev,
+      (t, sh) => s"graft.ops.TextKernels.simhash($t.toString(), $sh)")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression) = copy(l, r)
 }
 
 case class NgramJaccard(a: Expression, b: Expression, n: Expression) extends GeoExpression {
@@ -457,13 +489,23 @@ case class NgramJaccard(a: Expression, b: Expression, n: Expression) extends Geo
 }
 
 case class WinnowFingerprint(text: Expression, k: Expression, w: Expression)
-    extends GeoExpression {
-  override def children: Seq[Expression] = Seq(text, k, w)
-  override def dataType: DataType        = ArrayType(LongType, containsNull = false)
-  override protected def evalNotNull(v: Array[Any]): Any =
-    new GenericArrayData(TextKernels.winnow(v(0).asInstanceOf[UTF8String].toString,
-      v(1).asInstanceOf[Int], v(2).asInstanceOf[Int]))
-  override protected def withNewChildrenInternal(c: IndexedSeq[Expression]) = copy(c(0), c(1), c(2))
+    extends org.apache.spark.sql.catalyst.expressions.TernaryExpression
+    with org.apache.spark.sql.catalyst.expressions.ImplicitCastInputTypes {
+  override def first: Expression  = text
+  override def second: Expression = k
+  override def third: Expression  = w
+  override def inputTypes         = Seq(StringType, IntegerType, IntegerType)
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override protected def nullSafeEval(t: Any, kk: Any, ww: Any): Any =
+    TextKernels.winnowArray(t.asInstanceOf[UTF8String],
+      kk.asInstanceOf[Int], ww.asInstanceOf[Int])
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode) =
+    defineCodeGen(ctx, ev,
+      (t, kk, ww) => s"graft.ops.TextKernels.winnowArray($t, $kk, $ww)")
+  override protected def withNewChildrenInternal(a: Expression, b: Expression, c: Expression) =
+    copy(a, b, c)
 }
 
 /** `common_substring(a, b, len)` — true iff the two texts share a verified
@@ -478,20 +520,34 @@ case class CommonSubstring(a: Expression, b: Expression, len: Expression)
   override protected def withNewChildrenInternal(c: IndexedSeq[Expression]) = copy(c(0), c(1), c(2))
 }
 
-case class LangIdExpr(text: Expression) extends GeoExpression {
-  override def children: Seq[Expression] = Seq(text)
-  override def dataType: DataType        = StringType
-  override protected def evalNotNull(v: Array[Any]): Any =
-    UTF8String.fromString(TextKernels.langId(v(0).asInstanceOf[UTF8String].toString))
-  override protected def withNewChildrenInternal(c: IndexedSeq[Expression]) = copy(c(0))
+case class LangIdExpr(text: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression
+    with org.apache.spark.sql.catalyst.expressions.ImplicitCastInputTypes {
+  override def child: Expression = text
+  override def inputTypes        = Seq(StringType)
+  override def dataType: DataType = StringType
+  override protected def nullSafeEval(t: Any): Any =
+    TextKernels.langIdU(t.asInstanceOf[UTF8String])
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode) =
+    defineCodeGen(ctx, ev, t => s"graft.ops.TextKernels.langIdU($t)")
+  override protected def withNewChildInternal(c: Expression) = copy(c)
 }
 
-case class TokenCountBpe(text: Expression) extends GeoExpression {
-  override def children: Seq[Expression] = Seq(text)
-  override def dataType: DataType        = IntegerType
-  override protected def evalNotNull(v: Array[Any]): Any =
-    TextKernels.tokenCountBpe(v(0).asInstanceOf[UTF8String].toString)
-  override protected def withNewChildrenInternal(c: IndexedSeq[Expression]) = copy(c(0))
+case class TokenCountBpe(text: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression
+    with org.apache.spark.sql.catalyst.expressions.ImplicitCastInputTypes {
+  override def child: Expression = text
+  override def inputTypes        = Seq(StringType)
+  override def dataType: DataType = IntegerType
+  override protected def nullSafeEval(t: Any): Any =
+    TextKernels.tokenCountBpe(t.asInstanceOf[UTF8String].toString)
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode) =
+    defineCodeGen(ctx, ev, t => s"graft.ops.TextKernels.tokenCountBpe($t.toString())")
+  override protected def withNewChildInternal(c: Expression) = copy(c)
 }
 
 /** `dup_ngram_stats(text, n)` → struct<n_grams int, n_distinct int,
@@ -647,14 +703,25 @@ case class VecCosineQ(a: Expression, b: Expression)
 }
 
 case class HyperplaneSig(vec: Expression, bits: Expression, seed: Expression)
-    extends GeoExpression {
-  override def children: Seq[Expression] = Seq(vec, bits, seed)
-  override def dataType: DataType        = LongType
-  override protected def evalNotNull(v: Array[Any]): Any =
-    TextKernels.hyperplaneSig(
-      v(0).asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData].toFloatArray(),
-      v(1).asInstanceOf[Int], v(2) match { case i: Int => i.toLong; case l: Long => l })
-  override protected def withNewChildrenInternal(c: IndexedSeq[Expression]) = copy(c(0), c(1), c(2))
+    extends org.apache.spark.sql.catalyst.expressions.TernaryExpression
+    with org.apache.spark.sql.catalyst.expressions.ImplicitCastInputTypes {
+  override def first: Expression  = vec
+  override def second: Expression = bits
+  override def third: Expression  = seed
+  override def inputTypes         =
+    Seq(ArrayType(FloatType), IntegerType, LongType)
+  override def dataType: DataType = LongType
+  override protected def nullSafeEval(v: Any, b: Any, s: Any): Any =
+    TextKernels.hyperplaneSigAd(
+      v.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData],
+      b.asInstanceOf[Int], s.asInstanceOf[Long])
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode) =
+    defineCodeGen(ctx, ev,
+      (v, b, s) => s"graft.ops.TextKernels.hyperplaneSigAd($v, $b, $s)")
+  override protected def withNewChildrenInternal(a: Expression, b: Expression, c: Expression) =
+    copy(a, b, c)
 }
 
 /** Registration + Column API. */

@@ -685,6 +685,45 @@ class OpsSpec extends AnyFunSuite {
     assert(plan.contains("BroadcastHashJoin"), "shard signatures must broadcast")
   }
 
+  test("text kernels stay inside whole-stage codegen (no CodegenFallback ejection)") {
+    // a triple projection of the three hottest LSH kernels plus lang-ID and
+    // BPE counting: ONE interpreted expression would eject the whole
+    // Project from WholeStageCodegen and kill subexpression elimination
+    val plan = docs.select(
+      minhash_sig($"text", lit(32), lit(5)).as("mh"),
+      simhash64($"text", lit(4)).as("sh"),
+      winnow_fp($"text", lit(5), lit(8)).as("fp"),
+      lang_id($"text").as("lg"),
+      token_count_bpe($"text").as("tc"))
+      .queryExecution.executedPlan.toString
+    val projLine = plan.linesIterator
+      .find(l => l.contains("minhashArray") || l.contains("Project")).getOrElse("")
+    assert(projLine.contains("*("),
+      s"text-kernel projection fell out of whole-stage codegen:\n${plan.take(1500)}")
+    // hyperplane signatures over embeddings: same pin
+    val hp = embs.select(hyperplane_sig($"embedding", lit(16), lit(42L)))
+      .queryExecution.executedPlan.toString
+    val hpLine = hp.linesIterator.find(_.contains("Project")).getOrElse("")
+    assert(hpLine.contains("*("),
+      s"hyperplane projection fell out of whole-stage codegen:\n${hp.take(1500)}")
+    // codegen and interpreted paths agree (nullSafeEval vs doGenCode)
+    val texts = docs.limit(50).select($"doc_id", $"text")
+      .as[(Long, String)].collect().toMap
+    docs.limit(50).select($"doc_id",
+      minhash_sig($"text", lit(16), lit(5)).as("mh"),
+      simhash64($"text", lit(4)).as("sh"),
+      winnow_fp($"text", lit(5), lit(8)).as("fp"),
+      lang_id($"text").as("lg"),
+      token_count_bpe($"text").as("tc")).collect().foreach { r =>
+      val t = texts(r.getLong(0))
+      assert(r.getSeq[Long](1) == TextKernels.minhash(t, 16, 5).toSeq)
+      assert(r.getLong(2) == TextKernels.simhash(t, 4))
+      assert(r.getSeq[Long](3) == TextKernels.winnow(t, 5, 8).toSeq)
+      assert(r.getString(4) == TextKernels.langId(t))
+      assert(r.getInt(5) == TextKernels.tokenCountBpe(t))
+    }
+  }
+
   test("KLL quantile sketch: exact mode, planted distributions, merge ≡ one-shot bounds") {
     import Sketches._
     Sketches.register(spark)
