@@ -456,6 +456,18 @@ object SparkEntry {
           posexplode(Multimodal.image_histogram(col("bytes"), lit(8))))
         .select(col("image_id"), col("pos").as("bin"), col("col").as("n_px"))
     }),
+    "q92_ingest_flow" -> ((s, dir) => {
+      // the END-TO-END incremental ingest flow under one gate: signature-
+      // catalog dedup → Bloom decontamination → Gopher repetition filters →
+      // quality-weighted sampling → n-gram shard append, composed as
+      // checkpoint-resumable Stages into a fresh working dir (resume
+      // semantics are spec-pinned in PipelineSpec; the driver query proves
+      // the VALUES). Every stage decision is deterministic hash/integer
+      // math, so the oracle replays all five predicates in SQL.
+      registerAll(s)
+      val root = java.nio.file.Files.createTempDirectory("graft_ingest").toString
+      graft.pipeline.Ingest.run(s, s.read.parquet(t(dir, "documents")), root)
+    }),
     "q91_kll_quantiles" -> ((s, dir) => {
       // KLL quantile sketch under the gate: per-language document byte-
       // length percentiles through the full two-phase path — per-shard
@@ -2082,6 +2094,75 @@ object SparkEntry {
           |       CAST(sum(abs(a.v - b.v)) AS BIGINT) AS motion_sum_abs
           |FROM bb a JOIN bb b ON a.id = b.id AND a.pos = b.pos AND b.fr = a.fr + 1
           |GROUP BY a.id""".stripMargin),
+    "q92_ingest_flow" ->
+      // all five stage predicates replayed: text-equality catalog dedup
+      // (exact signatures ≡ text match, the q11 discipline), the q88 Bloom
+      // replay (chained mix64 double hash, false positives bit-for-bit),
+      // the q64 repetition stats with filterRepetitive's thresholds (the
+      // fraction compares in the engine's exact double ops), the q76 Knuth
+      // bucket, and Σ max(0, tokens−1) for the stats-store 2-gram total
+      ("WITH " + mix64Sql("a", "documents", "doc_id", "CAST(doc_id AS UBIGINT)") +
+      """,
+        |pre AS (SELECT doc_id, h AS h1 FROM a5),
+        |""".stripMargin +
+      mix64Sql("b", "pre", "doc_id, h1", "h1") +
+      """,
+        |pos AS (SELECT doc_id, h1, h AS h2 FROM b5),
+        |pp AS (SELECT doc_id,
+        |    CAST(((CAST(h1 AS HUGEINT) + i.range * CAST(h2 AS HUGEINT))
+        |          % CAST('18446744073709551616' AS HUGEINT)) % 4096 AS INT) AS p
+        |  FROM pos, range(4) i),
+        |bits AS (SELECT DISTINCT p FROM pp WHERE doc_id % 10 = 0),
+        |hits AS (SELECT d.doc_id,
+        |    sum(CASE WHEN b.p IS NOT NULL THEN 1 ELSE 0 END) = 4 AS hit
+        |  FROM pp d LEFT JOIN bits b ON d.p = b.p GROUP BY d.doc_id),
+        |cat AS (SELECT DISTINCT text FROM documents WHERE doc_id % 3 = 0),
+        |s2 AS (SELECT d.doc_id, d.text FROM documents d
+        |  JOIN hits h ON h.doc_id = d.doc_id
+        |  LEFT JOIN cat c ON d.text = c.text
+        |  WHERE d.doc_id % 3 <> 0 AND c.text IS NULL AND NOT h.hit),
+        |rb AS (SELECT doc_id, text,
+        |    list_filter(string_split(replace(text, ' the ', chr(10)), chr(10)),
+        |                x -> trim(x) <> '') AS lines,
+        |    list_filter(regexp_split_to_array(trim(replace(text, ' the ', chr(10))), '\s+'),
+        |                x -> x <> '') AS ws
+        |  FROM s2),
+        |rg AS (SELECT doc_id, text, lines, ws,
+        |    list_transform(range(1, len(ws)), i -> ws[i] || ' ' || ws[i+1]) AS g2,
+        |    list_transform(range(1, len(ws) - 1),
+        |      i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]) AS g3
+        |  FROM rb),
+        |rs AS (SELECT doc_id, text,
+        |    len(lines) AS rl, len(lines) - len(list_distinct(lines)) AS rdl,
+        |    len(ws) AS rw,
+        |    len(g2) - len(list_distinct(g2)) AS rd2,
+        |    coalesce(list_max(list_transform(list_distinct(g2),
+        |      d -> len(list_filter(g2, x -> x = d)))), 0) AS rt2,
+        |    len(g3) - len(list_distinct(g3)) AS rd3
+        |  FROM rg),
+        |s3 AS (SELECT doc_id, text FROM rs
+        |  WHERE (CASE WHEN rl > 0 THEN CAST(rdl AS DOUBLE)/CAST(rl AS DOUBLE)
+        |         ELSE 0 END) <= CAST(0.30 AS DOUBLE)
+        |    AND (CASE WHEN greatest(rw - 1, 0) > 0
+        |         THEN CAST(rd2 AS DOUBLE)/CAST(greatest(rw - 1, 0) AS DOUBLE)
+        |         ELSE 0 END) <= CAST(0.40 AS DOUBLE)
+        |    AND (CASE WHEN greatest(rw - 2, 0) > 0
+        |         THEN CAST(rd3 AS DOUBLE)/CAST(greatest(rw - 2, 0) AS DOUBLE)
+        |         ELSE 0 END) <= CAST(0.30 AS DOUBLE)
+        |    AND (CASE WHEN greatest(rw - 1, 0) > 0
+        |         THEN CAST(rt2 AS DOUBLE)/CAST(greatest(rw - 1, 0) AS DOUBLE)
+        |         ELSE 0 END) <= CAST(0.20 AS DOUBLE)),
+        |s4 AS (SELECT s3.doc_id,
+        |    CAST(CASE WHEN length(trim(s3.text)) = 0 THEN 0
+        |         ELSE len(regexp_split_to_array(trim(s3.text), '\s+')) END AS BIGINT) AS n_tokens_ws
+        |  FROM s3
+        |  WHERE (s3.doc_id * 2654435761 % 4294967296) * 1000 // 4294967296
+        |        < least(CAST(CASE WHEN length(trim(s3.text)) = 0 THEN 0
+        |               ELSE len(regexp_split_to_array(trim(s3.text), '\s+')) END AS BIGINT) * 25, 900))
+        |SELECT doc_id, n_tokens_ws,
+        |  (SELECT CAST(coalesce(sum(greatest(n_tokens_ws - 1, 0)), 0) AS BIGINT) FROM s4)
+        |    AS corpus_2gram_total
+        |FROM s4""".stripMargin),
     "q91_kll_quantiles" ->
       // exact-mode KLL ≡ percentile_disc (first value with cumulative
       // fraction >= q); byte lengths via octet_length are engine-identical

@@ -1,0 +1,89 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.ops.{CorpusStats, Dedup, Sketches, TextOps}
+import graft.ops.TextFunctions._
+
+/** End-to-end INCREMENTAL INGEST flow — the production shape of the
+  * LLM-training-data pipeline, composed from the engine's own operators as
+  * checkpoint-resumable [[Stages]] (a crash at any point resumes at the
+  * first incomplete stage on re-run; per-partition lineage JSON lands next
+  * to every stage's parquet):
+  *
+  *   0. `catalog`     — exact signature catalog of the already-accepted
+  *                      corpus (16-byte (xxhash64, len) keys — no text)
+  *   1. `s1_dedup`    — the new crawl shard deduped against it: shard
+  *                      signatures BROADCAST, the catalog parquet streams
+  *                      with zero exchange ([[Dedup.dedupAgainst]])
+  *   2. `s2_decontam` — Bloom-filter decontamination against the benchmark
+  *                      slice: one broadcast blob + a codegen probe per
+  *                      row; no false negatives, deterministic false
+  *                      positives ([[Sketches]])
+  *   3. `s3_quality`  — Gopher-style intra-document repetition filters, a
+  *                      narrow one-pass map ([[TextOps.filterRepetitive]])
+  *   4. `s4_sample`   — quality-WEIGHTED deterministic sampling (exact
+  *                      integer Knuth buckets: re-weighting never resamples
+  *                      survivors; [[TextOps.weightedSample]])
+  *   5. `s5_stats`    — survivors appended as an n-gram shard to the corpus
+  *                      statistics store (additive partials, idempotent
+  *                      re-crawl; [[CorpusStats.appendNgramShard]])
+  *
+  * Every stage decision is a pure deterministic function of the input
+  * (hash signatures, integer counts, integer buckets), so the WHOLE flow is
+  * value-oracled end-to-end by the q92 driver query against a DuckDB
+  * replay of all five predicates. At 100 TB no stage shuffles the corpus:
+  * s1/s2 broadcast the small side, s3/s4 are narrow maps, s5's exchange
+  * carries per-(doc, gram) partials.
+  */
+object Ingest {
+
+  /** Run (or resume) the flow over `docs` (columns doc_id, text, ...).
+    * Returns the accepted sample with `n_tokens_ws` plus the corpus-level
+    * 2-gram total from the statistics store (one row-constant column —
+    * proof the stats shard landed). The accepted/benchmark splits are
+    * deterministic doc_id slices so the flow self-contains on any corpus:
+    * doc_id % 3 == 0 plays the already-accepted corpus, doc_id % 10 == 0
+    * the contamination benchmark. */
+  def run(spark: SparkSession, docs: DataFrame, rootDir: String): DataFrame = {
+    val accepted = docs.where(col("doc_id") % 3 === 0)
+    val shard    = docs.where(col("doc_id") % 3 =!= 0)
+
+    // stage 0: the signature catalog — writeCatalog's own parquet _SUCCESS
+    // markers are the checkpoint; guard on the LAST-written table (minhash),
+    // so a crash mid-write rebuilds the whole catalog
+    val catDir = s"$rootDir/catalog"
+    if (!java.nio.file.Files.exists(java.nio.file.Paths.get(s"$catDir/minhash/_SUCCESS")))
+      Dedup.writeCatalog(accepted, "doc_id", "text", catDir)
+
+    val s1 = Stages.stage(spark, rootDir, "s1_dedup") {
+      Dedup.dedupAgainst(shard, "doc_id", "text", catDir, mode = "exact")
+    }
+    val s2 = Stages.stage(spark, rootDir, "s2_decontam") {
+      val bf = docs.where(col("doc_id") % 10 === 0)
+        .agg(Sketches.bloom_sketch(mix64_col(col("doc_id")), mBits = 4096, k = 4).as("bf"))
+      s1.crossJoin(broadcast(bf))
+        .where(!Sketches.bloom_contains(col("bf"), mix64_col(col("doc_id")), lit(4)))
+        .drop("bf")
+    }
+    val s3 = Stages.stage(spark, rootDir, "s3_quality") {
+      // single-line docs gain line structure the same way q64 does, so the
+      // line-duplication screens see real mass
+      TextOps.filterRepetitive(
+        s2.withColumn("__t2", replace(col("text"), lit(" the "), lit("\n"))), "__t2")
+        .drop("__t2")
+    }
+    val s4 = Stages.stage(spark, rootDir, "s4_sample") {
+      TextOps.weightedSample(TextOps.withTokenCountWs(s3, "text"),
+        "doc_id", least(col("n_tokens_ws") * 25L, lit(900L)))
+    }
+    val stats = Stages.stage(spark, rootDir, "s5_stats") {
+      CorpusStats.appendNgramShard(s4, "doc_id", "text", 2, s"$rootDir/ngrams", "ingest")
+      CorpusStats.ngramStatsFrom(spark, s"$rootDir/ngrams")
+    }
+    s4.select(col("doc_id"), col("n_tokens_ws"))
+      .crossJoin(broadcast(
+        stats.agg(coalesce(sum("total"), lit(0L)).as("corpus_2gram_total"))))
+  }
+}

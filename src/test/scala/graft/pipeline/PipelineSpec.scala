@@ -82,6 +82,36 @@ class PipelineSpec extends AnyFunSuite {
     assert(info2.resumed)
   }
 
+  test("ingest flow: five-stage results stable, resume skips completed stages, crash resumes") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val root = Files.createTempDirectory("graft_ingest_spec").toString
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("doc_id").collect().map(_.toSeq).toSeq
+    val first = rows(Ingest.run(spark, docs, root))
+    assert(first.nonEmpty)
+    // survivors ⊂ shard (never the accepted slice), with the stats constant
+    assert(first.forall(r => r(0).asInstanceOf[Long] % 3 != 0))
+    assert(first.map(_(2)).distinct.size == 1)
+    // re-run over the SAME root: every stage resumes (parquet read-back),
+    // results identical
+    val again = rows(Ingest.run(spark, docs, root))
+    assert(again == first)
+    assert(Files.exists(java.nio.file.Paths.get(s"$root/s1_dedup/_SUCCESS")) &&
+           Files.exists(java.nio.file.Paths.get(s"$root/s5_stats/_SUCCESS")))
+    // lineage JSON landed per stage
+    Seq("s1_dedup", "s2_decontam", "s3_quality", "s4_sample", "s5_stats").foreach { s =>
+      assert(Files.exists(java.nio.file.Paths.get(s"$root/$s.lineage.json")), s)
+    }
+    // crash simulation: wipe a middle stage — the re-run recomputes it (and
+    // only downstream reads change) and lands on the same values
+    Stages.invalidate(root, "s3_quality")
+    val resumed = rows(Ingest.run(spark, docs, root))
+    assert(resumed == first)
+    // fresh root reproduces the same values (determinism across workspaces)
+    val root2 = Files.createTempDirectory("graft_ingest_spec2").toString
+    assert(rows(Ingest.run(spark, docs, root2)) == first)
+  }
+
   test("flagship pipeline end-to-end: join rows + tile totals + resume") {
     val dir = Files.createTempDirectory("graft_pipe").toString
     val r = GeoImagePipeline.run(spark, nImages = 3000, workDir = dir)
