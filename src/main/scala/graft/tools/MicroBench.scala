@@ -101,6 +101,36 @@ object MicroBench {
       time("pq_adc64", 5000000)(id =>
         java.lang.Double.doubleToLongBits(graft.ops.PqKernels.adc(lut, code)) + id)
     }
+    locally {
+      // overlay kernel: two interlocked 16-vertex concave stars (the q90
+      // family's continuous cousin) through the full slab pipeline
+      def star(cx: Double, cy: Double, k: Int, seed: Int): (Array[Double], Array[Int], Array[Int], Array[Int]) = {
+        val pts = (0 until k).map { i =>
+          val a = 2 * math.Pi * i / k
+          val r = 3.0 + ((i * seed) % 7)
+          (cx + r * math.cos(a), cy + r * math.sin(a))
+        } :+ { val a = 0.0; val r = 3.0 + (0 % 7); (cx + r, cy) } // close
+        val coords = pts.flatMap(p => Seq(p._1, p._2)).toArray
+        val pos    = Array.tabulate(pts.length + 1)(_ * 2)
+        (coords, pos, Array(0, pts.length), Array(0, 1))
+      }
+      val (ca, pa, ra, fa) = star(0, 0, 16, 3)
+      val (cb, pb, rb, fb) = star(2, 1, 16, 5)
+      time("overlay_intersect16x16", 20000) { id =>
+        val c = graft.geo.algo.Overlay.overlayGeoms(graft.geo.algo.Overlay.OpIntersection,
+          5, ca, pa, ra, fa, 5, cb, pb, rb, fb)
+        (if (c == null) 0L else c.coords.length.toLong) + id
+      }
+    }
+    locally {
+      // KLL insert throughput (k=200, values cycling a 64k domain)
+      var buf = graft.ops.Sketches.KllBuf(null)
+      time("kll_insert_k200", 2000000) { id =>
+        if (id % 100000 == 0) buf = new graft.ops.Sketches.KllAggregator(200).zero
+        buf = new graft.ops.Sketches.KllAggregator(200).reduce(buf, (id * 2654435761L) % 65536)
+        buf.v.length.toLong
+      }
+    }
     // the reference's own bench input (bench/input.json == simple.geojson,
     // 18,699 B, 987-position polygon): full decode -> typed doc -> encode
     val simple = {
