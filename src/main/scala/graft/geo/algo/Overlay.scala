@@ -71,7 +71,11 @@ object Overlay {
     var x2 = new Array[Double](64); var y2 = new Array[Double](64)
     var own = new Array[Int](64)
 
-    def add(ax: Double, ay: Double, bx: Double, by: Double, owner: Int): Unit = {
+    def add(ax0: Double, ay0: Double, bx0: Double, by0: Double, owner: Int): Unit = {
+      // normalize -0.0 → +0.0: ring relinking keys vertices by exact
+      // (Double, Double) equality and -0.0 hashes differently
+      val ax = ax0 + 0.0; val ay = ay0 + 0.0
+      val bx = bx0 + 0.0; val by = by0 + 0.0
       if (ay == by) return // horizontal edges never toggle midline parity
       if (n == x1.length) {
         x1 = java.util.Arrays.copyOf(x1, n * 2); y1 = java.util.Arrays.copyOf(y1, n * 2)

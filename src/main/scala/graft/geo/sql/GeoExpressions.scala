@@ -949,7 +949,7 @@ case class StOverlay(a: Expression, b: Expression, op: Int) extends GeoExpressio
     case Overlay.OpDifference   => "st_difference"
     case _                      => "st_union"
   }
-  private def pack(c: GeoAlgo.Clipped): InternalRow =
+  private def pack(src: InternalRow)(c: GeoAlgo.Clipped): InternalRow =
     if (c == null) null
     else {
       val out = new GenericInternalRow(7)
@@ -958,6 +958,10 @@ case class StOverlay(a: Expression, b: Expression, op: Int) extends GeoExpressio
       out.update(2, new GenericArrayData(c.posOff))
       out.update(3, new GenericArrayData(c.ringOff))
       out.update(4, new GenericArrayData(c.partOff))
+      // the SUBJECT's foreign members survive (the operand the output
+      // geometry derives from: A for areal ops, the thin operand on the
+      // swapped mixed-dimension routes) — the clip-family convention
+      out.update(6, src.get(6, GeoStruct.geometryType("fm").dataType))
       out
     }
   override protected def evalNotNull(v: Array[Any]): Any = {
@@ -967,14 +971,14 @@ case class StOverlay(a: Expression, b: Expression, op: Int) extends GeoExpressio
     require(ga != GType.Collection && gb != GType.Collection,
       s"$opName: GeometryCollection operands are not supported")
     if (areal(ga) && areal(gb))
-      pack(Overlay.overlayGeoms(op,
+      pack(ra)(Overlay.overlayGeoms(op,
         ga, GeomAccess.coords(ra), GeomAccess.posOff(ra), GeomAccess.ringOff(ra), GeomAccess.partOff(ra),
         gb, GeomAccess.coords(rb), GeomAccess.posOff(rb), GeomAccess.ringOff(rb), GeomAccess.partOff(rb)))
     else if (pointy(ga) && areal(gb) && op != Overlay.OpUnion)
-      pack(Overlay.pointOverlay(op, ga, GeomAccess.coords(ra), GeomAccess.posOff(ra),
+      pack(ra)(Overlay.pointOverlay(op, ga, GeomAccess.coords(ra), GeomAccess.posOff(ra),
         gb, GeomAccess.coords(rb), GeomAccess.posOff(rb), GeomAccess.ringOff(rb), GeomAccess.partOff(rb)))
     else if (lineal(ga) && areal(gb) && op != Overlay.OpUnion)
-      pack(Overlay.linealOverlay(op,
+      pack(ra)(Overlay.linealOverlay(op,
         ga, GeomAccess.coords(ra), GeomAccess.posOff(ra), GeomAccess.ringOff(ra), GeomAccess.partOff(ra),
         gb, GeomAccess.coords(rb), GeomAccess.posOff(rb), GeomAccess.ringOff(rb), GeomAccess.partOff(rb)))
     else if (areal(ga) && (pointy(gb) || lineal(gb)))
@@ -982,7 +986,7 @@ case class StOverlay(a: Expression, b: Expression, op: Int) extends GeoExpressio
         case Overlay.OpIntersection => // symmetric: route the thin side as subject
           evalSwapped(rb, ra)
         case Overlay.OpDifference => // measure-zero subtrahend: subject unchanged
-          pack(GeoAlgo.Clipped(ga, GeomAccess.coords(ra), GeomAccess.posOff(ra),
+          pack(ra)(GeoAlgo.Clipped(ga, GeomAccess.coords(ra), GeomAccess.posOff(ra),
             GeomAccess.ringOff(ra), GeomAccess.partOff(ra)))
         case _ =>
           throw new IllegalArgumentException(
@@ -996,10 +1000,10 @@ case class StOverlay(a: Expression, b: Expression, op: Int) extends GeoExpressio
   private def evalSwapped(ra: InternalRow, rb: InternalRow): Any = {
     val ga = GeomAccess.gtype(ra); val gb = GeomAccess.gtype(rb)
     if (pointy(ga))
-      pack(Overlay.pointOverlay(op, ga, GeomAccess.coords(ra), GeomAccess.posOff(ra),
+      pack(ra)(Overlay.pointOverlay(op, ga, GeomAccess.coords(ra), GeomAccess.posOff(ra),
         gb, GeomAccess.coords(rb), GeomAccess.posOff(rb), GeomAccess.ringOff(rb), GeomAccess.partOff(rb)))
     else
-      pack(Overlay.linealOverlay(op,
+      pack(ra)(Overlay.linealOverlay(op,
         ga, GeomAccess.coords(ra), GeomAccess.posOff(ra), GeomAccess.ringOff(ra), GeomAccess.partOff(ra),
         gb, GeomAccess.coords(rb), GeomAccess.posOff(rb), GeomAccess.ringOff(rb), GeomAccess.partOff(rb)))
   }

@@ -264,6 +264,53 @@ class OverlaySpec extends AnyFunSuite {
     assert(msgs(err).exists(_.contains("union of mixed dimensions")), msgs(err).mkString(" | "))
   }
 
+  test("membership fuzz: p ∈ A∩B ⇔ p ∈ A ∧ p ∈ B (and ∪/∖) on 100 random pairs") {
+    // the point-set semantics check the area differentials can't see:
+    // random probes agree with the boolean of the operand memberships
+    // (probes land on a snapped boundary with probability ~1e-8 — none of
+    // the 6000 seeded draws do)
+    val rnd = new scala.util.Random(20260818L + 7)
+    def star(cx: Double, cy: Double, rMin: Double, rMax: Double, k: Int): Seq[(Double, Double)] =
+      (0 until k).map { i =>
+        val a = 2 * math.Pi * i / k
+        val r = rMin + rnd.nextDouble() * (rMax - rMin)
+        (cx + r * math.cos(a), cy + r * math.sin(a))
+      }
+    def multiJson(parts: Seq[(Seq[(Double, Double)], Seq[Seq[(Double, Double)]])]): String =
+      s"""{"type":"MultiPolygon","coordinates":[${
+        parts.map { case (sh, hs) =>
+          s"[${(ringJson(sh) +: hs.map(ringJson)).mkString(",")}]"
+        }.mkString(",")}]}"""
+    val rows = (0 until 100).flatMap { i =>
+      val cx = rnd.nextDouble() * 60 - 30; val cy = rnd.nextDouble() * 60 - 30
+      // every 4th A is a two-part MultiPolygon (disjoint stars)
+      val aj =
+        if (i % 4 == 0)
+          multiJson(Seq(
+            (star(cx, cy, 3.0, 7.0, 6 + rnd.nextInt(6)), Nil),
+            (star(cx + 18, cy, 2.0, 5.0, 5 + rnd.nextInt(5)), Nil)))
+        else polyJson(star(cx, cy, 3.0, 9.0, 6 + rnd.nextInt(8)),
+          if (i % 3 == 0) Seq(star(cx, cy, 0.5, 1.5, 4).reverse) else Nil)
+      val bj = polyJson(star(cx + rnd.nextDouble() * 8 - 4, cy + rnd.nextDouble() * 8 - 4,
+        2.5, 8.0, 5 + rnd.nextInt(7)))
+      (0 until 60).map { _ =>
+        (i, aj, bj, cx - 12 + rnd.nextDouble() * 42, cy - 12 + rnd.nextDouble() * 24)
+      }
+    }
+    val bad = rows.toDF("pair", "a", "b", "px", "py")
+      .select($"pair", $"px", $"py",
+        st_contains(from_geojson_geom($"a"), $"px", $"py").as("inA"),
+        st_contains(from_geojson_geom($"b"), $"px", $"py").as("inB"),
+        coalesce(st_contains(st_intersection(from_geojson_geom($"a"), from_geojson_geom($"b")), $"px", $"py"), lit(false)).as("inI"),
+        coalesce(st_contains(st_union(from_geojson_geom($"a"), from_geojson_geom($"b")), $"px", $"py"), lit(false)).as("inU"),
+        coalesce(st_contains(st_difference(from_geojson_geom($"a"), from_geojson_geom($"b")), $"px", $"py"), lit(false)).as("inD"))
+      .where($"inI" =!= ($"inA" && $"inB") ||
+             $"inU" =!= ($"inA" || $"inB") ||
+             $"inD" =!= ($"inA" && !$"inB"))
+      .collect()
+    assert(bad.isEmpty, s"${bad.length} membership mismatches, first: ${bad.headOption}")
+  }
+
   test("overlay composes with the clip family: erase ≡ difference on boxes") {
     val rnd = new scala.util.Random(99L)
     (0 until 40).foreach { _ =>
