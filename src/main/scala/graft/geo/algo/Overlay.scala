@@ -700,6 +700,351 @@ object Overlay {
     }
   }
 
+  // ------------------------------------------------ lineal × lineal paths
+
+  /** One collinear-overlap run on subject segment space: path-local
+    * endpoints. */
+  private final class Seg(val x1: Double, val y1: Double, val x2: Double, val y2: Double)
+
+  /** Segment-pair intersection against the subject segment (a1..a2):
+    * appends proper/touch crossing POINTS to `pts` and exact-collinear
+    * overlap RUNS (as Segs in subject space) to `runs`. Collinearity is
+    * EXACT (bit-shared geometry — the re-tiled / shared-boundary case);
+    * epsilon-near-parallel pairs intersect in a point or not at all. */
+  private def segPair(a1x: Double, a1y: Double, a2x: Double, a2y: Double,
+                      b1x: Double, b1y: Double, b2x: Double, b2y: Double,
+                      pts: mutable.ArrayBuffer[(Double, Double)],
+                      runs: mutable.ArrayBuffer[Seg]): Unit = {
+    val d1x = a2x - a1x; val d1y = a2y - a1y
+    val d2x = b2x - b1x; val d2y = b2y - b1y
+    val den = d1x * d2y - d1y * d2x
+    val rx  = b1x - a1x; val ry  = b1y - a1y
+    if (den != 0.0) {
+      val t = (rx * d2y - ry * d2x) / den
+      val u = (rx * d1y - ry * d1x) / den
+      if (t >= 0.0 && t <= 1.0 && u >= 0.0 && u <= 1.0)
+        pts += ((a1x + t * d1x + 0.0, a1y + t * d1y + 0.0))
+    } else if (rx * d1y - ry * d1x == 0.0) { // parallel AND exactly collinear
+      // project B's endpoints onto A's parameter; reuse exact endpoints
+      val len2 = d1x * d1x + d1y * d1y
+      if (len2 == 0.0) { // degenerate A segment: keep as a point if touching
+        if ((a1x == b1x && a1y == b1y) || (a1x == b2x && a1y == b2y) ||
+            (math.min(b1x, b2x) <= a1x && a1x <= math.max(b1x, b2x) &&
+             math.min(b1y, b2y) <= a1y && a1y <= math.max(b1y, b2y)))
+          pts += ((a1x, a1y))
+        return
+      }
+      val tb1 = ((b1x - a1x) * d1x + (b1y - a1y) * d1y) / len2
+      val tb2 = ((b2x - a1x) * d1x + (b2y - a1y) * d1y) / len2
+      val lo = math.max(0.0, math.min(tb1, tb2))
+      val hi = math.min(1.0, math.max(tb1, tb2))
+      if (lo < hi) {
+        @inline def at(t: Double, ax: Double, dx: Double) =
+          if (t == 0.0) ax else if (t == 1.0) ax + dx else ax + t * dx
+        runs += new Seg(at(lo, a1x, d1x) + 0.0, at(lo, a1y, d1y) + 0.0,
+                        at(hi, a1x, d1x) + 0.0, at(hi, a1y, d1y) + 0.0)
+      } else if (lo == hi) pts += ((a1x + lo * d1x + 0.0, a1y + lo * d1y + 0.0))
+    }
+  }
+
+  /** All (path, segment index, covered parameter interval) pairs where a B
+    * segment exactly-collinearly overlaps an A segment — the shared-run
+    * machinery of lineal ∩ and ∖. */
+  private def coveredIntervals(uA: Array[Double], pA: Array[Int], rA: Array[Int],
+                               uB: Array[Double], pB: Array[Int], rB: Array[Int],
+                               shiftB: Double)
+      : (mutable.ArrayBuffer[(Double, Double)],
+         mutable.HashMap[(Int, Int), mutable.ArrayBuffer[(Double, Double)]]) = {
+    val pts  = new mutable.ArrayBuffer[(Double, Double)]
+    val runs = new mutable.HashMap[(Int, Int), mutable.ArrayBuffer[(Double, Double)]]
+    var ri = 0
+    while (ri < rA.length - 1) {
+      var i = rA(ri)
+      val lastA = rA(ri + 1) - 1
+      var si = 0
+      while (i < lastA) {
+        val a1x = uA(pA(i)); val a1y = uA(pA(i) + 1)
+        val a2x = uA(pA(i + 1)); val a2y = uA(pA(i + 1) + 1)
+        val segRuns = new mutable.ArrayBuffer[Seg]
+        var rj = 0
+        while (rj < rB.length - 1) {
+          var j = rB(rj)
+          val lastB = rB(rj + 1) - 1
+          while (j < lastB) {
+            segPair(a1x, a1y, a2x, a2y,
+              uB(pB(j)) + shiftB, uB(pB(j) + 1),
+              uB(pB(j + 1)) + shiftB, uB(pB(j + 1) + 1), pts, segRuns)
+            j += 1
+          }
+          rj += 1
+        }
+        if (segRuns.nonEmpty) {
+          val d1x = a2x - a1x; val d1y = a2y - a1y
+          val len2 = d1x * d1x + d1y * d1y
+          val iv = runs.getOrElseUpdate((ri, si), new mutable.ArrayBuffer[(Double, Double)])
+          segRuns.foreach { s =>
+            val t1 = ((s.x1 - a1x) * d1x + (s.y1 - a1y) * d1y) / len2
+            val t2 = ((s.x2 - a1x) * d1x + (s.y2 - a1y) * d1y) / len2
+            iv += ((math.min(t1, t2), math.max(t1, t2)))
+          }
+        }
+        i += 1; si += 1
+      }
+      ri += 1
+    }
+    (pts, runs)
+  }
+
+  /** Lineal × lineal overlay. Returns (points, lines) — either may be null:
+    *  - intersection: exact-collinear shared RUNS as (Multi)LineString
+    *    pieces plus proper/touch crossing POINTS not already covered by a
+    *    run (the expression layer composes a GeometryCollection when both
+    *    are present — JTS's mixed-result shape);
+    *  - difference: A with the shared runs REMOVED (crossing points are
+    *    measure-zero on a line and do not cut it);
+    *  - union: the point-set union as the concatenated paths of both
+    *    operands (shared runs appear once from each side — a correct
+    *    point-set cover, not a dissolved noding; document).
+    * Antimeridian handled by the areal discipline (unwrap; ∩ collects
+    * pieces over overlapping ±360° translates, ∖ subtracts sequentially,
+    * ∪ aligns once). */
+  def linealLinealOverlay(op: Int,
+                          gtA: Int, cA: Array[Double], pA: Array[Int], rA: Array[Int], fA: Array[Int],
+                          gtB: Int, cB: Array[Double], pB: Array[Int], rB: Array[Int], fB: Array[Int])
+      : (GeoAlgo.Clipped, GeoAlgo.Clipped) = {
+    require((gtA == 3 || gtA == 4) && (gtB == 3 || gtB == 4),
+      s"linealLinealOverlay: lineal operands required (got $gtA × $gtB)")
+    val uA = GeoAlgo.unwrapParts(cA, pA, rA, fA)
+    val uB = GeoAlgo.unwrapParts(cB, pB, rB, fB)
+    val (aMin, aMax) = xRange(uA, pA)
+    val (bMin, bMax) = xRange(uB, pB)
+    val hits = Shifts.filter(s => bMin + s <= aMax + 0.0 && aMin <= bMax + s)
+    op match {
+      case OpIntersection =>
+        val allPts  = new mutable.ArrayBuffer[(Double, Double)]
+        val allRuns = new mutable.ArrayBuffer[Seg]
+        hits.foreach { sh =>
+          val (pts, runs) = coveredIntervals(uA, pA, rA, uB, pB, rB, sh)
+          allPts ++= pts
+          runs.foreach { case ((ri, si), iv) =>
+            val i = rA(ri) + si
+            val a1x = uA(pA(i)); val a1y = uA(pA(i) + 1)
+            val d1x = uA(pA(i + 1)) - a1x; val d1y = uA(pA(i + 1) + 1) - a1y
+            merged(iv).foreach { case (lo, hi) =>
+              allRuns += new Seg(a1x + lo * d1x + 0.0, a1y + lo * d1y + 0.0,
+                                 a1x + hi * d1x + 0.0, a1y + hi * d1y + 0.0)
+            }
+          }
+        }
+        // points covered by a run are redundant; dedupe the rest exactly
+        val keepPts = allPts.distinct.filterNot { case (px, py) =>
+          allRuns.exists(s => GeoAlgo.pointSegmentDistance(px, py, s.x1, s.y1, s.x2, s.y2) == 0.0)
+        }
+        val ptsOut =
+          if (keepPts.isEmpty) null
+          else GeoAlgo.Clipped(if (keepPts.length == 1) 1 else 2,
+            keepPts.flatMap(p => Seq(p._1, p._2)).toArray,
+            Array.tabulate(keepPts.length + 1)(_ * 2),
+            Array(0, keepPts.length), Array(0, 1))
+        val linesOut =
+          if (allRuns.isEmpty) null
+          else {
+            val segs = allRuns.map(s => ((s.x1, s.y1), (s.x2, s.y2))).distinct
+            packPaths(segs.map { case ((x1, y1), (x2, y2)) => Array(x1, y1, x2, y2) }.toSeq)
+          }
+        (ptsOut, linesOut)
+      case OpDifference =>
+        var cur = GeoAlgo.Clipped(gtA, uA, pA, rA, fA)
+        var k = 0
+        while (k < hits.length && cur != null) {
+          cur = subtractRuns(cur, uB, pB, rB, hits(k))
+          k += 1
+        }
+        (null, cur)
+      case OpUnion =>
+        // point-set union: all paths of both operands in A's frame
+        val sh = hits.headOption.getOrElse(
+          Shifts.minBy(s => math.abs((bMin + bMax) / 2 + s - (aMin + aMax) / 2)))
+        val paths = new mutable.ArrayBuffer[Array[Double]]
+        def addPaths(u: Array[Double], p: Array[Int], r: Array[Int], shift: Double): Unit = {
+          var ri = 0
+          while (ri < r.length - 1) {
+            val buf = new mutable.ArrayBuffer[Double]
+            var i = r(ri)
+            while (i < r(ri + 1)) { buf += u(p(i)) + shift; buf += u(p(i) + 1); i += 1 }
+            if (buf.length >= 4) paths += buf.toArray
+            ri += 1
+          }
+        }
+        addPaths(uA, pA, rA, 0.0)
+        addPaths(uB, pB, rB, sh)
+        (null, packPaths(paths.toSeq))
+    }
+  }
+
+  /** Merge overlapping/adjacent parameter intervals. */
+  private def merged(iv: mutable.ArrayBuffer[(Double, Double)]): Seq[(Double, Double)] = {
+    val s = iv.sortBy(_._1)
+    val out = new mutable.ArrayBuffer[(Double, Double)]
+    s.foreach { case (lo, hi) =>
+      if (out.nonEmpty && lo <= out.last._2) {
+        val (plo, phi) = out.remove(out.length - 1)
+        out += ((plo, math.max(phi, hi)))
+      } else out += ((lo, hi))
+    }
+    out.toSeq
+  }
+
+  /** A (lineal, as Clipped) minus the exact-collinear runs shared with B
+    * (shifted): per segment, keep the complement parameter intervals,
+    * stitching consecutive kept pieces back into maximal paths. */
+  private def subtractRuns(a: GeoAlgo.Clipped,
+                           uB: Array[Double], pB: Array[Int], rB: Array[Int],
+                           shiftB: Double): GeoAlgo.Clipped = {
+    val (_, runs) = coveredIntervals(a.coords, a.posOff, a.ringOff, uB, pB, rB, shiftB)
+    if (runs.isEmpty) return a
+    val paths = new mutable.ArrayBuffer[Array[Double]]
+    var ri = 0
+    while (ri < a.ringOff.length - 1) {
+      val buf = new mutable.ArrayBuffer[Double]
+      def flush(): Unit = { if (buf.length >= 4) paths += buf.toArray; buf.clear() }
+      def append(x: Double, y: Double): Unit =
+        if (buf.length < 2 || buf(buf.length - 2) != x || buf(buf.length - 1) != y) {
+          buf += x; buf += y
+        }
+      var i = a.ringOff(ri)
+      val last = a.ringOff(ri + 1) - 1
+      var si = 0
+      while (i < last) {
+        val a1x = a.coords(a.posOff(i)); val a1y = a.coords(a.posOff(i) + 1)
+        val a2x = a.coords(a.posOff(i + 1)); val a2y = a.coords(a.posOff(i + 1) + 1)
+        val d1x = a2x - a1x; val d1y = a2y - a1y
+        @inline def at(t: Double) = (
+          (if (t == 0.0) a1x else if (t == 1.0) a2x else a1x + t * d1x) + 0.0,
+          (if (t == 0.0) a1y else if (t == 1.0) a2y else a1y + t * d1y) + 0.0)
+        runs.get((ri, si)) match {
+          case None =>
+            append(a1x, a1y); append(a2x, a2y)
+          case Some(iv) =>
+            var cursor = 0.0
+            merged(iv).foreach { case (lo, hi) =>
+              if (lo > cursor) {
+                val (sx, sy) = at(cursor); val (ex, ey) = at(lo)
+                append(sx, sy); append(ex, ey)
+              }
+              // the removed run breaks the path
+              flush()
+              cursor = math.max(cursor, hi)
+            }
+            if (cursor < 1.0) {
+              val (sx, sy) = at(cursor)
+              append(sx, sy); append(a2x, a2y)
+            }
+        }
+        i += 1; si += 1
+      }
+      flush()
+      ri += 1
+    }
+    packPaths(paths.toSeq)
+  }
+
+  /** Pack flat-xy open paths as one lineal part ((Multi)LineString). */
+  private def packPaths(paths: Seq[Array[Double]]): GeoAlgo.Clipped = {
+    if (paths.isEmpty) return null
+    val coords = Array.newBuilder[Double]
+    val pos    = new mutable.ArrayBuffer[Int]
+    val ring   = new mutable.ArrayBuffer[Int]
+    var ci = 0
+    paths.foreach { pth =>
+      ring += pos.length
+      var k = 0
+      while (k < pth.length) { pos += ci; coords += pth(k); coords += pth(k + 1); ci += 2; k += 2 }
+    }
+    ring += pos.length
+    pos += ci
+    GeoAlgo.Clipped(if (paths.length == 1) 3 else 4,
+      coords.result(), pos.toArray, ring.toArray, Array(0, paths.length))
+  }
+
+  /** Point-set × point-set: coordinate-exact membership ops. */
+  def pointPointOverlay(op: Int,
+                        gtA: Int, cA: Array[Double], pA: Array[Int],
+                        gtB: Int, cB: Array[Double], pB: Array[Int]): GeoAlgo.Clipped = {
+    require((gtA == 1 || gtA == 2) && (gtB == 1 || gtB == 2),
+      s"pointPointOverlay: point operands required (got $gtA × $gtB)")
+    def members(c: Array[Double], p: Array[Int]): Seq[(Double, Double)] =
+      (0 until p.length - 1).map { i =>
+        var x = c(p(i))
+        while (x > 180.0) x -= 360.0
+        while (x < -180.0) x += 360.0
+        (x + 0.0, c(p(i) + 1) + 0.0)
+      }
+    val a = members(cA, pA)
+    val b = members(cB, pB).toSet
+    val kept = op match {
+      case OpIntersection => a.distinct.filter(b.contains)
+      case OpDifference   => a.distinct.filterNot(b.contains)
+      case OpUnion        => (a ++ b.toSeq).distinct
+    }
+    if (kept.isEmpty) null
+    else GeoAlgo.Clipped(if (kept.length == 1) 1 else 2,
+      kept.flatMap(p => Seq(p._1, p._2)).toArray,
+      Array.tabulate(kept.length + 1)(_ * 2), Array(0, kept.length), Array(0, 1))
+  }
+
+  /** Point set vs LINEAL operand: keep members exactly ON (∩) or off (∖)
+    * any segment (±360° member translates). */
+  def pointLinealOverlay(op: Int,
+                         gtA: Int, cA: Array[Double], pA: Array[Int],
+                         gtB: Int, cB: Array[Double], pB: Array[Int], rB: Array[Int], fB: Array[Int])
+      : GeoAlgo.Clipped = {
+    require(gtA == 1 || gtA == 2, s"pointLinealOverlay: point subject required (got $gtA)")
+    require(gtB == 3 || gtB == 4, s"pointLinealOverlay: lineal operand required (got $gtB)")
+    require(op != OpUnion, "union of mixed dimensions is not defined")
+    val uB = GeoAlgo.unwrapParts(cB, pB, rB, fB)
+    def onLine(px: Double, py: Double): Boolean = {
+      var ri = 0
+      while (ri < rB.length - 1) {
+        var j = rB(ri)
+        val last = rB(ri + 1) - 1
+        while (j < last) {
+          val b1x = uB(pB(j)); val b1y = uB(pB(j) + 1)
+          val b2x = uB(pB(j + 1)); val b2y = uB(pB(j + 1) + 1)
+          var s = 0
+          while (s < 3) {
+            if (GeoAlgo.pointSegmentDistance(px + Shifts(s), py, b1x, b1y, b2x, b2y) == 0.0)
+              return true
+            s += 1
+          }
+          j += 1
+        }
+        ri += 1
+      }
+      false
+    }
+    val keep = new mutable.ArrayBuffer[Int]
+    var i = 0
+    while (i < pA.length - 1) {
+      if (onLine(cA(pA(i)), cA(pA(i) + 1)) == (op == OpIntersection)) keep += i
+      i += 1
+    }
+    if (keep.isEmpty) return null
+    val coords = Array.newBuilder[Double]
+    val pos    = new Array[Int](keep.length + 1)
+    var ci = 0
+    var k = 0
+    while (k < keep.length) {
+      pos(k) = ci
+      var c = pA(keep(k))
+      while (c < pA(keep(k) + 1)) { coords += cA(c); c += 1 }
+      ci += pA(keep(k) + 1) - pA(keep(k))
+      k += 1
+    }
+    pos(keep.length) = ci
+    GeoAlgo.Clipped(gtA, coords.result(), pos, Array(0, keep.length), Array(0, 1))
+  }
+
   /** Point/MultiPoint subject vs areal operand: keep members inside (∩) or
     * outside (∖) the areal region — [[GeoAlgo.contains]] even-odd
     * semantics, ±360° translates on the member. */

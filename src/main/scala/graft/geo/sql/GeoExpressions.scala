@@ -928,12 +928,20 @@ case class StClipConvex(geom: Expression, clip: Expression) extends GeoExpressio
   *    Polygon ↔ MultiPolygon as the part count dictates; output is 2D
   *    (altitudes are not propagated through region reconstruction).
   *  - point/line subject × areal operand: intersection and difference
-  *    route through containment / trapezoid clipping; an areal subject
-  *    minus a lower-dimensional operand is the subject UNCHANGED
-  *    (measure-zero subtrahend), and areal ∩ lower-dim swaps operands.
-  *  - union is defined for equal-dimension areal operands only; mixed
-  *    dimensions or GeometryCollections THROW (loud, never silently
-  *    wrong — the [[StClipConvex]] discipline).
+  *    route through containment / trapezoid clipping; an areal (or
+  *    lineal) subject minus a lower-dimensional operand is the subject
+  *    UNCHANGED (measure-zero subtrahend), and higher ∩ lower swaps
+  *    operands.
+  *  - line × line: intersection = the exact-collinear shared runs plus
+  *    proper/touch crossing points — a GeometryCollection when both
+  *    arise (JTS's mixed shape); difference removes the shared runs
+  *    (crossing points don't cut a line); union is the point-set cover
+  *    as concatenated paths (not a dissolved noding — documented).
+  *  - point × point: coordinate-exact membership ops (all three);
+  *    point × line: exact on-segment membership (∩/∖).
+  *  - union needs equal dimensions; mixed-dimension unions and
+  *    GeometryCollection operands THROW (loud, never silently wrong —
+  *    the [[StClipConvex]] discipline).
   *
   * A stand-alone scalar kernel: at scale it runs row-local AFTER the
   * cell-cover equi-join has reduced candidate pairs, so the plan shape of
@@ -981,7 +989,26 @@ case class StOverlay(a: Expression, b: Expression, op: Int) extends GeoExpressio
       pack(ra)(Overlay.linealOverlay(op,
         ga, GeomAccess.coords(ra), GeomAccess.posOff(ra), GeomAccess.ringOff(ra), GeomAccess.partOff(ra),
         gb, GeomAccess.coords(rb), GeomAccess.posOff(rb), GeomAccess.ringOff(rb), GeomAccess.partOff(rb)))
-    else if (areal(ga) && (pointy(gb) || lineal(gb)))
+    else if (lineal(ga) && lineal(gb)) {
+      val (pts, lines) = Overlay.linealLinealOverlay(op,
+        ga, GeomAccess.coords(ra), GeomAccess.posOff(ra), GeomAccess.ringOff(ra), GeomAccess.partOff(ra),
+        gb, GeomAccess.coords(rb), GeomAccess.posOff(rb), GeomAccess.ringOff(rb), GeomAccess.partOff(rb))
+      (pts, lines) match {
+        case (null, null) => null
+        case (p, null)    => pack(ra)(p)
+        case (null, l)    => pack(ra)(l)
+        case (p, l)       => collectionOf(ra, Seq(p, l)) // mixed ∩: JTS's shape
+      }
+    } else if (pointy(ga) && pointy(gb))
+      pack(ra)(Overlay.pointPointOverlay(op,
+        ga, GeomAccess.coords(ra), GeomAccess.posOff(ra),
+        gb, GeomAccess.coords(rb), GeomAccess.posOff(rb)))
+    else if (pointy(ga) && lineal(gb) && op != Overlay.OpUnion)
+      pack(ra)(Overlay.pointLinealOverlay(op,
+        ga, GeomAccess.coords(ra), GeomAccess.posOff(ra),
+        gb, GeomAccess.coords(rb), GeomAccess.posOff(rb), GeomAccess.ringOff(rb), GeomAccess.partOff(rb)))
+    else if ((areal(ga) && (pointy(gb) || lineal(gb))) ||
+             (lineal(ga) && pointy(gb)))
       op match {
         case Overlay.OpIntersection => // symmetric: route the thin side as subject
           evalSwapped(rb, ra)
@@ -994,13 +1021,25 @@ case class StOverlay(a: Expression, b: Expression, op: Int) extends GeoExpressio
       }
     else
       throw new IllegalArgumentException(
-        s"$opName: unsupported operand dimensions (gtype $ga × $gb) — " +
-        "at least one operand must be areal, and union needs both")
+        s"$opName: unsupported operand dimensions (gtype $ga × $gb) — union needs equal dimensions")
+  }
+  private def collectionOf(src: InternalRow, kids: Seq[GeoAlgo.Clipped]): InternalRow = {
+    val out = new GenericInternalRow(7)
+    out.update(0, GType.Collection.toByte)
+    out.update(5, new GenericArrayData(kids.map { c =>
+      UTF8String.fromString(GeoJsonCodec.geometryToJson(
+        GeoStruct.unpackGeometry(pack(src)(c))).render): Any
+    }.toArray))
+    out.update(6, src.get(6, GeoStruct.geometryType("fm").dataType))
+    out
   }
   private def evalSwapped(ra: InternalRow, rb: InternalRow): Any = {
     val ga = GeomAccess.gtype(ra); val gb = GeomAccess.gtype(rb)
-    if (pointy(ga))
+    if (pointy(ga) && areal(gb))
       pack(ra)(Overlay.pointOverlay(op, ga, GeomAccess.coords(ra), GeomAccess.posOff(ra),
+        gb, GeomAccess.coords(rb), GeomAccess.posOff(rb), GeomAccess.ringOff(rb), GeomAccess.partOff(rb)))
+    else if (pointy(ga) && lineal(gb))
+      pack(ra)(Overlay.pointLinealOverlay(op, ga, GeomAccess.coords(ra), GeomAccess.posOff(ra),
         gb, GeomAccess.coords(rb), GeomAccess.posOff(rb), GeomAccess.ringOff(rb), GeomAccess.partOff(rb)))
     else
       pack(ra)(Overlay.linealOverlay(op,

@@ -311,6 +311,111 @@ class OverlaySpec extends AnyFunSuite {
     assert(bad.isEmpty, s"${bad.length} membership mismatches, first: ${bad.headOption}")
   }
 
+  test("line × line: crossing points, shared runs, difference cuts, union cover") {
+    def line(pts: (Double, Double)*) =
+      s"""{"type":"LineString","coordinates":[${pts.map { case (x, y) => s"[$x,$y]" }.mkString(",")}]}"""
+    def inter(a: String, b: String) = Seq((a, b)).toDF("a", "b")
+      .select(st_intersection(from_geojson_geom($"a"), from_geojson_geom($"b")).as("g"))
+    // proper crossing: one point at the closed-form intersection
+    val x1 = inter(line((0, 0), (10, 10)), line((0, 10), (10, 0)))
+      .select(st_geometry_type($"g"), st_bbox($"g")).head()
+    assert(x1.getString(0) == "Point" && x1.getSeq[Double](1) == Seq(5.0, 5.0, 5.0, 5.0))
+    // exact shared run: collinear overlap [4,6] on the x-axis
+    val x2 = inter(line((0, 0), (10, 0)), line((4, 0), (6, 0)))
+      .select(st_geometry_type($"g"), st_bbox($"g")).head()
+    assert(x2.getString(0) == "LineString" && x2.getSeq[Double](1) == Seq(4.0, 0.0, 6.0, 0.0))
+    // mixed: a shared run AND a separate crossing → GeometryCollection
+    val x3 = inter(line((0, 0), (10, 0), (10, 10)),
+        line((4, 0), (6, 0), (6, -5), (12, 5)))
+      .select(st_geometry_type($"g")).head().getString(0)
+    assert(x3 == "GeometryCollection", x3)
+    // disjoint parallels → NULL
+    assert(inter(line((0, 0), (10, 0)), line((0, 1), (10, 1))).where($"g".isNotNull).count() == 0)
+    // difference: the shared run is cut out, length drops by exactly 2°
+    val d = Seq((line((0, 0), (10, 0)), line((4, 0), (6, 0)))).toDF("a", "b")
+      .select(st_length_m(st_difference(from_geojson_geom($"a"), from_geojson_geom($"b"))) /
+        st_length_m(from_geojson_geom($"a"))).head().getDouble(0)
+    approx(d, 0.8, 1e-12)
+    // difference by a merely CROSSING line: unchanged (points don't cut)
+    val d2 = Seq((line((0, 0), (10, 0)), line((5, -5), (5, 5)))).toDF("a", "b")
+      .select(st_length_m(st_difference(from_geojson_geom($"a"), from_geojson_geom($"b"))) /
+        st_length_m(from_geojson_geom($"a"))).head().getDouble(0)
+    approx(d2, 1.0, 1e-12)
+    // union: both operands' full length (point-set cover); the second line
+    // sits on the same latitude so the great-circle lengths match exactly
+    val u = Seq((line((0, 0), (10, 0)), line((20, 0), (30, 0)))).toDF("a", "b")
+      .select(st_geometry_type(st_union(from_geojson_geom($"a"), from_geojson_geom($"b"))),
+        st_length_m(st_union(from_geojson_geom($"a"), from_geojson_geom($"b"))) /
+          st_length_m(from_geojson_geom($"a"))).head()
+    assert(u.getString(0) == "MultiLineString")
+    approx(u.getDouble(1), 2.0, 1e-9)
+  }
+
+  test("point × point / point × line membership ops") {
+    val a = """{"type":"MultiPoint","coordinates":[[1,1],[2,2],[3,3]]}"""
+    val b = """{"type":"MultiPoint","coordinates":[[2,2],[3,3],[4,4]]}"""
+    val r = Seq((a, b)).toDF("a", "b").select(
+      st_bbox(st_intersection(from_geojson_geom($"a"), from_geojson_geom($"b"))).as("i"),
+      st_bbox(st_difference(from_geojson_geom($"a"), from_geojson_geom($"b"))).as("d"),
+      st_bbox(st_union(from_geojson_geom($"a"), from_geojson_geom($"b"))).as("u"),
+      st_geometry_type(st_difference(from_geojson_geom($"a"), from_geojson_geom($"b"))).as("dt")).head()
+    assert(r.getSeq[Double](0) == Seq(2.0, 2.0, 3.0, 3.0))
+    assert(r.getSeq[Double](1) == Seq(1.0, 1.0, 1.0, 1.0) && r.getString(3) == "Point")
+    assert(r.getSeq[Double](2) == Seq(1.0, 1.0, 4.0, 4.0))
+    // point × line: members exactly ON the segment stay (∩) / leave (∖)
+    val pts  = """{"type":"MultiPoint","coordinates":[[5,0],[5,1],[0,0],[10,0]]}"""
+    val line = """{"type":"LineString","coordinates":[[0,0],[10,0]]}"""
+    val pl = Seq((pts, line)).toDF("a", "b").select(
+      st_bbox(st_intersection(from_geojson_geom($"a"), from_geojson_geom($"b"))).as("i"),
+      st_bbox(st_difference(from_geojson_geom($"a"), from_geojson_geom($"b"))).as("d")).head()
+    assert(pl.getSeq[Double](0) == Seq(0.0, 0.0, 10.0, 0.0))
+    assert(pl.getSeq[Double](1) == Seq(5.0, 1.0, 5.0, 1.0))
+    // line minus points: measure-zero subtrahend, unchanged
+    val lp = Seq((line, pts)).toDF("a", "b")
+      .select(st_bbox(st_difference(from_geojson_geom($"a"), from_geojson_geom($"b")))).head()
+    assert(lp.getSeq[Double](0) == Seq(0.0, 0.0, 10.0, 0.0))
+  }
+
+  test("line × line differential vs JTS: crossing-point counts on random polylines") {
+    import org.locationtech.jts.geom.{Coordinate, GeometryFactory}
+    val gf  = new GeometryFactory()
+    val rnd = new scala.util.Random(424242L)
+    def walk(x0: Double, y0: Double, n: Int): Seq[(Double, Double)] = {
+      var x = x0; var y = y0
+      (0 until n).map { _ =>
+        x += rnd.nextDouble() * 6 - 3; y += rnd.nextDouble() * 6 - 3
+        (x, y)
+      }
+    }
+    (0 until 80).foreach { i =>
+      val pa = walk(0, 0, 5 + rnd.nextInt(6))
+      val pb = walk(rnd.nextDouble() * 4 - 2, rnd.nextDouble() * 4 - 2, 5 + rnd.nextInt(6))
+      def json(p: Seq[(Double, Double)]) =
+        s"""{"type":"LineString","coordinates":[${p.map { case (x, y) => s"[$x,$y]" }.mkString(",")}]}"""
+      val got = Seq((json(pa), json(pb))).toDF("a", "b")
+        .select(st_intersection(from_geojson_geom($"a"), from_geojson_geom($"b")).as("g"))
+        .select(coalesce(size(st_parts($"g")), lit(0)),
+          coalesce(st_geometry_type($"g"), lit("null"))).head()
+      def ls(p: Seq[(Double, Double)]) =
+        gf.createLineString(p.map { case (x, y) => new Coordinate(x, y) }.toArray)
+      val want = ls(pa).intersection(ls(pb))
+      val wantPts = want.getGeometryType match {
+        case "Point"      => 1
+        case "MultiPoint" => want.getNumGeometries
+        case "GeometryCollection" | "LineString" | "MultiLineString" => -1 // runs: compared by type only
+        case _ => 0
+      }
+      if (wantPts == 0) assert(got.getString(1) == "null", s"case $i: expected empty, got ${got.getString(1)}")
+      else if (wantPts > 0) {
+        // random walks have no collinear overlaps: point results only
+        assert(got.getString(1) == (if (wantPts == 1) "Point" else "MultiPoint"),
+          s"case $i: type ${got.getString(1)} vs JTS ${want.getGeometryType}")
+        val n = if (got.getString(1) == "Point") 1 else got.getInt(0)
+        assert(n == wantPts, s"case $i: $n crossings vs JTS $wantPts")
+      }
+    }
+  }
+
   test("overlay composes with the clip family: erase ≡ difference on boxes") {
     val rnd = new scala.util.Random(99L)
     (0 until 40).foreach { _ =>
