@@ -939,9 +939,11 @@ case class StClipConvex(geom: Expression, clip: Expression) extends GeoExpressio
   *    as concatenated paths (not a dissolved noding — documented).
   *  - point × point: coordinate-exact membership ops (all three);
   *    point × line: exact on-segment membership (∩/∖).
-  *  - union needs equal dimensions; mixed-dimension unions and
-  *    GeometryCollection operands THROW (loud, never silently wrong —
-  *    the [[StClipConvex]] discipline).
+  *  - GeometryCollection SUBJECTS recurse per child for ∩/∖ (the
+  *    [[StClipBox]] discipline — empties drop, null when all children
+  *    vanish); union needs equal dimensions, and mixed-dimension unions,
+  *    collection unions, or a collection SECOND operand THROW (loud,
+  *    never silently wrong — the [[StClipConvex]] discipline).
   *
   * A stand-alone scalar kernel: at scale it runs row-local AFTER the
   * cell-cover equi-join has reduced candidate pairs, so the plan shape of
@@ -976,8 +978,29 @@ case class StOverlay(a: Expression, b: Expression, op: Int) extends GeoExpressio
     val ra = v(0).asInstanceOf[InternalRow]
     val rb = v(1).asInstanceOf[InternalRow]
     val ga = GeomAccess.gtype(ra); val gb = GeomAccess.gtype(rb)
-    require(ga != GType.Collection && gb != GType.Collection,
-      s"$opName: GeometryCollection operands are not supported")
+    require(gb != GType.Collection,
+      s"$opName: a GeometryCollection SECOND operand is not supported")
+    // subject collections recurse per child for ∩/∖ (the StClipBox
+    // discipline: apply to each child, drop the emptied ones); union of a
+    // collection mixes dimensions and stays unsupported
+    if (ga == GType.Collection) {
+      require(op != Overlay.OpUnion,
+        s"$opName: union with a GeometryCollection subject is not defined")
+      val kids = GeomAccess.childStrings(ra).flatMap { str =>
+        val g = GeoJsonCodec.geometryOfJson(JValue.parseUnsafe(str))
+          .fold(err => throw new IllegalArgumentException(err), identity)
+        Option(evalNotNull(Array[Any](GeoStruct.packGeometry(g), rb))
+          .asInstanceOf[InternalRow]).map(child =>
+          UTF8String.fromString(
+            GeoJsonCodec.geometryToJson(GeoStruct.unpackGeometry(child)).render))
+      }
+      if (kids.isEmpty) return null
+      val out = new GenericInternalRow(7)
+      out.update(0, GType.Collection.toByte)
+      out.update(5, new GenericArrayData(kids.toArray[Any]))
+      out.update(6, ra.get(6, GeoStruct.geometryType("fm").dataType))
+      return out
+    }
     if (areal(ga) && areal(gb))
       pack(ra)(Overlay.overlayGeoms(op,
         ga, GeomAccess.coords(ra), GeomAccess.posOff(ra), GeomAccess.ringOff(ra), GeomAccess.partOff(ra),

@@ -416,6 +416,45 @@ class OverlaySpec extends AnyFunSuite {
     }
   }
 
+  test("collection subjects recurse; st_intersects consistency") {
+    val box = polyJson(boxPts(0, 0, 10, 10))
+    val coll = """{"type":"GeometryCollection","geometries":[""" +
+      """{"type":"Point","coordinates":[5,5]},""" +
+      """{"type":"LineString","coordinates":[[-5,5],[15,5]]},""" +
+      polyJson(boxPts(8, 8, 14, 14)) + "]}"
+    val r = Seq((coll, box)).toDF("a", "b")
+      .select(st_intersection(from_geojson_geom($"a"), from_geojson_geom($"b")).as("g"))
+      .select(st_geometry_type($"g"), size(st_parts($"g")), st_area($"g")).head()
+    // all three children survive: the point, the clipped line, the 2x2 corner
+    assert(r.getString(0) == "GeometryCollection" && r.getInt(1) == 3)
+    approx(r.getDouble(2), 4.0) // only the polygon child contributes area
+    // a child that vanishes drops; all-vanish → NULL
+    val far = polyJson(boxPts(50, 50, 60, 60))
+    assert(Seq((coll, far)).toDF("a", "b")
+      .select(st_intersection(from_geojson_geom($"a"), from_geojson_geom($"b")).as("g"))
+      .where($"g".isNotNull).count() == 0)
+    // cross-operator consistency: a non-null areal intersection implies
+    // st_intersects (the converse can fail on zero-area boundary touches)
+    val rnd = new scala.util.Random(11L)
+    def star(cx: Double, cy: Double, k: Int): Seq[(Double, Double)] =
+      (0 until k).map { i =>
+        val a = 2 * math.Pi * i / k
+        val r = 2.0 + rnd.nextDouble() * 6.0
+        (cx + r * math.cos(a), cy + r * math.sin(a))
+      }
+    val pairs = (0 until 60).map { _ =>
+      val cx = rnd.nextDouble() * 40 - 20; val cy = rnd.nextDouble() * 40 - 20
+      (polyJson(star(cx, cy, 7)),
+       polyJson(star(cx + rnd.nextDouble() * 14 - 7, cy + rnd.nextDouble() * 14 - 7, 6)))
+    }
+    val bad = pairs.toDF("a", "b")
+      .select(
+        st_intersection(from_geojson_geom($"a"), from_geojson_geom($"b")).isNotNull.as("hasI"),
+        st_intersects(from_geojson_geom($"a"), from_geojson_geom($"b")).as("touches"))
+      .where($"hasI" && !$"touches").count()
+    assert(bad == 0, s"$bad pairs with a non-null intersection but st_intersects=false")
+  }
+
   test("overlay composes with the clip family: erase ≡ difference on boxes") {
     val rnd = new scala.util.Random(99L)
     (0 until 40).foreach { _ =>
