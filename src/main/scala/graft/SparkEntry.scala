@@ -456,6 +456,38 @@ object SparkEntry {
           posexplode(Multimodal.image_histogram(col("bytes"), lit(8))))
         .select(col("image_id"), col("pos").as("bin"), col("col").as("n_px"))
     }),
+    "q93_buffer" -> ((s, dir) => {
+      // planar-degree buffer under the gate: per-nation disc (point
+      // dilation — inscribed 32-gon, closed-form (k/2)·sin(2π/k)·d²),
+      // capsule (segment dilation: 2dL + disc), and a RECTILINEAR box
+      // erosion whose inner box is arc-free and exactly (8−2dd)(6−2dd).
+      // Trig-derived areas are emitted as scaled integers (fp noise
+      // ~1e-15·area vs a 5e-5 tie distance; the q62 discipline)
+      registerAll(s)
+      val n  = col("n_nationkey")
+      val x  = (n * 7 % 30 - 15).cast("double")
+      val y  = (n * 5 % 20 - 10).cast("double")
+      val d  = (n % 4 + 1) / lit(2.0)
+      val dd = (n % 3 + 1).cast("double") * 0.5
+      val eL = (n % 5 + 3).cast("double")
+      def s2(c: Column) = c.cast("string")
+      val ptJson  = concat(lit("""{"type":"Point","coordinates":["""),
+        s2(x), lit(","), s2(y), lit("]}"))
+      val segJson = concat(lit("""{"type":"LineString","coordinates":[["""),
+        s2(x), lit(","), s2(y), lit("],["), s2(x + eL), lit(","), s2(y), lit("]]}"))
+      val boxJson = concat(lit("""{"type":"Polygon","coordinates":[[["""),
+        s2(x), lit(","), s2(y), lit("],["), s2(x + 8), lit(","), s2(y), lit("],["),
+        s2(x + 8), lit(","), s2(y + 6), lit("],["), s2(x), lit(","), s2(y + 6),
+        lit("],["), s2(x), lit(","), s2(y), lit("]]]}"))
+      s.read.parquet(t(dir, "nation"))
+        .select(n,
+          round(st_area(st_buffer_deg(from_geojson_geom(ptJson), d)) * 1e4)
+            .cast("long").as("disc_u4"),
+          round(st_area(st_buffer_deg(from_geojson_geom(segJson), d)) * 1e4)
+            .cast("long").as("capsule_u4"),
+          round(st_area(st_buffer_deg(from_geojson_geom(boxJson), -dd)) * 100)
+            .cast("long").as("erode_c"))
+    }),
     "q92_ingest_flow" -> ((s, dir) => {
       // the END-TO-END incremental ingest flow under one gate: signature-
       // catalog dedup → Bloom decontamination → Gopher repetition filters →
@@ -2094,6 +2126,20 @@ object SparkEntry {
           |       CAST(sum(abs(a.v - b.v)) AS BIGINT) AS motion_sum_abs
           |FROM bb a JOIN bb b ON a.id = b.id AND a.pos = b.pos AND b.fr = a.fr + 1
           |GROUP BY a.id""".stripMargin),
+    "q93_buffer" ->
+      // inscribed 32-gon closed forms: disc = 16·sin(2π/32)·d², capsule =
+      // 2dL + disc; the box erosion is arc-free (square inner corners) so
+      // (8−2dd)(6−2dd) is exact in both engines
+      """WITH p AS (SELECT n_nationkey,
+        |    (n_nationkey % 4 + 1) / 2.0 AS d,
+        |    (n_nationkey % 3 + 1) * 0.5 AS dd,
+        |    CAST(n_nationkey % 5 + 3 AS DOUBLE) AS el
+        |  FROM nation)
+        |SELECT n_nationkey,
+        |  CAST(round(16.0 * sin(2 * pi() / 32) * d * d * 10000.0) AS BIGINT) AS disc_u4,
+        |  CAST(round((2.0 * d * el + 16.0 * sin(2 * pi() / 32) * d * d) * 10000.0) AS BIGINT) AS capsule_u4,
+        |  CAST(round((8 - 2 * dd) * (6 - 2 * dd) * 100.0) AS BIGINT) AS erode_c
+        |FROM p""".stripMargin,
     "q92_ingest_flow" ->
       // all five stage predicates replayed: text-equality catalog dedup
       // (exact signatures ≡ text match, the q11 discipline), the q88 Bloom

@@ -64,12 +64,14 @@ object Overlay {
 
   // ------------------------------------------------------------ edge soup
 
-  /** Parallel arrays of non-horizontal edges, each oriented so y1 < y2. */
+  /** Parallel arrays of non-horizontal edges, each oriented so y1 < y2;
+    * `sgn` keeps the ORIGINAL direction (+1 upward, -1 downward) for
+    * winding-count predicates (even-odd parity ignores it). */
   private final class Edges {
     var n  = 0
     var x1 = new Array[Double](64); var y1 = new Array[Double](64)
     var x2 = new Array[Double](64); var y2 = new Array[Double](64)
-    var own = new Array[Int](64)
+    var own = new Array[Int](64);   var sgn = new Array[Int](64)
 
     def add(ax0: Double, ay0: Double, bx0: Double, by0: Double, owner: Int): Unit = {
       // normalize -0.0 → +0.0: ring relinking keys vertices by exact
@@ -80,10 +82,10 @@ object Overlay {
       if (n == x1.length) {
         x1 = java.util.Arrays.copyOf(x1, n * 2); y1 = java.util.Arrays.copyOf(y1, n * 2)
         x2 = java.util.Arrays.copyOf(x2, n * 2); y2 = java.util.Arrays.copyOf(y2, n * 2)
-        own = java.util.Arrays.copyOf(own, n * 2)
+        own = java.util.Arrays.copyOf(own, n * 2); sgn = java.util.Arrays.copyOf(sgn, n * 2)
       }
-      if (ay < by) { x1(n) = ax; y1(n) = ay; x2(n) = bx; y2(n) = by }
-      else         { x1(n) = bx; y1(n) = by; x2(n) = ax; y2(n) = ay }
+      if (ay < by) { x1(n) = ax; y1(n) = ay; x2(n) = bx; y2(n) = by; sgn(n) = 1 }
+      else         { x1(n) = bx; y1(n) = by; x2(n) = ax; y2(n) = ay; sgn(n) = -1 }
       own(n) = owner
       n += 1
     }
@@ -121,8 +123,11 @@ object Overlay {
                            var xr0: Double, var xr1: Double)
 
   /** Decompose the predicate-true region of the edge soup into trapezoids.
-    * `pred(inA, inB)` is evaluated with even-odd parities per owner. */
-  private def cells(es: Edges, pred: (Boolean, Boolean) => Boolean): mutable.ArrayBuffer[Cell] = {
+    * `pred(cntA, cntB)` receives the SIGNED winding counts per owner —
+    * even-odd callers test `cnt % 2 != 0` (sign-independent), winding
+    * callers (n-ary union) test `cnt != 0`. */
+  private def cells(es: Edges, pred: (Int, Int) => Boolean,
+                    crossWithin: Boolean = false): mutable.ArrayBuffer[Cell] = {
     val out = new mutable.ArrayBuffer[Cell]
     if (es.n == 0) return out
     // event levels: every endpoint y + every cross-owner crossing y
@@ -133,7 +138,7 @@ object Overlay {
     while (i < es.n) {
       var j = i + 1
       while (j < es.n) {
-        if (es.own(i) != es.own(j) &&
+        if ((crossWithin || es.own(i) != es.own(j)) &&
             es.y1(i) < es.y2(j) && es.y1(j) < es.y2(i)) {
           val d1x = es.x2(i) - es.x1(i); val d1y = es.y2(i) - es.y1(i)
           val d2x = es.x2(j) - es.x1(j); val d2y = es.y2(j) - es.y1(j)
@@ -175,17 +180,17 @@ object Overlay {
           xm(b + 1) = kx; idx(b + 1) = ke
           a += 1
         }
-        var inA = false; var inB = false
+        var cntA = 0; var cntB = 0
         var g = 0
         while (g < na) {
-          // toggle every edge in the eps-group starting at g
+          // accumulate every edge in the eps-group starting at g
           val gx = xm(g)
           var h = g
           while (h < na && xm(h) - gx <= Eps) {
-            if (es.own(idx(h)) == 0) inA = !inA else inB = !inB
+            if (es.own(idx(h)) == 0) cntA += es.sgn(idx(h)) else cntB += es.sgn(idx(h))
             h += 1
           }
-          if (h < na && pred(inA, inB)) {
+          if (h < na && pred(cntA, cntB)) {
             val le = idx(h - 1) // any group member: same line within the slab
             val re = idx(h)
             if (xm(h) - xm(h - 1) > Eps)
@@ -400,12 +405,20 @@ object Overlay {
     * (shell, holes) of the result, empty when the region is empty. */
   private def planarParts(op: Int, es: Edges)
       : Seq[(Array[Double], Array[Double], Seq[(Array[Double], Array[Double])])] = {
-    val pred: (Boolean, Boolean) => Boolean = op match {
-      case OpIntersection => (a, b) => a && b
-      case OpDifference   => (a, b) => a && !b
-      case OpUnion        => (a, b) => a || b
+    @inline def odd(c: Int) = (c & 1) != 0
+    val pred: (Int, Int) => Boolean = op match {
+      case OpIntersection => (a, b) => odd(a) && odd(b)
+      case OpDifference   => (a, b) => odd(a) && !odd(b)
+      case OpUnion        => (a, b) => odd(a) || odd(b)
     }
-    val cs = cells(es, pred)
+    stitchCells(cells(es, pred))
+  }
+
+  /** Snap + cancel + relink + simplify + classify the predicate-true cells
+    * into (shell, holes) parts — the shared back half of the 2-operand
+    * booleans and the n-ary winding union. */
+  private def stitchCells(cs: mutable.ArrayBuffer[Cell])
+      : Seq[(Array[Double], Array[Double], Seq[(Array[Double], Array[Double])])] = {
     if (cs.isEmpty) return Seq.empty
     val levels = snapCorners(cs)
     val (sx, sy, ex, ey) = boundaryEdges(cs, levels)
@@ -559,7 +572,7 @@ object Overlay {
     val u = GeoAlgo.unwrapParts(c, p, r, f)
     val es = new Edges
     addRingEdges(es, u, p, r, 0, r.length - 1, 0, shift)
-    toQuads(cells(es, (a, _) => a))
+    toQuads(cells(es, (a, _) => (a & 1) != 0))
   }
 
   /** Trapezoids of box∖B (B shifted by `shift`): the areal operand's rings
@@ -574,7 +587,7 @@ object Overlay {
     addRingEdges(es, u, p, r, 0, r.length - 1, 0, shift)
     es.add(w, s, e, s, 0); es.add(e, s, e, n, 0)
     es.add(e, n, w, n, 0); es.add(w, n, w, s, 0)
-    toQuads(cells(es, (a, _) => a))
+    toQuads(cells(es, (a, _) => (a & 1) != 0))
   }
 
   /** Lineal ∩ / ∖ areal: each path of the lineal subject is clipped by
@@ -659,7 +672,7 @@ object Overlay {
     val es = new Edges
     addRingEdges(es, uA, pA, rA, 0, rA.length - 1, 0, 0.0)
     addRingEdges(es, uB, pB, rB, 0, rB.length - 1, 1, 0.0)
-    val cs = cells(es, (a, b) => a && b)
+    val cs = cells(es, (a, b) => (a & 1) != 0 && (b & 1) != 0)
     val sum = cs.map(c => 0.5 * (c.y1 - c.y0) * ((c.xr0 - c.xl0) + (c.xr1 - c.xl1))).sum
     val levels = snapCorners(cs)
     val (sx, sy, ex, ey) = boundaryEdges(cs, levels)
@@ -676,7 +689,7 @@ object Overlay {
     val es = new Edges
     addRingEdges(es, uA, pA, rA, 0, rA.length - 1, 0, 0.0)
     addRingEdges(es, uB, pB, rB, 0, rB.length - 1, 1, 0.0)
-    val cs = cells(es, (a, b) => a && b)
+    val cs = cells(es, (a, b) => (a & 1) != 0 && (b & 1) != 0)
     val levels = snapCorners(cs)
     val (sx, sy, ex, ey) = boundaryEdges(cs, levels)
     linkRings(sx, sy, ex, ey).map { case (xs, ys) =>
@@ -698,6 +711,166 @@ object Overlay {
     planarParts(OpIntersection, es).map { case (xs, ys, hs) =>
       (0.5 * signedArea2(xs, ys), hs.map(h => 0.5 * signedArea2(h._1, h._2)))
     }
+  }
+
+  // ------------------------------------------ n-ary winding union + buffer
+
+  /** Union of MANY oriented rings in ONE slab pass (NONZERO winding rule:
+    * CCW rings add +1 inside, CW subtract — holes of properly-oriented
+    * polygons fall out automatically, and overlap multiplicity never
+    * cancels the way even-odd would). The machinery behind [[buffer]] and
+    * dissolve-style aggregation — a pairwise overlayGeoms fold would cost
+    * O(N) passes; this is one decomposition over the whole soup. Rings are
+    * flat (x0,y0,…); closure is implicit. */
+  def unionRings(rings: Seq[Array[Double]]): GeoAlgo.Clipped = {
+    val es = new Edges
+    rings.foreach { r =>
+      var i = 0
+      while (i + 3 < r.length) { es.add(r(i), r(i + 1), r(i + 2), r(i + 3), 0); i += 2 }
+      val n = r.length
+      if (n >= 4 && (r(0) != r(n - 2) || r(1) != r(n - 1)))
+        es.add(r(n - 2), r(n - 1), r(0), r(1), 0)
+    }
+    packParts(stitchCells(cells(es, (w, _) => w != 0, crossWithin = true)))
+  }
+
+  /** Planar-degree BUFFER: dilate (d > 0) any geometry, erode (d < 0) an
+    * areal one. Round joins/caps are inscribed k-gon arcs (`segments`
+    * vertices per full circle), so the result under-reaches the true
+    * buffer by at most (1 − cos(π/segments))·d — 0.5% of d at the default
+    * 32. Dilation = one n-ary winding union of the geometry's own
+    * (orientation-normalized) rings, per-segment capsule rectangles, and
+    * per-vertex discs; erosion = the subject MINUS the dilated boundary
+    * (points within |d| of the boundary leave). Planar degree semantics
+    * (JTS Geometry.buffer's model): no antimeridian unwrap magic — buffer
+    * in a locally sane frame. d = 0 returns the subject unchanged; d < 0
+    * on a non-areal subject → null (it erodes to nothing). */
+  def buffer(gt: Int, c: Array[Double], p: Array[Int], r: Array[Int], f: Array[Int],
+             d: Double, segments: Int = 32): GeoAlgo.Clipped = {
+    require(segments >= 8, s"buffer: segments must be >= 8, got $segments")
+    if (d == 0.0) return GeoAlgo.Clipped(gt, c, p, r, f)
+    if (d < 0.0) {
+      if (gt != 5 && gt != 6) return null // a thin geometry erodes away
+      val dd = -d
+      val u  = GeoAlgo.unwrapParts(c, p, r, f)
+      val cap = new mutable.ArrayBuffer[Array[Double]]
+      var ri = 0
+      while (ri < r.length - 1) { // every boundary ring dilates
+        addCapsules(cap, u, p, r(ri), r(ri + 1), dd, segments, closed = true)
+        ri += 1
+      }
+      val band = unionRings(cap.toSeq)
+      if (band == null) return GeoAlgo.Clipped(gt, u, p, r, f)
+      return overlayGeoms(OpDifference,
+        gt, u, p, r, f,
+        band.gtype, band.coords, band.posOff, band.ringOff, band.partOff)
+    }
+    val rings = new mutable.ArrayBuffer[Array[Double]]
+    gt match {
+      case 1 | 2 =>
+        var i = 0
+        while (i < p.length - 1) {
+          rings += disc(c(p(i)), c(p(i) + 1), d, segments)
+          i += 1
+        }
+      case 3 | 4 =>
+        val u = GeoAlgo.unwrapParts(c, p, r, f)
+        var ri = 0
+        while (ri < r.length - 1) {
+          addCapsules(rings, u, p, r(ri), r(ri + 1), d, segments, closed = false)
+          ri += 1
+        }
+      case 5 | 6 =>
+        val u = GeoAlgo.unwrapParts(c, p, r, f)
+        // the polygon region itself, orientation-normalized for winding
+        // (shell = first ring of its part CCW, holes CW)
+        var part = 0
+        while (part < f.length - 1) {
+          var ri = f(part)
+          while (ri < f(part + 1)) {
+            val ring = ringFlat(u, p, r(ri), r(ri + 1))
+            val ccw  = flatSignedArea2(ring) > 0
+            val wantCcw = ri == f(part) // shell CCW, holes CW
+            rings += (if (ccw == wantCcw) ring else reverseFlat(ring))
+            // plus the dilated boundary
+            addCapsules(rings, u, p, r(ri), r(ri + 1), d, segments, closed = true)
+            ri += 1
+          }
+          part += 1
+        }
+      case _ => return null
+    }
+    unionRings(rings.toSeq)
+  }
+
+  /** Capsules of one path/ring: a CCW rectangle per segment + a disc per
+    * vertex (round joins and caps in one shape family). */
+  private def addCapsules(out: mutable.ArrayBuffer[Array[Double]],
+                          u: Array[Double], p: Array[Int], rs: Int, re: Int,
+                          d: Double, segments: Int, closed: Boolean): Unit = {
+    val last = if (closed) re - 1 else re // closed rings carry the dup vertex
+    var i = rs
+    while (i < re) {
+      if (i < last || !closed) out += disc(u(p(i)), u(p(i) + 1), d, segments)
+      i += 1
+    }
+    i = rs
+    while (i < re - 1) {
+      val x1 = u(p(i)); val y1 = u(p(i) + 1)
+      val x2 = u(p(i + 1)); val y2 = u(p(i + 1) + 1)
+      val dx = x2 - x1; val dy = y2 - y1
+      val len = math.sqrt(dx * dx + dy * dy)
+      if (len > 0) {
+        val nx = -dy / len * d; val ny = dx / len * d
+        // CCW for d > 0: below-side first, then above-side reversed
+        out += Array(x1 - nx, y1 - ny, x2 - nx, y2 - ny, x2 + nx, y2 + ny, x1 + nx, y1 + ny)
+      }
+      i += 1
+    }
+  }
+
+  /** CCW inscribed k-gon disc. */
+  private def disc(cx: Double, cy: Double, d: Double, segments: Int): Array[Double] = {
+    val out = new Array[Double](segments * 2)
+    var i = 0
+    while (i < segments) {
+      val a = 2 * math.Pi * i / segments
+      out(2 * i) = cx + d * math.cos(a)
+      out(2 * i + 1) = cy + d * math.sin(a)
+      i += 1
+    }
+    out
+  }
+
+  private def ringFlat(u: Array[Double], p: Array[Int], rs: Int, re: Int): Array[Double] = {
+    val n = re - rs - 1 // drop the closing duplicate
+    val out = new Array[Double](n * 2)
+    var i = 0
+    while (i < n) { out(2 * i) = u(p(rs + i)); out(2 * i + 1) = u(p(rs + i) + 1); i += 1 }
+    out
+  }
+
+  private def flatSignedArea2(r: Array[Double]): Double = {
+    var a = 0.0
+    val n = r.length / 2
+    var i = 0
+    while (i < n) {
+      val j = (i + 1) % n
+      a += r(2 * i) * r(2 * j + 1) - r(2 * j) * r(2 * i + 1)
+      i += 1
+    }
+    a
+  }
+
+  private def reverseFlat(r: Array[Double]): Array[Double] = {
+    val n = r.length / 2
+    val out = new Array[Double](r.length)
+    var i = 0
+    while (i < n) {
+      out(2 * i) = r(2 * (n - 1 - i)); out(2 * i + 1) = r(2 * (n - 1 - i) + 1)
+      i += 1
+    }
+    out
   }
 
   // ------------------------------------------------ lineal × lineal paths

@@ -40,6 +40,7 @@ object GeoFunctions {
     "st_intersection"   -> (es => StOverlay(es(0), es(1), graft.geo.algo.Overlay.OpIntersection)),
     "st_difference"     -> (es => StOverlay(es(0), es(1), graft.geo.algo.Overlay.OpDifference)),
     "st_union"          -> (es => StOverlay(es(0), es(1), graft.geo.algo.Overlay.OpUnion)),
+    "st_buffer_deg"     -> (es => StBufferDeg(es(0), es(1))),
     "st_convex_hull"    -> (es => StConvexHull(es.head)),
     "st_parts"          -> (es => StParts(es.head)),
     "st_length_m"       -> (es => StLengthM(es.head)),
@@ -110,6 +111,7 @@ object GeoFunctions {
   def st_intersection(a: Column, b: Column): Column = call_function("st_intersection", a, b)
   def st_difference(a: Column, b: Column): Column   = call_function("st_difference", a, b)
   def st_union(a: Column, b: Column): Column        = call_function("st_union", a, b)
+  def st_buffer_deg(geom: Column, d: Column): Column = call_function("st_buffer_deg", geom, d)
   def st_clip_convex(geom: Column, clip: Column): Column =
     call_function("st_clip_convex", geom, clip)
   def st_convex_hull(geom: Column): Column   = call_function("st_convex_hull", geom)

@@ -455,6 +455,79 @@ class OverlaySpec extends AnyFunSuite {
     assert(bad == 0, s"$bad pairs with a non-null intersection but st_intersects=false")
   }
 
+  test("st_buffer_deg: distance soundness, closed forms, erosion, JTS differential") {
+    // point buffer: an inscribed 32-gon disc — area = (k/2)·sin(2π/k)·d²
+    val pt = """{"type":"Point","coordinates":[3,4]}"""
+    val discArea = Seq(Tuple1(pt)).toDF("g")
+      .select(st_area(st_buffer_deg(from_geojson_geom($"g"), lit(2.0)))).head().getDouble(0)
+    approx(discArea, 16.0 * math.sin(2 * math.Pi / 32) * 4.0, 1e-9)
+    // line buffer: a straight segment's capsule = 2dL + inscribed-disc area
+    val seg = """{"type":"LineString","coordinates":[[0,0],[10,0]]}"""
+    val capArea = Seq(Tuple1(seg)).toDF("g")
+      .select(st_area(st_buffer_deg(from_geojson_geom($"g"), lit(1.0)))).head().getDouble(0)
+    approx(capArea, 2.0 * 10.0 + 16.0 * math.sin(2 * math.Pi / 32), 1e-9)
+    // distance-soundness fuzz: for random concave subjects, probes within
+    // d·cos(π/32) of the subject are INSIDE the buffer; probes farther
+    // than d are OUTSIDE (the inscribed-arc sandwich)
+    val rnd = new scala.util.Random(31337L)
+    def star(cx: Double, cy: Double, k: Int): Seq[(Double, Double)] =
+      (0 until k).map { i =>
+        val a = 2 * math.Pi * i / k
+        val r = 2.0 + rnd.nextDouble() * 5.0
+        (cx + r * math.cos(a), cy + r * math.sin(a))
+      }
+    import org.locationtech.jts.geom.{Coordinate, GeometryFactory}
+    val gf = new GeometryFactory()
+    (0 until 25).foreach { i =>
+      val cx = rnd.nextDouble() * 30 - 15; val cy = rnd.nextDouble() * 30 - 15
+      val shell = star(cx, cy, 7 + rnd.nextInt(6))
+      val d = 0.5 + rnd.nextDouble() * 2.0
+      val probes = (0 until 40).map { _ =>
+        (cx - 12 + rnd.nextDouble() * 24, cy - 12 + rnd.nextDouble() * 24)
+      }
+      val jts = gf.createPolygon((shell :+ shell.head)
+        .map { case (x, y) => new Coordinate(x, y) }.toArray)
+      val rows = probes.map { case (px, py) => (polyJson(shell), d, px, py) }
+        .toDF("g", "d", "px", "py")
+        .select($"px", $"py",
+          st_contains(st_buffer_deg(from_geojson_geom($"g"), $"d"), $"px", $"py").as("inB"))
+        .collect()
+      rows.foreach { r =>
+        val px = r.getDouble(0); val py = r.getDouble(1)
+        val dist = jts.distance(gf.createPoint(new Coordinate(px, py)))
+        if (dist <= d * math.cos(math.Pi / 32) - 1e-9)
+          assert(r.getBoolean(2), s"case $i: probe at dist $dist not in buffer(d=$d)")
+        if (dist > d + 1e-9)
+          assert(!r.getBoolean(2), s"case $i: probe at dist $dist inside buffer(d=$d)")
+      }
+      // JTS area differential: same inscribed discretization (8 segments
+      // per quadrant = 32 per circle) — tight tolerance
+      val got = Seq((polyJson(shell), d)).toDF("g", "d")
+        .select(st_area(st_buffer_deg(from_geojson_geom($"g"), $"d"))).head().getDouble(0)
+      val want = jts.buffer(d, 8).getArea
+      approx(got, want, 5e-3, s"case $i buffer area")
+    }
+    // erosion: shrink ⊂ subject; dilate∘erode sandwich; thin subject → null
+    val holed = polyJson(boxPts(0, 0, 10, 10), Seq(boxPts(4, 4, 6, 6).reverse))
+    val er = Seq(Tuple1(holed)).toDF("g")
+      .select(st_area(st_buffer_deg(from_geojson_geom($"g"), lit(-1.0))).as("a"),
+        st_geometry_type(st_buffer_deg(from_geojson_geom($"g"), lit(-1.0))).as("t")).head()
+    // erode the 10×10-minus-2×2 frame by 1: outer square shrinks to [1,9]²
+    // with SQUARE corners (64), the hole dilates to the [3,7] square with
+    // ROUNDED corners — inscribed 32-gon arcs exactly: the removed region
+    // is 16 − (4 − 16·sin(2π/32)), so the closed form is
+    // 64 − 16 + (4 − 16·sin(2π/32))
+    assert(er.getString(1) == "Polygon")
+    approx(er.getDouble(0), 64.0 - 16.0 + (4.0 - 16.0 * math.sin(2 * math.Pi / 32)), 1e-9)
+    val thin = Seq(Tuple1(seg)).toDF("g")
+      .select(st_buffer_deg(from_geojson_geom($"g"), lit(-0.5)).as("b")).head()
+    assert(thin.isNullAt(0))
+    // identity at d = 0
+    val same = Seq(Tuple1(holed)).toDF("g")
+      .select(st_area(st_buffer_deg(from_geojson_geom($"g"), lit(0.0)))).head().getDouble(0)
+    approx(same, 96.0)
+  }
+
   test("overlay composes with the clip family: erase ≡ difference on boxes") {
     val rnd = new scala.util.Random(99L)
     (0 until 40).foreach { _ =>
