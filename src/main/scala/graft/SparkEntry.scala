@@ -456,6 +456,31 @@ object SparkEntry {
           posexplode(Multimodal.image_histogram(col("bytes"), lit(8))))
         .select(col("image_id"), col("pos").as("bin"), col("col").as("n_px"))
     }),
+    "q94_dissolve" -> ((s, dir) => {
+      // N-ary DISSOLVE under the gate: per nation, three integer boxes
+      // (two overlapping + one island) collapse through st_rings →
+      // collect → st_union_rings in ONE winding-union pass; the area is
+      // inclusion-exclusion-exact and the part count is always 2
+      registerAll(s)
+      val n  = col("n_nationkey")
+      val ax = (n * 3 % 50 - 25).cast("double"); val ay = (n * 7 % 40 - 20).cast("double")
+      val dx = (n % 8).cast("double");           val dy = (n % 6).cast("double")
+      def s2(c: Column) = c.cast("string")
+      def box(w: Column, so: Column, e: Column, no: Column) =
+        concat(lit("""{"type":"Polygon","coordinates":[[["""),
+          s2(w), lit(","), s2(so), lit("],["), s2(e), lit(","), s2(so), lit("],["),
+          s2(e), lit(","), s2(no), lit("],["), s2(w), lit(","), s2(no), lit("],["),
+          s2(w), lit(","), s2(so), lit("]]]}"))
+      val boxes = s.read.parquet(t(dir, "nation"))
+        .select(n, explode(array(
+          box(ax, ay, ax + 10, ay + 8),
+          box(ax + dx, ay + dy, ax + dx + 10, ay + dy + 8),
+          box(ax + 30, ay, ax + 34, ay + 4))).as("json"))
+        .select(n, from_geojson_geom(col("json")).as("geom"))
+      GeoFunctions.dissolve(boxes, "geom", "n_nationkey")
+        .select(n, round(st_area(col("geom"))).cast("long").as("area_i"),
+          size(st_parts(col("geom"))).as("n_parts"))
+    }),
     "q93_buffer" -> ((s, dir) => {
       // planar-degree buffer under the gate: per-nation disc (point
       // dilation — inscribed 32-gon, closed-form (k/2)·sin(2π/k)·d²),
@@ -2126,6 +2151,14 @@ object SparkEntry {
           |       CAST(sum(abs(a.v - b.v)) AS BIGINT) AS motion_sum_abs
           |FROM bb a JOIN bb b ON a.id = b.id AND a.pos = b.pos AND b.fr = a.fr + 1
           |GROUP BY a.id""".stripMargin),
+    "q94_dissolve" ->
+      // inclusion-exclusion over the three integer boxes: the overlapping
+      // pair shares (10−dx)(8−dy), the island adds 16, parts always 2
+      """WITH p AS (SELECT n_nationkey, n_nationkey % 8 AS dx, n_nationkey % 6 AS dy FROM nation)
+        |SELECT n_nationkey,
+        |  CAST(80 + 80 - (10 - dx) * (8 - dy) + 16 AS BIGINT) AS area_i,
+        |  CAST(2 AS INT) AS n_parts
+        |FROM p""".stripMargin,
     "q93_buffer" ->
       // inscribed 32-gon closed forms: disc = 16·sin(2π/32)·d², capsule =
       // 2dL + disc; the box erosion is arc-free (square inner corners) so

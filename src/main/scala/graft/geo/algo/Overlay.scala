@@ -803,6 +803,32 @@ object Overlay {
     unionRings(rings.toSeq)
   }
 
+  /** The areal subject's rings as flat OPEN arrays, orientation-normalized
+    * for the winding union (shell = first ring of its part CCW, holes CW)
+    * — the per-row half of dissolve-style aggregation: explode with this,
+    * collect, and [[unionRings]] the lot. Non-areal input → empty. */
+  def orientedRings(gt: Int, c: Array[Double], p: Array[Int], r: Array[Int],
+                    f: Array[Int]): Seq[Array[Double]] = {
+    if (gt != 5 && gt != 6) return Seq.empty
+    val u = GeoAlgo.unwrapParts(c, p, r, f)
+    val out = new mutable.ArrayBuffer[Array[Double]]
+    var part = 0
+    while (part < f.length - 1) {
+      var ri = f(part)
+      while (ri < f(part + 1)) {
+        val ring = ringFlat(u, p, r(ri), r(ri + 1))
+        if (ring.length >= 6) {
+          val ccw     = flatSignedArea2(ring) > 0
+          val wantCcw = ri == f(part)
+          out += (if (ccw == wantCcw) ring else reverseFlat(ring))
+        }
+        ri += 1
+      }
+      part += 1
+    }
+    out.toSeq
+  }
+
   /** Capsules of one path/ring: a CCW rectangle per segment + a disc per
     * vertex (round joins and caps in one shape family). */
   private def addCapsules(out: mutable.ArrayBuffer[Array[Double]],

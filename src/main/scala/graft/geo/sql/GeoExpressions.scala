@@ -1133,6 +1133,52 @@ case class StBufferDeg(geom: Expression, dist: Expression) extends GeoExpression
     copy(c(0), c(1))
 }
 
+/** `st_rings(geom)` → ARRAY<ARRAY<DOUBLE>> of the areal subject's flat
+  * OPEN rings, orientation-normalized for the winding union (shells CCW,
+  * holes CW) — the per-row half of DISSOLVE aggregation: explode/collect
+  * these and feed [[StUnionRings]]. Non-areal input → empty array. */
+case class StRings(geom: Expression) extends GeoExpression {
+  override def children: Seq[Expression] = Seq(geom)
+  override def dataType: DataType =
+    ArrayType(ArrayType(DoubleType, containsNull = false), containsNull = false)
+  override protected def evalNotNull(v: Array[Any]): Any = {
+    val r = v(0).asInstanceOf[InternalRow]
+    new GenericArrayData(Overlay.orientedRings(GeomAccess.gtype(r), GeomAccess.coords(r),
+      GeomAccess.posOff(r), GeomAccess.ringOff(r), GeomAccess.partOff(r))
+      .map(ring => new GenericArrayData(ring): Any).toArray)
+  }
+  override protected def withNewChildrenInternal(c: IndexedSeq[Expression]) = copy(c(0))
+}
+
+/** `st_union_rings(rings)` — the N-ary DISSOLVE: union of MANY oriented
+  * rings (from [[StRings]], typically `flatten(collect_list(...))` per
+  * group) in ONE slab pass under the nonzero winding rule — the union
+  * aggregation a pairwise `st_union` fold would pay O(N) passes for.
+  * NULL on an empty list. The collected ring mass must fit one row
+  * (dissolve is a genuinely holistic aggregate); dissolve hierarchically
+  * (e.g. by tile, then by region) when a single group's boundary is
+  * huge. */
+case class StUnionRings(rings: Expression) extends GeoExpression {
+  override def children: Seq[Expression] = Seq(rings)
+  override def dataType: DataType        = GeoStruct.geometryType
+  override protected def evalNotNull(v: Array[Any]): Any = {
+    val arr = v(0).asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+    val rings = (0 until arr.numElements()).map(i => arr.getArray(i).toDoubleArray())
+    val c = Overlay.unionRings(rings)
+    if (c == null) null
+    else {
+      val out = new GenericInternalRow(7)
+      out.update(0, c.gtype.toByte)
+      out.update(1, new GenericArrayData(c.coords))
+      out.update(2, new GenericArrayData(c.posOff))
+      out.update(3, new GenericArrayData(c.ringOff))
+      out.update(4, new GenericArrayData(c.partOff))
+      out
+    }
+  }
+  override protected def withNewChildrenInternal(c: IndexedSeq[Expression]) = copy(c(0))
+}
+
 /** `st_length_m(geom)` → great-circle metres of all segments (perimeter for
   * polygons). */
 case class StLengthM(child: Expression) extends GeoExpression {

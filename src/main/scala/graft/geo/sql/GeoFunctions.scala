@@ -41,6 +41,8 @@ object GeoFunctions {
     "st_difference"     -> (es => StOverlay(es(0), es(1), graft.geo.algo.Overlay.OpDifference)),
     "st_union"          -> (es => StOverlay(es(0), es(1), graft.geo.algo.Overlay.OpUnion)),
     "st_buffer_deg"     -> (es => StBufferDeg(es(0), es(1))),
+    "st_rings"          -> (es => StRings(es.head)),
+    "st_union_rings"    -> (es => StUnionRings(es.head)),
     "st_convex_hull"    -> (es => StConvexHull(es.head)),
     "st_parts"          -> (es => StParts(es.head)),
     "st_length_m"       -> (es => StLengthM(es.head)),
@@ -112,6 +114,21 @@ object GeoFunctions {
   def st_difference(a: Column, b: Column): Column   = call_function("st_difference", a, b)
   def st_union(a: Column, b: Column): Column        = call_function("st_union", a, b)
   def st_buffer_deg(geom: Column, d: Column): Column = call_function("st_buffer_deg", geom, d)
+  def st_rings(geom: Column): Column        = call_function("st_rings", geom)
+  def st_union_rings(rings: Column): Column = call_function("st_union_rings", rings)
+
+  /** DISSOLVE: merge each group's areal geometries into one (Multi)Polygon
+    * — one winding-union pass per group over the collected oriented rings.
+    * The group's ring mass must fit one row (holistic aggregate); nest
+    * groupings for huge boundaries. */
+  def dissolve(df: org.apache.spark.sql.DataFrame, geomCol: String,
+               groupCols: String*): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions.{col, collect_list, flatten}
+    df.groupBy(groupCols.map(col): _*)
+      .agg(flatten(collect_list(st_rings(col(geomCol)))).as("__rings"))
+      .withColumn(geomCol, st_union_rings(col("__rings")))
+      .drop("__rings")
+  }
   def st_clip_convex(geom: Column, clip: Column): Column =
     call_function("st_clip_convex", geom, clip)
   def st_convex_hull(geom: Column): Column   = call_function("st_convex_hull", geom)

@@ -528,6 +528,57 @@ class OverlaySpec extends AnyFunSuite {
     approx(same, 96.0)
   }
 
+  test("dissolve: tile → dissolve round-trips the polygon; rectangle unions exact") {
+    // the flagship construction loop closed: exact per-tile pieces
+    // (tilePolygons) dissolve back to the ORIGINAL region — area equal and
+    // membership identical at random probes
+    val rnd = new scala.util.Random(5150L)
+    def star(cx: Double, cy: Double, k: Int): Seq[(Double, Double)] =
+      (0 until k).map { i =>
+        val a = 2 * math.Pi * i / k
+        val r = 2.0 + rnd.nextDouble() * 8.0
+        (cx + r * math.cos(a), cy + r * math.sin(a))
+      }
+    val polys = (0 until 10).map { i =>
+      val cx = rnd.nextDouble() * 120 - 60; val cy = rnd.nextDouble() * 80 - 40
+      (i.toLong, polyJson(star(cx, cy, 7 + rnd.nextInt(6))), cx, cy)
+    }
+    val src = polys.map { case (id, j, _, _) => (id, j) }.toDF("pid", "json")
+      .select($"pid", from_geojson_geom($"json").as("geom"))
+    val tiled = graft.geo.join.SpatialJoins.tilePolygons(src, "geom", z = 6)
+    val back = graft.geo.sql.GeoFunctions.dissolve(
+      tiled.select($"pid", $"tile_geom".as("geom")), "geom", "pid")
+    val areas = back.join(src.withColumnRenamed("geom", "orig"), Seq("pid"))
+      .select($"pid", st_area($"geom").as("a1"), st_area($"orig").as("a0")).collect()
+    assert(areas.length == 10)
+    areas.foreach(r => approx(r.getDouble(1), r.getDouble(2), 1e-6, s"pid ${r.getLong(0)}"))
+    // membership: 40 probes per polygon agree between original and dissolved
+    val probeRows = polys.flatMap { case (id, j, cx, cy) =>
+      (0 until 40).map { _ =>
+        (id, j, cx - 11 + rnd.nextDouble() * 22, cy - 11 + rnd.nextDouble() * 22)
+      }
+    }
+    val bad = probeRows.toDF("pid", "json", "px", "py")
+      .join(back, Seq("pid"))
+      .where(st_contains(from_geojson_geom($"json"), $"px", $"py") =!=
+             st_contains($"geom", $"px", $"py"))
+      .count()
+    assert(bad == 0, s"$bad membership mismatches after tile → dissolve")
+    // rectangle-union closed form: 3 overlapping integer boxes per group
+    val boxes = Seq(
+      (1L, polyJson(boxPts(0, 0, 10, 10))), (1L, polyJson(boxPts(5, 5, 15, 15))),
+      (1L, polyJson(boxPts(20, 0, 24, 4))),
+      (2L, polyJson(boxPts(0, 0, 4, 4))), (2L, polyJson(boxPts(0, 0, 4, 4))))
+      .toDF("g", "json").select($"g", from_geojson_geom($"json").as("geom"))
+    val m = graft.geo.sql.GeoFunctions.dissolve(boxes, "geom", "g")
+      .select($"g", st_area($"geom"), st_geometry_type($"geom"))
+      .collect().map(r => (r.getLong(0), (r.getDouble(1), r.getString(2)))).toMap
+    approx(m(1L)._1, 100.0 + 100.0 - 25.0 + 16.0) // two overlapping + one island
+    assert(m(1L)._2 == "MultiPolygon")
+    approx(m(2L)._1, 16.0) // identical duplicates dissolve to one
+    assert(m(2L)._2 == "Polygon")
+  }
+
   test("overlay composes with the clip family: erase ≡ difference on boxes") {
     val rnd = new scala.util.Random(99L)
     (0 until 40).foreach { _ =>
