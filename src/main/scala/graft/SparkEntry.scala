@@ -456,6 +456,33 @@ object SparkEntry {
           posexplode(Multimodal.image_histogram(col("bytes"), lit(8))))
         .select(col("image_id"), col("pos").as("bin"), col("col").as("n_px"))
     }),
+    "q95_validity" -> ((s, dir) => {
+      // geometry-QA audit under the gate: valid boxes, bowtie
+      // self-intersections, and stray holes in a deterministic rotation —
+      // the reason strings are closed-form per residue class
+      registerAll(s)
+      val n = col("n_nationkey")
+      val x = (n * 11 % 40 - 20).cast("double"); val y = (n * 13 % 30 - 15).cast("double")
+      def s2(c: Column) = c.cast("string")
+      def pt(a: Column, b: Column) = concat(lit("["), s2(a), lit(","), s2(b), lit("]"))
+      val validBox = concat(lit("""{"type":"Polygon","coordinates":[["""),
+        pt(x, y), lit(","), pt(x + 6, y), lit(","), pt(x + 6, y + 4), lit(","),
+        pt(x, y + 4), lit(","), pt(x, y), lit("]]}"))
+      val bowtie = concat(lit("""{"type":"Polygon","coordinates":[["""),
+        pt(x, y), lit(","), pt(x + 7, y + 5), lit(","), pt(x + 7, y), lit(","),
+        pt(x, y + 5), lit(","), pt(x, y), lit("]]}"))
+      val strayHole = concat(lit("""{"type":"Polygon","coordinates":[["""),
+        pt(x, y), lit(","), pt(x + 6, y), lit(","), pt(x + 6, y + 4), lit(","),
+        pt(x, y + 4), lit(","), pt(x, y), lit("],["),
+        pt(x + 20, y + 20), lit(","), pt(x + 20, y + 22), lit(","),
+        pt(x + 22, y + 22), lit(","), pt(x + 22, y + 20), lit(","),
+        pt(x + 20, y + 20), lit("]]}"))
+      val json = when(n % 3 === 0, validBox).when(n % 3 === 1, bowtie)
+        .otherwise(strayHole)
+      s.read.parquet(t(dir, "nation"))
+        .select(n, st_is_valid(from_geojson_geom(json)).as("ok"),
+          st_valid_reason(from_geojson_geom(json)).as("reason"))
+    }),
     "q94_dissolve" -> ((s, dir) => {
       // N-ary DISSOLVE under the gate: per nation, three integer boxes
       // (two overlapping + one island) collapse through st_rings →
@@ -2151,6 +2178,12 @@ object SparkEntry {
           |       CAST(sum(abs(a.v - b.v)) AS BIGINT) AS motion_sum_abs
           |FROM bb a JOIN bb b ON a.id = b.id AND a.pos = b.pos AND b.fr = a.fr + 1
           |GROUP BY a.id""".stripMargin),
+    "q95_validity" ->
+      """SELECT n_nationkey, n_nationkey % 3 = 0 AS ok,
+        |  CASE n_nationkey % 3 WHEN 0 THEN 'valid'
+        |       WHEN 1 THEN 'ring self-intersection'
+        |       ELSE 'hole outside shell' END AS reason
+        |FROM nation""".stripMargin,
     "q94_dissolve" ->
       // inclusion-exclusion over the three integer boxes: the overlapping
       // pair shares (10−dx)(8−dy), the island adds 16, parts always 2

@@ -713,6 +713,126 @@ object Overlay {
     }
   }
 
+  // --------------------------------------------------------- validity audit
+
+  /** Pragmatic OGC-style validity audit — the data-QA gate a geometry
+    * column needs before joins/overlays trust it. Returns 0 (valid) or the
+    * FIRST failing reason code:
+    *  1 = non-finite coordinate (NaN/Inf)
+    *  2 = areal ring not closed or with fewer than 4 positions
+    *  3 = zero-area areal ring
+    *  4 = ring self-intersection (a proper crossing or collinear overlap
+    *      of non-adjacent segments within one ring)
+    *  5 = hole vertex outside its shell (even-odd test on the first
+    *      non-shell-boundary vertex)
+    *  6 = lineal path with fewer than 2 positions
+    * Scope (documented, not full OGC): cross-ring and cross-part interior
+    * overlap are NOT checked here (that is an overlay-sized computation —
+    * run `st_area(st_intersection(partA, partB))` when it matters). */
+  def validityCode(gt: Int, c: Array[Double], p: Array[Int], r: Array[Int],
+                   f: Array[Int]): Int = {
+    var i = 0
+    while (i < c.length) {
+      if (java.lang.Double.isNaN(c(i)) || java.lang.Double.isInfinite(c(i))) return 1
+      i += 1
+    }
+    if (gt == 1 || gt == 2 || gt == 7) return 0
+    if (gt == 3 || gt == 4) {
+      var ri = 0
+      while (ri < r.length - 1) {
+        if (r(ri + 1) - r(ri) < 2) return 6
+        ri += 1
+      }
+      return 0
+    }
+    if (gt != 5 && gt != 6) return 0
+    val u = GeoAlgo.unwrapParts(c, p, r, f)
+    var part = 0
+    while (part < f.length - 1) {
+      var ri = f(part)
+      while (ri < f(part + 1)) {
+        val rs = r(ri); val re = r(ri + 1)
+        val n = re - rs
+        if (n < 4) return 2
+        if (u(p(rs)) != u(p(re - 1)) || u(p(rs) + 1) != u(p(re - 1) + 1)) return 2
+        val ring = ringFlat(u, p, rs, re)
+        // self-intersection BEFORE zero-area: a symmetric bowtie has
+        // shoelace area exactly 0, and the crossing is the real diagnosis
+        if (ringSelfIntersects(ring)) return 4
+        if (flatSignedArea2(ring) == 0.0) return 3
+        if (ri > f(part)) {
+          // hole containment: first hole vertex not ON the shell boundary
+          // must be INSIDE the shell (even-odd)
+          val shell = ringFlat(u, p, r(f(part)), r(f(part) + 1))
+          var vi = 0
+          var decided = false
+          while (!decided && vi < ring.length / 2) {
+            val hx = ring(2 * vi); val hy = ring(2 * vi + 1)
+            if (!onRingBoundary(shell, hx, hy)) {
+              decided = true
+              if (!flatPointInRing(shell, hx, hy)) return 5
+            }
+            vi += 1
+          }
+        }
+        ri += 1
+      }
+      part += 1
+    }
+    0
+  }
+
+  /** Proper crossing or collinear overlap between NON-ADJACENT segments of
+    * one open ring (adjacent segments legitimately share a vertex). */
+  private def ringSelfIntersects(ring: Array[Double]): Boolean = {
+    val n = ring.length / 2
+    var i = 0
+    while (i < n) {
+      val j1 = (i + 1) % n
+      var k = i + 2
+      while (k < n) {
+        val j2 = (k + 1) % n
+        if (j2 != i) { // skip the wrap-adjacent pair
+          val pts  = new mutable.ArrayBuffer[(Double, Double)]
+          val runs = new mutable.ArrayBuffer[Seg]
+          segPair(ring(2 * i), ring(2 * i + 1), ring(2 * j1), ring(2 * j1 + 1),
+            ring(2 * k), ring(2 * k + 1), ring(2 * j2), ring(2 * j2 + 1), pts, runs)
+          if (runs.nonEmpty) return true
+          if (pts.nonEmpty) return true
+        }
+        k += 1
+      }
+      i += 1
+    }
+    false
+  }
+
+  private def onRingBoundary(ring: Array[Double], px: Double, py: Double): Boolean = {
+    val n = ring.length / 2
+    var i = 0
+    while (i < n) {
+      val j = (i + 1) % n
+      if (GeoAlgo.pointSegmentDistance(px, py,
+        ring(2 * i), ring(2 * i + 1), ring(2 * j), ring(2 * j + 1)) == 0.0) return true
+      i += 1
+    }
+    false
+  }
+
+  private def flatPointInRing(ring: Array[Double], px: Double, py: Double): Boolean = {
+    var in = false
+    val n = ring.length / 2
+    var i = 0
+    var j = n - 1
+    while (i < n) {
+      val yi = ring(2 * i + 1); val yj = ring(2 * j + 1)
+      if ((yi > py) != (yj > py) &&
+          px < ring(2 * i) + (py - yi) / (yj - yi) * (ring(2 * j) - ring(2 * i))) in = !in
+      j = i; i += 1
+    }
+    in
+  }
+
   // ------------------------------------------ n-ary winding union + buffer
 
   /** Union of MANY oriented rings in ONE slab pass (NONZERO winding rule:

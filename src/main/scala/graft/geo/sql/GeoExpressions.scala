@@ -1179,6 +1179,37 @@ case class StUnionRings(rings: Expression) extends GeoExpression {
   override protected def withNewChildrenInternal(c: IndexedSeq[Expression]) = copy(c(0))
 }
 
+/** `st_is_valid(geom)` / `st_valid_reason(geom)` — pragmatic validity
+  * audit ([[graft.geo.algo.Overlay.validityCode]]): non-finite
+  * coordinates, unclosed/short/zero-area rings, ring self-intersection
+  * (proper crossings or collinear overlaps of non-adjacent segments),
+  * holes outside their shell, short lineal paths. Collections audit each
+  * child (first failure wins). NOT full OGC: cross-ring/cross-part
+  * interior overlap is an overlay-sized computation — probe it with
+  * `st_area(st_intersection(...))` when it matters. */
+case class StIsValid(geom: Expression, asReason: Boolean) extends GeoExpression {
+  override def children: Seq[Expression] = Seq(geom)
+  override def dataType: DataType        = if (asReason) StringType else BooleanType
+  private val reasons = Array("valid", "non-finite coordinate",
+    "unclosed or short ring", "zero-area ring", "ring self-intersection",
+    "hole outside shell", "short lineal path")
+  private def codeOf(r: InternalRow): Int =
+    if (GeomAccess.gtype(r) == GType.Collection)
+      GeomAccess.childStrings(r).iterator.map { str =>
+        val g = GeoJsonCodec.geometryOfJson(JValue.parseUnsafe(str))
+          .fold(err => throw new IllegalArgumentException(err), identity)
+        codeOf(GeoStruct.packGeometry(g))
+      }.find(_ != 0).getOrElse(0)
+    else Overlay.validityCode(GeomAccess.gtype(r), GeomAccess.coords(r),
+      GeomAccess.posOff(r), GeomAccess.ringOff(r), GeomAccess.partOff(r))
+  override protected def evalNotNull(v: Array[Any]): Any = {
+    val code = codeOf(v(0).asInstanceOf[InternalRow])
+    if (asReason) UTF8String.fromString(reasons(code)) else code == 0
+  }
+  override protected def withNewChildrenInternal(c: IndexedSeq[Expression]) =
+    copy(c(0), asReason)
+}
+
 /** `st_length_m(geom)` → great-circle metres of all segments (perimeter for
   * polygons). */
 case class StLengthM(child: Expression) extends GeoExpression {

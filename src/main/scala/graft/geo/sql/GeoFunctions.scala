@@ -42,6 +42,8 @@ object GeoFunctions {
     "st_union"          -> (es => StOverlay(es(0), es(1), graft.geo.algo.Overlay.OpUnion)),
     "st_buffer_deg"     -> (es => StBufferDeg(es(0), es(1))),
     "st_rings"          -> (es => StRings(es.head)),
+    "st_is_valid"       -> (es => StIsValid(es.head, asReason = false)),
+    "st_valid_reason"   -> (es => StIsValid(es.head, asReason = true)),
     "st_union_rings"    -> (es => StUnionRings(es.head)),
     "st_convex_hull"    -> (es => StConvexHull(es.head)),
     "st_parts"          -> (es => StParts(es.head)),
@@ -115,6 +117,8 @@ object GeoFunctions {
   def st_union(a: Column, b: Column): Column        = call_function("st_union", a, b)
   def st_buffer_deg(geom: Column, d: Column): Column = call_function("st_buffer_deg", geom, d)
   def st_rings(geom: Column): Column        = call_function("st_rings", geom)
+  def st_is_valid(geom: Column): Column     = call_function("st_is_valid", geom)
+  def st_valid_reason(geom: Column): Column = call_function("st_valid_reason", geom)
   def st_union_rings(rings: Column): Column = call_function("st_union_rings", rings)
 
   /** DISSOLVE: merge each group's areal geometries into one (Multi)Polygon

@@ -14,7 +14,7 @@ class EntrySpec extends AnyFunSuite {
     val qs = SparkEntry.queries.keySet
     val os = SparkEntry.oracleSql.keySet
     assert(os.subsetOf(qs), s"orphan oracles: ${os diff qs}")
-    assert(qs.size == 93 && os.size == 92, s"${qs.size} queries / ${os.size} oracles")
+    assert(qs.size == 94 && os.size == 93, s"${qs.size} queries / ${os.size} oracles")
     // the one remaining rows-only query (dictionary-vote lang-ID — the
     // documented irreducible; q24/q25 gained full SQL replays in round 6)
     assert((qs diff os) == Set("q33_text_fingerprints"))

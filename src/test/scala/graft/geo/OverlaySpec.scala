@@ -579,6 +579,47 @@ class OverlaySpec extends AnyFunSuite {
     assert(m(2L)._2 == "Polygon")
   }
 
+  test("st_is_valid: reason codes for the classic invalidity families") {
+    val cases = Seq(
+      (polyJson(boxPts(0, 0, 10, 10)), true, "valid"),
+      (polyJson(boxPts(0, 0, 10, 10), Seq(boxPts(2, 2, 8, 8).reverse)), true, "valid"),
+      // bowtie: proper self-crossing
+      ("""{"type":"Polygon","coordinates":[[[0,0],[10,10],[10,0],[0,10],[0,0]]]}""",
+        false, "ring self-intersection"),
+      // zero-area sliver
+      ("""{"type":"Polygon","coordinates":[[[0,0],[10,0],[0,0],[0,0]]]}""",
+        false, "zero-area ring"),
+      // hole outside the shell
+      (polyJson(boxPts(0, 0, 10, 10), Seq(boxPts(20, 20, 24, 24).reverse)),
+        false, "hole outside shell"),
+      // unclosed ring (hand-built JSON the codec accepts structurally)
+      ("""{"type":"Polygon","coordinates":[[[0,0],[10,0],[10,10],[5,5]]]}""",
+        false, "unclosed or short ring"),
+      // valid concave star stays valid; lines and points are trivially valid
+      ("""{"type":"LineString","coordinates":[[0,0],[5,5],[9,2]]}""", true, "valid"),
+      ("""{"type":"Point","coordinates":[3,4]}""", true, "valid"))
+    val rows = cases.map(_._1).toDF("json")
+      .select($"json", st_is_valid(from_geojson_geom($"json")).as("v"),
+        st_valid_reason(from_geojson_geom($"json")).as("r")).collect()
+    rows.zip(cases).foreach { case (row, (_, wantV, wantR)) =>
+      assert(row.getBoolean(1) == wantV && row.getString(2) == wantR,
+        s"${row.getString(0).take(60)}: got (${row.getBoolean(1)}, ${row.getString(2)})")
+    }
+    // validity gates the overlay meaningfully: every random star used
+    // across this suite audits valid
+    val rnd = new scala.util.Random(77L)
+    val stars = (0 until 40).map { _ =>
+      val cx = rnd.nextDouble() * 40 - 20; val cy = rnd.nextDouble() * 30 - 15
+      polyJson((0 until 9).map { i =>
+        val a = 2 * math.Pi * i / 9
+        val r = 2.0 + rnd.nextDouble() * 6.0
+        (cx + r * math.cos(a), cy + r * math.sin(a))
+      })
+    }
+    assert(stars.toDF("json")
+      .where(!st_is_valid(from_geojson_geom($"json"))).count() == 0)
+  }
+
   test("overlay composes with the clip family: erase ≡ difference on boxes") {
     val rnd = new scala.util.Random(99L)
     (0 until 40).foreach { _ =>
