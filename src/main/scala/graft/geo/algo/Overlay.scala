@@ -728,7 +728,9 @@ object Overlay {
     *  6 = lineal path with fewer than 2 positions
     * Scope (documented, not full OGC): cross-ring and cross-part interior
     * overlap are NOT checked here (that is an overlay-sized computation —
-    * run `st_area(st_intersection(partA, partB))` when it matters). */
+    * run `st_area(st_intersection(partA, partB))` when it matters). The
+    * self-intersection check is O(segments²) per ring — an audit kernel
+    * for row-sized geometries, not a scan primitive. */
   def validityCode(gt: Int, c: Array[Double], p: Array[Int], r: Array[Int],
                    f: Array[Int]): Int = {
     var i = 0
@@ -754,7 +756,9 @@ object Overlay {
         val rs = r(ri); val re = r(ri + 1)
         val n = re - rs
         if (n < 4) return 2
-        if (u(p(rs)) != u(p(re - 1)) || u(p(rs) + 1) != u(p(re - 1) + 1)) return 2
+        // closure on the RAW coords: the unwrap walk's cumulative rounding
+        // can perturb the last vertex by an ulp even on a closed ring
+        if (c(p(rs)) != c(p(re - 1)) || c(p(rs) + 1) != c(p(re - 1) + 1)) return 2
         val ring = ringFlat(u, p, rs, re)
         // self-intersection BEFORE zero-area: a symmetric bowtie has
         // shoelace area exactly 0, and the crossing is the real diagnosis
