@@ -796,6 +796,45 @@ class OpsSpec extends AnyFunSuite {
     assert(ranks.getLong(0) == exact.count(_ < 76L) && ranks.getLong(1) == 150L)
   }
 
+  test("KLL stress: random merge trees conserve mass and keep rank bounds") {
+    // adversarial merging (the shapes Spark's partial aggregation can
+    // produce): random chunking, random merge-tree order, repeated
+    // compaction — mass must be conserved exactly and quantiles stay
+    // within the rank bound at every trial
+    import Sketches._
+    val rnd = new scala.util.Random(990L)
+    val agg = new KllAggregator(256)
+    (0 until 12).foreach { trial =>
+      val n = 20000 + rnd.nextInt(30000)
+      val values = Array.fill(n)(rnd.nextInt(10000).toLong)
+      val chunks = values.grouped(1 + rnd.nextInt(4000)).toBuffer
+      val bufs = chunks.map(_.foldLeft(agg.zero)((b, v) => agg.reduce(b, v)))
+      while (bufs.length > 1) {
+        val i = rnd.nextInt(bufs.length)
+        val a = bufs.remove(i)
+        val j = rnd.nextInt(bufs.length)
+        val b = bufs.remove(j)
+        bufs += agg.merge(a, b)
+      }
+      val blob = agg.finish(bufs.head).v
+      assert(blob(2) == n, s"trial $trial: n ${blob(2)} != $n")
+      val l = blob(1).toInt
+      val mass = (0 until l).map(i => blob(3 + i) * (1L << i)).sum
+      assert(mass == n, s"trial $trial: stored mass $mass != $n")
+      val sorted = values.sorted
+      val ad = new org.apache.spark.sql.catalyst.util.GenericArrayData(blob)
+      Seq(0.05, 0.25, 0.5, 0.75, 0.95).foreach { q =>
+        val got = SketchRuntime.kllQuantile(ad, q).asInstanceOf[Long]
+        // the returned value's true rank window must sit within q ± 5% of n
+        val lo = sorted.indexWhere(_ >= got)      // first index with value >= got
+        val hi = sorted.lastIndexWhere(_ <= got)  // last index with value <= got
+        val target = math.max(1, math.ceil(q * n).toInt) - 1
+        assert(target >= lo - 0.05 * n && target <= hi + 0.05 * n,
+          s"trial $trial q=$q: value $got rank window [$lo,$hi] vs target $target")
+      }
+    }
+  }
+
   test("CountMin sketch: never underestimates, exact shard SUM-merge, point accuracy") {
     import Sketches._
     // key = doc length bucket (0..~60): true counts from an exact groupBy
