@@ -181,6 +181,8 @@ object Overlay {
           a += 1
         }
         var cntA = 0; var cntB = 0
+        var openLe = -1  // left bounding edge of the open interval
+        var openXm = 0.0
         var g = 0
         while (g < na) {
           // accumulate every edge in the eps-group starting at g
@@ -190,12 +192,18 @@ object Overlay {
             if (es.own(idx(h)) == 0) cntA += es.sgn(idx(h)) else cntB += es.sgn(idx(h))
             h += 1
           }
-          if (h < na && pred(cntA, cntB)) {
-            val le = idx(h - 1) // any group member: same line within the slab
-            val re = idx(h)
-            if (xm(h) - xm(h - 1) > Eps)
-              out += new Cell(y0, y1, es.xAt(le, y0), es.xAt(le, y1),
+          // MAXIMAL intervals, not per-edge-gap cells: an interior edge the
+          // predicate survives (a covered operand boundary inside a union)
+          // must NOT split the cell — the uncancellable side walls such
+          // splits emit were the seam-split multi-part union bug
+          val nowIn = h < na && pred(cntA, cntB)
+          if (nowIn && openLe < 0) { openLe = idx(h - 1); openXm = xm(h - 1) }
+          else if (!nowIn && openLe >= 0) {
+            val re = idx(g) // first edge of the closing group bounds the region
+            if (xm(g) - openXm > Eps)
+              out += new Cell(y0, y1, es.xAt(openLe, y0), es.xAt(openLe, y1),
                                        es.xAt(re, y0), es.xAt(re, y1))
+            openLe = -1
           }
           g = h
         }
@@ -373,31 +381,22 @@ object Overlay {
     (xs, ys)
   }
 
-  private def signedArea2(xs: Array[Double], ys: Array[Double]): Double = {
-    var a = 0.0
-    val n = xs.length
+  // the pair-array forms delegate to the flat implementations (ONE place
+  // owns the shoelace and the even-odd boundary semantics); interleaving
+  // is a cold-path allocation in stitch/classify only
+  private def interleave(xs: Array[Double], ys: Array[Double]): Array[Double] = {
+    val out = new Array[Double](xs.length * 2)
     var i = 0
-    while (i < n) {
-      val j = (i + 1) % n
-      a += xs(i) * ys(j) - xs(j) * ys(i)
-      i += 1
-    }
-    a
+    while (i < xs.length) { out(2 * i) = xs(i); out(2 * i + 1) = ys(i); i += 1 }
+    out
   }
 
+  private def signedArea2(xs: Array[Double], ys: Array[Double]): Double =
+    flatSignedArea2(interleave(xs, ys))
+
   private def pointInRing(xs: Array[Double], ys: Array[Double],
-                          px: Double, py: Double): Boolean = {
-    var in = false
-    val n = xs.length
-    var i = 0
-    var j = n - 1
-    while (i < n) {
-      if ((ys(i) > py) != (ys(j) > py) &&
-          px < xs(i) + (py - ys(i)) / (ys(j) - ys(i)) * (xs(j) - xs(i))) in = !in
-      j = i; i += 1
-    }
-    in
-  }
+                          px: Double, py: Double): Boolean =
+    flatPointInRing(interleave(xs, ys), px, py)
 
   // ----------------------------------------------------------- planar core
 
@@ -575,30 +574,34 @@ object Overlay {
     toQuads(cells(es, (a, _) => (a & 1) != 0))
   }
 
-  /** Trapezoids of box∖B (B shifted by `shift`): the areal operand's rings
-    * plus the bounding box ring share ONE even-odd parity, so the odd
-    * region is exactly inside-box-and-outside-B. */
-  private def complementTrapezoids(gt: Int, c: Array[Double], p: Array[Int],
-                                   r: Array[Int], f: Array[Int], shift: Double,
-                                   w: Double, s: Double, e: Double, n: Double)
-      : Seq[(Array[Double], Array[Double])] = {
-    val u = GeoAlgo.unwrapParts(c, p, r, f)
-    val es = new Edges
-    addRingEdges(es, u, p, r, 0, r.length - 1, 0, shift)
-    es.add(w, s, e, s, 0); es.add(e, s, e, n, 0)
-    es.add(e, n, w, n, 0); es.add(w, n, w, s, 0)
-    toQuads(cells(es, (a, _) => (a & 1) != 0))
+  /** Cyrus–Beck parameter interval of segment (x1,y1)→(x2,y2) inside a CCW
+    * convex polygon, or null when disjoint. */
+  private def segQuadInterval(x1: Double, y1: Double, x2: Double, y2: Double,
+                              qx: Array[Double], qy: Array[Double]): (Double, Double) = {
+    var lo = 0.0; var hi = 1.0
+    val m = qx.length
+    var k = 0
+    while (k < m) {
+      val ax = qx(k); val ay = qy(k)
+      val bx = qx((k + 1) % m); val by = qy((k + 1) % m)
+      val ex = bx - ax; val ey = by - ay
+      // inside iff cross(edge, p − a) >= 0 (CCW); f(t) linear in t
+      val f0 = ex * (y1 - ay) - ey * (x1 - ax)
+      val f1 = ex * (y2 - ay) - ey * (x2 - ax)
+      if (f0 < 0 && f1 < 0) return null
+      if (f0 < 0) lo = math.max(lo, f0 / (f0 - f1))
+      else if (f1 < 0) hi = math.min(hi, f0 / (f0 - f1))
+      k += 1
+    }
+    if (lo < hi) (lo, hi) else null
   }
 
-  /** Lineal ∩ / ∖ areal: each path of the lineal subject is clipped by
-    * every interior (∩) or bbox-bounded complement (∖) trapezoid of the
-    * areal operand via [[GeoAlgo.clipConvex]] (which also supplies the
-    * subject-side ±360° translate machinery), and the pieces merge into
-    * one (Multi)LineString. Caveat (inherited from the partition sharing
-    * boundary LINES): a run lying exactly on an interior trapezoid seam
-    * can duplicate across pieces — same documented behavior as
-    * [[GeoAlgo.eraseBox]]'s slab edges. Union of mixed dimensions is not
-    * defined here. */
+  /** Lineal ∩ / ∖ areal, INTERVAL-based: each subject segment's parameter
+    * range covered by the areal operand is the MERGED union of its
+    * Cyrus–Beck intervals against the interior trapezoids (across every
+    * overlapping ±360° operand translate — merging dedupes by
+    * construction, so nothing can double-emit), and the result keeps (∩)
+    * or drops (∖) the covered sub-segments with path re-stitching. */
   def linealOverlay(op: Int,
                     gtA: Int, cA: Array[Double], pA: Array[Int], rA: Array[Int], fA: Array[Int],
                     gtB: Int, cB: Array[Double], pB: Array[Int], rB: Array[Int], fB: Array[Int])
@@ -606,33 +609,96 @@ object Overlay {
     require(gtA == 3 || gtA == 4, s"linealOverlay: subject must be lineal (got gtype $gtA)")
     require(gtB == 5 || gtB == 6, s"linealOverlay: operand must be areal (got gtype $gtB)")
     require(op != OpUnion, "union of mixed dimensions is not defined")
+    val uA = GeoAlgo.unwrapParts(cA, pA, rA, fA)
     val uB = GeoAlgo.unwrapParts(cB, pB, rB, fB)
+    val (aMin, aMax) = xRange(uA, pA)
     val (bMin, bMax) = xRange(uB, pB)
-    val bb = GeoAlgo.bbox(cA, pA) // unwrapped subject bbox
-    val hits = Shifts.filter(sh => bMin + sh <= bb(2) + 1 && bb(0) - 1 <= bMax + sh)
-    if (op == OpIntersection) {
-      val pieces = hits.flatMap { sh =>
-        interiorTrapezoids(gtB, cB, pB, rB, fB, sh).flatMap { case (xs, ys) =>
-          Option(GeoAlgo.clipConvex(gtA, cA, pA, rA, fA, xs, ys))
+    val hits = Shifts.filter(sh => bMin + sh <= aMax && aMin <= bMax + sh)
+    if (hits.isEmpty)
+      return if (op == OpIntersection) null else GeoAlgo.Clipped(gtA, cA, pA, rA, fA)
+    val traps = hits.flatMap(sh => interiorTrapezoids(gtB, cB, pB, rB, fB, sh))
+    val aC = GeoAlgo.Clipped(gtA, uA, pA, rA, fA)
+    val iv = new mutable.HashMap[(Int, Int), mutable.ArrayBuffer[(Double, Double)]]
+    var ri = 0
+    while (ri < rA.length - 1) {
+      var i = rA(ri)
+      var si = 0
+      while (i < rA(ri + 1) - 1) {
+        val x1 = uA(pA(i)); val y1 = uA(pA(i) + 1)
+        val x2 = uA(pA(i + 1)); val y2 = uA(pA(i + 1) + 1)
+        traps.foreach { case (qx, qy) =>
+          val r = segQuadInterval(x1, y1, x2, y2, qx, qy)
+          if (r != null)
+            iv.getOrElseUpdate((ri, si), new mutable.ArrayBuffer[(Double, Double)]) += r
         }
+        i += 1; si += 1
       }
-      mergeLinealPaths(gtA, pieces.toSeq)
-    } else {
-      if (hits.isEmpty) return GeoAlgo.Clipped(gtA, cA, pA, rA, fA)
-      var cur = GeoAlgo.Clipped(gtA, cA, pA, rA, fA)
-      var k = 0
-      while (k < hits.length && cur != null) {
-        val traps = complementTrapezoids(gtB, cB, pB, rB, fB, hits(k),
-          bb(0) - 1, bb(1) - 1, bb(2) + 1, bb(3) + 1)
-        val pieces = traps.flatMap { case (xs, ys) =>
-          Option(GeoAlgo.clipConvex(cur.gtype, cur.coords, cur.posOff,
-            cur.ringOff, cur.partOff, xs, ys))
-        }
-        cur = mergeLinealPaths(gtA, pieces.toSeq)
-        k += 1
-      }
-      cur
+      ri += 1
     }
+    pathPieces(aC, iv, keepCovered = op == OpIntersection)
+  }
+
+  /** Emit a lineal subject's covered (keepCovered) or uncovered
+    * sub-segments per path, stitching contiguous pieces back into maximal
+    * paths. `iv` maps (path, segment) to raw parameter intervals. */
+  private def pathPieces(a: GeoAlgo.Clipped,
+                         iv: mutable.HashMap[(Int, Int), mutable.ArrayBuffer[(Double, Double)]],
+                         keepCovered: Boolean): GeoAlgo.Clipped = {
+    val paths = new mutable.ArrayBuffer[Array[Double]]
+    var ri = 0
+    while (ri < a.ringOff.length - 1) {
+      val buf = new mutable.ArrayBuffer[Double]
+      def flush(): Unit = { if (buf.length >= 4) paths += buf.toArray; buf.clear() }
+      def append(x: Double, y: Double): Unit =
+        if (buf.length < 2 || buf(buf.length - 2) != x || buf(buf.length - 1) != y) {
+          buf += x; buf += y
+        }
+      var i = a.ringOff(ri)
+      val last = a.ringOff(ri + 1) - 1
+      var si = 0
+      while (i < last) {
+        val a1x = a.coords(a.posOff(i)); val a1y = a.coords(a.posOff(i) + 1)
+        val a2x = a.coords(a.posOff(i + 1)); val a2y = a.coords(a.posOff(i + 1) + 1)
+        val d1x = a2x - a1x; val d1y = a2y - a1y
+        @inline def at(t: Double) = (
+          (if (t == 0.0) a1x else if (t == 1.0) a2x else a1x + t * d1x) + 0.0,
+          (if (t == 0.0) a1y else if (t == 1.0) a2y else a1y + t * d1y) + 0.0)
+        val covered = iv.get((ri, si)).map(v => merged(v.map { case (lo, hi) =>
+          (math.max(0.0, lo), math.min(1.0, hi)) })).getOrElse(Seq.empty)
+        if (keepCovered) {
+          if (covered.isEmpty) flush()
+          covered.foreach { case (lo, hi) =>
+            if (hi > lo) {
+              if (lo > 0.0) flush() // a gap before this piece breaks the path
+              val (sx, sy) = at(lo); val (ex, ey) = at(hi)
+              append(sx, sy); append(ex, ey)
+              if (hi < 1.0) flush()
+            }
+          }
+        } else {
+          if (covered.isEmpty) { append(a1x, a1y); append(a2x, a2y) }
+          else {
+            var cursor = 0.0
+            covered.foreach { case (lo, hi) =>
+              if (lo > cursor) {
+                val (sx, sy) = at(cursor); val (ex, ey) = at(lo)
+                append(sx, sy); append(ex, ey)
+              }
+              flush() // the removed run breaks the path
+              cursor = math.max(cursor, hi)
+            }
+            if (cursor < 1.0) {
+              val (sx, sy) = at(cursor)
+              append(sx, sy); append(a2x, a2y)
+            }
+          }
+        }
+        i += 1; si += 1
+      }
+      flush()
+      ri += 1
+    }
+    if (paths.isEmpty) null else packPaths(paths.toSeq)
   }
 
   /** Merge lineal pieces (each ONE part of paths, the packing convention)
@@ -790,6 +856,9 @@ object Overlay {
     * one open ring (adjacent segments legitimately share a vertex). */
   private def ringSelfIntersects(ring: Array[Double]): Boolean = {
     val n = ring.length / 2
+    // shared scratch: O(n²) pairs must not allocate per pair
+    val pts  = new mutable.ArrayBuffer[(Double, Double)]
+    val runs = new mutable.ArrayBuffer[Seg]
     var i = 0
     while (i < n) {
       val j1 = (i + 1) % n
@@ -797,12 +866,10 @@ object Overlay {
       while (k < n) {
         val j2 = (k + 1) % n
         if (j2 != i) { // skip the wrap-adjacent pair
-          val pts  = new mutable.ArrayBuffer[(Double, Double)]
-          val runs = new mutable.ArrayBuffer[Seg]
+          pts.clear(); runs.clear()
           segPair(ring(2 * i), ring(2 * i + 1), ring(2 * j1), ring(2 * j1 + 1),
             ring(2 * k), ring(2 * k + 1), ring(2 * j2), ring(2 * j2 + 1), pts, runs)
-          if (runs.nonEmpty) return true
-          if (pts.nonEmpty) return true
+          if (runs.nonEmpty || pts.nonEmpty) return true
         }
         k += 1
       }
@@ -1219,57 +1286,13 @@ object Overlay {
   }
 
   /** A (lineal, as Clipped) minus the exact-collinear runs shared with B
-    * (shifted): per segment, keep the complement parameter intervals,
-    * stitching consecutive kept pieces back into maximal paths. */
+    * (shifted) — [[pathPieces]] over [[coveredIntervals]]. */
   private def subtractRuns(a: GeoAlgo.Clipped,
                            uB: Array[Double], pB: Array[Int], rB: Array[Int],
                            shiftB: Double): GeoAlgo.Clipped = {
     val (_, runs) = coveredIntervals(a.coords, a.posOff, a.ringOff, uB, pB, rB, shiftB)
     if (runs.isEmpty) return a
-    val paths = new mutable.ArrayBuffer[Array[Double]]
-    var ri = 0
-    while (ri < a.ringOff.length - 1) {
-      val buf = new mutable.ArrayBuffer[Double]
-      def flush(): Unit = { if (buf.length >= 4) paths += buf.toArray; buf.clear() }
-      def append(x: Double, y: Double): Unit =
-        if (buf.length < 2 || buf(buf.length - 2) != x || buf(buf.length - 1) != y) {
-          buf += x; buf += y
-        }
-      var i = a.ringOff(ri)
-      val last = a.ringOff(ri + 1) - 1
-      var si = 0
-      while (i < last) {
-        val a1x = a.coords(a.posOff(i)); val a1y = a.coords(a.posOff(i) + 1)
-        val a2x = a.coords(a.posOff(i + 1)); val a2y = a.coords(a.posOff(i + 1) + 1)
-        val d1x = a2x - a1x; val d1y = a2y - a1y
-        @inline def at(t: Double) = (
-          (if (t == 0.0) a1x else if (t == 1.0) a2x else a1x + t * d1x) + 0.0,
-          (if (t == 0.0) a1y else if (t == 1.0) a2y else a1y + t * d1y) + 0.0)
-        runs.get((ri, si)) match {
-          case None =>
-            append(a1x, a1y); append(a2x, a2y)
-          case Some(iv) =>
-            var cursor = 0.0
-            merged(iv).foreach { case (lo, hi) =>
-              if (lo > cursor) {
-                val (sx, sy) = at(cursor); val (ex, ey) = at(lo)
-                append(sx, sy); append(ex, ey)
-              }
-              // the removed run breaks the path
-              flush()
-              cursor = math.max(cursor, hi)
-            }
-            if (cursor < 1.0) {
-              val (sx, sy) = at(cursor)
-              append(sx, sy); append(a2x, a2y)
-            }
-        }
-        i += 1; si += 1
-      }
-      flush()
-      ri += 1
-    }
-    packPaths(paths.toSeq)
+    pathPieces(a, runs, keepCovered = false)
   }
 
   /** Pack flat-xy open paths as one lineal part ((Multi)LineString). */
@@ -1301,6 +1324,7 @@ object Overlay {
         var x = c(p(i))
         while (x > 180.0) x -= 360.0
         while (x < -180.0) x += 360.0
+        if (x == 180.0) x = -180.0 // half-open: +180 and −180 are one point
         (x + 0.0, c(p(i) + 1) + 0.0)
       }
     val a = members(cA, pA)

@@ -60,6 +60,14 @@ class OverlaySpec extends AnyFunSuite {
     // spherical ratio differs from planar in the 4th decimal (cos-lat
     // weighting of the hole's band) — sanity-bound only
     approx(holed.getDouble(2), 0.96, 2e-4)
+    // part structure: overlapping and ABUTTING unions are ONE Polygon (no
+    // seam-split parts — interior edges the predicate survives must not
+    // emit walls), disjoint unions are MultiPolygon
+    val structure = Seq((a, b, polyJson(boxPts(10, 0, 20, 10)))).toDF("a", "b", "c")
+      .select(st_geometry_type(st_union(from_geojson_geom($"a"), from_geojson_geom($"b"))),
+        st_geometry_type(st_union(from_geojson_geom($"a"), from_geojson_geom($"c")))).head()
+    assert(structure.getString(0) == "Polygon", s"overlap union split: ${structure.getString(0)}")
+    assert(structure.getString(1) == "Polygon", s"abutting union split: ${structure.getString(1)}")
     // disjoint: intersection NULL, difference unchanged, union = both parts
     val far = polyJson(boxPts(40, 40, 44, 44))
     val (i3, u3, d5, _) = areas(a, far)
@@ -215,6 +223,15 @@ class OverlaySpec extends AnyFunSuite {
     val b = polyJson(boxPts(165, 0, 175, 10))
     val (i3, u3, _, _) = areas(a, b)
     approx(i3, 50.0); approx(u3, 200.0 + 100.0 - 50.0)
+    // LINEAL across the seam: a crossing line clipped by a west-side box
+    // emits the half-degree run ONCE (the interval union dedupes by
+    // construction — the translate double-emission bug's exact repro)
+    val seam = """{"type":"LineString","coordinates":[[179.5,0],[-179.5,0]]}"""
+    val ref  = """{"type":"LineString","coordinates":[[0,0],[0.5,0]]}"""
+    val lr = Seq((seam, west, ref)).toDF("a", "b", "r")
+      .select(st_length_m(st_intersection(from_geojson_geom($"a"), from_geojson_geom($"b"))) /
+        st_length_m(from_geojson_geom($"r"))).head().getDouble(0)
+    approx(lr, 1.0, 1e-9)
   }
 
   test("mixed dimensions: points and lines against areal operands") {
@@ -549,9 +566,14 @@ class OverlaySpec extends AnyFunSuite {
     val back = graft.geo.sql.GeoFunctions.dissolve(
       tiled.select($"pid", $"tile_geom".as("geom")), "geom", "pid")
     val areas = back.join(src.withColumnRenamed("geom", "orig"), Seq("pid"))
-      .select($"pid", st_area($"geom").as("a1"), st_area($"orig").as("a0")).collect()
+      .select($"pid", st_area($"geom").as("a1"), st_area($"orig").as("a0"),
+        st_geometry_type($"geom").as("t")).collect()
     assert(areas.length == 10)
-    areas.foreach(r => approx(r.getDouble(1), r.getDouble(2), 1e-6, s"pid ${r.getLong(0)}"))
+    areas.foreach { r =>
+      approx(r.getDouble(1), r.getDouble(2), 1e-6, s"pid ${r.getLong(0)}")
+      // a single polygon's tiles dissolve back to ONE part (no seam splits)
+      assert(r.getString(3) == "Polygon", s"pid ${r.getLong(0)} split: ${r.getString(3)}")
+    }
     // membership: 40 probes per polygon agree between original and dissolved
     val probeRows = polys.flatMap { case (id, j, cx, cy) =>
       (0 until 40).map { _ =>
