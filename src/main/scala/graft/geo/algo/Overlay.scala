@@ -664,7 +664,8 @@ object Overlay {
           (if (t == 0.0) a1x else if (t == 1.0) a2x else a1x + t * d1x) + 0.0,
           (if (t == 0.0) a1y else if (t == 1.0) a2y else a1y + t * d1y) + 0.0)
         val covered = iv.get((ri, si)).map(v => merged(v.map { case (lo, hi) =>
-          (math.max(0.0, lo), math.min(1.0, hi)) })).getOrElse(Seq.empty)
+          (math.max(0.0, lo), math.min(1.0, hi)) },
+          paramEps(math.hypot(d1x, d1y)))).getOrElse(Seq.empty)
         if (keepCovered) {
           if (covered.isEmpty) flush()
           covered.foreach { case (lo, hi) =>
@@ -1220,7 +1221,7 @@ object Overlay {
             val i = rA(ri) + si
             val a1x = uA(pA(i)); val a1y = uA(pA(i) + 1)
             val d1x = uA(pA(i + 1)) - a1x; val d1y = uA(pA(i + 1) + 1) - a1y
-            merged(iv).foreach { case (lo, hi) =>
+            merged(iv, paramEps(math.hypot(d1x, d1y))).foreach { case (lo, hi) =>
               allRuns += new Seg(a1x + lo * d1x + 0.0, a1y + lo * d1y + 0.0,
                                  a1x + hi * d1x + 0.0, a1y + hi * d1y + 0.0)
             }
@@ -1272,18 +1273,31 @@ object Overlay {
     }
   }
 
-  /** Merge overlapping/adjacent parameter intervals. */
-  private def merged(iv: mutable.ArrayBuffer[(Double, Double)]): Seq[(Double, Double)] = {
+  /** Merge overlapping/adjacent parameter intervals. `eps` is the
+    * PARAMETER-space tolerance (pass Eps scaled by 1/segment-length):
+    * consecutive Cyrus–Beck intervals of one subject segment crossing
+    * adjacent trapezoids are computed from different quads' float
+    * arithmetic and can leave a ~1-ulp gap — exact-adjacency coalescing
+    * (eps = 0) would split a lineal-intersection path into two touching
+    * pieces or retain a ~1e-16-length fragment in difference output. */
+  private def merged(iv: mutable.ArrayBuffer[(Double, Double)],
+                     eps: Double = 0.0): Seq[(Double, Double)] = {
     val s = iv.sortBy(_._1)
     val out = new mutable.ArrayBuffer[(Double, Double)]
     s.foreach { case (lo, hi) =>
-      if (out.nonEmpty && lo <= out.last._2) {
+      if (out.nonEmpty && lo <= out.last._2 + eps) {
         val (plo, phi) = out.remove(out.length - 1)
         out += ((plo, math.max(phi, hi)))
       } else out += ((lo, hi))
     }
     out.toSeq
   }
+
+  /** [[merged]]'s parameter-space tolerance for a segment of length `len`:
+    * the module Eps in coordinate units, expressed in the segment's t
+    * parameter (clamped for degenerate segments). */
+  private def paramEps(len: Double): Double =
+    if (len > Eps) Eps / len else 1.0
 
   /** A (lineal, as Clipped) minus the exact-collinear runs shared with B
     * (shifted) — [[pathPieces]] over [[coveredIntervals]]. */

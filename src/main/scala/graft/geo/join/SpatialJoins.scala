@@ -239,6 +239,12 @@ object SpatialJoins {
       growth: Int = 4,
       polarCutoff: Double = 85.0): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    // growth = 1 would make maxRounds divide by log(1) = 0 (Infinity → the
+    // Int.MaxValue round cap) AND a seeded __r below maxRadius would never
+    // grow, so an uncertifiable query keeps `remaining` non-empty and the
+    // driver loop spins until the cap; growth <= 0 is nonsense outright
+    require(growth >= 2, s"knnJoin growth must be >= 2, got $growth")
+    require(maxRadius >= 1, s"knnJoin maxRadius must be >= 1, got $maxRadius")
 
     val pts   = points.withColumn("__pcell", hex_cell(col(pLng), col(pLat), lit(res)))
     val szDeg = HexCell.sizeDeg(res)

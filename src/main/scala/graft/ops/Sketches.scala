@@ -65,9 +65,18 @@ object SketchRuntime {
     * whose cumulative weight reaches max(1, ceil(q·n)) — percentile_disc
     * semantics, exact when the sketch never compacted. */
   def kllQuantile(sk: ArrayData, q: Double): Any = {
+    if (sk.getLong(2) <= 0) return null
+    kllQuantileLong(sk, q)
+  }
+
+  /** [[kllQuantile]]'s non-empty kernel: requires n > 0 (callers guard).
+    * Long-returning so generated code can assign it into a primitive slot —
+    * the `Any`-returning wrapper above cannot compile under janino (an
+    * Object→long assignment), which silently ejected every kll_quantile
+    * stage from whole-stage codegen until round 7. */
+  def kllQuantileLong(sk: ArrayData, q: Double): Long = {
     val l = sk.getLong(1).toInt
     val n = sk.getLong(2)
-    if (n <= 0) return null
     val target = math.max(1L, math.ceil(q * n).toLong)
     // k-way merge over the (already sorted) levels
     val pos  = new Array[Int](l)
@@ -464,7 +473,13 @@ object Sketches {
           val add = java.util.Arrays.copyOfRange(other, ooff, ooff + om)
           // room check: level may exceed k after merge — compact first
           if (v(3 + l).toInt + om > k) v = compactCascade(v)
-          if (v(3 + l).toInt + om > k) { // incoming alone ≥ k: feed in halves
+          if (v(3 + l).toInt + om > k) {
+            // incoming alone still over k: fall back to ONE-AT-A-TIME sorted
+            // inserts (each a binary search + arraycopy, compacting whenever
+            // the level fills) — O(m·k) worst case per level, acceptable
+            // because this path only triggers when a single incoming level
+            // exceeds k after a fresh cascade (om > k/2), which bounds it to
+            // O(levels) occurrences per merge
             var i = 0
             while (i < add.length) {
               v = insertAtLevel(v, l, add(i)); i += 1
@@ -577,8 +592,17 @@ object Sketches {
     override def nullable: Boolean  = true
     override protected def nullSafeEval(s: Any, qq: Any): Any =
       SketchRuntime.kllQuantile(s.asInstanceOf[ArrayData], qq.asInstanceOf[Double])
+    // NOT defineCodeGen: the runtime kernel returns Any (null for an empty
+    // sketch), which janino cannot assign into the primitive long slot — the
+    // whole stage would silently fall back to interpreted execution. Emit an
+    // explicit n<=0 null guard around the Long-returning kernel instead.
     override protected def doGenCode(ctx: codegen.CodegenContext, ev: codegen.ExprCode) =
-      defineCodeGen(ctx, ev, (s, qq) => s"graft.ops.SketchRuntime.kllQuantile($s, $qq)")
+      nullSafeCodeGen(ctx, ev, (s, qq) => s"""
+        if ($s.getLong(2) <= 0L) {
+          ${ev.isNull} = true;
+        } else {
+          ${ev.value} = graft.ops.SketchRuntime.kllQuantileLong($s, $qq);
+        }""")
     override protected def withNewChildrenInternal(a: Expression, b: Expression) = copy(a, b)
   }
 
