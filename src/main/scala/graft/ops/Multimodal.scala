@@ -599,7 +599,40 @@ object Multimodal {
     override protected def withNewChildrenInternal(l: Expression, r: Expression) = copy(l, r)
   }
 
+  /** `grb1_bytes(id)` → the deterministic GRB1 payload of synthetic image
+    * `id` — [[graft.pipeline.ImageGen.table]]'s payload kernel as a real
+    * codegen expression, so the generator fuses into whole-stage codegen
+    * (no Dataset-encoder boundary) and is PRUNABLE by Catalyst when a
+    * query never reads the bytes. */
+  case class Grb1Bytes(id: Expression) extends UnaryExpression with ImplicitCastInputTypes {
+    override def child: Expression = id
+    override def inputTypes        = Seq(LongType)
+    override def dataType: DataType = BinaryType
+    override protected def nullSafeEval(v: Any): Any =
+      graft.pipeline.ImageGen.encode(v.asInstanceOf[Long])
+    override protected def doGenCode(ctx: codegen.CodegenContext, ev: codegen.ExprCode) =
+      defineCodeGen(ctx, ev, c => s"graft.pipeline.ImageGen.encode($c)")
+    override protected def withNewChildInternal(c: Expression) = copy(c)
+  }
+
+  /** `grb1_phash(id)` → the phash of image id's DECODED raster — the
+    * [[graft.pipeline.ImageGen.table]] phash column without materializing
+    * the payload (a caller keeping phash but not bytes never allocates the
+    * container). */
+  case class Grb1Phash(id: Expression) extends UnaryExpression with ImplicitCastInputTypes {
+    override def child: Expression = id
+    override def inputTypes        = Seq(LongType)
+    override def dataType: DataType = LongType
+    override protected def nullSafeEval(v: Any): Any =
+      graft.pipeline.ImageGen.phashOf(v.asInstanceOf[Long])
+    override protected def doGenCode(ctx: codegen.CodegenContext, ev: codegen.ExprCode) =
+      defineCodeGen(ctx, ev, c => s"graft.pipeline.ImageGen.phashOf($c)")
+    override protected def withNewChildInternal(c: Expression) = copy(c)
+  }
+
   val builders: Seq[(String, Seq[Expression] => Expression)] = Seq(
+    "grb1_bytes"      -> (es => Grb1Bytes(es.head)),
+    "grb1_phash"      -> (es => Grb1Phash(es.head)),
     "image_meta"      -> (es => ImageMeta(es.head)),
     "image_psnr"      -> (es => ImagePsnr(es(0), es(1))),
     "image_gray_mean" -> (es => ImageGrayMean(es.head)),

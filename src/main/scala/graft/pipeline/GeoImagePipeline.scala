@@ -20,7 +20,9 @@ import graft.geo.sql.GeoFunctions._
   *                 (partial-agg binary canvases, Multimodal.mosaicTiles)
   *
   * Every stage is a declarative DataFrame plan (no RDDs in the dataflow;
-  * generation uses mapPartitions only to mint the synthetic payload bytes).
+  * since round 7 generation is codegen expressions too — grb1_bytes /
+  * grb1_phash kernels — so the whole flagship pipeline is one fused
+  * whole-stage-codegen pass and unused synth columns prune).
   */
 object GeoImagePipeline {
 

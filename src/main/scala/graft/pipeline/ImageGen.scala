@@ -1,6 +1,6 @@
 package graft.pipeline
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Deterministic synthetic image+caption table with the exact input_hint
@@ -147,6 +147,30 @@ object ImageGen {
     bits
   }
 
+  /** Decoded pixel raster of `id` — exactly `decode(encode(id))._4` without
+    * materializing the 10-byte-headed payload (the phash path needs only
+    * the raster, never the container bytes). */
+  def decodedPixels(id: Long): Array[Byte] = {
+    val (w, h) = pixelCount(id)
+    val px = rawPixels(id, w, h)
+    if (isLossy(id)) {
+      var i = 0
+      while (i < px.length) {
+        px(i) = math.min(252, ((px(i) & 0xff) + 2) / 4 * 4).toByte
+        i += 1
+      }
+    }
+    px
+  }
+
+  /** The [[table]] `phash` column's kernel: phash of id's DECODED raster
+    * (quantized for lossy ids) — ≡ `phash(w, h, decode(encode(id))._4)`
+    * with no payload allocation or header round-trip. */
+  def phashOf(id: Long): Long = {
+    val (w, h) = pixelCount(id)
+    phash(w, h, decodedPixels(id))
+  }
+
   private val captionWords = Array("aerial", "view", "of", "the", "coastal", "city",
     "mountain", "valley", "river", "delta", "urban", "grid", "farmland", "island",
     "harbor", "desert")
@@ -158,9 +182,38 @@ object ImageGen {
     s"$a $b $c tile ${id % 1024}"
   }
 
-  /** The synthetic table. Generated distributively from spark.range — no
-    * driver-side data, scales to any n. */
+  /** The synthetic table. Generated distributively from spark.range through
+    * CODEGEN EXPRESSIONS (round 7): the payload/phash kernels are static
+    * calls inside whole-stage codegen (`grb1_bytes`/`grb1_phash`,
+    * registered by [[graft.ops.Multimodal]]) and the metadata columns are
+    * plain Column math — no Dataset-encoder object boundary splitting the
+    * stage, and Catalyst PRUNES synth columns a query never reads (a
+    * metadata-only caller pays zero pixel synthesis; a caller keeping
+    * `phash` but not `bytes` pays the raster but never allocates the
+    * payload). Values are bit-identical to the round-6 row-based generator
+    * — differential-spec-pinned against [[tableRowBased]]. */
   def table(spark: SparkSession, n: Long, partitions: Int = 0): DataFrame = {
+    graft.ops.Multimodal.register(spark)
+    val base = if (partitions > 0) spark.range(0, n, 1, partitions) else spark.range(n)
+    val words = typedlit(captionWords.toSeq)
+    def word(idx: Column) = element_at(words, idx.cast("int") + 1)
+    base.select(
+      concat(lit("img_"), col("id").cast("string")).as("image_id"),
+      call_function("grb1_bytes", col("id")).as("bytes"),
+      (col("id") % 9 + 8).cast("int").as("w"),
+      (col("id") % 7 + 8).cast("int").as("h"),
+      when(col("id") % 3 === 0, lit("grb1q")).otherwise(lit("grb1")).as("fmt"),
+      concat(word(col("id") % 16), lit(" "), word(shiftright(col("id"), 4) % 16),
+        lit(" "), word(shiftright(col("id"), 8) % 16),
+        lit(" tile "), (col("id") % 1024).cast("string")).as("caption"),
+      call_function("grb1_phash", col("id")).as("phash"))
+  }
+
+  /** The round-6 row-based generator (Dataset mapPartitions over scala
+    * tuples) — kept ONLY as the differential-spec twin proving [[table]] is
+    * value-identical; not a query path. */
+  private[graft] def tableRowBased(spark: SparkSession, n: Long,
+                                   partitions: Int = 0): DataFrame = {
     import spark.implicits._
     val base = if (partitions > 0) spark.range(0, n, 1, partitions) else spark.range(n)
     base.as[Long].mapPartitions { it =>

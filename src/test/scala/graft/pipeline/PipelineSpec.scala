@@ -36,6 +36,32 @@ class PipelineSpec extends AnyFunSuite {
     a.zip(b).foreach { case (x, y) => assert(x == y) } // partitioning-invariant
   }
 
+  test("expression-based image table ≡ round-6 row-based generator, bit for bit") {
+    // the round-7 generator builds every column from codegen expressions
+    // (grb1_bytes / grb1_phash kernels + Column math) so Catalyst can prune
+    // and fuse — this differential pins that every value, including the
+    // payload bytes, is identical to the mapPartitions original
+    def rows(df: org.apache.spark.sql.DataFrame) = df.orderBy("image_id")
+      .collect().map { r =>
+        (r.getString(0), r.getAs[Array[Byte]](1).toSeq, r.getInt(2), r.getInt(3),
+          r.getString(4), r.getString(5), r.getLong(6)) }
+    val neu = rows(ImageGen.table(spark, 600, partitions = 3))
+    val old = rows(ImageGen.tableRowBased(spark, 600, partitions = 3))
+    assert(neu.length == 600)
+    neu.zip(old).foreach { case (a, b) => assert(a == b) }
+    // pruning really fires: a metadata-only projection must not carry the
+    // synthesis kernels in its optimized plan
+    val meta = ImageGen.table(spark, 10).select("image_id", "w", "h", "fmt")
+    val opt = meta.queryExecution.optimizedPlan.toString
+    assert(!opt.contains("grb1bytes") && !opt.contains("grb1phash"),
+      s"metadata projection should prune the synthesis kernels:\n$opt")
+    // and the phash-but-not-bytes shape keeps only the raster kernel
+    val ph = ImageGen.table(spark, 10).select("image_id", "phash")
+    val opt2 = ph.queryExecution.optimizedPlan.toString
+    assert(!opt2.contains("grb1bytes") && opt2.contains("grb1phash"),
+      s"phash projection should keep grb1_phash and prune grb1_bytes:\n$opt2")
+  }
+
   test("withLngLat matches the closed-form scala formula") {
     val rows = ImageGen.withLngLat(ImageGen.table(spark, 300))
       .select($"image_id", $"lng", $"lat").collect()
