@@ -786,9 +786,12 @@ object SparkEntry {
       registerAll(s)
       val docs = s.read.parquet(t(dir, "documents"))
       val base = java.nio.file.Files.createTempDirectory("graft_q74").toString + "/ng"
-      for (sh <- 0 to 2)
+      // the three shard writes are independent actions over disjoint
+      // subdirectories — overlap them (guide §2.6); the s1 RE-crawl must
+      // stay after its own first write (same subdir, proves idempotence)
+      Par.run((0 to 2).map(sh => () =>
         CorpusStats.appendNgramShard(docs.where(pmod(col("doc_id"), lit(3)) === sh),
-          "doc_id", "text", n = 2, base, s"s$sh")
+          "doc_id", "text", n = 2, base, s"s$sh")): _*)
       CorpusStats.appendNgramShard(docs.where(pmod(col("doc_id"), lit(3)) === 1),
         "doc_id", "text", n = 2, base, "s1") // idempotent re-crawl
       CorpusStats.topNgramsFrom(s, base, k = 100)

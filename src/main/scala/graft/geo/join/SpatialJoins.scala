@@ -282,7 +282,12 @@ object SpatialJoins {
     val maxRounds = math.max(1,
       math.ceil(math.log(maxRadius.toDouble) / math.log(growth.toDouble)).toInt + 1)
     var round = 0
-    while (round < maxRounds && !remaining.isEmpty) {
+    // ONE job per round (round 7): `remCount` is computed by the same count
+    // action that materializes the round's LAZY localCheckpoints (ranked is
+    // a dependency of remaining, so one count covers both), replacing the
+    // old eager-checkpoint + eager-checkpoint + isEmpty triple.
+    var remCount = remaining.count()
+    while (round < maxRounds && remCount > 0) {
       // seam-aware probing: the planar hex grid does not wrap at ±180, so a
       // query within ring-reach of the antimeridian also probes its ±360°
       // translates — neighbors across the seam live in those frames' cells.
@@ -304,7 +309,7 @@ object SpatialJoins {
       // 260s for 6 rounds over 25 queries. Truncating lineage per round
       // makes the loop O(rounds) in both planning and execution.
       val ranked = cand.withColumn("rank", row_number().over(w)).where(col("rank") <= k)
-        .localCheckpoint()
+        .localCheckpoint(eager = false) // materialized by remaining.count below
       // a query is DONE when it has k hits and the k-th is provably nearer
       // than anything outside ITS explored ring
       val withBound = ranked.withColumn("__lb",
@@ -323,12 +328,13 @@ object SpatialJoins {
       tailOpt = Some(tailOpt.map(_.unionByName(toTail)).getOrElse(toTail))
       remaining = notDone.where(col("__r") < maxRadius)
         .withColumn("__r", least(lit(maxRadius), col("__r") * growth))
-        .localCheckpoint()
+        .localCheckpoint(eager = false)
+      remCount = remaining.count() // materializes ranked + remaining, one job
       round += 1
     }
     // brute-force fallback for stragglers (provably correct; hits only when
     // the neighborhood is emptier than maxRadius rings)
-    val tailQs = (tailOpt, Some(remaining.drop("__r")).filterNot(_ => remaining.isEmpty)) match {
+    val tailQs = (tailOpt, Some(remaining.drop("__r")).filterNot(_ => remCount == 0)) match {
       case (Some(a), Some(b)) => Some(a.unionByName(b))
       case (a, b)             => a.orElse(b)
     }
@@ -385,10 +391,13 @@ object SpatialJoins {
                       path: String, res: Int): Unit = {
     val spark = polys.sparkSession
     import spark.implicits._
-    Seq(res).toDF("res").coalesce(1).write.mode("overwrite").parquet(s"$path/params")
-    polys.select(col(idCol), col(geomCol).as("__geom"),
-        explode(hex_cover(col(geomCol), lit(res))).as("__cell"))
-      .write.mode("overwrite").parquet(s"$path/cells")
+    // params and cells are independent writes — overlap them (guide §2.6)
+    graft.Par.run(
+      () => Seq(res).toDF("res").coalesce(1)
+        .write.mode("overwrite").parquet(s"$path/params"),
+      () => polys.select(col(idCol), col(geomCol).as("__geom"),
+          explode(hex_cover(col(geomCol), lit(res))).as("__cell"))
+        .write.mode("overwrite").parquet(s"$path/cells"))
   }
 
   /** PIP join of a point batch against a persisted [[writeCoverIndex]]:
@@ -500,7 +509,10 @@ object SpatialJoins {
     var resultOpt: Option[DataFrame] = None
     var radiusM   = r0
     var round     = 0
-    while (round < maxRounds && !remaining.isEmpty) {
+    // one job per round, as in [[knnJoin]]: count doubles as the
+    // materializing action for the round's lazy localCheckpoints
+    var remCount  = remaining.count()
+    while (round < maxRounds && remCount > 0) {
       // capBox > r > rDone: the box is a hair wide and the done test a hair
       // strict, so float rounding can never exclude a true neighbor the
       // done test would have trusted (box may wrap <-180: s2_cover_box
@@ -514,19 +526,21 @@ object SpatialJoins {
       val w = Window.partitionBy(col(qidCol)).orderBy(col("dist_m"), col(pLng), col(pLat))
       // per-round localCheckpoint: same exponential-analysis guard as knnJoin
       val ranked = cand.withColumn("rank", row_number().over(w)).where(col("rank") <= k)
-        .localCheckpoint()
+        .localCheckpoint(eager = false)
       val perQ = ranked.groupBy(qidCol)
         .agg(count(lit(1)).as("__n"), max("dist_m").as("__kth"))
         .withColumn("__done", col("__n") === k && col("__kth") <= radiusM * (1.0 - 1e-9))
       val doneQ = perQ.where(col("__done")).select(col(qidCol))
       val done  = ranked.join(doneQ, Seq(qidCol), "left_semi").drop("__cell", "__pcell")
       resultOpt = Some(resultOpt.map(_.unionByName(done)).getOrElse(done))
-      remaining = remaining.join(doneQ, Seq(qidCol), "left_anti").localCheckpoint()
+      remaining = remaining.join(doneQ, Seq(qidCol), "left_anti")
+        .localCheckpoint(eager = false)
+      remCount = remaining.count() // materializes ranked + remaining
       radiusM *= 4
       round += 1
     }
     val tail =
-      if (remaining.isEmpty) None
+      if (remCount == 0) None
       else {
         val w = Window.partitionBy(col(qidCol)).orderBy(col("dist_m"), col(pLng), col(pLat))
         Some(remaining.crossJoin(points)

@@ -453,15 +453,33 @@ object Dedup {
     *   - `exact`   (id, h, len)
     *   - `minhash` (id, band, bh)
     * Grow it with [[appendToCatalog]] as shards are accepted. */
+  /** `withMinhash = false` writes an EXACT-ONLY catalog (params + exact
+    * signatures, no minhash band table): a flow that dedups with
+    * `mode = "exact"` skips the minhash_sig pass and its table write
+    * entirely — at corpus scale that is a full O(tokens) signature pass
+    * plus a table of bands × rows it would never read. `dedupAgainst`
+    * mode = "near" on such a catalog fails on the missing table (by
+    * design); [[appendToCatalog]] still works (params are always
+    * written) and adds both tables, upgrading the catalog in place. */
   def writeCatalog(df: DataFrame, idCol: String, textCol: String, path: String,
-                   numHashes: Int = 128, bands: Int = 16, shingle: Int = 5): Unit = {
+                   numHashes: Int = 128, bands: Int = 16, shingle: Int = 5,
+                   withMinhash: Boolean = true): Unit = {
     val spark = df.sparkSession
     import spark.implicits._
+    // signature tables are independent actions over disjoint paths —
+    // submit them concurrently (guide §2.6) so one write's task tail
+    // back-fills the other's; params goes LAST as the catalog's commit
+    // marker (guard resumes on params/_SUCCESS: a crash mid-build leaves
+    // no marker and the whole catalog rebuilds)
+    graft.Par.run(
+      (() => exactSignatures(df, idCol, textCol)
+        .write.mode("overwrite").parquet(s"$path/exact")) +:
+      (if (withMinhash)
+        Seq(() => bandSignatures(df, idCol, textCol, numHashes, bands, shingle)
+          .write.mode("overwrite").parquet(s"$path/minhash"))
+      else Seq.empty): _*)
     Seq((numHashes, bands, shingle)).toDF("num_hashes", "bands", "shingle")
       .coalesce(1).write.mode("overwrite").parquet(s"$path/params")
-    exactSignatures(df, idCol, textCol).write.mode("overwrite").parquet(s"$path/exact")
-    bandSignatures(df, idCol, textCol, numHashes, bands, shingle)
-      .write.mode("overwrite").parquet(s"$path/minhash")
   }
 
   /** Append a (deduplicated) shard's signatures to an existing catalog,
@@ -654,7 +672,7 @@ object Dedup {
     val edges = e0.unionByName(e0.select(col("dst").as("src"), col("src").as("dst")))
       .where(col("src") =!= col("dst"))
       .distinct()
-      .localCheckpoint()
+      .localCheckpoint(eager = false) // materialized by round 1's sum job
     // the label universe is FIXED up front as universe ∪ edge endpoints (the
     // symmetric closure's src column covers both): with a fixed id set and
     // pointwise non-increasing labels, a stable label sum ⇔ no label changed
@@ -666,7 +684,8 @@ object Dedup {
         .unionByName(endpointIds))
       .getOrElse(endpointIds)
       .distinct()
-    var labels = ids.select(col("id"), col("id").as("lbl")).localCheckpoint()
+    var labels = ids.select(col("id"), col("id").as("lbl"))
+      .localCheckpoint(eager = false)
     var prevSum: java.math.BigDecimal = null
     var round = 0
     var converged = false
@@ -679,7 +698,10 @@ object Dedup {
       val jumped = m1
         .join(m1.select(col("id").as("lbl"), col("lbl").as("__lbl2")), Seq("lbl"), "left")
         .select(col("id"), coalesce(col("__lbl2"), col("lbl")).as("lbl"))
-        .localCheckpoint()
+        .localCheckpoint(eager = false)
+      // the certificate sum is ALSO the materializing action for this
+      // round's lazy checkpoint (and, in round 1, for edges + labels) —
+      // one job per round instead of eager-checkpoint + sum (round 7)
       val s = jumped.agg(sum(col("lbl").cast("decimal(38,0)"))).head.getDecimal(0)
       // s == null ⇔ zero ids (sum over empty) — trivially converged
       converged = (s == null) || (prevSum != null && s.compareTo(prevSum) == 0)

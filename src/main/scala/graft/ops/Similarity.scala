@@ -140,16 +140,19 @@ object Similarity {
       tol: Double = 1e-4): Map[Int, Long] = {
     val spark = corpus.sparkSession
     import spark.implicits._
-    val src = corpus.select(col(cid), col(cvec)).localCheckpoint()
+    // lazy checkpoint: materialized by lloyd's init-draw job
+    val src = corpus.select(col(cid), col(cvec)).localCheckpoint(eager = false)
     val cents   = lloydCentroids(src, cid, cvec, nlist, maxIter, tol)
     val nl      = cents.length
     val centArr = centroidLit(cents)
-    cents.zipWithIndex.map { case (c, i) => (i, c.toSeq) }.toSeq
-      .toDF("list", "centroid")
-      .select(col("list"), col("centroid").cast("array<float>"))
-      .coalesce(1).write.mode("overwrite").parquet(s"$indexPath/centroids")
-    val assigned = corpus.withColumn("list", bestList(centArr, nl, col(cvec)))
-    assigned.write.mode("overwrite").partitionBy("list").parquet(s"$indexPath/lists")
+    // centroids and lists are independent writes — overlap them (guide §2.6)
+    graft.Par.run(
+      () => cents.zipWithIndex.map { case (c, i) => (i, c.toSeq) }.toSeq
+        .toDF("list", "centroid")
+        .select(col("list"), col("centroid").cast("array<float>"))
+        .coalesce(1).write.mode("overwrite").parquet(s"$indexPath/centroids"),
+      () => corpus.withColumn("list", bestList(centArr, nl, col(cvec)))
+        .write.mode("overwrite").partitionBy("list").parquet(s"$indexPath/lists"))
     spark.read.parquet(s"$indexPath/lists").groupBy("list").count()
       .as[(Int, Long)].collect().toMap
   }
@@ -160,10 +163,13 @@ object Similarity {
     * reseed with the farthest vector, early stop at `tol` L2 movement. */
   private def lloydCentroids(
       src: DataFrame, cid: String, cvec: String,
-      nlist: Int, maxIter: Int, tol: Double): Array[Array[Float]] = {
+      nlist: Int, maxIter: Int, tol: Double,
+      init: Array[Array[Float]] = null): Array[Array[Float]] = {
     val spark = src.sparkSession
     import spark.implicits._
-    var cents = hashDrawCentroids(src, cid, cvec, nlist)
+    // callers that already drew the init (to read dim off it without a
+    // separate job) pass it in; else draw here
+    var cents = if (init != null) init else hashDrawCentroids(src, cid, cvec, nlist)
     val nl = cents.length
     var iter = 0
     var moved = Double.MaxValue
@@ -313,11 +319,15 @@ object Similarity {
     val spark = corpus.sparkSession
     import spark.implicits._
     TextFunctions.register(spark)
-    val raw = corpus.select(col(cid), col(cvec)).localCheckpoint()
-    val dim = raw.select(size(col(cvec))).as[Int].head()
+    // lazy checkpoint: materialized by the init-draw job right below
+    val raw  = corpus.select(col(cid), col(cvec)).localCheckpoint(eager = false)
+    val init = hashDrawCentroids(raw, cid, cvec, nlist)
+    require(init.nonEmpty, "trainIvfPq: empty corpus")
+    // dim read off the drawn vectors — no separate head() job
+    val dim = init(0).length
     require(dim % m == 0, s"dim $dim must be divisible by m = $m")
     val dsub = dim / m
-    val cents   = lloydCentroids(raw, cid, cvec, nlist, maxIter, tol)
+    val cents   = lloydCentroids(raw, cid, cvec, nlist, maxIter, tol, init)
     val nl      = cents.length
     val centArr = centroidLit(cents)
     // codebooks train on the ENCODE INPUT: the raw vector, or (residual
@@ -395,27 +405,32 @@ object Similarity {
     // centroid length), so the index is two small tables + the lists, not
     // three: every extra parquet dir costs a write + a read per pipeline
     // run through the shell-forking RawLocalFileSystem
-    books.zipWithIndex.flatMap { case (bk, j) =>
-      bk.zipWithIndex.map { case (c, ci) => (j, ci, c.toSeq) }
-    }.toSeq.toDF("j", "c", "centroid")
-      .select(col("j"), col("c"), col("centroid").cast("array<float>"),
-        lit(residual).as("res"))
-      .coalesce(1).write.mode("overwrite").parquet(s"$indexPath/pq_books")
-    cents.zipWithIndex.map { case (c, i) => (i, c.toSeq) }.toSeq
-      .toDF("list", "centroid")
-      .select(col("list"), col("centroid").cast("array<float>"))
-      .coalesce(1).write.mode("overwrite").parquet(s"$indexPath/centroids")
     val booksLit = typedlit(flatten(books, dsub).toSeq)
-    corpus.withColumn("list", bestList(centArr, nl, col(cvec)))
-      .withColumn("__e",
-        if (residual)
-          pq_encode(residualCol(centArr, col(cvec), col("list")), booksLit,
-            lit(m), lit(dsub), element_at(centArr, col("list") + 1))
-        else pq_encode(col(cvec), booksLit, lit(m), lit(dsub)))
-      .withColumn("code", col("__e").getField("code"))
-      .withColumn("rnorm", col("__e").getField("rnorm"))
-      .drop("__e", cvec) // the vector never reaches the inverted file
-      .write.mode("overwrite").partitionBy("list").parquet(s"$indexPath/lists")
+    // the three index tables have no data dependency on EACH OTHER's
+    // parquet (lists encodes from the in-memory codebooks) — submit the
+    // writes concurrently so the two tiny table commits hide under the
+    // lists write (guide §2.6)
+    graft.Par.run(
+      () => books.zipWithIndex.flatMap { case (bk, j) =>
+          bk.zipWithIndex.map { case (c, ci) => (j, ci, c.toSeq) }
+        }.toSeq.toDF("j", "c", "centroid")
+        .select(col("j"), col("c"), col("centroid").cast("array<float>"),
+          lit(residual).as("res"))
+        .coalesce(1).write.mode("overwrite").parquet(s"$indexPath/pq_books"),
+      () => cents.zipWithIndex.map { case (c, i) => (i, c.toSeq) }.toSeq
+        .toDF("list", "centroid")
+        .select(col("list"), col("centroid").cast("array<float>"))
+        .coalesce(1).write.mode("overwrite").parquet(s"$indexPath/centroids"),
+      () => corpus.withColumn("list", bestList(centArr, nl, col(cvec)))
+        .withColumn("__e",
+          if (residual)
+            pq_encode(residualCol(centArr, col(cvec), col("list")), booksLit,
+              lit(m), lit(dsub), element_at(centArr, col("list") + 1))
+          else pq_encode(col(cvec), booksLit, lit(m), lit(dsub)))
+        .withColumn("code", col("__e").getField("code"))
+        .withColumn("rnorm", col("__e").getField("rnorm"))
+        .drop("__e", cvec) // the vector never reaches the inverted file
+        .write.mode("overwrite").partitionBy("list").parquet(s"$indexPath/lists"))
     spark.read.parquet(s"$indexPath/lists").groupBy("list").count()
       .as[(Int, Long)].collect().toMap
   }
@@ -441,12 +456,16 @@ object Similarity {
     TextFunctions.register(spark)
     val bookDf = spark.read.parquet(s"$indexPath/pq_books")
     // indexes written before the residual option carry no `res` column —
-    // they encoded raw vectors
-    val resFlag = bookDf.schema.fieldNames.contains("res") &&
-      bookDf.select("res").head.getBoolean(0)
+    // they encoded raw vectors. The flag rides the ONE book collect (a
+    // separate head() was a whole extra job through the shell-forking
+    // local FS).
+    val hasRes = bookDf.schema.fieldNames.contains("res")
     val bookRows = bookDf
-      .orderBy("j", "c").select("j", "c", "centroid")
-      .as[(Int, Int, Array[Float])].collect()
+      .orderBy("j", "c")
+      .select(col("j"), col("c"), col("centroid"),
+        (if (hasRes) col("res") else lit(false)).as("res"))
+      .as[(Int, Int, Array[Float], Boolean)].collect()
+    val resFlag = bookRows.headOption.exists(_._4)
     val m    = bookRows.map(_._1).max + 1
     val dsub = bookRows.head._3.length
     val books = Array.tabulate(m)(j => bookRows.filter(_._1 == j).sortBy(_._2).map(_._3))

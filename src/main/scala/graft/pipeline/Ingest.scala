@@ -51,11 +51,14 @@ object Ingest {
     val shard    = docs.where(col("doc_id") % 3 =!= 0)
 
     // stage 0: the signature catalog — writeCatalog's own parquet _SUCCESS
-    // markers are the checkpoint; guard on the LAST-written table (minhash),
-    // so a crash mid-write rebuilds the whole catalog
+    // markers are the checkpoint; guard on the LAST-written table (params,
+    // writeCatalog's commit marker since round 7), so a crash mid-write
+    // rebuilds the whole catalog. EXACT-ONLY (round 7): s1 dedups with
+    // mode = "exact", so the minhash band table — a full minhash_sig pass
+    // plus a bands × rows write — would never be read; skip computing it.
     val catDir = s"$rootDir/catalog"
-    if (!java.nio.file.Files.exists(java.nio.file.Paths.get(s"$catDir/minhash/_SUCCESS")))
-      Dedup.writeCatalog(accepted, "doc_id", "text", catDir)
+    if (!java.nio.file.Files.exists(java.nio.file.Paths.get(s"$catDir/params/_SUCCESS")))
+      Dedup.writeCatalog(accepted, "doc_id", "text", catDir, withMinhash = false)
 
     val s1 = Stages.stage(spark, rootDir, "s1_dedup") {
       Dedup.dedupAgainst(shard, "doc_id", "text", catDir, mode = "exact")
