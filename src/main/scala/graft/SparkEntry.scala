@@ -26,6 +26,29 @@ object SparkEntry {
 
   private def t(dir: String, name: String) = s"$dir/$name.parquet"
 
+  /** Redistribute a DENSE but single-split scan across the session's cores
+    * (guide §2.5 "input skew … repartition immediately after the read"):
+    * one compact parquet file under `maxPartitionBytes` plans ONE scan task
+    * regardless of row count, serializing all downstream per-row work on a
+    * many-core session (measured: q07's 600k-row partial aggregate ran
+    * 0.73 s single-task). SCALE-ADAPTIVE, not a constant: fires only when
+    * the planned scan parallelism is a small fraction of the session's
+    * cores AND the input is big enough for the shuffle to pay for itself —
+    * a production table whose files already split into ≥ cores tasks
+    * passes through untouched, so no shuffle is ever added at scale. */
+  private def spread(df: DataFrame, keys: Seq[Column] = Seq.empty): DataFrame = {
+    val cores = df.sparkSession.sparkContext.defaultParallelism
+    val parts = df.queryExecution.toRdd.getNumPartitions // planning only — no job
+    val bytes = df.queryExecution.optimizedPlan.stats.sizeInBytes
+    if (parts * 2 <= cores && bytes > 1L * 1024 * 1024) {
+      // hash-repartition on a caller-supplied high-cardinality key when one
+      // exists — a keyless round-robin repartition first pays a local sort
+      // of its input (spark.sql.execution.sortBeforeRepartition, guide
+      // §2.5), which measured as a net LOSS on the dense aggs here
+      if (keys.nonEmpty) df.repartition(cores, keys: _*) else df.repartition(cores)
+    } else df
+  }
+
   /** Deterministic world-wide point per customer (same formula in SQL). */
   private def customerPoints(s: SparkSession, dir: String): DataFrame =
     s.read.parquet(t(dir, "customer"))
@@ -313,14 +336,14 @@ object SparkEntry {
 
     // ---- relational baseline (Spark built-ins; SURVEY.md §2.4/§2.8)
     "q07_agg" -> ((s, dir) => {
-      s.read.parquet(t(dir, "lineitem"))
+      spread(s.read.parquet(t(dir, "lineitem")), Seq(col("l_orderkey")))
         .groupBy(col("l_returnflag"), col("l_linestatus"))
         .agg(sum(col("l_quantity")).cast("long").as("sum_qty"),
           count(lit(1)).as("n"),
           countDistinct(col("l_orderkey")).as("n_orders"))
     }),
     "q08_join_agg" -> ((s, dir) => {
-      val o = s.read.parquet(t(dir, "orders"))
+      val o = spread(s.read.parquet(t(dir, "orders")), Seq(col("o_custkey")))
       val c = s.read.parquet(t(dir, "customer"))
       o.join(broadcast(c), o("o_custkey") === c("c_custkey"))
         .groupBy(col("c_mktsegment"))
@@ -328,14 +351,18 @@ object SparkEntry {
           sum(round(col("o_totalprice") * 100.0, 0).cast("long")).as("revenue_cents"))
     }),
     "q09_window" -> ((s, dir) => {
-      val o = s.read.parquet(t(dir, "orders"))
+      // keyed on the window's own partition key: the same one exchange both
+      // spreads the scan and pre-satisfies the window's required
+      // distribution (guide 2.4 - two operations keyed the same way share
+      // one exchange)
+      val o = spread(s.read.parquet(t(dir, "orders")), Seq(col("o_custkey")))
       val w = Window.partitionBy(col("o_custkey"))
         .orderBy(col("o_totalprice").desc, col("o_orderkey"))
       o.withColumn("rank", row_number().over(w)).where(col("rank") <= 2)
         .select(col("o_custkey"), col("o_orderkey"), col("rank"))
     }),
     "q10_events" -> ((s, dir) => {
-      s.read.parquet(t(dir, "events"))
+      spread(s.read.parquet(t(dir, "events")), Seq(col("user_id")))
         .groupBy(col("event_type"))
         .agg(count(lit(1)).as("n"),
           countDistinct(col("user_id")).as("users"),
@@ -960,7 +987,7 @@ object SparkEntry {
     "q29_sessions" -> ((s, dir) => {
       // gap-based sessionization (batch formulation; the streaming
       // flatMapGroupsWithState twin is proven equal in SessionIvfSpec)
-      val ev = s.read.parquet(t(dir, "events"))
+      val ev = spread(s.read.parquet(t(dir, "events")), Seq(col("user_id")))
         .select(col("user_id"),
           (unix_micros(col("ts").cast("timestamp")) / 1000L).cast("long").as("ts_ms"),
           round(col("value") * 100.0, 0).as("value")) // cents as double => exact sums
@@ -1410,6 +1437,9 @@ object SparkEntry {
       // "config version" mark at or before it; marks are synthesized with
       // UNIQUE (user, ts) and per-user jitter, and the oracle is DuckDB's
       // NATIVE ASOF JOIN — a cross-engine semantic check of the operator
+      // NO spread here: asofJoinSharded exchanges on (user_id, shard), so a
+      // user_id pre-repartition cannot be reused and just adds a shuffle
+      // (measured 0.86 -> 1.11 s)
       val ev = s.read.parquet(t(dir, "events"))
         .select(col("event_id"), col("user_id"),
           (unix_micros(col("ts").cast("timestamp")) / 1000L).cast("long").as("ts_ms"))

@@ -116,11 +116,18 @@ object Dedup {
     val r = numHashes / bands
     val sig = df.select(col(idCol).as("__id"),
       minhash_sig(col(textCol), lit(numHashes), lit(shingle)).as("__sig"))
-    // band hash = xxhash64 over the band's slice of the signature
+    // band hash = xxhash64 over the band's slice of the signature.
+    // localCheckpoint (lazy): both sides of the candidate self-join read
+    // this frame, and Spark shares only identical EXCHANGES, not identical
+    // subtrees — without the checkpoint the O(tokens) minhash kernel runs
+    // once per side (measured as the two dominant jobs of the leg).
+    // Materializing costs rows × bands narrow (id, band, bh) rows — far
+    // less than a second full signature pass at any scale.
     val banded = sig
       .withColumn("__band", explode(sequence(lit(0), lit(bands - 1))))
       .withColumn("__bh", xxhash64(col("__band"), slice(col("__sig"), col("__band") * r + 1, lit(r))))
       .select("__id", "__band", "__bh")
+      .localCheckpoint(eager = false)
     val a = banded.select(col("__band").as("ba"), col("__bh").as("ha"), col("__id").as("id_a"))
     val b = banded.select(col("__band").as("bb"), col("__bh").as("hb"), col("__id").as("id_b"))
     val cand = a.join(b, col("ba") === col("bb") && col("ha") === col("hb") && col("id_a") < col("id_b"))
@@ -140,8 +147,11 @@ object Dedup {
       df: DataFrame, idCol: String, textCol: String,
       shingle: Int = 5, maxHamming: Int = 3): DataFrame = {
     val sig = df.select(col(idCol).as("__id"), simhash64(col(textCol), lit(shingle)).as("__sh"))
+    // lazy checkpoint: the simhash kernel runs once, not once per join side
+    // (the minhashPairs discipline)
     val banded = sig.withColumn("__band", explode(sequence(lit(0), lit(3))))
       .withColumn("__bh", expr("shiftrightunsigned(__sh, __band * 16) & 65535"))
+      .localCheckpoint(eager = false)
     val a = banded.select(col("__band").as("ba"), col("__bh").as("ha"),
       col("__id").as("id_a"), col("__sh").as("sha"))
     val b = banded.select(col("__band").as("bb"), col("__bh").as("hb"),
@@ -187,6 +197,9 @@ object Dedup {
       .withColumn("__bh", hyperplane_sig(col("__v"),
         lit(bits), xxhash64(lit(seed), col("__band"))))
       .select("__id", "__band", "__bh")
+      // lazy checkpoint: bands × bits hyperplane dot products run once,
+      // not once per join side (the minhashPairs discipline)
+      .localCheckpoint(eager = false)
     val a = banded.select(col("__band").as("ba"), col("__bh").as("ha"), col("__id").as("id_a"))
     val b = banded.select(col("__band").as("bb"), col("__bh").as("hb"), col("__id").as("id_b"))
     val cand = a.join(b, col("ba") === col("bb") && col("ha") === col("hb") && col("id_a") < col("id_b"))
@@ -232,8 +245,13 @@ object Dedup {
       k: Int = 8, w: Int = 4, minShared: Int = 1,
       maxDocFrequency: Long = 1000L): DataFrame = {
     val minLen = k + w - 1
+    // lazy checkpoint: the winnowing kernel stream feeds the doc-frequency
+    // cap aggregation AND both sides of the candidate self-join — without
+    // it the O(chars) fingerprint pass ran three times per call (measured
+    // as the three dominant jobs of the leg)
     val fps0 = df.select(col(idCol).as("__id"),
       explode(winnow_fp(col(textCol), lit(k), lit(w))).as("__fp"))
+      .localCheckpoint(eager = false)
     val fps =
       if (maxDocFrequency <= 0) fps0
       else fps0.join(
