@@ -577,7 +577,12 @@ object SparkEntry {
       // math, so the oracle replays all five predicates in SQL.
       registerAll(s)
       val root = java.nio.file.Files.createTempDirectory("graft_ingest").toString
-      graft.pipeline.Ingest.run(s, s.read.parquet(t(dir, "documents")), root)
+      // synthesizeLines = true: the driver documents are single-line, and
+      // the q92 oracle replays the " the " → newline rewrite — the flag
+      // keeps the demonstrated values identical while real corpora default
+      // to verbatim text (round-7 de-shim)
+      graft.pipeline.Ingest.run(s, s.read.parquet(t(dir, "documents")), root,
+        synthesizeLines = true)
     }),
     "q91_kll_quantiles" -> ((s, dir) => {
       // KLL quantile sketch under the gate: per-language document byte-
@@ -873,6 +878,9 @@ object SparkEntry {
       // corpus-sized exchange is the (doc, vocab_id) count over hits
       registerAll(s)
       val docs = s.read.parquet(t(dir, "documents"))
+      // measured: sharing the gram explode via localCheckpoint LOST here —
+      // the codegen word_ngrams kernel re-runs cheaper than materializing
+      // the (doc, gram) stream (unlike the minhash/winnow signatures)
       val vocab = CorpusStats.vocabulary(docs, "doc_id", "text", n = 2, k = 100)
       CorpusStats.bowRows(docs, "doc_id", "text", vocab, n = 2)
     }),

@@ -60,6 +60,16 @@ object CorpusStats {
     df.select(col(docCol).as("__doc"),
       explode(TextFunctions.word_ngrams(col(textCol), lit(n))).as("gram"))
 
+  /** PUBLIC (doc, gram) occurrence stream — the materialization point for
+    * flows that need BOTH corpus statistics and featurization over the same
+    * corpus: compute the O(tokens) explode once, `localCheckpoint` it, and
+    * feed [[vocabularyOfRows]] + [[bowRowsOfGrams]] (Spark shares identical
+    * exchanges, never identical subtrees, so two operator calls over the
+    * same df would otherwise each run the n-gram kernel). Columns:
+    * `__doc`, `gram`. */
+  def gramRowsOf(df: DataFrame, docCol: String, textCol: String,
+                 n: Int): DataFrame = gramRows(df, docCol, textCol, n)
+
   /** Corpus-wide n-gram frequency table: one row per distinct gram with its
     * total occurrence count and document frequency.
     *
@@ -73,7 +83,11 @@ object CorpusStats {
     * would force an extra exchange keyed on the doc column). */
   def ngramStats(df: DataFrame, docCol: String, textCol: String,
                  n: Int): DataFrame =
-    gramRows(df, docCol, textCol, n)
+    ngramStatsOfRows(gramRows(df, docCol, textCol, n))
+
+  /** [[ngramStats]] over a pre-exploded [[gramRowsOf]] stream. */
+  def ngramStatsOfRows(grams: DataFrame): DataFrame =
+    grams
       .groupBy("__doc", "gram").agg(count(lit(1)).as("__c"))
       .groupBy("gram")
       .agg(sum("__c").as("total"), count(lit(1)).as("doc_freq"))
@@ -95,7 +109,16 @@ object CorpusStats {
     * the already-limited k-row vocabulary, not the corpus. */
   def vocabulary(df: DataFrame, docCol: String, textCol: String, n: Int,
                  k: Int, minCount: Long = 1L): DataFrame =
-    topNgrams(df, docCol, textCol, n, k, minCount)
+    vocabularyOfRows(ngramStatsOfRows(gramRowsOf(df, docCol, textCol, n)),
+      k, minCount)
+
+  /** [[vocabulary]] over pre-computed [[ngramStatsOfRows]] output. */
+  def vocabularyOfRows(stats: DataFrame, k: Int,
+                       minCount: Long = 1L): DataFrame =
+    stats
+      .where(col("total") >= minCount)
+      .orderBy(col("total").desc, col("gram"))
+      .limit(k)
       .withColumn("vocab_id", row_number().over(
         org.apache.spark.sql.expressions.Window
           .orderBy(col("total").desc, col("gram"))))
@@ -111,7 +134,12 @@ object CorpusStats {
     * shuffle every distinct gram of every document. */
   def bowRows(df: DataFrame, docCol: String, textCol: String,
               vocab: DataFrame, n: Int): DataFrame =
-    gramRows(df, docCol, textCol, n)
+    bowRowsOfGrams(gramRows(df, docCol, textCol, n), docCol, vocab)
+
+  /** [[bowRows]] over a pre-exploded [[gramRowsOf]] stream. */
+  def bowRowsOfGrams(grams: DataFrame, docCol: String,
+                     vocab: DataFrame): DataFrame =
+    grams
       .join(broadcast(vocab.select("gram", "vocab_id")), "gram")
       .groupBy("__doc", "vocab_id").agg(count(lit(1)).as("tf"))
       .select(col("__doc").as(docCol), col("vocab_id"), col("tf"))

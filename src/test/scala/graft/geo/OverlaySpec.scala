@@ -601,6 +601,44 @@ class OverlaySpec extends AnyFunSuite {
     assert(m(2L)._2 == "Polygon")
   }
 
+  test("dissolve is two-phase: shard-grouped partial unions ≡ holistic, any shardRes") {
+    // nonzero-winding union is associative/commutative, so regrouping the
+    // members by spatial shard must not change the union's point set —
+    // pinned by area + membership probes across shard resolutions (res 0
+    // forces many shards per group, res 9 collapses to ~one: both ends of
+    // the phase-1/phase-2 trade must agree)
+    val rnd = new scala.util.Random(7331L)
+    val boxes = (0 until 60).map { i =>
+      val g  = i % 4L
+      val x0 = rnd.nextDouble() * 100 - 50; val y0 = rnd.nextDouble() * 60 - 30
+      (g, polyJson(boxPts(x0, y0, x0 + 3 + rnd.nextDouble() * 9, y0 + 2 + rnd.nextDouble() * 7)))
+    }.toDF("g", "json").select($"g", from_geojson_geom($"json").as("geom"))
+    val refR = graft.geo.sql.GeoFunctions.dissolveSharded(boxes, "geom", 9, "g")
+      .select($"g", st_area($"geom").as("a")).collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).toMap
+    for (res <- Seq(0, 2, 5)) {
+      val got = graft.geo.sql.GeoFunctions.dissolveSharded(boxes, "geom", res, "g")
+      val areas = got.select($"g", st_area($"geom").as("a")).collect()
+      assert(areas.length == 4)
+      areas.foreach(r => approx(r.getDouble(1), refR(r.getLong(0)), 1e-8, s"res=$res g=${r.getLong(0)}"))
+      // membership at random probes agrees with the per-member OR
+      val probes = (0 until 300).map(_ =>
+        (rnd.nextInt(4).toLong, rnd.nextDouble() * 120 - 60, rnd.nextDouble() * 80 - 40))
+        .toDF("g", "px", "py")
+      val bad = probes.join(got, Seq("g"))
+        .join(boxes.groupBy("g").agg(org.apache.spark.sql.functions.collect_list($"geom").as("gs")), Seq("g"))
+        .where(st_contains($"geom", $"px", $"py") =!=
+          org.apache.spark.sql.functions.exists($"gs", m => st_contains(m, $"px", $"py")))
+        .count()
+      assert(bad == 0, s"res=$res: $bad membership mismatches vs member OR")
+    }
+    // plan pin: phase 1 groups by (key, __dshard) — no group ever collects
+    // the whole boundary's rings in one row
+    val plan = graft.geo.sql.GeoFunctions.dissolve(boxes, "geom", "g")
+      .queryExecution.optimizedPlan.toString
+    assert(plan.contains("__dshard"), s"dissolve lost its shard key:\n${plan.take(2000)}")
+  }
+
   test("st_is_valid: reason codes for the classic invalidity families") {
     val cases = Seq(
       (polyJson(boxPts(0, 0, 10, 10)), true, "valid"),

@@ -136,6 +136,11 @@ class PipelineSpec extends AnyFunSuite {
     // fresh root reproduces the same values (determinism across workspaces)
     val root2 = Files.createTempDirectory("graft_ingest_spec2").toString
     assert(rows(Ingest.run(spark, docs, root2)) == first)
+    // line-synthesis mode (the q92 demonstration flag) runs green too and
+    // keeps the survivors-within-shard invariant; default is VERBATIM text
+    val root3 = Files.createTempDirectory("graft_ingest_spec3").toString
+    val synth = rows(Ingest.run(spark, docs, root3, synthesizeLines = true))
+    assert(synth.nonEmpty && synth.forall(r => r(0).asInstanceOf[Long] % 3 != 0))
   }
 
   test("flagship pipeline end-to-end: join rows + tile totals + resume") {
