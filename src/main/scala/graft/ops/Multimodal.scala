@@ -630,9 +630,43 @@ object Multimodal {
     override protected def withNewChildInternal(c: Expression) = copy(c)
   }
 
+  /** `pca1_bytes(id, rate, n)` → the deterministic PCA1 audio payload —
+    * [[graft.pipeline.AudioGen.table]]'s payload kernel as a codegen
+    * expression (the Grb1Bytes discipline). */
+  case class Pca1Bytes(id: Expression, rate: Expression, n: Expression)
+      extends TernaryExpression with ImplicitCastInputTypes {
+    override def first: Expression  = id
+    override def second: Expression = rate
+    override def third: Expression  = n
+    override def inputTypes         = Seq(LongType, IntegerType, IntegerType)
+    override def dataType: DataType = BinaryType
+    override protected def nullSafeEval(i: Any, r: Any, nn: Any): Any =
+      AudioGen.encode(i.asInstanceOf[Long], r.asInstanceOf[Int], nn.asInstanceOf[Int])
+    override protected def doGenCode(ctx: codegen.CodegenContext, ev: codegen.ExprCode) =
+      defineCodeGen(ctx, ev, (i, r, nn) => s"graft.pipeline.AudioGen.encode($i, $r, $nn)")
+    override protected def withNewChildrenInternal(f: Expression, s: Expression, t: Expression) =
+      copy(f, s, t)
+  }
+
+  /** `vid1_bytes(id)` → the deterministic VID1 video payload —
+    * [[graft.pipeline.VideoGen.table]]'s payload kernel as a codegen
+    * expression (the Grb1Bytes discipline). */
+  case class Vid1Bytes(id: Expression) extends UnaryExpression with ImplicitCastInputTypes {
+    override def child: Expression = id
+    override def inputTypes        = Seq(LongType)
+    override def dataType: DataType = BinaryType
+    override protected def nullSafeEval(v: Any): Any =
+      VideoGen.encode(v.asInstanceOf[Long])
+    override protected def doGenCode(ctx: codegen.CodegenContext, ev: codegen.ExprCode) =
+      defineCodeGen(ctx, ev, c => s"graft.pipeline.VideoGen.encode($c)")
+    override protected def withNewChildInternal(c: Expression) = copy(c)
+  }
+
   val builders: Seq[(String, Seq[Expression] => Expression)] = Seq(
     "grb1_bytes"      -> (es => Grb1Bytes(es.head)),
     "grb1_phash"      -> (es => Grb1Phash(es.head)),
+    "pca1_bytes"      -> (es => Pca1Bytes(es(0), es(1), es(2))),
+    "vid1_bytes"      -> (es => Vid1Bytes(es.head)),
     "image_meta"      -> (es => ImageMeta(es.head)),
     "image_psnr"      -> (es => ImagePsnr(es(0), es(1))),
     "image_gray_mean" -> (es => ImageGrayMean(es.head)),

@@ -53,8 +53,22 @@ object AudioGen {
   def decodeCached(bytes: Array[Byte]): (Int, Array[Byte]) = decodeCache(bytes)
 
   /** n-row audio table: audio_id, bytes, rate, n_samples. Rate rotates over
-    * {8000, 12000, 16000}; 800 samples per clip. */
+    * {8000, 12000, 16000}; 800 samples per clip. Built from codegen
+    * expressions since round 7 (the [[ImageGen.table]] discipline): no
+    * Dataset-encoder boundary, and the payload prunes when unread. */
   def table(spark: SparkSession, n: Long, nSamples: Int = 800): DataFrame = {
+    graft.ops.Multimodal.register(spark)
+    val rate = (lit(8000L) + (col("id") % 3) * 4000L).cast("int")
+    spark.range(n).select(
+      concat(lit("aud_"), col("id").cast("string")).as("audio_id"),
+      call_function("pca1_bytes", col("id"), rate, lit(nSamples)).as("bytes"),
+      rate.as("rate"),
+      lit(nSamples).as("n_samples"))
+  }
+
+  /** Round-6 row-based generator — the differential-spec twin of [[table]]. */
+  private[graft] def tableRowBased(spark: SparkSession, n: Long,
+                                   nSamples: Int = 800): DataFrame = {
     import spark.implicits._
     spark.range(n).as[Long]
       .mapPartitions { it =>

@@ -67,8 +67,22 @@ object VideoGen {
     out
   }
 
-  /** n-row video table: video_id, bytes, w, h, n_frames. */
+  /** n-row video table: video_id, bytes, w, h, n_frames. Built from codegen
+    * expressions since round 7 (the [[ImageGen.table]] discipline): no
+    * Dataset-encoder boundary, and the payload prunes when unread. */
   def table(spark: SparkSession, n: Long): DataFrame = {
+    import org.apache.spark.sql.functions._
+    graft.ops.Multimodal.register(spark)
+    spark.range(n).select(
+      concat(lit("vid_"), col("id").cast("string")).as("video_id"),
+      call_function("vid1_bytes", col("id")).as("bytes"),
+      (col("id") % 5 + 8).cast("int").as("w"),
+      (col("id") % 4 + 6).cast("int").as("h"),
+      (col("id") % 3 + 4).cast("int").as("n_frames"))
+  }
+
+  /** Round-6 row-based generator — the differential-spec twin of [[table]]. */
+  private[graft] def tableRowBased(spark: SparkSession, n: Long): DataFrame = {
     import spark.implicits._
     spark.range(n).as[Long]
       .mapPartitions { it =>

@@ -62,6 +62,26 @@ class PipelineSpec extends AnyFunSuite {
       s"phash projection should keep grb1_phash and prune grb1_bytes:\n$opt2")
   }
 
+  test("expression-based audio/video tables ≡ row-based generators, bit for bit") {
+    val na = AudioGen.table(spark, 300).orderBy("audio_id").collect()
+      .map(r => (r.getString(0), r.getAs[Array[Byte]](1).toSeq, r.getInt(2), r.getInt(3)))
+    val oa = AudioGen.tableRowBased(spark, 300).orderBy("audio_id").collect()
+      .map(r => (r.getString(0), r.getAs[Array[Byte]](1).toSeq, r.getInt(2), r.getInt(3)))
+    assert(na.length == 300); na.zip(oa).foreach { case (a, b) => assert(a == b) }
+    val nv = VideoGen.table(spark, 200).orderBy("video_id").collect()
+      .map(r => (r.getString(0), r.getAs[Array[Byte]](1).toSeq, r.getInt(2), r.getInt(3), r.getInt(4)))
+    val ov = VideoGen.tableRowBased(spark, 200).orderBy("video_id").collect()
+      .map(r => (r.getString(0), r.getAs[Array[Byte]](1).toSeq, r.getInt(2), r.getInt(3), r.getInt(4)))
+    assert(nv.length == 200); nv.zip(ov).foreach { case (a, b) => assert(a == b) }
+    // metadata-only projections prune the payload kernels
+    for ((df, kern) <- Seq(
+      (AudioGen.table(spark, 10).select("audio_id", "rate"), "pca1bytes"),
+      (VideoGen.table(spark, 10).select("video_id", "w", "h"), "vid1bytes"))) {
+      val opt = df.queryExecution.optimizedPlan.toString
+      assert(!opt.toLowerCase.contains(kern), s"$kern not pruned:\n$opt")
+    }
+  }
+
   test("withLngLat matches the closed-form scala formula") {
     val rows = ImageGen.withLngLat(ImageGen.table(spark, 300))
       .select($"image_id", $"lng", $"lat").collect()
