@@ -80,6 +80,18 @@ object BenchExtra {
     if (sys.env.contains("SPARK_GRAFT_EXTRA_FLAGSHIP")) {
       val nImg = sys.env.getOrElse("SPARK_GRAFT_BENCH_IMAGES", "2000000").toLong
       spark.sparkContext.setJobDescription("extra: flagship")
+      planDir.foreach { d =>
+        import org.apache.spark.sql.functions.col
+        val imgs = graft.pipeline.ImageGen.withLngLat(
+          graft.pipeline.ImageGen.table(spark, nImg, partitions = spark.sparkContext.defaultParallelism * 2))
+        val polys = graft.pipeline.GeoImagePipeline.fixturePolygons(spark)
+        val tiled = graft.geo.join.SpatialJoins.assignTiles(
+          graft.geo.join.SpatialJoins.pipJoin(imgs, "lng", "lat", polys, "geom", res = 5),
+          "lng", "lat", z = 12)
+          .select(col("image_id"), col("poly_id"), col("tile_key"), col("phash"))
+        Files.writeString(Paths.get(d, s"flagship_pip_tile$suffix.txt"),
+          tiled.queryExecution.explainString(org.apache.spark.sql.execution.FormattedMode))
+      }
       val times = (1 to runs).map { _ =>
         val c0 = graft.Bench.canarySec()
         val (_, s) = graft.Bench.flagshipRowsPerSec(spark, nImg)
