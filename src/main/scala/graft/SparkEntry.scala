@@ -36,11 +36,12 @@ object SparkEntry {
     * cores AND the input is big enough for the shuffle to pay for itself —
     * a production table whose files already split into ≥ cores tasks
     * passes through untouched, so no shuffle is ever added at scale. */
-  private def spread(df: DataFrame, keys: Seq[Column] = Seq.empty): DataFrame = {
+  private def spread(df: DataFrame, keys: Seq[Column] = Seq.empty,
+                     minBytes: Long = 1L << 20): DataFrame = {
     val cores = df.sparkSession.sparkContext.defaultParallelism
     val parts = df.queryExecution.toRdd.getNumPartitions // planning only — no job
     val bytes = df.queryExecution.optimizedPlan.stats.sizeInBytes
-    if (parts * 2 <= cores && bytes > 1L * 1024 * 1024) {
+    if (parts * 2 <= cores && bytes > minBytes) {
       // hash-repartition on a caller-supplied high-cardinality key when one
       // exists — a keyless round-robin repartition first pays a local sort
       // of its input (spark.sql.execution.sortBeforeRepartition, guide
@@ -402,6 +403,12 @@ object SparkEntry {
     // in OpsSpec.
     "q15_minhash_dups" -> ((s, dir) => {
       registerAll(s)
+      // NO spread here: parallelizing the signature pass re-partitions the
+      // checkpointed band stream 32-way and inflates the candidate
+      // self-join's AQE stages — measured flat-to-worse (1.15 -> 1.17 s,
+      // 10 -> 231 tasks). The single-task kernel pass is cheaper than the
+      // extra exchanges at any core count because the stream feeds an
+      // exchange-bound join, unlike the narrow-map legs (q33/q64).
       val docs = s.read.parquet(t(dir, "documents")).select("doc_id", "text")
       val corpus = docs.unionByName(
         docs.select((col("doc_id") + 10000L).as("doc_id"), col("text")))
@@ -411,7 +418,7 @@ object SparkEntry {
     }),
     "q16_simhash_dups" -> ((s, dir) => {
       registerAll(s)
-      val docs = s.read.parquet(t(dir, "documents")).select("doc_id", "text")
+      val docs = s.read.parquet(t(dir, "documents")).select("doc_id", "text") // no spread: see q15
       val corpus = docs.unionByName(
         docs.select((col("doc_id") + 10000L).as("doc_id"), col("text")))
       Dedup.simhashPairs(corpus, "doc_id", "text").where(col("hamming") === 0)
@@ -444,7 +451,7 @@ object SparkEntry {
     }),
     "q19_embedding_dups" -> ((s, dir) => {
       registerAll(s)
-      val embs = s.read.parquet(t(dir, "embeddings")).select("vec_id", "embedding")
+      val embs = s.read.parquet(t(dir, "embeddings")).select("vec_id", "embedding") // no spread: see q15
       val corpus = embs.unionByName(
         embs.select((col("vec_id") + 10000L).as("vec_id"), col("embedding")))
       Dedup.embeddingPairs(corpus, "vec_id", "embedding", threshold = 0.999, bits = 12)
@@ -470,7 +477,8 @@ object SparkEntry {
       // planted stopword corpora). Winnowing is fully oracled as q66 and
       // the BPE-ish token count as q67.
       registerAll(s)
-      TextOps.withLangId(s.read.parquet(t(dir, "documents")), "text")
+      TextOps.withLangId(
+          spread(s.read.parquet(t(dir, "documents")), Seq(col("doc_id")), minBytes = 64 * 1024), "text")
         .select(col("doc_id"), col("lang_pred"))
     }),
     "q78_image_histogram" -> ((s, dir) => {
@@ -1156,7 +1164,8 @@ object SparkEntry {
       // with recall 1.0 (winnowing guarantee at >= 11 shared chars) and the
       // char-exact verify admits no hash-collision false positives
       registerAll(s)
-      val docs = s.read.parquet(t(dir, "documents")).select("doc_id", "text")
+      val docs = spread(s.read.parquet(t(dir, "documents")).select("doc_id", "text"),
+        Seq(col("doc_id")), minBytes = 64 * 1024) // kernel-heavy narrow map: spread WINS here (0.50 -> 0.43 s) — the stream feeds a broadcast join, not a banded self-join (contrast q15)
       // length >= 44 precondition: substring(text,5,40) must carry a full
       // >= k+w-1 = 11-char passage for the winnowing recall guarantee; a
       // shorter doc at another scale factor would silently break oracle
@@ -1177,7 +1186,7 @@ object SparkEntry {
       // to the planted shape (natural cross-doc boilerplate shares are
       // correct output but not closed-form) the result is every base id.
       registerAll(s)
-      val docs = s.read.parquet(t(dir, "documents")).select("doc_id", "text")
+      val docs = s.read.parquet(t(dir, "documents")).select("doc_id", "text") // no spread: see q15
       // same >= 44 precondition as q44: the carried 40-char prefix must hold
       // a full winnowing-guaranteed passage at every scale factor
       val carriers = docs.where(length(col("text")) >= 44)
@@ -1368,7 +1377,7 @@ object SparkEntry {
       // crossing the seams (\s+ spans \n). All outputs are integer counts
       // / multiplicities — a float-free oracle by construction.
       registerAll(s)
-      val docs = s.read.parquet(t(dir, "documents"))
+      val docs = spread(s.read.parquet(t(dir, "documents")), Seq(col("doc_id")), minBytes = 64 * 1024)
         .withColumn("t2", replace(col("text"), lit(" the "), lit("\n")))
       TextOps.withRepetition(docs, "t2")
         .select(col("doc_id"), col("rep_lines"), col("rep_dup_lines"),
